@@ -1,0 +1,76 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Protocol (BASELINE.md §bench): local[$SPARK_GRAFT_CPUS], AQE on, UTC;
+1 warm-up run discarded, then median of N_RUNS per query; prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+"sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pydatalake_gen2_spark.registry import load_all
+from pydatalake_gen2_spark.session import get_spark
+
+# One per SURVEY §2B category head (BASELINE.md protocol).
+BENCH_QUERIES = [
+    "s01_parquet_scan",
+    "p03_filter_boolean",
+    "j01_inner_equi",
+    "j11_asof",
+    "g02_groupby_agg",
+    "g07_grouping_sets",
+    "w07_running_total",
+    "o04_topk_per_group",
+    "u01_union_all",
+    "f23_json_extract",
+    "st01_tumbling_batch",
+    "l01_dedup_exact",
+    "l03_cosine_topk",
+    "l07_tfidf",
+    "ud02_pandas_cosine",
+]
+
+N_RUNS = 3
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    reg = load_all()
+    names = [n for n in BENCH_QUERIES if n in reg]
+    spark = get_spark("bench")
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = reg[name].spark_fn
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm-up
+        runs = []
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(runs), 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

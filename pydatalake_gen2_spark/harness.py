@@ -1,0 +1,103 @@
+"""Local oracle harness: run each registered QueryPair on Spark AND DuckDB,
+compare row counts + canonicalized multisets of values.
+
+Mirrors (strictly: is stricter than) the driver's CORRECTNESS gate, which
+sorts columns by name and hashes values order-insensitively. Here we demand
+exact value equality after canonicalization so float drift surfaces locally
+before the driver sees it.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+from collections import Counter
+from decimal import Decimal
+from typing import Any
+
+import duckdb
+
+from pydatalake_gen2_spark.registry import REGISTRY, load_all
+from pydatalake_gen2_spark.tables import TABLES
+
+
+def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {name} AS "
+            f"SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
+        )
+    return con
+
+
+def _canon_value(v: Any) -> Any:
+    if v is None:
+        return "\x00NULL"
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, Decimal):
+        return float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "\x00NaN"
+        return v
+    if isinstance(v, _dt.datetime):
+        return v.replace(tzinfo=None).isoformat(sep=" ", timespec="microseconds")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_canon_value(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _canon_value(x)) for k, x in v.items()))
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v)
+    return v
+
+
+def canon_rows(columns: list[str], rows: list[tuple]) -> Counter:
+    """Order-insensitive multiset of rows with columns sorted by name."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    return Counter(tuple(_canon_value(row[i]) for i in order) for row in rows)
+
+
+def run_pair(spark, con, sf_dir: str, name: str) -> dict:
+    qp = REGISTRY[name]
+    sdf = qp.spark_fn(spark, sf_dir)
+    s_cols = [c.lower() for c in sdf.columns]
+    s_rows = [tuple(r) for r in sdf.collect()]
+    out = {"name": name, "tier": qp.tier, "spark_rows": len(s_rows)}
+    if qp.duck_sql is None:
+        out["status"] = "rows_only"
+        return out
+    dres = con.execute(qp.duck_sql)
+    d_cols = [d[0].lower() for d in dres.description]
+    d_rows = dres.fetchall()
+    out["duck_rows"] = len(d_rows)
+    if sorted(s_cols) != sorted(d_cols):
+        out["status"] = "COL_MISMATCH"
+        out["detail"] = f"spark={sorted(s_cols)} duck={sorted(d_cols)}"
+        return out
+    sm, dm = canon_rows(s_cols, s_rows), canon_rows(d_cols, d_rows)
+    if sm == dm:
+        out["status"] = "match"
+    else:
+        out["status"] = "VALUE_MISMATCH"
+        only_s = list((sm - dm).items())[:3]
+        only_d = list((dm - sm).items())[:3]
+        out["detail"] = f"only_spark={only_s} only_duck={only_d}"
+    return out
+
+
+def run_all(spark, sf_dir: str, names: list[str] | None = None) -> list[dict]:
+    load_all()
+    con = duck_connect(sf_dir)
+    results = []
+    for name in names or sorted(REGISTRY):
+        try:
+            results.append(run_pair(spark, con, sf_dir, name))
+        except Exception as e:  # keep sweeping; report the failure
+            results.append(
+                {"name": name, "status": "ERROR", "detail": f"{type(e).__name__}: {e}"[:400]}
+            )
+    return results

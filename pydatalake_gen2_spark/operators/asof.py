@@ -1,0 +1,81 @@
+"""As-of join (J11) — Spark has no native ASOF JOIN; this is the engine's
+library-level implementation (SURVEY.md §4.2: a Catalyst rule is unjustified).
+
+Algorithm (union-sort, the scale path):
+    1. Tag left rows 1, right rows 0 and UNION them on (key, ts, tag).
+    2. Window per key ordered by (ts, tag, right-unique-id): carry the most
+       recent right row forward as ONE struct with last(ignorenulls=True)
+       (struct-atomic: NULL right fields can't mix rows).
+    3. Keep only left rows → each has the latest right row with
+       right.ts <= left.ts (tag ordering makes equal-ts rights visible).
+
+Cost: ONE shuffle on the join key + an in-partition sort — O(n log n),
+no range cross-product. At 100 TB this beats the naive
+range-join + row_number (which explodes to every (left, right) pair
+within the window) by orders of magnitude; skewed keys fall to AQE's
+skew-join splitting.
+
+Ties: two right rows with equal (key, ts) resolve to the largest
+`right_order` value (deterministic pick).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_order: str,
+    carry: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    right[right_ts] <= left[left_ts], matching on `on`.
+
+    carry: right columns to attach (prefixed ``asof_`` in the output).
+    how: 'left' keeps unmatched left rows (carry columns NULL),
+         'inner' drops them.
+    """
+    lcols = left.columns
+    carry_t = ", ".join(f"`{c}`:{right.schema[c].dataType.simpleString()}" for c in carry)
+    l = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_tag"),
+        F.lit(None).cast("long").alias("_rord"),
+        F.lit(None).cast(f"struct<{carry_t}>").alias("_rrow"),
+        *[F.col(c) for c in lcols],
+    )
+    r = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_tag"),
+        F.col(right_order).cast("long").alias("_rord"),
+        F.struct(*[F.col(c) for c in carry]).alias("_rrow"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+    )
+    # Order: ts, then right-before-left at equal ts (inclusive <=), then
+    # right_order so the last-seen right row at a tied ts is the max-order one.
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts"), F.col("_tag"), F.col("_rord"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = (
+        l.unionByName(r)
+        .withColumn("_match", F.last("_rrow", ignorenulls=True).over(w))
+        .filter(F.col("_tag") == 1)
+    )
+    out = matched.select(
+        *lcols, *[F.col("_match").getField(c).alias(f"asof_{c}") for c in carry]
+    )
+    if how == "inner":
+        out = out.filter(F.col(f"asof_{carry[0]}").isNotNull())
+    return out

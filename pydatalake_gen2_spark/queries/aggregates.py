@@ -1,0 +1,198 @@
+"""Aggregations — SURVEY.md §2B.4 (G01-G13).
+
+Spark executes these as partial+final hash aggregation (HashAggregateExec
+with map-side combine), which is exactly the 100 TB-friendly shape: only
+group keys + partial states cross the shuffle.
+
+Float determinism: doubles are cast to DECIMAL(18,4) *before* SUM (exact in
+both engines); averages are computed as exact-decimal-sum cast to DOUBLE
+then one IEEE division by COUNT — bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pydatalake_gen2_spark.registry import register, sql_pair
+
+
+def _dec(c):
+    return F.col(c).cast("decimal(18,4)")
+
+
+@register(
+    "g02_groupby_agg",
+    duck_sql="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+               AS sum_disc_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def g02_groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape — the flagship. Partial agg on 2 low-cardinality keys:
+    at 100 TB the shuffle carries ~6 rows per map task."""
+    li = spark.table("lineitem")
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+sql_pair(
+    "g01_global_agg",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
+           CAST(MAX(l_quantity) AS DOUBLE) AS max_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price
+    FROM lineitem
+    """,
+)
+
+sql_pair(
+    "g03_count_distinct",
+    """
+    SELECT CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_part,
+           CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS n_flag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    """,
+)
+
+
+@register("g04_approx_count_distinct", duck_sql=None, tier="P")
+def g04_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate (rsd=0.05); property-tested against
+    the exact count in tests (rows-only check here — approximate by design).
+    At 100 TB this replaces G03's exact distinct (which shuffles every key)
+    with fixed-size mergeable sketches."""
+    li = spark.table("lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey", 0.05).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", 0.05).alias("approx_orders"),
+    )
+
+
+sql_pair(
+    "g05_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+
+sql_pair(
+    "g06_cube",
+    """
+    SELECT l_returnflag, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY CUBE (l_returnflag, o_orderstatus)
+    """,
+)
+
+sql_pair(
+    "g07_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+
+sql_pair(
+    "g08_having",
+    """
+    SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING COUNT(*) >= 5 AND SUM(CAST(l_quantity AS DECIMAL(18,4))) > 100
+    """,
+)
+
+# min_by/max_by with a UNIQUE ordering key (o_orderkey) so ties can't occur.
+sql_pair(
+    "g09_min_max_by",
+    """
+    SELECT o_custkey,
+           CAST(MIN_BY(o_totalprice, o_orderkey) AS DOUBLE) AS first_order_price,
+           CAST(MAX_BY(o_totalprice, o_orderkey) AS DOUBLE) AS last_order_price,
+           CAST(MIN(o_orderkey) AS BIGINT) AS first_orderkey
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+
+sql_pair(
+    "g10_sorted_list_agg",
+    """
+    SELECT n_regionkey,
+           array_join(sort_array(collect_list(n_name)), ',') AS nations
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+    duck_sql="""
+    SELECT n_regionkey,
+           array_to_string(list_sort(list(n_name)), ',') AS nations
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+
+sql_pair(
+    "g11_stats_aggs",
+    """
+    SELECT l_returnflag,
+           ROUND(STDDEV_SAMP(l_quantity), 4) AS sd_qty,
+           ROUND(VAR_SAMP(l_quantity), 4) AS var_qty,
+           ROUND(CORR(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           ROUND(COVAR_SAMP(l_quantity, l_discount), 4) AS cov_qty_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+
+sql_pair(
+    "g12_median",
+    """
+    SELECT l_returnflag,
+           CAST(MEDIAN(l_quantity) AS DOUBLE) AS med_qty,
+           CAST(MEDIAN(l_linenumber) AS DOUBLE) AS med_line
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+
+sql_pair(
+    "g13_filtered_agg",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_finished,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) FILTER (WHERE o_orderstatus = 'O')
+                AS DOUBLE) AS open_value
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)

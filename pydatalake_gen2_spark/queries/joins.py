@@ -1,0 +1,186 @@
+"""Joins — SURVEY.md §2B.3 (J01-J12).
+
+Physical strategy notes (the 100 TB story):
+- J01/J03-J07/J12: equi joins → Catalyst picks sort-merge or shuffled-hash;
+  AQE switches to broadcast at runtime when a side is small.
+- J02: explicit broadcast of `part` — dims stay under the driver's
+  broadcast threshold even at 100 TB fact scale.
+- J09: theta join is BroadcastNestedLoop with the small side broadcast —
+  acceptable only because dims are small; never theta-join two fact tables.
+- J10: range self-join is bounded by the join key (user_id) so the
+  per-key cross product stays small; the interval predicate is applied
+  inside the join.
+- J11: as-of join via operators.asof (union-sort, one shuffle — see module).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pydatalake_gen2_spark.operators.asof import asof_join
+from pydatalake_gen2_spark.registry import register, sql_pair
+
+sql_pair(
+    "j01_inner_equi",
+    """
+    SELECT o.o_orderkey, c.c_custkey, c.c_name, o.o_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderstatus = 'F'
+    """,
+)
+
+
+@register(
+    "j02_broadcast_inner",
+    duck_sql="""
+    SELECT p.p_brand, CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size <= 20
+    GROUP BY p.p_brand
+    """,
+)
+def j02_broadcast_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⨝dim with an explicit broadcast hint: no shuffle of lineitem —
+    the one join strategy that survives a 100× fact-table scale-up."""
+    li = spark.table("lineitem")
+    part = spark.table("part").filter(F.col("p_size") <= 20)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("sum_qty"),
+        )
+    )
+
+
+sql_pair(
+    "j03_left_outer",
+    """
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_totalprice > 300000
+    """,
+)
+
+sql_pair(
+    "j04_right_outer",
+    """
+    SELECT c.c_custkey, o.o_orderkey
+    FROM orders o RIGHT JOIN customer c
+      ON o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P'
+    """,
+)
+
+sql_pair(
+    "j05_full_outer",
+    """
+    SELECT big_o.k AS order_cust, big_c.c_custkey AS cust_key
+    FROM (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > 350000) big_o
+    FULL JOIN (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 8000) big_c
+      ON big_o.k = big_c.c_custkey
+    """,
+)
+
+sql_pair(
+    "j06_left_semi",
+    """
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+)
+
+sql_pair(
+    "j07_left_anti",
+    """
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+
+sql_pair(
+    "j08_cross",
+    """
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    """,
+)
+
+sql_pair(
+    "j09_theta_nonequi",
+    """
+    SELECT s.s_suppkey,
+           CAST(COUNT(c.c_custkey) AS BIGINT) AS n_poorer_customers
+    FROM supplier s LEFT JOIN customer c ON s.s_acctbal > c.c_acctbal
+    GROUP BY s.s_suppkey
+    """,
+)
+
+sql_pair(
+    "j10_range_band",
+    """
+    SELECT e1.event_id AS base_event,
+           CAST(COUNT(e2.event_id) AS BIGINT) AS n_followups,
+           CAST(SUM(CASE WHEN e2.event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
+    FROM events e1 LEFT JOIN events e2
+      ON e1.user_id = e2.user_id
+     AND e2.ts > e1.ts
+     AND e2.ts <= e1.ts + INTERVAL 5 MINUTE
+    WHERE e1.event_type = 'click'
+    GROUP BY e1.event_id
+    """,
+)
+
+
+@register(
+    "j11_asof",
+    duck_sql="""
+    SELECT p.event_id, p.user_id, c.event_id AS asof_event_id,
+           CAST(c.value AS DOUBLE) AS asof_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def j11_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest click at-or-before each purchase, per user. DuckDB's native
+    ASOF JOIN is the oracle for our union-sort implementation.
+
+    Equal-ts ties among clicks pick max event_id (matches DuckDB's ASOF,
+    which takes the single matching right row; fixture event times are
+    unique per user so the tie rule is exercised, not load-bearing)."""
+    ev = spark.table("events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click")
+    res = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_order="event_id",
+        carry=["event_id", "value"],
+        how="left",
+    )
+    return res.select(
+        "event_id",
+        "user_id",
+        F.col("asof_event_id"),
+        F.col("asof_value").cast("double").alias("asof_value"),
+    )
+
+
+sql_pair(
+    "j12_multikey_self",
+    """
+    SELECT l1.l_orderkey, l1.l_linenumber,
+           CAST(l2.l_quantity - l1.l_quantity AS DOUBLE) AS qty_delta
+    FROM lineitem l1 JOIN lineitem l2
+      ON l1.l_orderkey = l2.l_orderkey AND l2.l_linenumber = l1.l_linenumber + 1
+    """,
+)

@@ -1,0 +1,145 @@
+"""Projection / filter / predicates — SURVEY.md §2B.2 (P01-P08).
+
+All expressed so Catalyst pushes predicates and prunes columns down to the
+parquet scan (verified via explain in tests: PushedFilters + ReadSchema).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pydatalake_gen2_spark.registry import register, sql_pair
+
+
+@register(
+    "p01_project_rename",
+    duck_sql="""
+    SELECT c_custkey AS custkey, c_name AS name, c_mktsegment AS segment
+    FROM customer
+    """,
+)
+def p01_project_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column pruning: ReadSchema should list exactly these 3 columns."""
+    return spark.table("customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+
+
+@register(
+    "p02_computed_column",
+    duck_sql="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                CAST(1 - l_discount AS DECIMAL(18,4)) AS DOUBLE) AS disc_price,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                CAST((1 - l_discount) * (1 + l_tax) AS DECIMAL(18,4)) AS DOUBLE) AS charge
+    FROM lineitem
+    """,
+)
+def p02_computed_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Money math in exact DECIMAL: source values carry ≤2 decimals, so the
+    factors cast unambiguously to DECIMAL(18,4) and the product is exact —
+    ROUNDing the double product instead would sit exactly on the half
+    boundary (6-decimal true values) and diverge between engines."""
+    li = spark.table("lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    disc_f = (1 - F.col("l_discount")).cast("decimal(18,4)")
+    both_f = ((1 - F.col("l_discount")) * (1 + F.col("l_tax"))).cast("decimal(18,4)")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (price * disc_f).cast("double").alias("disc_price"),
+        (price * both_f).cast("double").alias("charge"),
+    )
+
+
+@register(
+    "p03_filter_boolean",
+    duck_sql="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem
+    WHERE (l_quantity > 30 AND l_discount >= 0.05)
+       OR (NOT l_returnflag = 'N' AND l_tax < 0.02)
+    """,
+)
+def p03_filter_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comparison + AND/OR/NOT; whole predicate lands in PushedFilters."""
+    li = spark.table("lineitem")
+    cond = ((F.col("l_quantity") > 30) & (F.col("l_discount") >= 0.05)) | (
+        (~(F.col("l_returnflag") == "N")) & (F.col("l_tax") < 0.02)
+    )
+    return li.filter(cond).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+
+
+sql_pair(
+    "p04_in_between_like",
+    """
+    SELECT o_orderkey, o_orderpriority, o_totalprice
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND o_totalprice BETWEEN 50000 AND 150000
+      AND o_orderpriority LIKE '%-%'
+    """,
+)
+
+# Null-safe equality: Spark `<=>` ↔ ANSI IS NOT DISTINCT FROM (both engines
+# accept the ANSI form; nulls are planted via a non-matching LEFT JOIN).
+sql_pair(
+    "p05_null_handling",
+    """
+    SELECT c.c_custkey,
+           o.o_orderkey IS NULL AS no_order,
+           o.o_orderstatus IS NOT DISTINCT FROM 'F' AS is_f_nullsafe
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey AND o.o_totalprice > 450000
+    """,
+)
+
+sql_pair(
+    "p06_conditional_exprs",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 300000 THEN 'big'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'small' END AS bucket,
+           COALESCE(NULLIF(o_orderstatus, 'P'), 'pending') AS status_or_pending,
+           GREATEST(o_totalprice, 100000.0) AS at_least_100k,
+           LEAST(CAST(o_orderkey AS BIGINT), o_custkey) AS min_key
+    FROM orders
+    """,
+)
+
+sql_pair(
+    "p07_cast_matrix",
+    """
+    SELECT l_orderkey,
+           CAST(l_quantity AS INT) AS qty_int,
+           CAST(l_linenumber AS DOUBLE) AS line_dbl,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,4)) AS STRING) AS price_str,
+           CAST(CAST(l_shipdate AS DATE) AS STRING) AS ship_str,
+           CAST('42' AS BIGINT) AS s2i,
+           CAST('1996-03-14' AS DATE) AS s2d
+    FROM lineitem
+    """,
+    duck_sql="""
+    SELECT l_orderkey,
+           CAST(l_quantity AS INT) AS qty_int,
+           CAST(l_linenumber AS DOUBLE) AS line_dbl,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,4)) AS VARCHAR) AS price_str,
+           CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_str,
+           CAST('42' AS BIGINT) AS s2i,
+           CAST('1996-03-14' AS DATE) AS s2d
+    FROM lineitem
+    """,
+)
+
+sql_pair(
+    "p08_distinct",
+    """
+    SELECT DISTINCT l_returnflag, l_linestatus, l_shipdate
+    FROM lineitem
+    """,
+)

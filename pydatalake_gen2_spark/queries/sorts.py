@@ -1,0 +1,76 @@
+"""Sorts / limits / top-k — SURVEY.md §2B.6 (O01-O04).
+
+O03's plan is Catalyst's TakeOrderedAndProject (per-partition top-k +
+driver merge — no full sort, the right shape at 100 TB). O04 is the
+windowed top-k-per-group; its deterministic tie-break is the group key +
+unique id in the ORDER BY.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pydatalake_gen2_spark.registry import register, sql_pair
+
+# Driver hash is order-insensitive, so ORDER BY matters only for which rows
+# survive a LIMIT — there the key set must be unique (tie-proof).
+sql_pair(
+    "o01_multikey_order",
+    """
+    SELECT o_orderkey, o_orderpriority, o_totalprice
+    FROM orders
+    ORDER BY o_orderpriority DESC, o_totalprice ASC, o_orderkey ASC
+    """,
+)
+
+sql_pair(
+    "o02_nulls_first_last",
+    """
+    SELECT c.c_custkey, MAX(o.o_totalprice) AS max_price
+    FROM customer c LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_totalprice > 400000
+    GROUP BY c.c_custkey
+    ORDER BY max_price DESC NULLS LAST, c.c_custkey ASC
+    """,
+)
+
+sql_pair(
+    "o03_limit_topk",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 25
+    """,
+)
+
+
+@register(
+    "o04_topk_per_group",
+    duck_sql="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+      FROM orders) t
+    WHERE rn <= 3
+    """,
+)
+def o04_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer. One shuffle on the group key; rank inside
+    the partition — no cross-group data movement."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        spark.table("orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )

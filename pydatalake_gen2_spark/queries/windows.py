@@ -1,0 +1,125 @@
+"""Window functions — SURVEY.md §2B.5 (W01-W09).
+
+Determinism rules:
+- ROW_NUMBER / NTILE / ROWS-frame aggregates need a TOTAL order inside the
+  partition → ORDER BY always ends with a unique key (o_orderkey /
+  (l_orderkey, l_linenumber)).
+- RANGE frames and RANK aggregate peers together, so ties are safe.
+- Running sums use exact DECIMAL accumulation, cast to DOUBLE at the end.
+
+Scale note: one shuffle per distinct partitionBy key set; all these reuse
+o_custkey so Catalyst shares the exchange when composed.
+"""
+
+from __future__ import annotations
+
+from pydatalake_gen2_spark.registry import sql_pair
+
+sql_pair(
+    "w01_row_number",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rn
+    FROM orders
+    """,
+)
+
+sql_pair(
+    "w02_rank_dense_rank",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS BIGINT) AS rnk,
+           CAST(DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS BIGINT)
+               AS drnk
+    FROM orders
+    """,
+)
+
+sql_pair(
+    "w03_ntile",
+    """
+    SELECT o_orderkey,
+           CAST(NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
+    FROM orders
+    """,
+)
+
+sql_pair(
+    "w04_percent_rank_cume_dist",
+    """
+    SELECT o_orderkey,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice, o_orderkey), 6) AS pr,
+           ROUND(CUME_DIST() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY o_totalprice, o_orderkey), 6) AS cd
+    FROM orders
+    """,
+)
+
+sql_pair(
+    "w05_lag_lead",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(LAG(o_totalprice, 1, 0.0) OVER
+                (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS prev_price,
+           CAST(LEAD(o_totalprice, 1, -1.0) OVER
+                (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS next_price
+    FROM orders
+    """,
+)
+
+# last_value trap: default frame stops at CURRENT ROW → explicit unbounded frame.
+sql_pair(
+    "w06_first_last_nth",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(FIRST_VALUE(o_totalprice) OVER
+                (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS DOUBLE) AS first_p,
+           CAST(LAST_VALUE(o_totalprice) OVER
+                (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS DOUBLE) AS last_p,
+           CAST(NTH_VALUE(o_totalprice, 2) OVER
+                (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS DOUBLE) AS second_p
+    FROM orders
+    """,
+)
+
+sql_pair(
+    "w07_running_total",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER
+                (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+    FROM orders
+    """,
+)
+
+sql_pair(
+    "w08_moving_avg",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE) /
+               COUNT(*) OVER w AS mov_avg
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    """,
+)
+
+sql_pair(
+    "w09_range_frame",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                               RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS n_within_10k,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER
+                (PARTITION BY o_custkey ORDER BY o_totalprice
+                 RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_within_10k
+    FROM orders
+    """,
+)

@@ -1,0 +1,49 @@
+"""Unit tests for engine helper operators with planted edge cases
+(SURVEY.md §5.2.4): empty groups, null keys, ties, unmatched rows."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pydatalake_gen2_spark.operators.asof import asof_join
+
+
+def _ts(m, s=0):
+    return dt.datetime(2024, 1, 1, 0, m, s)
+
+
+def test_asof_basic_and_ties(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(10), "p1"), (1, _ts(20), "p2"), (2, _ts(5), "p3"), (3, _ts(1), "p4")],
+        "k BIGINT, ts TIMESTAMP, name STRING",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts(10), 100, 1.0),  # equal ts → inclusive match for p1
+            (1, _ts(15), 101, 2.0),
+            (1, _ts(15), 102, 3.0),  # tie on ts → max rid wins
+            (2, _ts(9), 103, 4.0),  # after left ts → no match for p3
+        ],
+        "k BIGINT, ts TIMESTAMP, rid BIGINT, v DOUBLE",
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts",
+        right_order="rid", carry=["rid", "v"], how="left",
+    )
+    got = {r["name"]: (r["asof_rid"], r["asof_v"]) for r in out.collect()}
+    assert got == {
+        "p1": (100, 1.0),      # inclusive <=
+        "p2": (102, 3.0),      # tie resolved to max rid
+        "p3": (None, None),    # right row is later than left
+        "p4": (None, None),    # key with no right rows at all
+    }
+
+
+def test_asof_inner_drops_unmatched(spark):
+    left = spark.createDataFrame([(1, _ts(10)), (9, _ts(10))], "k BIGINT, ts TIMESTAMP")
+    right = spark.createDataFrame([(1, _ts(1), 7)], "k BIGINT, ts TIMESTAMP, rid BIGINT")
+    out = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts",
+        right_order="rid", carry=["rid"], how="inner",
+    )
+    assert [r["k"] for r in out.collect()] == [1]
