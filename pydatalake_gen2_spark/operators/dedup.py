@@ -1,0 +1,184 @@
+"""Deduplication operators (L01/L02 + training-pipeline extensions).
+
+- exact: sha256 content hash → keep min doc_id per hash. One partial-agg
+  shuffle on a 64-hex key; at 100 TB the hash group-by is the canonical
+  dedup and AQE handles the (rare) hot empty-document hash.
+- minhash_lsh: Spark ML MinHashLSH over token sets (seed-pinned) →
+  candidate pairs at Jaccard ≥ τ, then EXACT Jaccard verification of
+  candidates (so precision is exact; only recall is approximate — tier P).
+- simhash: 64-bit signed-bit fingerprint from token md5s, JVM-side bit
+  arithmetic; near-dups = equal simhash (property-tested).
+- ngram_jaccard: exact n-gram-set Jaccard for all pairs above a threshold
+  (quadratic candidate space bounded by a band/prefix filter — used as the
+  small-scale oracle for the approximate paths).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tokens_col(text_col: str = "text"):
+    return F.split(F.lower(F.col(text_col)), " ")
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups by sha256(text); keeps the smallest id as canonical.
+    Output: (h, keep_id, dup_cnt)."""
+    return (
+        df.withColumn("h", F.sha2(F.col(text_col), 256))
+        .groupBy("h")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_cnt"),
+        )
+    )
+
+
+def distinct_shingle_sets(
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct word n-gram (shingle) sets — the dedup unit. Unigrams are
+    useless on small vocabularies (every doc contains most words); shingle
+    space is |V|^n, so overlap means real shared phrasing."""
+    from pydatalake_gen2_spark.operators.text import ngrams
+
+    toks = tokens_col(text_col)
+    return df.select(
+        F.col(id_col), F.array_distinct(ngrams(toks, n)).alias("toks")
+    )
+
+
+def exact_jaccard_pairs(
+    df: DataFrame,
+    tau: float = 0.3,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All (a < b) pairs with n-gram-shingle-set Jaccard >= tau, computed
+    exactly via an inverted-index join: explode distinct shingles,
+    self-join on shingle, count shared per pair, |A∪B| = |A|+|B|-shared.
+
+    The shingle join bounds candidates to pairs sharing ≥1 shingle — with
+    n=3 shingles are rare, so the join output is near-linear in the number
+    of true near-dup pairs (no cross product, no hot keys).
+    Integer counts → the Jaccard ratio is one exact IEEE division.
+    Output: (id_a, id_b, n_shared, n_union, jaccard)."""
+    sets = distinct_shingle_sets(df, n, text_col, id_col).select(
+        F.col(id_col).alias("id"), "toks", F.size("toks").alias("n_toks")
+    )
+    inv = sets.select("id", "n_toks", F.explode("toks").alias("tok"))
+    a, b = inv.alias("a"), inv.alias("b")
+    shared = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_toks").alias("na"),
+            F.col("b.n_toks").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    # jaccard stays a RAW IEEE division of exact ints: bit-identical across
+    # engines, whereas ROUND would sit on half-boundaries for nice ratios
+    # like 9/160 and diverge (Spark rounds the shortest decimal repr,
+    # DuckDB the binary value).
+    return (
+        shared.withColumn("n_union", F.col("na") + F.col("nb") - F.col("n_shared"))
+        .withColumn("jaccard", F.col("n_shared") / F.col("n_union"))
+        .filter(F.col("jaccard") >= tau)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            F.col("n_union").cast("bigint").alias("n_union"),
+            "jaccard",
+        )
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    tau: float = 0.3,
+    n: int = 3,
+    num_hashes: int = 32,
+    seed: int = 42,
+    candidate_margin: float = 0.15,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-verified (SURVEY.md L02).
+
+    Spark ML MinHashLSH (seed pinned) over a HashingTF sparse vector of
+    distinct n-gram shingles. Candidate generation is LOOSE
+    (approxSimilarityJoin at distance <= 1-tau+margin, absorbing MinHash
+    estimation noise), verification is TIGHT (exact Jaccard >= tau on the
+    candidates) — so output has zero false positives and tests assert
+    recall vs exact_jaccard_pairs."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    sets = distinct_shingle_sets(df, n, text_col, id_col)
+    tf = HashingTF(inputCol="toks", outputCol="features", numFeatures=1 << 18, binary=True)
+    feats = tf.transform(sets)
+    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hashes, seed=seed)
+    model = mh.fit(feats)
+    cand = (
+        model.approxSimilarityJoin(
+            feats, feats, min(1.0, 1.0 - tau + candidate_margin), distCol="dist"
+        )
+        .filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("id_a"),
+            F.col("datasetA.toks").alias("toks_a"),
+            F.col("datasetB.doc_id").alias("id_b"),
+            F.col("datasetB.toks").alias("toks_b"),
+        )
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size(F.array_union("toks_a", "toks_b"))
+    return (
+        cand.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= tau)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def simhash(
+    df: DataFrame, bits: int = 48, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """SimHash fingerprint (default 48 bits, packed in a BIGINT).
+
+    Classic distributed formulation: explode distinct tokens, hash each
+    token ONCE (md5 → bigint), then a single groupBy(doc_id) computes the
+    per-bit signed tallies as `bits` sum-aggregations — one shuffle on
+    doc_id, partial-aggregated map-side. Sign of each tally becomes the
+    fingerprint bit. Near-dup docs (small token-set deltas) land on equal
+    or Hamming-close fingerprints.
+
+    Output: (doc_id, simhash BIGINT).
+    """
+    tok = (
+        df.select(F.col(id_col), F.explode(F.array_distinct(tokens_col(text_col))).alias("tok"))
+        # 15 hex chars = 60 bits of md5 entropy, cleanly inside BIGINT.
+        .withColumn("th", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint"))
+    )
+    tallies = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = tok.groupBy(id_col).agg(*tallies)
+    fingerprint = F.lit(0).cast("bigint")
+    for i in range(bits):
+        fingerprint = fingerprint + F.when(
+            F.col(f"b{i}") > 0, F.lit(2**i).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+    return agg.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def hamming64(a, b):
+    """Hamming distance between two BIGINT fingerprints (bit_count of XOR)."""
+    return F.bit_count(F.col(a).bitwiseXOR(F.col(b)))

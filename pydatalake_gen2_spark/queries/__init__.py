@@ -2,9 +2,16 @@
 
 from pydatalake_gen2_spark.queries import (  # noqa: F401
     aggregates,
+    functions,
     joins,
+    llm,
+    multimodal_q,
     projection,
+    scans,
+    textops,
+    udfs,
     setops,
     sorts,
+    streaming_batch,
     windows,
 )

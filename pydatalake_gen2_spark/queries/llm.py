@@ -1,0 +1,282 @@
+"""LLM-data-pipeline operators — SURVEY.md §2B.10 (L01-L10) plus the
+training-pipeline extensions (language-ID, quality scoring, token counting,
+fingerprinting, SimHash, LSH) the task brief adds as first-class.
+
+Oracles are DuckDB compositions over the same parquet — exact integer /
+raw-IEEE-division outputs wherever values are rational (no ROUND
+half-boundary risk), ROUND only over transcendental-valued expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pydatalake_gen2_spark.operators import dedup, similarity, text
+from pydatalake_gen2_spark.operators.vectors import as_double, dot, l2_norm, normalize
+from pydatalake_gen2_spark.registry import register
+
+
+@register(
+    "l01_dedup_exact",
+    duck_sql="""
+    SELECT sha256(text) AS h,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS dup_cnt
+    FROM documents GROUP BY sha256(text)
+    """,
+)
+def l01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content-hash dedup; canonical row = min doc_id per hash."""
+    return dedup.dedup_exact(spark.table("documents"))
+
+
+@register("l02_minhash_neardup", duck_sql=None, tier="P")
+def l02_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates (seed=42) over 3-gram shingles,
+    exact-verified at Jaccard >= 0.3. Property-tested in tests/ for full
+    recall vs the exact pair join."""
+    return dedup.minhash_candidate_pairs(spark.table("documents"), tau=0.3)
+
+
+@register(
+    "l02b_ngram_jaccard",
+    duck_sql="""
+    WITH sets AS (
+      SELECT doc_id AS id,
+             list_distinct(list_transform(generate_series(1, len(t) - 2),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS toks
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+      WHERE len(t) >= 3),
+    inv AS (SELECT id, len(toks) AS n_toks, unnest(toks) AS tok FROM sets),
+    shared AS (
+      SELECT a.id AS id_a, b.id AS id_b, a.n_toks AS na, b.n_toks AS nb,
+             COUNT(*) AS n_shared
+      FROM inv a JOIN inv b ON a.tok = b.tok AND a.id < b.id
+      GROUP BY 1, 2, 3, 4)
+    SELECT id_a, id_b,
+           CAST(n_shared AS BIGINT) AS n_shared,
+           CAST(na + nb - n_shared AS BIGINT) AS n_union,
+           n_shared / (na + nb - n_shared) AS jaccard
+    FROM shared
+    WHERE n_shared / (na + nb - n_shared) >= 0.3
+    """,
+)
+def l02b_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard pairs >= 0.3 via inverted-index join —
+    shingles are rare (|V|^3 space), so the join output stays near-linear
+    in the number of true near-dup pairs."""
+    return dedup.exact_jaccard_pairs(spark.table("documents"), tau=0.3)
+
+
+@register(
+    "l03_cosine_topk",
+    duck_sql="""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 3),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    pairs AS (
+      SELECT query_id, vec_id,
+             list_dot_product(qv, cv) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+      FROM c CROSS JOIN q WHERE vec_id <> query_id),
+    ranked AS (
+      SELECT query_id, vec_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+      FROM pairs)
+    SELECT query_id, vec_id, ROUND(cos, 4) AS cos, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def l03_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 3 query vectors (broadcast queries,
+    corpus streams — the exact baseline for the LSH scale path)."""
+    emb = spark.table("embeddings")
+    return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 3), k=5)
+
+
+@register(
+    "l04_vector_ops",
+    duck_sql="""
+    SELECT vec_id,
+           ROUND(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]), 6) AS norm2,
+           ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS norm,
+           ROUND(embedding[1]::DOUBLE / sqrt(list_dot_product(embedding::DOUBLE[],
+                                                              embedding::DOUBLE[])), 6)
+               AS unit_first
+    FROM embeddings
+    """,
+)
+def l04_vector_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dot / L2 norm / normalize as JVM higher-order functions."""
+    v = as_double("embedding")
+    return spark.table("embeddings").select(
+        "vec_id",
+        F.round(dot(v, v), 6).alias("norm2"),
+        F.round(l2_norm(v), 6).alias("norm"),
+        F.round(F.element_at(normalize(v), 1), 6).alias("unit_first"),
+    )
+
+
+@register(
+    "l02c_embedding_neardup",
+    duck_sql="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+    SELECT id_a, id_b, ROUND(cos, 4) AS cos FROM p WHERE cos >= 0.35
+    """,
+)
+def l02c_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold 0.35). All-pairs here
+    (fixtures are small); the LSH-bucketed variant is the scale path and
+    is recall-tested against this in tests/."""
+    e = spark.table("embeddings").select("vec_id", as_double("embedding").alias("v"))
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    cos = dot(F.col("va"), F.col("vb")) / (l2_norm(F.col("va")) * l2_norm(F.col("vb")))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cos"))
+        .filter(F.col("cos") >= 0.35)
+        .withColumn("cos", F.round("cos", 4))
+    )
+
+
+@register(
+    "l05_token_freq",
+    duck_sql="""
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents) t
+    GROUP BY token
+    """,
+)
+def l05_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequencies (explode + partial-agg groupBy)."""
+    return text.token_frequencies(spark.table("documents"))
+
+
+@register(
+    "l06_ngrams",
+    duck_sql="""
+    WITH toks AS (SELECT string_split(lower(text), ' ') AS t FROM documents),
+    grams AS (
+      SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i + 1])) AS gram
+      FROM toks WHERE len(t) >= 2)
+    SELECT gram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM grams GROUP BY gram HAVING COUNT(*) >= 5
+    """,
+)
+def l06_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word bigram counts via sequence+slice HOF (no python)."""
+    docs = spark.table("documents")
+    grams = docs.select(F.explode(text.ngrams(text.tokens(), 2)).alias("gram"))
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 5)
+    )
+
+
+@register(
+    "l07_tfidf",
+    duck_sql="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+                 FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+    dfreq AS (SELECT term, COUNT(*) AS df
+              FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY term),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, ROUND(tf.tf * ln((n.n + 1.0) / (dfreq.df + 1.0)), 4) AS score
+      FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, term, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+      FROM scored)
+    SELECT doc_id, term, score, CAST(rn AS BIGINT) AS rn FROM ranked WHERE rn <= 3
+    """,
+)
+def l07_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (broadcast term dictionary)."""
+    return text.tfidf_top_terms(spark.table("documents"), k=3)
+
+
+@register(
+    "l08_corpus_stats",
+    duck_sql="""
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(CASE WHEN length(text) = n_chars THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY lang, source
+    """,
+)
+def l08_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus stats by (lang, source) incl. the n_chars=length(text)
+    validation invariant."""
+    d = spark.table("documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(F.when(F.length("text") == F.col("n_chars"), 1).otherwise(0)).alias("n_valid"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@register(
+    "l09_centroid_purity",
+    duck_sql="""
+    WITH ex AS (
+      SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+             unnest(embedding::DOUBLE[]) AS x
+      FROM embeddings),
+    cent AS (SELECT label, pos, AVG(x) AS c FROM ex GROUP BY label, pos),
+    dist AS (
+      SELECT e.vec_id, e.label, sqrt(SUM((e.x - cent.c) * (e.x - cent.c))) AS d
+      FROM ex e JOIN cent ON e.label = cent.label AND e.pos = cent.pos
+      GROUP BY e.vec_id, e.label)
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(AVG(d), 4) AS avg_dist, ROUND(MAX(d), 4) AS max_dist
+    FROM dist GROUP BY label
+    """,
+)
+def l09_centroid_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid distance stats: posexplode → per-dim centroid →
+    rejoin → per-vector L2 distance → per-label stats. Shuffles on
+    (label,pos) then (vec_id) — dimension-parallel, no driver math."""
+    ex = spark.table("embeddings").select(
+        "vec_id", "label", F.posexplode(as_double("embedding")).alias("pos", "x")
+    )
+    cent = ex.groupBy("label", "pos").agg(F.avg("x").alias("c"))
+    dist = (
+        ex.join(cent, ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(F.sqrt(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))).alias("d"))
+    )
+    return dist.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("d"), 4).alias("avg_dist"),
+        F.round(F.max("d"), 4).alias("max_dist"),
+    )
+
+
+@register("lx_simhash", duck_sql=None, tier="P")
+def lx_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """48-bit SimHash fingerprints (property-tested: identical docs →
+    identical hash; near-dup docs → small Hamming distance)."""
+    return dedup.simhash(spark.table("documents"))
+
+
+@register("lx_lsh_topk", duck_sql=None, tier="P")
+def lx_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k neighbours (the 100 TB similarity
+    path; recall property-tested against l03's brute force)."""
+    return similarity.lsh_topk(spark.table("embeddings"), k=5)

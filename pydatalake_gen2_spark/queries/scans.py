@@ -1,0 +1,130 @@
+"""Scans / sources / sinks — SURVEY.md §2B.1 (S01-S07, S09).
+
+Round-trip pattern: Spark WRITES a format into a temp dir, reads it back,
+and the DuckDB oracle runs on the ORIGINAL parquet — proving both
+directions of the connector at once. Write targets are per-process temp
+dirs (cheap at correctness scale; bench's scan head s01 is read-only).
+
+Replaces the reference's byte-stream read/upload surface
+(/root/reference/azure/datalake/gen2/client.py:528-546 read_path,
+:548-582 upload_*): Spark's readers/writers ARE the engine's scan/sink
+operators; ADLS Gen2 auth collapses to connector conf (sources/lake.py).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pydatalake_gen2_spark.registry import register
+from pydatalake_gen2_spark.tables import TABLES, load_table
+
+_tmp_root = tempfile.mkdtemp(prefix="pydatalake_sinks_")
+
+
+def _tmp(name: str, sf_dir: str) -> str:
+    tag = sf_dir.strip("/").replace("/", "_")
+    return os.path.join(_tmp_root, f"{name}_{tag}")
+
+
+@register(
+    "s01_parquet_scan",
+    duck_sql="SELECT * FROM lineitem",
+)
+def s01_parquet_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-content parquet scan of the fact table (vectorized reader;
+    count + full value-hash compare)."""
+    return spark.table("lineitem")
+
+
+@register(
+    "s02_csv_roundtrip",
+    duck_sql="SELECT * FROM nation",
+)
+def s02_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation → CSV (header) → read back with explicit schema."""
+    path = _tmp("s02_csv", sf_dir)
+    load_table(spark, sf_dir, "nation").write.mode("overwrite").option(
+        "header", True
+    ).csv(path)
+    return spark.read.schema(TABLES["nation"]).option("header", True).csv(path)
+
+
+@register(
+    "s03_json_roundtrip",
+    duck_sql="SELECT * FROM region",
+)
+def s03_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """region → JSON lines → read back with explicit schema."""
+    path = _tmp("s03_json", sf_dir)
+    load_table(spark, sf_dir, "region").write.mode("overwrite").json(path)
+    return spark.read.schema(TABLES["region"]).json(path)
+
+
+@register(
+    "s05_partitioned_pruned",
+    duck_sql="""
+    SELECT l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem WHERE l_returnflag = 'R'
+    GROUP BY l_linestatus
+    """,
+)
+def s05_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned write on l_returnflag; the read-back filter prunes
+    to one partition directory (PartitionFilters in the scan node) — the
+    layout pattern that turns full scans into directory lookups at 100 TB."""
+    path = _tmp("s05_part", sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        load_table(spark, sf_dir, "lineitem").write.mode("overwrite").partitionBy(
+            "l_returnflag"
+        ).parquet(path)
+    back = spark.read.parquet(path).filter(F.col("l_returnflag") == "R")
+    return back.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("sum_qty"),
+    )
+
+
+@register(
+    "s06_parquet_sink",
+    duck_sql="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def s06_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate → parquet sink → read back (overwrite mode)."""
+    path = _tmp("s06_sink", sf_dir)
+    agg = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("sum_price"),
+        )
+    )
+    agg.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+@register(
+    "s07_csv_sink",
+    duck_sql="""
+    SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def s07_csv_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered projection → CSV sink (header) → schema'd read back."""
+    path = _tmp("s07_csv", sf_dir)
+    sub = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey", "c_name", "c_acctbal")
+    sub.write.mode("overwrite").option("header", True).csv(path)
+    return spark.read.schema(
+        "c_custkey BIGINT, c_name STRING, c_acctbal DOUBLE"
+    ).option("header", True).csv(path)

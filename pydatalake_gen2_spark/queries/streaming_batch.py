@@ -1,0 +1,161 @@
+"""Streaming operators, batch forms + streaming runs — SURVEY.md §2B.9.
+
+H entries are the batch-equivalent forms (same SQL over static `events`)
+hash-matched against DuckDB (`time_bucket` is epoch-aligned for 10-minute
+buckets exactly like Spark's `window()`, both anchored at a midnight
+origin). S entries execute the REAL Structured Streaming pipelines via
+file-source replay; tests assert stream-result == batch-form equality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pydatalake_gen2_spark.registry import register, sql_pair
+from pydatalake_gen2_spark.streaming import replay
+
+sql_pair(
+    "st01_tumbling_batch",
+    """
+    SELECT date_format(window(ts, '10 minutes').start, 'yyyy-MM-dd HH:mm:ss') AS w_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY window(ts, '10 minutes'), event_type
+    """,
+    duck_sql="""
+    SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY time_bucket(INTERVAL '10 minutes', ts), event_type
+    """,
+)
+
+# Sliding = union of the two 5-minute-phase-shifted tumbling bucketings.
+sql_pair(
+    "st02_sliding_batch",
+    """
+    SELECT date_format(window(ts, '10 minutes', '5 minutes').start,
+                       'yyyy-MM-dd HH:mm:ss') AS w_start,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY window(ts, '10 minutes', '5 minutes')
+    """,
+    duck_sql="""
+    WITH shifted AS (
+      SELECT time_bucket(INTERVAL '10 minutes', ts) AS w_start FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '10 minutes', ts - INTERVAL 5 MINUTE)
+               + INTERVAL 5 MINUTE AS w_start
+      FROM events)
+    SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS w_start,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM shifted GROUP BY w_start
+    """,
+)
+
+# Session windows: Spark session_window ↔ gaps-and-islands SQL
+# (lag + cumulative new-session flags). end = last_ts + gap in both.
+sql_pair(
+    "st03_session_batch",
+    """
+    SELECT user_id,
+           date_format(session_window(ts, '5 minutes').start,
+                       'yyyy-MM-dd HH:mm:ss') AS s_start,
+           date_format(session_window(ts, '5 minutes').end,
+                       'yyyy-MM-dd HH:mm:ss') AS s_end,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY session_window(ts, '5 minutes'), user_id
+    """,
+    duck_sql="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 5 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged)
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
+           strftime(MAX(ts) + INTERVAL 5 MINUTE, '%Y-%m-%d %H:%M:%S') AS s_end,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+
+sql_pair(
+    "st05_dedup_batch",
+    """
+    SELECT event_id, user_id, event_type, value FROM (
+      SELECT event_id, user_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts, user_id) AS rn
+      FROM events) t
+    WHERE rn = 1
+    """,
+    duck_sql="""
+    SELECT event_id, user_id, event_type, value FROM (
+      SELECT event_id, user_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts, user_id) AS rn
+      FROM events) t
+    WHERE rn = 1
+    """,
+)
+
+sql_pair(
+    "st06_interval_join_batch",
+    """
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id AS c_user
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+    """,
+)
+
+
+def _stream(fn):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return fn(spark, sf_dir)
+
+    return run
+
+
+@register("st01_tumbling_stream", duck_sql=None, tier="S")
+def st01_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real streaming run of the ST01 shape (watermark + complete mode);
+    equality with st01_tumbling_batch asserted in tests."""
+    return replay.run_tumbling_stream(spark, sf_dir)
+
+
+@register("st03_session_stream", duck_sql=None, tier="S")
+def st03_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real streaming session-window run (ST03)."""
+    return replay.run_session_stream(spark, sf_dir)
+
+
+@register("st05_dedup_stream", duck_sql=None, tier="S")
+def st05_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real streaming dropDuplicates-with-state run (ST05)."""
+    return replay.run_dedup_stream(spark, sf_dir)
+
+
+@register("st06_join_stream", duck_sql=None, tier="S")
+def st06_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real stream-stream interval join (ST06)."""
+    return replay.run_stream_stream_join(spark, sf_dir)
+
+
+@register("st07_foreachbatch_sink", duck_sql=None, tier="S")
+def st07_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch → parquet sink → read-back (ST07)."""
+    return replay.run_foreachbatch_sink(spark, sf_dir)

@@ -1,0 +1,131 @@
+"""UDF / UDAF / UDTF surface — SURVEY.md §2B.11 (UD01-UD04).
+
+UDFs are the engine's slow path by design: UD01 is the only row-at-a-time
+Python UDF (declared once, as the surface demands); everything else is
+Arrow-vectorized (pandas_udf / applyInPandas) or a UDTF. Oracles replicate
+the Python logic in SQL.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StringType
+
+from pydatalake_gen2_spark.registry import register
+
+
+@register(
+    "ud01_scalar_udf",
+    duck_sql="""
+    SELECT doc_id,
+           lower(trim(regexp_replace('  ' || upper(text) || '   ', ' +', ' ', 'g')))
+               AS cleaned
+    FROM documents
+    """,
+)
+def ud01_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """clean_text as a row-at-a-time Python UDF (lower + strip + collapse
+    whitespace) applied to a deliberately dirtied input."""
+
+    @F.udf(returnType=StringType())
+    def clean_text(s: str) -> str:
+        return " ".join(s.lower().split())
+
+    dirty = F.concat(F.lit("  "), F.upper(F.col("text")), F.lit("   "))
+    return spark.table("documents").select("doc_id", clean_text(dirty).alias("cleaned"))
+
+
+@register(
+    "ud02_pandas_cosine",
+    duck_sql="""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           ROUND(list_dot_product(e.embedding::DOUBLE[], q.qv) /
+                 (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                  sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_to_q
+    FROM embeddings e CROSS JOIN q
+    """,
+)
+def ud02_pandas_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized cosine-vs-anchor via pandas_udf + numpy (Arrow batches).
+    ROUND(6) absorbs BLAS-vs-sequential summation ULP drift."""
+    import numpy as np
+
+    anchor = np.array(
+        spark.table("embeddings").filter(F.col("vec_id") == 0).first()["embedding"],
+        dtype=np.float64,
+    )
+    anchor_norm = float(np.sqrt(anchor @ anchor))
+
+    @F.pandas_udf(DoubleType())
+    def cos_to_anchor(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)))
+        dots = m @ anchor
+        norms = np.sqrt((m * m).sum(axis=1))
+        return pd.Series(dots / (norms * anchor_norm))
+
+    return spark.table("embeddings").select(
+        "vec_id", F.round(cos_to_anchor(F.col("embedding")), 6).alias("cos_to_q")
+    )
+
+
+@register(
+    "ud03_grouped_zscore",
+    duck_sql="""
+    SELECT o_orderkey,
+           ROUND((o_totalprice - AVG(o_totalprice) OVER (PARTITION BY o_orderpriority)) /
+                 STDDEV_SAMP(o_totalprice) OVER (PARTITION BY o_orderpriority), 4) AS z
+    FROM orders
+    """,
+)
+def ud03_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map UDAF-style: per-priority z-score of o_totalprice via
+    applyInPandas; oracle is the equivalent window SQL (ROUND(4) absorbs
+    pandas-vs-SQL accumulation drift)."""
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["o_totalprice"]
+        z = (x - x.mean()) / x.std(ddof=1)
+        return pd.DataFrame({"o_orderkey": pdf["o_orderkey"], "z": z.round(4)})
+
+    return (
+        spark.table("orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .groupBy("o_orderpriority")
+        .applyInPandas(zscore, "o_orderkey BIGINT, z DOUBLE")
+    )
+
+
+@register(
+    "ud04_udtf_chunks",
+    duck_sql="""
+    WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+    idx AS (SELECT doc_id, t,
+                   unnest(generate_series(0, CAST(ceil(len(t) / 10.0) AS INT) - 1))
+                       AS chunk_idx
+            FROM toks)
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           array_to_string(t[(chunk_idx * 10 + 1):(chunk_idx * 10 + 10)], ' ') AS chunk
+    FROM idx
+    """,
+)
+def ud04_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF splitting each document into 10-token chunks
+    (one input row → N output rows), joined laterally."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx INT, chunk STRING")
+    class ChunkDoc:
+        def eval(self, text: str):
+            toks = text.lower().split(" ")
+            for i in range(0, len(toks), 10):
+                yield i // 10, " ".join(toks[i : i + 10])
+
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    return spark.sql(
+        "SELECT d.doc_id, c.chunk_idx, c.chunk "
+        "FROM documents d, LATERAL chunk_doc(d.text) c"
+    )

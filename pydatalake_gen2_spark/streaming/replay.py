@@ -1,0 +1,226 @@
+"""File-source replay of `events` + the streaming operator suite
+(ST01-ST07). Correctness strategy per SURVEY.md §2B.9: each streaming op
+has a batch-equivalent form (hash-matched against DuckDB in
+queries/streaming_batch.py); the streaming run here must equal its own
+batch form (asserted Spark-vs-Spark in tests), which transitively equals
+the oracle. Watermark late-data behavior is property-tested (ST04).
+
+The replay splits `events` into time-ordered parquet chunks and drives a
+file-source stream with maxFilesPerTrigger=1 — micro-batches arrive in
+event-time order, as a well-behaved source would at scale.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pydatalake_gen2_spark.tables import load_table
+
+EVENTS_SCHEMA = (
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+_replay_cache: dict[str, str] = {}
+
+
+def replay_dir(spark: SparkSession, sf_dir: str, n_chunks: int = 8) -> str:
+    """Materialize events as n_chunks time-ordered single-file parquets."""
+    if sf_dir in _replay_cache:
+        return _replay_cache[sf_dir]
+    out = tempfile.mkdtemp(prefix="events_replay_")
+    ev = load_table(spark, sf_dir, "events")
+    n = ev.count()
+    chunk = (n + n_chunks - 1) // n_chunks
+    ranked = ev.withColumn(
+        "_chunk",
+        F.floor((F.row_number().over(Window.orderBy("ts", "event_id")) - 1) / chunk),
+    )
+    for i in range(n_chunks):
+        (
+            ranked.filter(F.col("_chunk") == i)
+            .drop("_chunk")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out, f"chunk={i:03d}"))
+        )
+    # Flatten: file source watches one dir of plain parquet files.
+    flat = tempfile.mkdtemp(prefix="events_stream_")
+    idx = 0
+    for i in range(n_chunks):
+        d = os.path.join(out, f"chunk={i:03d}")
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".parquet"):
+                os.rename(os.path.join(d, f), os.path.join(flat, f"{idx:03d}.parquet"))
+                idx += 1
+    _replay_cache[sf_dir] = flat
+    return flat
+
+
+def read_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10: streaming file source over the replay dir (1 file/trigger)."""
+    path = replay_dir(spark, sf_dir)
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+
+def _run_to_memory(agg: DataFrame, name: str, mode: str) -> None:
+    q = (
+        agg.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def tumbling_agg(src: DataFrame) -> DataFrame:
+    """ST01 shape: 10-minute tumbling window per event_type."""
+    return (
+        src.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def run_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST01 streaming run: watermarked tumbling agg, complete mode."""
+    src = read_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    _run_to_memory(tumbling_agg(src), "st01_out", "complete")
+    return spark.table("st01_out")
+
+
+def session_agg(src: DataFrame) -> DataFrame:
+    """ST03 shape: 5-minute-gap session windows per user."""
+    return (
+        src.groupBy(F.session_window("ts", "5 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.date_format(F.col("sw.start"), "yyyy-MM-dd HH:mm:ss").alias("s_start"),
+            F.date_format(F.col("sw.end"), "yyyy-MM-dd HH:mm:ss").alias("s_end"),
+            "n",
+        )
+    )
+
+
+def run_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST03 streaming run (session windows require watermark + append)."""
+    src = read_stream(spark, sf_dir).withWatermark("ts", "30 days")
+    _run_to_memory(session_agg(src), "st03_out", "complete")
+    return spark.table("st03_out")
+
+
+def run_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST05: streaming dropDuplicates on event_id with watermark state."""
+    src = read_stream(spark, sf_dir).withWatermark("ts", "30 days")
+    dedup = src.dropDuplicates(["event_id"]).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    _run_to_memory(dedup, "st05_out", "append")
+    return spark.table("st05_out")
+
+
+def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST06: stream-stream interval join (clicks ⋈ purchases per user,
+    purchase within 10 min after click), both sides watermarked."""
+    src = read_stream(spark, sf_dir)
+    clicks = (
+        src.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        read_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 10 MINUTES")),
+    ).select("click_id", "purchase_id", "c_user")
+    _run_to_memory(joined, "st06_out", "append")
+    return spark.table("st06_out")
+
+
+def run_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST07: foreachBatch → parquet append sink; returns the read-back."""
+    out = tempfile.mkdtemp(prefix="st07_sink_")
+    src = read_stream(spark, sf_dir)
+    counts = src.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out)
+
+    q = counts.writeStream.foreachBatch(write_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+    return spark.read.parquet(out)
+
+
+def run_late_data_experiment(
+    spark: SparkSession, sf_dir: str, watermark: str = "10 minutes"
+) -> tuple[int, int]:
+    """ST04 property harness: replay events in ts order, then append a
+    final chunk of artificially LATE rows (ts shifted far behind the
+    watermark). Returns (n_windows_with_late_counted, n_windows_batch):
+    with a strict watermark the late rows must NOT create/extend closed
+    windows in append mode."""
+    import shutil
+
+    base = replay_dir(spark, sf_dir)
+    lab = tempfile.mkdtemp(prefix="st04_late_")
+    files = sorted(f for f in os.listdir(base) if f.endswith(".parquet"))
+    for f in files:
+        shutil.copy(os.path.join(base, f), os.path.join(lab, f))
+    # Late chunk: clone the FIRST chunk's rows (oldest ts) as a new last file.
+    first = spark.read.schema(EVENTS_SCHEMA).parquet(os.path.join(lab, files[0]))
+    first.withColumn("event_id", F.col("event_id") + 10_000_000).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(lab + "_late")
+    late_files = [f for f in os.listdir(lab + "_late") if f.endswith(".parquet")]
+    os.rename(
+        os.path.join(lab + "_late", late_files[0]),
+        os.path.join(lab, "zzz_late.parquet"),
+    )
+
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(lab)
+        .withWatermark("ts", watermark)
+    )
+    agg = src.groupBy(F.window("ts", "10 minutes")).agg(F.count(F.lit(1)).alias("n"))
+    _run_to_memory(agg, "st04_out", "append")
+    streamed = spark.table("st04_out").agg(F.sum("n")).first()[0] or 0
+    batch_total = spark.read.schema(EVENTS_SCHEMA).parquet(lab).count()
+    return int(streamed), int(batch_total)

@@ -1,0 +1,47 @@
+"""Multimodal plumbing (S09/L10): binary source schema, mapInPandas batch
+shapes, stubbed codec behavior."""
+
+from __future__ import annotations
+
+import pytest
+
+from pydatalake_gen2_spark.sources import multimodal
+
+
+def test_binary_source_schema(spark, sf_dir):
+    assets = multimodal.materialize_fake_assets(spark, sf_dir, n=8)
+    df = multimodal.read_binary(spark, assets)
+    assert {"path", "modificationTime", "length", "content"} <= set(df.columns)
+    rows = df.collect()
+    assert len(rows) == 8
+    assert all(r["length"] == 8 + 256 for r in rows)  # header + 8×sha256
+
+
+def test_decode_stub_raises_without_fake():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"FAKEIMG0" + b"\x00" * 16, fake=False)
+
+
+def test_decode_batch_deterministic(spark, sf_dir):
+    assets = multimodal.materialize_fake_assets(spark, sf_dir, n=8)
+    d1 = multimodal.decode_batch(multimodal.read_binary(spark, assets)).collect()
+    d2 = multimodal.decode_batch(multimodal.read_binary(spark, assets)).collect()
+    k = lambda rows: sorted((r["doc_id"], r["width"], r["height"], tuple(r["feat"])) for r in rows)  # noqa: E731
+    assert k(d1) == k(d2)
+    assert all(len(r["feat"]) == 8 for r in d1)
+
+
+def test_frame_sample_shape(spark, sf_dir):
+    assets = multimodal.materialize_fake_assets(spark, sf_dir, n=4)
+    frames = multimodal.frame_sample(multimodal.read_binary(spark, assets), every_n_bytes=64)
+    rows = frames.collect()
+    # 264 bytes / 64 → 5 windows per file
+    assert len(rows) == 4 * 5
+    assert {r["frame_idx"] for r in rows} == {0, 1, 2, 3, 4}
+
+
+def test_ingest_join(spark, sf_dir):
+    out = multimodal.ingest_with_metadata(spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) == 64
+    assert all(r["format"] == "fakeimg" for r in rows)

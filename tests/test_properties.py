@@ -1,0 +1,91 @@
+"""Property tests for tier-P operators (SURVEY.md §5.2): approximate /
+randomized ops that can't hash-match an oracle get deterministic bounds
+and recall assertions instead."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from pydatalake_gen2_spark.operators import dedup, similarity
+from pydatalake_gen2_spark.registry import load_all
+
+
+def test_approx_count_distinct_bound(spark, sf_dir, duck):
+    reg = load_all()
+    row = reg["g04_approx_count_distinct"].spark_fn(spark, sf_dir).first()
+    exact_parts, exact_orders = duck.execute(
+        "SELECT COUNT(DISTINCT l_partkey), COUNT(DISTINCT l_orderkey) FROM lineitem"
+    ).fetchone()
+    # rsd=0.05 → assert within 3·rsd (SURVEY G04)
+    assert abs(row["approx_parts"] - exact_parts) <= 0.15 * exact_parts
+    assert abs(row["approx_orders"] - exact_orders) <= 0.15 * exact_orders
+
+
+def test_minhash_recall_vs_exact(spark, sf_dir):
+    """L02: after exact verification, the LSH candidate set must contain
+    every true shingle pair at Jaccard >= tau (100% recall at this
+    scale/seed — loose candidates, tight verify)."""
+    docs = spark.table("documents")
+    exact = {
+        (r["id_a"], r["id_b"]) for r in dedup.exact_jaccard_pairs(docs, tau=0.3).collect()
+    }
+    mh = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_candidate_pairs(docs, tau=0.3).collect()
+    }
+    assert mh <= exact  # exact-verified: no false positives by construction
+    assert exact, "fixture should contain planted near-dup pairs"
+    recall = len(mh & exact) / len(exact)
+    assert recall == 1.0, f"recall {recall}: missing {exact - mh}"
+
+
+def test_simhash_identical_and_neardup(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (3, "the quick brown fox jumps over the lazy dog near the river bank now"),
+        (4, "completely different content about spark query engines and shuffles"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    got = {r["doc_id"]: r["simhash"] for r in dedup.simhash(df).collect()}
+    assert got[1] == got[2]  # identical text → identical fingerprint
+    ham_near = bin(got[1] ^ got[3]).count("1")
+    ham_far = bin(got[1] ^ got[4]).count("1")
+    assert ham_near < ham_far  # one-token edit closer than unrelated text
+    assert ham_near <= 12
+
+
+def test_lsh_topk_recall(spark, sf_dir):
+    """LSH-bucketed ANN must recover a reasonable fraction of the true
+    top-5 neighbours (8 planes / 256 buckets on 500 vectors is coarse;
+    the property is meaningful-recall + exact-scores-on-candidates)."""
+    emb = spark.table("embeddings")
+    truth = similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
+    t = {(r["query_id"], r["vec_id"]) for r in truth.collect()}
+    approx = similarity.lsh_topk(emb, k=5).filter(F.col("query_id") < 20)
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(a & t) / len(t)
+    assert recall >= 0.2, f"LSH recall too low: {recall}"
+
+
+def test_language_id_accuracy_on_planted(spark):
+    rows = [
+        (1, "the cat and the dog of a house is in the garden"),
+        (2, "der hund und die katze ist ein tier"),
+        (3, "el perro y la casa de que un gato"),
+        (4, "le chien et les chats des maisons un jour"),
+        (5, "xyzzy plugh quux"),
+    ]
+    from pydatalake_gen2_spark.operators.text import language_id
+
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    got = {r["doc_id"]: r["pred_lang"] for r in language_id(df).collect()}
+    assert got == {1: "en", 2: "de", 3: "es", 4: "fr", 5: "und"}
+
+
+def test_ngrams_short_doc_guard(spark):
+    from pydatalake_gen2_spark.operators.text import ngrams, tokens
+
+    df = spark.createDataFrame([(1, "one two"), (2, "a")], "doc_id BIGINT, text STRING")
+    out = df.select(ngrams(tokens(), 3).alias("g")).collect()
+    assert [r["g"] for r in out] == [[], []]

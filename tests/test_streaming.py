@@ -1,0 +1,58 @@
+"""Streaming equivalences (SURVEY.md §2B.9): each streaming run must equal
+its batch form (Spark-vs-Spark), which is itself hash-matched vs DuckDB in
+test_correctness. ST04 watermark late-drop is the property test."""
+
+from __future__ import annotations
+
+from pydatalake_gen2_spark.harness import canon_rows
+from pydatalake_gen2_spark.registry import load_all
+from pydatalake_gen2_spark.streaming import replay
+
+
+def _multiset(df):
+    return canon_rows([c.lower() for c in df.columns], [tuple(r) for r in df.collect()])
+
+
+def _pair_equal(spark, sf_dir, stream_name, batch_name, batch_cols=None):
+    reg = load_all()
+    s = reg[stream_name].spark_fn(spark, sf_dir)
+    b = reg[batch_name].spark_fn(spark, sf_dir)
+    if batch_cols:
+        b = b.select(*batch_cols)
+        s = s.select(*batch_cols)
+    assert _multiset(s) == _multiset(b), f"{stream_name} != {batch_name}"
+
+
+def test_tumbling_stream_equals_batch(spark, sf_dir):
+    _pair_equal(spark, sf_dir, "st01_tumbling_stream", "st01_tumbling_batch")
+
+
+def test_session_stream_equals_batch(spark, sf_dir):
+    _pair_equal(spark, sf_dir, "st03_session_stream", "st03_session_batch")
+
+
+def test_dedup_stream_equals_batch(spark, sf_dir):
+    _pair_equal(spark, sf_dir, "st05_dedup_stream", "st05_dedup_batch")
+
+
+def test_join_stream_equals_batch(spark, sf_dir):
+    _pair_equal(spark, sf_dir, "st06_join_stream", "st06_interval_join_batch")
+
+
+def test_foreachbatch_sink_rowcount(spark, sf_dir):
+    reg = load_all()
+    got = reg["st07_foreachbatch_sink"].spark_fn(spark, sf_dir).count()
+    from pydatalake_gen2_spark.tables import load_table
+    import pyspark.sql.functions as F
+
+    want = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "error").count()
+    assert got == want
+
+
+def test_watermark_drops_late_rows(spark, sf_dir):
+    """ST04: a strict watermark must drop the re-played old chunk —
+    streamed total < batch total (which includes the late duplicates)."""
+    streamed, batch_total = replay.run_late_data_experiment(spark, sf_dir, "10 minutes")
+    assert streamed < batch_total
+    # and the gap is at least the size of the late chunk (~1/8 of events)
+    assert batch_total - streamed >= (batch_total // 2) // 8
