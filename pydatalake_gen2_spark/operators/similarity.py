@@ -85,6 +85,93 @@ def lsh_bucket(
     return df.withColumn("buckets", F.array(*table_buckets))
 
 
+def ivf_centroids(
+    corpus: DataFrame,
+    n_cells: int,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_n: int = 512,
+    iters: int = 10,
+) -> list[list[float]]:
+    """Deterministic IVF codebook: k-means (Lloyd) on a fixed, id-ordered
+    sample, seeded init. The codebook is tiny (n_cells × dim doubles) and
+    is computed driver-side then shipped as plan literals — at 100 TB the
+    sample is a bounded `ORDER BY id LIMIT n` scan, never a full pass."""
+    rows = (
+        corpus.select(id_col, as_double(vec_col).alias("_v"))
+        .orderBy(id_col)
+        .limit(sample_n)
+        .collect()
+    )
+    x = np.array([r["_v"] for r in rows], dtype=float)
+    rng = np.random.RandomState(seed)
+    cent = x[rng.permutation(len(x))[:n_cells]].copy()
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(n_cells):
+            m = assign == c
+            if m.any():
+                cent[c] = x[m].mean(axis=0)
+    return cent.tolist()
+
+
+def _dist2(v, centroid: list[float]):
+    plane = F.array(*[F.lit(x) for x in centroid])
+    return F.aggregate(
+        F.zip_with(v, plane, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0).cast("double"),
+        lambda s, x: s + x,
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    k: int,
+    n_cells: int = 8,
+    n_probe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate all-pairs top-k via IVF (inverted-file) cells: corpus
+    rows live in their nearest-centroid cell; each query probes its
+    `n_probe` nearest cells only. Candidate generation is an equi-join on
+    `cell` (shuffle keyed by cell id) — no cross product. n_probe=n_cells
+    degenerates to exact brute force (the property test's anchor)."""
+    cents = ivf_centroids(corpus, n_cells, seed, id_col, vec_col)
+    dists = F.array(*[_dist2(F.col("_v"), c) for c in cents])
+    base = corpus.select(
+        F.col(id_col), as_double(vec_col).alias("_v")
+    ).withColumn("_d", dists)
+    inv = base.select(
+        id_col,
+        "_v",
+        (F.array_position(F.col("_d"), F.array_min(F.col("_d"))) - 1).alias("cell"),
+    )
+    probes = base.withColumn(
+        "_i", F.sequence(F.lit(0), F.lit(len(cents) - 1)).cast("array<bigint>")
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_v").alias("_qv"),
+        F.explode(
+            F.expr(f"transform(slice(array_sort(arrays_zip(_d, _i)), 1, {n_probe}), s -> s._i)")
+        ).alias("cell"),
+    )
+    cand = (
+        probes.join(inv, on="cell")
+        .filter(F.col("query_id") != F.col(id_col))
+        .select("query_id", id_col, cosine(F.col("_qv"), F.col("_v")).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col))
+    return (
+        cand.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= k)
+        .withColumn("cos", F.round(F.col("cos"), 4))
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     k: int,

@@ -2,7 +2,9 @@
 
 from pydatalake_gen2_spark.queries import (  # noqa: F401
     aggregates,
+    composite,
     functions,
+    functions_ext,
     joins,
     llm,
     multimodal_q,

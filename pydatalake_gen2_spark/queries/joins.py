@@ -184,3 +184,33 @@ sql_pair(
       ON l1.l_orderkey = l2.l_orderkey AND l2.l_linenumber = l1.l_linenumber + 1
     """,
 )
+
+
+@register(
+    "jx_salted_skew_join",
+    duck_sql="""
+    SELECT l.l_orderkey, l.l_linenumber, s.s_name,
+           ROUND(s.s_acctbal, 2) AS s_acctbal
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    """,
+    tier="H",
+)
+def jx_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigating salted join (operators.joins.salted_join): same
+    result set as the plain equi-join oracle — the salt only changes the
+    shuffle-key distribution, which is the point at 100 TB."""
+    from pydatalake_gen2_spark.operators.joins import salted_join
+
+    out = salted_join(
+        spark.table("lineitem"),
+        spark.table("supplier"),
+        "l_suppkey",
+        "s_suppkey",
+        n_salt=8,
+    )
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "s_name",
+        F.round(F.col("s_acctbal"), 2).alias("s_acctbal"),
+    )

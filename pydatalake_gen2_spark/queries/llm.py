@@ -280,3 +280,11 @@ def lx_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k neighbours (the 100 TB similarity
     path; recall property-tested against l03's brute force)."""
     return similarity.lsh_topk(spark.table("embeddings"), k=5)
+
+
+@register("lx_ivf_topk", duck_sql=None, tier="P")
+def lx_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate top-k neighbours — the
+    centroid-partitioned ANN scale path (recall property-tested against
+    l03 brute force; n_probe=n_cells degenerates to exact)."""
+    return similarity.ivf_topk(spark.table("embeddings"), k=5, n_cells=8, n_probe=4)

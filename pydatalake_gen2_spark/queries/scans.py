@@ -128,3 +128,15 @@ def s07_csv_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(
         "c_custkey BIGINT, c_name STRING, c_acctbal DOUBLE"
     ).option("header", True).csv(path)
+
+
+@register(
+    "s11_orc_roundtrip",
+    duck_sql="SELECT * FROM nation",
+)
+def s11_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation → ORC → read back (second columnar format; the oracle reads
+    the original parquet, so the round-trip must be lossless)."""
+    path = _tmp("s11_orc", sf_dir)
+    load_table(spark, sf_dir, "nation").write.mode("overwrite").orc(path)
+    return spark.read.schema(TABLES["nation"]).orc(path)

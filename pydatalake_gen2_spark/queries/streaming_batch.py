@@ -137,6 +137,13 @@ def st01_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return replay.run_tumbling_stream(spark, sf_dir)
 
 
+@register("st02_sliding_stream", duck_sql=None, tier="S")
+def st02_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real streaming sliding-window run (ST02); equality with
+    st02_sliding_batch asserted in tests."""
+    return replay.run_sliding_stream(spark, sf_dir)
+
+
 @register("st03_session_stream", duck_sql=None, tier="S")
 def st03_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real streaming session-window run (ST03)."""

@@ -107,6 +107,26 @@ def run_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("st01_out")
 
 
+def sliding_agg(src: DataFrame) -> DataFrame:
+    """ST02 shape: 10-minute window sliding every 5 minutes (each event
+    lands in two overlapping windows)."""
+    return (
+        src.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+            "n",
+        )
+    )
+
+
+def run_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST02 streaming run: watermarked sliding-window agg, complete mode."""
+    src = read_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    _run_to_memory(sliding_agg(src), "st02_out", "complete")
+    return spark.table("st02_out")
+
+
 def session_agg(src: DataFrame) -> DataFrame:
     """ST03 shape: 5-minute-gap session windows per user."""
     return (

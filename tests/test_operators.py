@@ -47,3 +47,25 @@ def test_asof_inner_drops_unmatched(spark):
         right_order="rid", carry=["rid"], how="inner",
     )
     assert [r["k"] for r in out.collect()] == [1]
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    """The salt must be invisible in the result: salted inner/left joins
+    return exactly the plain joins' multisets."""
+    from pydatalake_gen2_spark.operators.joins import salted_join
+    from pydatalake_gen2_spark.registry import ensure_views
+
+    ensure_views(spark, sf_dir)
+    li = spark.table("lineitem").select("l_orderkey", "l_linenumber", "l_suppkey")
+    sup = spark.table("supplier")
+    for how in ("inner", "left"):
+        plain = sorted(
+            tuple(r) for r in li.join(
+                sup, li["l_suppkey"] == sup["s_suppkey"], how
+            ).select("l_orderkey", "l_linenumber", "s_name").collect()
+        )
+        salted = sorted(
+            tuple(r) for r in salted_join(li, sup, "l_suppkey", "s_suppkey", 8, how)
+            .select("l_orderkey", "l_linenumber", "s_name").collect()
+        )
+        assert salted == plain, how

@@ -1,0 +1,120 @@
+"""Physical-plan assertions — the 100 TB design gate (SURVEY.md §4.2).
+
+Correctness tests prove the right rows come back at sf0.001; these prove
+the PLAN is the one that survives a 1000-executor / 100 TB scale-up:
+filters reach the parquet scan, projections prune the read schema, small
+dims broadcast, top-k never total-sorts, aggregation is partial+final,
+and no equi-join ever degenerates to a cartesian product.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pydatalake_gen2_spark.registry import load_all
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = load_all()[name].spark_fn(spark, sf_dir)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_filter_pushed_to_parquet_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "p03_filter_boolean")
+    assert "PushedFilters: [" in plan
+    # at least one real predicate reached the scan, not an empty list
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert pushed.strip(), plan
+
+
+def test_projection_prunes_read_schema(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "p01_project_rename")
+    read = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    # lineitem has 16 columns; the projection must scan only what it needs
+    assert read.count(",") < 6, read
+
+
+def test_small_dim_join_broadcasts(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "j02_broadcast_inner")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_equi_joins_never_cartesian(spark, sf_dir):
+    for name in ("j01_inner_equi", "j03_left_outer", "j06_left_semi",
+                 "j12_multikey_self", "jx_salted_skew_join"):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoop" not in plan, name
+
+
+def test_limit_under_order_is_topk(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "o03_limit_topk")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_groupby_agg_is_partial_then_final(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "g02_groupby_agg")
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_hot_paths_have_no_python_udf(spark, sf_dir):
+    """Everything except the declared UDF/multimodal rows must stay
+    JVM-side: no BatchEvalPython / ArrowEvalPython in the plan."""
+    for name in ("g02_groupby_agg", "j01_inner_equi", "l01_dedup_exact",
+                 "l03_cosine_topk", "l07_tfidf", "w07_running_total",
+                 "t01_language_id", "t02_quality_score"):
+        plan = _plan(spark, sf_dir, name)
+        assert "EvalPython" not in plan, name
+
+
+def test_whole_stage_codegen_covers_agg(spark, sf_dir):
+    df = load_all()["g02_groupby_agg"].spark_fn(spark, sf_dir)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("codegen")
+    plan = df._jdf.queryExecution().explainString(mode)
+    assert "WholeStageCodegen" in plan, plan
+
+
+@pytest.mark.parametrize("name", ["s05_partitioned_pruned"])
+def test_partition_pruning_visible(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    # partitioned write + filtered read-back must show partition filters
+    # (or prune to a single-directory location)
+    assert ("PartitionFilters: [" in plan) or ("l_returnflag=R" in plan), plan
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
+    """Bucketing both sides on the join key removes the Exchange under the
+    join — the co-located-join strategy for repeated 100 TB fact-fact
+    joins. (saveAsTable into the session's in-memory catalog.)"""
+    import pyspark.sql.functions as F
+    from pydatalake_gen2_spark.registry import ensure_views
+
+    ensure_views(spark, sf_dir)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name, key in (("orders", "o_custkey"), ("customer", "c_custkey")):
+            (
+                spark.table(name)
+                .write.mode("overwrite")
+                .bucketBy(8, key)
+                .sortBy(key)
+                .option("path", str(tmp_path / f"b_{name}"))
+                .saveAsTable(f"b_{name}")
+            )
+        joined = spark.table("b_orders").join(
+            spark.table("b_customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        plan = joined._jdf.queryExecution().explainString(mode)
+        assert "Exchange" not in plan, plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")

@@ -89,3 +89,38 @@ def test_ngrams_short_doc_guard(spark):
     df = spark.createDataFrame([(1, "one two"), (2, "a")], "doc_id BIGINT, text STRING")
     out = df.select(ngrams(tokens(), 3).alias("g")).collect()
     assert [r["g"] for r in out] == [[], []]
+
+
+def test_ivf_topk_full_probe_equals_brute_force(spark, sf_dir):
+    """With n_probe == n_cells IVF degenerates to exact brute force —
+    the result sets must be identical (ids AND scores)."""
+    from pydatalake_gen2_spark.registry import ensure_views
+
+    ensure_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    truth = {
+        (r["query_id"], r["vec_id"], r["cos"])
+        for r in similarity.cosine_topk(emb, emb, k=5).collect()
+    }
+    full = {
+        (r["query_id"], r["vec_id"], r["cos"])
+        for r in similarity.ivf_topk(emb, k=5, n_cells=4, n_probe=4).collect()
+    }
+    assert full == truth
+
+
+def test_ivf_topk_partial_probe_recall(spark, sf_dir):
+    """Probing half the cells must still recover a meaningful fraction of
+    the true top-5 (scores on survivors stay exact by construction)."""
+    from pydatalake_gen2_spark.registry import ensure_views
+
+    ensure_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    truth = similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
+    t = {(r["query_id"], r["vec_id"]) for r in truth.collect()}
+    approx = similarity.ivf_topk(emb, k=5, n_cells=8, n_probe=4).filter(
+        F.col("query_id") < 20
+    )
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(a & t) / len(t)
+    assert recall >= 0.3, f"IVF recall too low: {recall}"

@@ -56,3 +56,7 @@ def test_watermark_drops_late_rows(spark, sf_dir):
     assert streamed < batch_total
     # and the gap is at least the size of the late chunk (~1/8 of events)
     assert batch_total - streamed >= (batch_total // 2) // 8
+
+
+def test_sliding_stream_equals_batch(spark, sf_dir):
+    _pair_equal(spark, sf_dir, "st02_sliding_stream", "st02_sliding_batch")
