@@ -21,4 +21,14 @@ Layout:
 from pydatalake_gen2_spark.session import get_spark
 from pydatalake_gen2_spark.tables import TABLES, load_table, register_views
 
-__all__ = ["get_spark", "TABLES", "load_table", "register_views"]
+
+def open_lake(sf_dir: str, **kw):
+    """Convenience: ``pydatalake_gen2_spark.open_lake(dir)`` → an Engine
+    attached to a local parquet directory (see engine.Engine for the
+    abfss:// path)."""
+    from pydatalake_gen2_spark.engine import Engine
+
+    return Engine.local(sf_dir, **kw)
+
+
+__all__ = ["get_spark", "TABLES", "load_table", "register_views", "open_lake"]

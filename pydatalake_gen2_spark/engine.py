@@ -1,0 +1,107 @@
+"""Engine — the single user-facing facade (SURVEY.md §3.2).
+
+A user of the reference package constructs one `DataLakeGen2Client` and
+calls storage verbs on it (client.py:630-631). The analogous surface here
+is one ``Engine``: attach to a lake (local dir or abfss://), get tables,
+run SQL, and call the named operators. It is a veneer — every method
+returns a plain ``DataFrame`` and all planning stays in Catalyst.
+
+    eng = Engine.local("/root/testdata/sf0.01")
+    eng.sql("SELECT count(*) FROM lineitem").show()
+    eng.asof_join(purchases, clicks, on="user_id", ...)
+    eng.dedup_exact(eng.table("documents"), text_col="text")
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pydatalake_gen2_spark.operators import dedup, similarity, text
+from pydatalake_gen2_spark.operators.asof import asof_join as _asof
+from pydatalake_gen2_spark.operators.joins import salted_join as _salted
+from pydatalake_gen2_spark.session import get_spark
+from pydatalake_gen2_spark.sources.lake import LakeCatalog, configure_abfss
+from pydatalake_gen2_spark.tables import register_views
+
+
+class Engine:
+    """One lake, one SparkSession, the whole declared operator surface."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.catalog = LakeCatalog(spark, root)
+
+    # -- construction ------------------------------------------------------
+    @classmethod
+    def local(cls, sf_dir: str, app_name: str = "engine", **conf) -> "Engine":
+        """Attach to a local directory of parquet fixture tables."""
+        eng = cls(get_spark(app_name, **conf), sf_dir)
+        register_views(eng.spark, sf_dir)
+        return eng
+
+    @classmethod
+    def adls(
+        cls, account: str, key: str, filesystem: str, app_name: str = "engine"
+    ) -> "Engine":
+        """Attach to an ADLS Gen2 filesystem (connector-signed; replaces
+        the reference's SharedKey HMAC path, client.py:143-178)."""
+        spark = get_spark(app_name)
+        suffix = configure_abfss(spark, account, key)
+        return cls(spark, f"abfss://{filesystem}@{suffix}/")
+
+    # -- core query surface ------------------------------------------------
+    def sql(self, query: str) -> DataFrame:
+        return self.spark.sql(query)
+
+    def table(self, name: str) -> DataFrame:
+        return self.spark.table(name)
+
+    def read_parquet(self, path: str) -> DataFrame:
+        return self.spark.read.parquet(path)
+
+    # -- named operators (the engine's real code) ---------------------------
+    def asof_join(self, left, right, **kw) -> DataFrame:
+        return _asof(left, right, **kw)
+
+    def salted_join(self, left, right, lk, rk, **kw) -> DataFrame:
+        return _salted(left, right, lk, rk, **kw)
+
+    def dedup_exact(self, df, text_col: str = "text", **kw) -> DataFrame:
+        return dedup.dedup_exact(df, text_col=text_col, **kw)
+
+    def near_dups(self, df, **kw) -> DataFrame:
+        return dedup.minhash_candidate_pairs(df, **kw)
+
+    def simhash(self, df, **kw) -> DataFrame:
+        return dedup.simhash(df, **kw)
+
+    def cosine_topk(self, corpus, queries, k: int, **kw) -> DataFrame:
+        return similarity.cosine_topk(corpus, queries, k, **kw)
+
+    def lsh_topk(self, corpus, k: int, **kw) -> DataFrame:
+        return similarity.lsh_topk(corpus, k, **kw)
+
+    def ivf_topk(self, corpus, k: int, **kw) -> DataFrame:
+        return similarity.ivf_topk(corpus, k, **kw)
+
+    def token_frequencies(self, df, **kw) -> DataFrame:
+        return text.token_frequencies(df, **kw)
+
+    def fingerprint(self, df, **kw) -> DataFrame:
+        return text.fingerprint(df, **kw)
+
+    def tfidf_top_terms(self, df, **kw) -> DataFrame:
+        return text.tfidf_top_terms(df, **kw)
+
+    def language_id(self, df, **kw) -> DataFrame:
+        return text.language_id(df, **kw)
+
+    def quality_score(self, df, **kw) -> DataFrame:
+        return text.quality_score(df, **kw)
+
+    # -- streaming ----------------------------------------------------------
+    def stream_events(self, sf_dir: str | None = None) -> DataFrame:
+        from pydatalake_gen2_spark.streaming import replay
+
+        return replay.read_stream(self.spark, sf_dir or self.root)

@@ -196,3 +196,15 @@ sql_pair(
     GROUP BY o_orderpriority
     """,
 )
+
+
+@register("g18_approx_percentile", duck_sql=None, tier="P")
+def g18_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile sketch (G12's scale path: exact median sorts every
+    group; the KLL-style sketch is fixed-size and mergeable across
+    partitions). Property-tested against exact percentiles in tests."""
+    li = spark.table("lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("p50"),
+        F.approx_percentile("l_extendedprice", F.lit(0.95), F.lit(10000)).alias("p95"),
+    )

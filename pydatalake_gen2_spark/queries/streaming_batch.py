@@ -166,3 +166,20 @@ def st06_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def st07_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch → parquet sink → read-back (ST07)."""
     return replay.run_foreachbatch_sink(spark, sf_dir)
+
+
+@register(
+    "st08_stateful_counter",
+    duck_sql="""
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY user_id
+    """,
+    tier="H",
+)
+def st08_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user running
+    counter whose final state must equal the batch GROUP BY — a real
+    hash-matched oracle for explicit streaming state."""
+    from pydatalake_gen2_spark.streaming import stateful
+
+    return stateful.run_stateful_counter(spark, sf_dir)

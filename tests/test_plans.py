@@ -118,3 +118,13 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
         )
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_llm_ops_prune_documents_scan(spark, sf_dir):
+    """TF-IDF needs (doc_id, text) only; the documents scan must not read
+    lang/source/n_chars — at 100 TB of corpus that's the difference
+    between scanning 2 columns and scanning the table."""
+    plan = _plan(spark, sf_dir, "l07_tfidf")
+    for read in [seg.splitlines()[0] for seg in plan.split("ReadSchema: ")[1:]]:
+        if "documents" in read or "text" in read:
+            assert "lang" not in read and "source" not in read, read

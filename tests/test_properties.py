@@ -124,3 +124,25 @@ def test_ivf_topk_partial_probe_recall(spark, sf_dir):
     a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
     recall = len(a & t) / len(t)
     assert recall >= 0.3, f"IVF recall too low: {recall}"
+
+
+def test_approx_percentile_bound(spark, sf_dir, duck):
+    """Sketch percentiles must land within 1% relative error of DuckDB's
+    exact quantile_cont at the fixture scale."""
+    reg = load_all()
+    rows = {
+        r["l_returnflag"]: (r["p50"], r["p95"])
+        for r in reg["g18_approx_percentile"].spark_fn(spark, sf_dir).collect()
+    }
+    exact = duck.execute(
+        """
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.5) AS p50,
+               quantile_cont(l_extendedprice, 0.95) AS p95
+        FROM lineitem GROUP BY l_returnflag
+        """
+    ).fetchall()
+    for flag, p50, p95 in exact:
+        g50, g95 = rows[flag]
+        assert abs(g50 - p50) / p50 < 0.01, (flag, g50, p50)
+        assert abs(g95 - p95) / p95 < 0.01, (flag, g95, p95)

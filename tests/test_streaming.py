@@ -60,3 +60,31 @@ def test_watermark_drops_late_rows(spark, sf_dir):
 
 def test_sliding_stream_equals_batch(spark, sf_dir):
     _pair_equal(spark, sf_dir, "st02_sliding_stream", "st02_sliding_batch")
+
+
+def test_stateful_counter_equals_batch(spark, sf_dir):
+    """Final applyInPandasWithState state (count AND float value-sum) must
+    equal the batch GROUP BY; the sum side is Spark-vs-Spark only (float
+    accumulation order isn't oracle-safe cross-engine)."""
+    import pyspark.sql.functions as F
+
+    from pydatalake_gen2_spark.registry import ensure_views
+    from pydatalake_gen2_spark.streaming import stateful
+
+    ensure_views(spark, sf_dir)
+    stateful.run_stateful_counter(spark, sf_dir)  # populates st08_out
+    got = {
+        r["user_id"]: (r["n"], round(r["sum_v"], 4))
+        for r in spark.table("st08_out")
+        .groupBy("user_id")
+        .agg(F.max("n").alias("n"), F.max("sum_v").alias("sum_v"))
+        .collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], round(r["sum_v"], 4))
+        for r in spark.table("events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_v"))
+        .collect()
+    }
+    assert got == want
