@@ -113,3 +113,36 @@ sql_pair(
     """,
     doc="spend > nation average, compared exactly in decimal (spend·n > Σ)",
 )
+
+# Uncorrelated scalar subquery in a predicate (both planners evaluate the
+# subquery once and broadcast the scalar).
+sql_pair(
+    "c06_scalar_subquery",
+    """
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
+    FROM orders
+    WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+    ORDER BY o_orderkey
+    """,
+)
+
+# IN / NOT IN subqueries (semi/anti-join rewrites).
+sql_pair(
+    "c07_in_subquery",
+    """
+    SELECT l_orderkey, l_linenumber, l_suppkey
+    FROM lineitem
+    WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 5000)
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+
+sql_pair(
+    "c08_not_in_subquery",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    ORDER BY c_custkey
+    """,
+)

@@ -208,3 +208,129 @@ sql_pair(
     ORDER BY v.id
     """,
 )
+
+
+# Higher-order array functions (lambda expressions on both engines).
+# DuckDB list_reduce seeds with the first element, Spark aggregate() takes
+# an explicit zero — pair sum-of-lengths via transform+list_sum instead.
+sql_pair(
+    "f30_higher_order",
+    """
+    WITH t AS (SELECT doc_id, split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           transform(slice(toks, 1, 5), x -> upper(x)) AS up5,
+           filter(toks, x -> length(x) > 4) AS long_toks,
+           CAST(aggregate(toks, 0L, (a, x) -> a + length(x)) AS BIGINT) AS total_len,
+           exists(toks, x -> x = 'the') AS has_the,
+           forall(toks, x -> length(x) < 40) AS all_short
+    FROM t
+    """,
+    duck_sql="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           list_transform(toks[1:5], x -> upper(x)) AS up5,
+           list_filter(toks, x -> length(x) > 4) AS long_toks,
+           CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS total_len,
+           list_has_any(toks, ['the']) AS has_the,
+           length(list_filter(toks, x -> length(x) >= 40)) = 0 AS all_short
+    FROM t
+    """,
+)
+
+# Array set algebra; list_intersect is unordered in DuckDB → sort both.
+sql_pair(
+    "f31_array_setops",
+    """
+    SELECT l_orderkey, l_linenumber,
+           sort_array(array_intersect(sequence(1, l_linenumber + 2),
+                                      sequence(2, 5))) AS inter,
+           sort_array(array_union(sequence(1, l_linenumber),
+                                  sequence(4, 5))) AS uni,
+           sort_array(array_except(sequence(1, 5),
+                                   sequence(1, l_linenumber))) AS diff,
+           arrays_overlap(sequence(1, l_linenumber), sequence(3, 4)) AS ovl
+    FROM lineitem
+    """,
+    duck_sql="""
+    SELECT l_orderkey, l_linenumber,
+           list_sort(list_intersect(generate_series(1, l_linenumber + 2),
+                                    generate_series(2, 5))) AS inter,
+           list_sort(list_distinct(list_concat(generate_series(1, l_linenumber),
+                                               generate_series(4, 5)))) AS uni,
+           list_sort(list_filter(generate_series(1, 5),
+                                 x -> NOT list_contains(generate_series(1, l_linenumber), x))) AS diff,
+           list_has_any(generate_series(1, l_linenumber), generate_series(3, 4)) AS ovl
+    FROM lineitem
+    """,
+)
+
+sql_pair(
+    "f32_regexp_extract_all",
+    """
+    SELECT doc_id, regexp_extract_all(text, '(th[a-z]+)', 1) AS th_words,
+           CAST(size(regexp_extract_all(text, '([a-z]{7,})', 1)) AS BIGINT) AS n_long
+    FROM documents
+    """,
+    duck_sql="""
+    SELECT doc_id, regexp_extract_all(text, 'th[a-z]+') AS th_words,
+           CAST(length(regexp_extract_all(text, '[a-z]{7,}')) AS BIGINT) AS n_long
+    FROM documents
+    """,
+)
+
+
+# GROUP BY ALL / ORDER BY ALL (identical modern-SQL sugar on both engines).
+sql_pair(
+    "f33_group_order_all",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+    FROM lineitem
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+)
+
+# Error-safe casts/division: TRY_CAST identical; try_divide ↔ NULLIF guard.
+sql_pair(
+    "f34_try_cast",
+    """
+    SELECT doc_id,
+           TRY_CAST(lang AS INT) AS lang_as_int,
+           TRY_CAST(CAST(n_chars AS STRING) AS INT) AS n_rt,
+           try_divide(CAST(n_chars AS DOUBLE), CAST(doc_id AS DOUBLE)) AS per_id
+    FROM documents
+    """,
+    duck_sql="""
+    SELECT doc_id,
+           TRY_CAST(lang AS INT) AS lang_as_int,
+           TRY_CAST(CAST(n_chars AS VARCHAR) AS INT) AS n_rt,
+           CAST(n_chars AS DOUBLE) / NULLIF(CAST(doc_id AS DOUBLE), 0.0) AS per_id
+    FROM documents
+    """,
+)
+
+# Datetime constructors and epoch round-trips.
+sql_pair(
+    "f35_datetime_construct",
+    """
+    SELECT event_id,
+           make_date(year(ts), month(ts), day(ts)) AS d,
+           unix_timestamp(ts) AS epoch_s,
+           date_format(timestamp_seconds(unix_timestamp(ts)), 'yyyy-MM-dd HH:mm:ss') AS rt,
+           last_day(CAST(ts AS DATE)) AS eom,
+           add_months(CAST(ts AS DATE), 2) AS plus2m
+    FROM events
+    """,
+    duck_sql="""
+    SELECT event_id,
+           make_date(CAST(year(ts) AS BIGINT), CAST(month(ts) AS BIGINT),
+                     CAST(day(ts) AS BIGINT)) AS d,
+           CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+           strftime(to_timestamp(epoch(ts)), '%Y-%m-%d %H:%M:%S') AS rt,
+           last_day(CAST(ts AS DATE)) AS eom,
+           CAST(CAST(ts AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2m
+    FROM events
+    """,
+)

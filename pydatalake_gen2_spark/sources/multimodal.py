@@ -94,6 +94,36 @@ def decode_batch(
     return df.select("path", "content").mapInPandas(run, DECODED_SCHEMA)
 
 
+def resize_batch(
+    df: DataFrame, target_w: int = 32, target_h: int = 32, fake: bool = True
+) -> DataFrame:
+    """Image-resize stub over mapInPandas: 1→1 row, content transformed.
+    Real deployment swaps the body for PIL/cv2 resize; the Spark-side
+    contract (binary in, binary + new dims out, Arrow-batched) is what
+    matters at scale. STUB: deterministic fake (content truncated/padded
+    to target_w*target_h bytes) unless a real codec is wired in."""
+    if not fake:
+        raise NotImplementedError(
+            "image codecs not available in this environment; pass fake=True"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        size = target_w * target_h
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                data = bytes(content)
+                resized = (data * (size // max(len(data), 1) + 1))[:size]
+                rows.append((path, target_w, target_h, resized))
+            yield pd.DataFrame(
+                rows, columns=["path", "width", "height", "content"]
+            )
+
+    return df.select("path", "content").mapInPandas(
+        run, "path STRING, width INT, height INT, content BINARY"
+    )
+
+
 def frame_sample(
     df: DataFrame, every_n_bytes: int = 64, fake: bool = True
 ) -> DataFrame:

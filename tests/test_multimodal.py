@@ -45,3 +45,24 @@ def test_ingest_join(spark, sf_dir):
     rows = out.collect()
     assert len(rows) == 64
     assert all(r["format"] == "fakeimg" for r in rows)
+
+
+def test_resize_stub_shape(spark, sf_dir):
+    assets = multimodal.materialize_fake_assets(spark, sf_dir, n=4)
+    out = multimodal.resize_batch(
+        multimodal.read_binary(spark, assets), target_w=16, target_h=8
+    ).collect()
+    assert len(out) == 4
+    for r in out:
+        assert (r["width"], r["height"]) == (16, 8)
+        assert len(r["content"]) == 16 * 8
+
+
+def test_resize_stub_raises_without_fake(spark, sf_dir):
+    import pytest as _pytest
+
+    assets = multimodal.materialize_fake_assets(spark, sf_dir, n=1)
+    with _pytest.raises(NotImplementedError):
+        multimodal.resize_batch(
+            multimodal.read_binary(spark, assets), fake=False
+        )
