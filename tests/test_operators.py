@@ -69,3 +69,81 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
             .select("l_orderkey", "l_linenumber", "s_name").collect()
         )
         assert salted == plain, how
+
+
+# -- hypothesis: asof_join vs DuckDB's native ASOF JOIN on random data ----
+import datetime as _dt
+
+import duckdb as _duck
+import pandas as _pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_EPOCH = _dt.datetime(2024, 1, 1)
+
+
+def _ts(offset: int) -> _dt.datetime:
+    return _EPOCH + _dt.timedelta(seconds=int(offset))
+
+
+@st.composite
+def _asof_case(draw):
+    keys = draw(st.lists(st.integers(0, 3), min_size=1, max_size=6))
+    left = [(k, draw(st.integers(0, 100))) for k in keys]
+    # right timestamps unique per key so the asof pick is unambiguous
+    right = []
+    rid = 0
+    for k in range(4):
+        for t in sorted(draw(st.sets(st.integers(0, 100), max_size=5))):
+            right.append((k, t, rid))
+            rid += 1
+    return left, right
+
+
+@given(_asof_case())
+@settings(
+    deadline=None,
+    max_examples=12,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_asof_join_matches_duckdb_asof(spark, case):
+    left, right = case
+    lpd = _pd.DataFrame(
+        [(i, k, _ts(t)) for i, (k, t) in enumerate(left)],
+        columns=["lid", "user_id", "lts"],
+    )
+    rpd = _pd.DataFrame(
+        [(k, _ts(t), rid) for (k, t, rid) in right],
+        columns=["user_id", "rts", "rid"],
+    )
+    from pydatalake_gen2_spark.operators.asof import asof_join
+
+    ldf = spark.createDataFrame(lpd)
+    rdf = (
+        spark.createDataFrame(rpd)
+        if len(rpd)
+        else spark.createDataFrame([], "user_id LONG, rts TIMESTAMP, rid LONG")
+    )
+    res = asof_join(
+        ldf, rdf, on="user_id", left_ts="lts", right_ts="rts",
+        right_order="rid", carry=["rid"], how="left",
+    )
+    got = sorted(
+        (r["lid"], r["asof_rid"]) for r in res.select("lid", "asof_rid").collect()
+    )
+    con = _duck.connect()
+    con.register("l", lpd)
+    con.register("r", rpd)
+    if len(rpd):
+        want = sorted(
+            con.execute(
+                """
+                SELECT l.lid, r.rid FROM l
+                ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.lts >= r.rts
+                ORDER BY l.lid
+                """
+            ).fetchall()
+        )
+    else:
+        want = sorted((int(i), None) for i in lpd["lid"])
+    assert got == want
