@@ -36,6 +36,12 @@ BENCH_QUERIES = [
     "l03_cosine_topk",
     "l07_tfidf",
     "ud02_pandas_cosine",
+    # round-1 widening: composite pipelines + scale-path operators
+    "c01_shipping_priority",
+    "c02_local_supplier_volume",
+    "c03_returned_items",
+    "jx_salted_skew_join",
+    "lx_ivf_topk",
 ]
 
 N_RUNS = 3
