@@ -213,13 +213,16 @@ sql_pair(
 # Higher-order array functions (lambda expressions on both engines).
 # DuckDB list_reduce seeds with the first element, Spark aggregate() takes
 # an explicit zero — pair sum-of-lengths via transform+list_sum instead.
+# Array results are rendered via array_join/array_to_string: the driver's
+# canonicalizer hashes scalar cells only (VERDICT.md round 1: unhashable
+# list), so every gate-facing column must be scalar.
 sql_pair(
     "f30_higher_order",
     """
     WITH t AS (SELECT doc_id, split(text, ' ') AS toks FROM documents)
     SELECT doc_id,
-           transform(slice(toks, 1, 5), x -> upper(x)) AS up5,
-           filter(toks, x -> length(x) > 4) AS long_toks,
+           array_join(transform(slice(toks, 1, 5), x -> upper(x)), '|') AS up5,
+           array_join(filter(toks, x -> length(x) > 4), '|') AS long_toks,
            CAST(aggregate(toks, 0L, (a, x) -> a + length(x)) AS BIGINT) AS total_len,
            exists(toks, x -> x = 'the') AS has_the,
            forall(toks, x -> length(x) < 40) AS all_short
@@ -228,8 +231,8 @@ sql_pair(
     duck_sql="""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
     SELECT doc_id,
-           list_transform(toks[1:5], x -> upper(x)) AS up5,
-           list_filter(toks, x -> length(x) > 4) AS long_toks,
+           COALESCE(array_to_string(list_transform(toks[1:5], x -> upper(x)), '|'), '') AS up5,
+           COALESCE(array_to_string(list_filter(toks, x -> length(x) > 4), '|'), '') AS long_toks,
            CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS total_len,
            list_has_any(toks, ['the']) AS has_the,
            length(list_filter(toks, x -> length(x) >= 40)) = 0 AS all_short
@@ -242,23 +245,29 @@ sql_pair(
     "f31_array_setops",
     """
     SELECT l_orderkey, l_linenumber,
-           sort_array(array_intersect(sequence(1, l_linenumber + 2),
-                                      sequence(2, 5))) AS inter,
-           sort_array(array_union(sequence(1, l_linenumber),
-                                  sequence(4, 5))) AS uni,
-           sort_array(array_except(sequence(1, 5),
-                                   sequence(1, l_linenumber))) AS diff,
+           array_join(transform(sort_array(array_intersect(sequence(1, l_linenumber + 2),
+                                                           sequence(2, 5))),
+                                x -> CAST(x AS STRING)), '|') AS inter,
+           array_join(transform(sort_array(array_union(sequence(1, l_linenumber),
+                                                       sequence(4, 5))),
+                                x -> CAST(x AS STRING)), '|') AS uni,
+           array_join(transform(sort_array(array_except(sequence(1, 5),
+                                                        sequence(1, l_linenumber))),
+                                x -> CAST(x AS STRING)), '|') AS diff,
            arrays_overlap(sequence(1, l_linenumber), sequence(3, 4)) AS ovl
     FROM lineitem
     """,
     duck_sql="""
     SELECT l_orderkey, l_linenumber,
-           list_sort(list_intersect(generate_series(1, l_linenumber + 2),
-                                    generate_series(2, 5))) AS inter,
-           list_sort(list_distinct(list_concat(generate_series(1, l_linenumber),
-                                               generate_series(4, 5)))) AS uni,
-           list_sort(list_filter(generate_series(1, 5),
-                                 x -> NOT list_contains(generate_series(1, l_linenumber), x))) AS diff,
+           COALESCE(array_to_string(list_transform(list_sort(list_intersect(generate_series(1, l_linenumber + 2),
+                                                                   generate_series(2, 5))),
+                                          x -> CAST(x AS VARCHAR)), '|'), '') AS inter,
+           COALESCE(array_to_string(list_transform(list_sort(list_distinct(list_concat(generate_series(1, l_linenumber),
+                                                                              generate_series(4, 5)))),
+                                          x -> CAST(x AS VARCHAR)), '|'), '') AS uni,
+           COALESCE(array_to_string(list_transform(list_sort(list_filter(generate_series(1, 5),
+                                 x -> NOT list_contains(generate_series(1, l_linenumber), x))),
+                                          x -> CAST(x AS VARCHAR)), '|'), '') AS diff,
            list_has_any(generate_series(1, l_linenumber), generate_series(3, 4)) AS ovl
     FROM lineitem
     """,
@@ -267,12 +276,12 @@ sql_pair(
 sql_pair(
     "f32_regexp_extract_all",
     """
-    SELECT doc_id, regexp_extract_all(text, '(th[a-z]+)', 1) AS th_words,
+    SELECT doc_id, array_join(regexp_extract_all(text, '(th[a-z]+)', 1), '|') AS th_words,
            CAST(size(regexp_extract_all(text, '([a-z]{7,})', 1)) AS BIGINT) AS n_long
     FROM documents
     """,
     duck_sql="""
-    SELECT doc_id, regexp_extract_all(text, 'th[a-z]+') AS th_words,
+    SELECT doc_id, COALESCE(array_to_string(regexp_extract_all(text, 'th[a-z]+'), '|'), '') AS th_words,
            CAST(length(regexp_extract_all(text, '[a-z]{7,}')) AS BIGINT) AS n_long
     FROM documents
     """,
