@@ -19,6 +19,27 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pydatalake_gen2_spark.registry import load_all
 from pydatalake_gen2_spark.session import get_spark
 
+# The 15 BASELINE.md protocol queries — the 2x-gate comparison set. Their
+# subtotal is reported separately so BENCH stays apples-to-apples with
+# BASELINE.md (judge round-1 item 7).
+BASELINE15 = [
+    "s01_parquet_scan",
+    "p03_filter_boolean",
+    "j01_inner_equi",
+    "j11_asof",
+    "g02_groupby_agg",
+    "g07_grouping_sets",
+    "w07_running_total",
+    "o04_topk_per_group",
+    "u01_union_all",
+    "f23_json_extract",
+    "st01_tumbling_batch",
+    "l01_dedup_exact",
+    "l03_cosine_topk",
+    "l07_tfidf",
+    "ud02_pandas_cosine",
+]
+
 # One per SURVEY §2B category head (BASELINE.md protocol).
 BENCH_QUERIES = [
     "s01_parquet_scan",
@@ -70,6 +91,9 @@ def main() -> None:
             {
                 "metric": "headline_queries_total",
                 "value": round(sum(timings.values()), 3),
+                "baseline15_total": round(
+                    sum(t for n, t in timings.items() if n in BASELINE15), 3
+                ),
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

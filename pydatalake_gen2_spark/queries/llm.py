@@ -286,5 +286,7 @@ def lx_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lx_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) approximate top-k neighbours — the
     centroid-partitioned ANN scale path (recall property-tested against
-    l03 brute force; n_probe=n_cells degenerates to exact)."""
-    return similarity.ivf_topk(spark.table("embeddings"), k=5, n_cells=8, n_probe=4)
+    l03 brute force; n_probe=n_cells degenerates to exact). n_cells auto-
+    scales to ~sqrt(corpus) so the cell join key never funnels into a
+    handful of reducers."""
+    return similarity.ivf_topk(spark.table("embeddings"), k=5, n_probe=6)
