@@ -56,6 +56,7 @@ def exact_jaccard_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_df: int | None = None,
 ) -> DataFrame:
     """All (a < b) pairs with n-gram-shingle-set Jaccard >= tau, computed
     exactly via an inverted-index join: explode distinct shingles,
@@ -63,13 +64,33 @@ def exact_jaccard_pairs(
 
     The shingle join bounds candidates to pairs sharing ≥1 shingle — with
     n=3 shingles are rare, so the join output is near-linear in the number
-    of true near-dup pairs (no cross product, no hot keys).
+    of true near-dup pairs (no cross product). BUT a single hot shingle
+    shared by d documents emits d² join rows — at 100 TB a boilerplate
+    3-gram in 10⁵ docs means 10¹⁰ pairs on one key. ``max_df`` is the
+    standard guard: shingles whose document frequency exceeds it are
+    dropped before the join and Jaccard is computed exactly over the
+    SURVIVING shingle space (per-doc set sizes recounted after pruning).
+    Ubiquitous shingles carry no near-dup signal, so planted-near-dup
+    recall is unaffected (property-tested). ``None`` = no cap, exact over
+    the full shingle universe (the oracle-matched form).
+
     Integer counts → the Jaccard ratio is one exact IEEE division.
     Output: (id_a, id_b, n_shared, n_union, jaccard)."""
+    from pyspark.sql.window import Window
+
     sets = distinct_shingle_sets(df, n, text_col, id_col).select(
         F.col(id_col).alias("id"), "toks", F.size("toks").alias("n_toks")
     )
     inv = sets.select("id", "n_toks", F.explode("toks").alias("tok"))
+    if max_df is not None:
+        # Both windows shuffle on keys the plan already needs (tok for the
+        # self-join, id for nothing new at scale worth avoiding here).
+        inv = (
+            inv.withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy("tok")))
+            .filter(F.col("_df") <= max_df)
+            .drop("_df")
+            .withColumn("n_toks", F.count(F.lit(1)).over(Window.partitionBy("id")))
+        )
     a, b = inv.alias("a"), inv.alias("b")
     shared = (
         a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") < F.col("b.id")))
@@ -159,8 +180,11 @@ def simhash(
 
     Output: (doc_id, simhash BIGINT).
     """
+    from pydatalake_gen2_spark.operators.util import spread
+
     tok = (
-        df.select(F.col(id_col), F.explode(F.array_distinct(tokens_col(text_col))).alias("tok"))
+        spread(df.select(F.col(id_col), F.array_distinct(tokens_col(text_col)).alias("_ts")))
+        .select(F.col(id_col), F.explode("_ts").alias("tok"))
         # 15 hex chars = 60 bits of md5 entropy, cleanly inside BIGINT.
         .withColumn("th", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint"))
     )

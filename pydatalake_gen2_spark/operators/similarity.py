@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from pydatalake_gen2_spark.operators.util import spread
 from pydatalake_gen2_spark.operators.vectors import as_double, cosine, dot, l2_norm
 
 
@@ -199,14 +200,10 @@ def ivf_topk(
         corpus, n_cells, seed, id_col, vec_col, corpus_n=n
     )
     assign = _cell_assigner(cents, n_probe)
-    two = corpus.select(F.col(id_col), as_double(vec_col).alias("_v"))
-    # A small corpus arrives as one input split, and AQE broadcasts the tiny
-    # inverted file — without an explicit spread the whole candidate-scoring
-    # stage would run in a single task. On a real cluster the scan already
-    # has thousands of splits and this is a no-op.
-    par = corpus.sparkSession.sparkContext.defaultParallelism
-    if two.rdd.getNumPartitions() < par:
-        two = two.repartition(par)
+    # spread(): a small corpus arrives as one input split, and AQE
+    # broadcasts the tiny inverted file — without the spread the whole
+    # candidate-scoring stage would run in a single task.
+    two = spread(corpus.select(F.col(id_col), as_double(vec_col).alias("_v")))
     base = (
         two.withColumn("_a", assign("_v"))
         .withColumn("_n", l2_norm(F.col("_v")))
@@ -252,18 +249,43 @@ def lsh_topk(
     Candidate generation is a shuffle on `bucket` (O(n·bucket_size·L)) —
     never a cross product. Recall grows with n_tables (OR-amplification);
     precision is exact because survivors are re-scored."""
-    b = lsh_bucket(corpus, n_planes, n_tables, seed, vec_col).select(
-        F.col(id_col), F.explode("buckets").alias("bucket"), as_double(vec_col).alias("_v")
-    )
-    left = b.select(F.col(id_col).alias("query_id"), "bucket", F.col("_v").alias("_qv"))
-    cand = (
-        left.join(b, on="bucket")
+    corpus = spread(corpus)  # hyperplane projections are per-row heavy
+    bucketed = lsh_bucket(corpus, n_planes, n_tables, seed, vec_col).persist()
+    # Candidate generation moves ONLY (id, bucket) pairs through the
+    # equi-join and the dedup — the 512-byte vectors never ride the
+    # candidate shuffle (at n_tables=8 a pair can surface 8x; deduping
+    # wide rows was the r01 hot spot). Vectors re-attach afterwards via a
+    # join on id against the corpus (broadcast locally, hash join at
+    # scale), with norms computed once per row — dot/(qn*cn) is the same
+    # expression tree cosine() builds, so scores stay bit-identical.
+    ids = bucketed.select(F.col(id_col), F.explode("buckets").alias("bucket"))
+    pairs = (
+        ids.select(F.col(id_col).alias("query_id"), "bucket")
+        .join(ids, on="bucket")
         .filter(F.col("query_id") != F.col(id_col))
-        .select("query_id", id_col, "_qv", "_v")
+        .select("query_id", id_col)
         .dropDuplicates(["query_id", id_col])
     )
-    scored = cand.select(
-        "query_id", id_col, cosine(F.col("_qv"), F.col("_v")).alias("cos")
+    vec = bucketed.select(
+        F.col(id_col), as_double(vec_col).alias("_v"), l2_norm(as_double(vec_col)).alias("_n")
+    )
+    scored = (
+        pairs.join(
+            vec.select(
+                F.col(id_col).alias("query_id"),
+                F.col("_v").alias("_qv"),
+                F.col("_n").alias("_qn"),
+            ),
+            on="query_id",
+        )
+        .join(vec, on=id_col)
+        .select(
+            "query_id",
+            id_col,
+            (dot(F.col("_qv"), F.col("_v")) / (F.col("_qn") * F.col("_n"))).alias(
+                "cos"
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col))
     return (

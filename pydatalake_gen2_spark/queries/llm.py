@@ -134,7 +134,11 @@ def l02c_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (threshold 0.35). All-pairs here
     (fixtures are small); the LSH-bucketed variant is the scale path and
     is recall-tested against this in tests/."""
-    e = spark.table("embeddings").select("vec_id", as_double("embedding").alias("v"))
+    from pydatalake_gen2_spark.operators.util import spread
+
+    e = spread(
+        spark.table("embeddings").select("vec_id", as_double("embedding").alias("v"))
+    )
     a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
     b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
     cos = dot(F.col("va"), F.col("vb")) / (l2_norm(F.col("va")) * l2_norm(F.col("vb")))
@@ -278,8 +282,10 @@ def lx_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("lx_lsh_topk", duck_sql=None, tier="P")
 def lx_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k neighbours (the 100 TB similarity
-    path; recall property-tested against l03's brute force)."""
-    return similarity.lsh_topk(spark.table("embeddings"), k=5)
+    path; recall property-tested against l03's brute force). 6 planes =
+    64 buckets/table keeps mean bucket occupancy ~n/64 so candidate
+    volume stays ~n^2/64 per table instead of n^2/16."""
+    return similarity.lsh_topk(spark.table("embeddings"), k=5, n_planes=6)
 
 
 @register("lx_ivf_topk", duck_sql=None, tier="P")

@@ -12,6 +12,7 @@ event-time order, as a well-behaved source would at scale.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import tempfile
 
@@ -29,7 +30,7 @@ EVENTS_SCHEMA = (
 _replay_cache: dict[str, str] = {}
 
 
-def replay_dir(spark: SparkSession, sf_dir: str, n_chunks: int = 8) -> str:
+def replay_dir(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> str:
     """Materialize events as n_chunks time-ordered single-file parquets."""
     if sf_dir in _replay_cache:
         return _replay_cache[sf_dir]
@@ -72,15 +73,32 @@ def read_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@contextlib.contextmanager
+def stream_shuffle_partitions(spark: SparkSession, n: int = 4):
+    """Streaming stateful ops use the static shuffle-partition count for
+    their state stores (no AQE) — every micro-batch pays one state-store
+    task per partition. For the finite local replays a handful of state
+    partitions is right; on a cluster this would be sized to executors.
+    Restores the session conf afterwards."""
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
 def _run_to_memory(agg: DataFrame, name: str, mode: str) -> None:
-    q = (
-        agg.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle_partitions(agg.sparkSession):
+        q = (
+            agg.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
 
 def tumbling_agg(src: DataFrame) -> DataFrame:

@@ -60,15 +60,16 @@ def run_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative row per user (counts are monotone → max n is the last
     emission)."""
     src = replay.read_stream(spark, sf_dir)
-    q = (
-        running_user_counter(src)
-        .writeStream.outputMode("update")
-        .format("memory")
-        .queryName("st08_out")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with replay.stream_shuffle_partitions(spark):
+        q = (
+            running_user_counter(src)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("st08_out")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table("st08_out")
         .groupBy("user_id")

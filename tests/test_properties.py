@@ -25,6 +25,9 @@ def test_minhash_recall_vs_exact(spark, sf_dir):
     """L02: after exact verification, the LSH candidate set must contain
     every true shingle pair at Jaccard >= tau (100% recall at this
     scale/seed — loose candidates, tight verify)."""
+    from pydatalake_gen2_spark.registry import ensure_views
+
+    ensure_views(spark, sf_dir)
     docs = spark.table("documents")
     exact = {
         (r["id_a"], r["id_b"]) for r in dedup.exact_jaccard_pairs(docs, tau=0.3).collect()
@@ -37,6 +40,28 @@ def test_minhash_recall_vs_exact(spark, sf_dir):
     assert exact, "fixture should contain planted near-dup pairs"
     recall = len(mh & exact) / len(exact)
     assert recall == 1.0, f"recall {recall}: missing {exact - mh}"
+
+
+def test_jaccard_max_df_cap_keeps_planted_recall(spark, sf_dir):
+    """Scale guard: dropping ubiquitous shingles (df cap) must not lose
+    the planted near-dup pairs — hot shingles carry no dedup signal, they
+    only blow up the inverted-index join (d^2 pairs per hot key)."""
+    from pydatalake_gen2_spark.registry import ensure_views
+
+    ensure_views(spark, sf_dir)
+    docs = spark.table("documents")
+    exact = {
+        (r["id_a"], r["id_b"]) for r in dedup.exact_jaccard_pairs(docs, tau=0.3).collect()
+    }
+    assert exact, "fixture should contain planted near-dup pairs"
+    # Cap at 10% of the corpus: aggressive enough to prune any hot key.
+    cap = max(2, int(docs.count() * 0.10))
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.exact_jaccard_pairs(docs, tau=0.3, max_df=cap).collect()
+    }
+    recall = len(capped & exact) / len(exact)
+    assert recall == 1.0, f"df-cap lost planted pairs: {exact - capped}"
 
 
 def test_simhash_identical_and_neardup(spark):
@@ -59,6 +84,9 @@ def test_lsh_topk_recall(spark, sf_dir):
     """LSH-bucketed ANN must recover a reasonable fraction of the true
     top-5 neighbours (8 planes / 256 buckets on 500 vectors is coarse;
     the property is meaningful-recall + exact-scores-on-candidates)."""
+    from pydatalake_gen2_spark.registry import ensure_views
+
+    ensure_views(spark, sf_dir)
     emb = spark.table("embeddings")
     truth = similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
     t = {(r["query_id"], r["vec_id"]) for r in truth.collect()}
