@@ -51,8 +51,9 @@ def salted_join(
     rhs = right.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
     )
-    cond = (F.col(left_key) == F.col(right_key)) & (
-        lhs["_salt"] == rhs["_salt"]
-    )
+    # DataFrame-qualified key refs: with a shared key name (e.g. both
+    # sides carrying user_id) unqualified F.col() raises an
+    # ambiguous-reference AnalysisException.
+    cond = (lhs[left_key] == rhs[right_key]) & (lhs["_salt"] == rhs["_salt"])
     out = lhs.join(rhs, cond, how)
     return out.drop(lhs["_salt"]).drop(rhs["_salt"])

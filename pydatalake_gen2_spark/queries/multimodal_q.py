@@ -21,3 +21,19 @@ def s09_binary_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 def l10_multimodal_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary ingest → mapInPandas decode (fake codec) → metadata join."""
     return multimodal.ingest_with_metadata(spark, sf_dir)
+
+
+@register("mm_resize", duck_sql=None, tier="S")
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MM-RESIZE: binary ingest → mapInPandas resize (stubbed codec; real
+    Arrow-batched 1→1 plumbing). Output is scalar metadata only — the
+    resized payload stays engine-side (driver canonicalizers don't hash
+    binary), its size invariant is asserted via length()."""
+    from pyspark.sql import functions as F
+
+    assets = multimodal.materialize_fake_assets(spark, sf_dir, n=32)
+    raw = multimodal.read_binary(spark, assets)
+    out = multimodal.resize_batch(raw, target_w=16, target_h=16)
+    return out.select(
+        "path", "width", "height", F.length("content").alias("n_bytes")
+    )

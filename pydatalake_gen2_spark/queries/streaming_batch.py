@@ -183,3 +183,17 @@ def st08_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pydatalake_gen2_spark.streaming import stateful
 
     return stateful.run_stateful_counter(spark, sf_dir)
+
+
+@register("st04_late_data", duck_sql=None, tier="S")
+def st04_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST04: watermark late-drop experiment as a registry entry — replays
+    events in ts order plus an artificially-late final chunk; emits one
+    row (streamed_rows, batch_rows, late_dropped). The strict-watermark
+    append stream must count fewer rows than batch (late rows dropped);
+    the full property lives in tests/test_streaming.py."""
+    streamed, batch_total = replay.run_late_data_experiment(spark, sf_dir)
+    return spark.createDataFrame(
+        [(streamed, batch_total, streamed < batch_total)],
+        "streamed_rows BIGINT, batch_rows BIGINT, late_dropped BOOLEAN",
+    )

@@ -107,6 +107,59 @@ class LakeCatalog:
             modification_time=st.getModificationTime(),
         )
 
+    # -- user properties: R12/R13/R18-adjacent ------------------------------
+    # The reference sets free-form key=val pairs via the x-ms-properties
+    # header (R13 set_properties_filesystem, client.py:308-325; read back
+    # by R12 get_properties_filesystem, client.py:292-306). On abfss:// the
+    # Hadoop ABFS connector exposes exactly that metadata as xattrs, so we
+    # try setXAttr/getXAttrs first; filesystems without xattr support
+    # (RawLocalFileSystem in tests) fall back to a dot-prefixed JSON
+    # sidecar next to the path (hidden from Spark scans, filtered from
+    # list_paths). Replace semantics, matching the reference's header.
+
+    _SIDECAR_SUFFIX = "._props.json"
+
+    def _sidecar(self, path: str) -> str:
+        p = path.rstrip("/")
+        head, _, tail = p.rpartition("/")
+        name = f".{tail}{self._SIDECAR_SUFFIX}"
+        return f"{head}/{name}" if head else name
+
+    def set_properties(self, path: str, props: dict[str, str]) -> None:
+        """R13 set_properties (client.py:308-325): replace the user
+        property set on a filesystem or path."""
+        jp = self._jpath(path)
+        try:
+            for k in self._fs.listXAttrs(jp):
+                self._fs.removeXAttr(jp, k)
+            for k, v in props.items():
+                self._fs.setXAttr(jp, f"user.{k}", bytearray(v.encode()))
+            return
+        except Exception:
+            pass  # no xattr support on this FS → sidecar
+        import json
+
+        self.upload_bytes(self._sidecar(path), json.dumps(props).encode())
+
+    def get_user_properties(self, path: str) -> dict[str, str]:
+        """R12 get_properties_filesystem user-metadata read-back
+        (client.py:292-306)."""
+        jp = self._jpath(path)
+        try:
+            out = {}
+            for k in self._fs.listXAttrs(jp):
+                key = k[5:] if k.startswith("user.") else k
+                out[key] = bytes(self._fs.getXAttr(jp, k)).decode()
+            return out
+        except Exception:
+            pass
+        import json
+
+        side = self._sidecar(path)
+        if not self.exists(side):
+            return {}
+        return json.loads(self.read_bytes(side).decode())
+
     def exists(self, path: str) -> bool:
         return bool(self._fs.exists(self._jpath(path)))
 
@@ -138,7 +191,10 @@ class LakeCatalog:
                         st.getModificationTime(),
                     )
                 )
-        return sorted(out, key=lambda p: p.path)
+        return sorted(
+            (p for p in out if not p.name.endswith(self._SIDECAR_SUFFIX)),
+            key=lambda p: p.path,
+        )
 
     def upload_bytes(self, path: str, data: bytes) -> int:
         """R21/R23 upload (client.py:548-582): the connector stages blocks

@@ -113,7 +113,11 @@ def resize_batch(
             rows = []
             for path, content in zip(pdf["path"], pdf["content"]):
                 data = bytes(content)
-                resized = (data * (size // max(len(data), 1) + 1))[:size]
+                # ljust guard: empty payloads still honor the stub's
+                # len(content) == w*h size invariant (null-byte canvas).
+                resized = (data * (size // max(len(data), 1) + 1))[:size].ljust(
+                    size, b"\x00"
+                )
                 rows.append((path, target_w, target_h, resized))
             yield pd.DataFrame(
                 rows, columns=["path", "width", "height", "content"]

@@ -68,3 +68,25 @@ def test_spark_reads_catalog_written_file(cat, spark):
     cat.upload_bytes("fs/data.csv", b"a,b\n1,x\n2,y\n")
     df = spark.read.option("header", True).csv(cat._root + "/fs/data.csv")
     assert df.count() == 2
+
+
+def test_set_get_properties(cat):
+    """R13/R12 parity (reference tests.py test_set_properties_filesystem,
+    client.py:308-325): free-form key=val user properties on a filesystem
+    or path, replace semantics, readable back. Local fs exercises the
+    sidecar fallback; on abfss:// the same calls ride ABFS xattrs
+    (x-ms-properties)."""
+    cat.create_filesystem("fsp")
+    cat.set_properties("fsp", {"owner": "alice", "tier": "hot"})
+    assert cat.get_user_properties("fsp") == {"owner": "alice", "tier": "hot"}
+    # replace, not merge (the reference's x-ms-properties header semantics)
+    cat.set_properties("fsp", {"owner": "bob"})
+    assert cat.get_user_properties("fsp") == {"owner": "bob"}
+    # path-level properties; sidecars stay out of listings
+    cat.upload_bytes("fsp/f.txt", b"x")
+    cat.set_properties("fsp/f.txt", {"lang": "en"})
+    assert cat.get_user_properties("fsp/f.txt") == {"lang": "en"}
+    assert [p.name for p in cat.list_paths("fsp")] == ["f.txt"]
+    # unset path → empty dict
+    cat.upload_bytes("fsp/g.txt", b"y")
+    assert cat.get_user_properties("fsp/g.txt") == {}
