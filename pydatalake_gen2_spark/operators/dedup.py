@@ -206,3 +206,82 @@ def simhash(
 def hamming64(a, b):
     """Hamming distance between two BIGINT fingerprints (bit_count of XOR)."""
     return F.bit_count(F.col(a).bitwiseXOR(F.col(b)))
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Dup-cluster resolution: undirected pair edges → (id, component)
+    where component = min node id reachable from ``id``. This is the step
+    a training-data dedup pipeline runs AFTER near-dup pair generation
+    (exact/minhash/simhash pairs) to pick one canonical document per
+    cluster — pairs alone over-delete when A~B and B~C but A!~C.
+
+    Algorithm: large-star/small-star-style min-label propagation expressed
+    as DataFrame joins — per round, every node adopts the smallest label
+    in its closed neighborhood; converges in O(log n) rounds for the
+    near-dup case (small, dense clusters: usually 2-3 rounds). Each round
+    is one shuffle join (labels x edges on node id) + one partial-agg
+    min() — no driver-side graph, state is one (node, label) row per node,
+    so it shards with the shuffle at any scale. Convergence is checked
+    with a cheap count of changed labels per round (an O(rounds) sequence
+    of small jobs, not a collect of data rows).
+
+    Output: (id BIGINT, component BIGINT).
+    """
+    # Undirected closure of the edge list + self-loops via init labels.
+    e = edges.select(
+        F.col(src_col).cast("bigint").alias("s"), F.col(dst_col).cast("bigint").alias("d")
+    )
+    sym = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
+    nodes = sym.select(F.col("s").alias("id")).distinct()
+    labels = nodes.withColumn("lbl", F.col("id"))
+    for _ in range(max_iter):
+        # neighbor labels: for each edge (s,d), s can adopt d's label
+        nbr = (
+            sym.join(labels.withColumnRenamed("id", "d"), on="d")
+            .select(F.col("s").alias("id"), "lbl")
+        )
+        new_labels = (
+            labels.union(nbr)
+            .groupBy("id")
+            .agg(F.min("lbl").alias("lbl"))
+            .persist()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("lbl", "old"), on="id")
+            .filter(F.col("lbl") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()  # no-op on the (unpersisted) first round
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("lbl").alias("component"))
+
+
+def dedup_clusters(
+    df: DataFrame,
+    tau: float = 0.3,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int | None = None,
+) -> DataFrame:
+    """End-to-end near-dup cluster table: exact n-gram Jaccard pairs →
+    connected components → one row per clustered doc with its canonical
+    keeper (min doc_id in the component). Docs in no pair are singletons
+    and are not emitted (they keep themselves).
+
+    Output: (doc_id, component, keep BOOLEAN)."""
+    pairs = exact_jaccard_pairs(df, tau, n, text_col, id_col, max_df)
+    comp = connected_components(pairs, "id_a", "id_b")
+    return comp.select(
+        F.col("id").alias(id_col),
+        "component",
+        (F.col("id") == F.col("component")).alias("keep"),
+    )

@@ -146,3 +146,109 @@ sql_pair(
     ORDER BY c_custkey
     """,
 )
+
+
+# Correlated EXISTS (TPC-H Q4 shape): priority counts over orders that
+# have at least one late lineitem. Decorrelates to a left-semi join.
+sql_pair(
+    "c09_exists_priority",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+
+# Correlated NOT EXISTS (anti-join decorrelation).
+sql_pair(
+    "c10_not_exists_quiet_customers",
+    """
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+    ORDER BY c_custkey
+    """,
+)
+
+# TPC-H Q13 shape: customer order-count distribution via LEFT OUTER join
+# + two-level aggregation (the canonical histogram-of-group-sizes plan).
+sql_pair(
+    "c11_order_count_distribution",
+    """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey) cc
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+
+# TPC-H Q18 shape: big orders via HAVING on a join-feeding subquery.
+sql_pair(
+    "c12_big_orders",
+    """
+    SELECT o.o_orderkey, ROUND(o.o_totalprice, 2) AS price,
+           CAST(big.qty AS DOUBLE) AS total_qty
+    FROM orders o
+    JOIN (
+      SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,4))) AS qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 150) big
+      ON big.l_orderkey = o.o_orderkey
+    ORDER BY o.o_orderkey
+    """,
+)
+
+# TPC-H Q22 shape: customers above the positive-balance average with no
+# orders — scalar subquery + anti join in one query.
+sql_pair(
+    "c13_rich_inactive_customers",
+    """
+    SELECT substring(c_name, 1, 9) AS cntry, CAST(count(*) AS BIGINT) AS numcust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+    FROM customer c
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY substring(c_name, 1, 9)
+    ORDER BY cntry
+    """,
+)
+
+# TPC-H Q15 shape: top supplier(s) by revenue — a reused CTE consumed
+# twice (revenue table + its max) in one plan.
+sql_pair(
+    "c14_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                      (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+               AS total_revenue
+      FROM lineitem GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+
+# TPC-H Q16 shape: distinct-count with a NOT IN prune and multi-key group.
+sql_pair(
+    "c15_part_supplier_counts",
+    """
+    SELECT p_brand, p_size, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_size
+    """,
+)

@@ -296,3 +296,127 @@ def lx_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scales to ~sqrt(corpus) so the cell join key never funnels into a
     handful of reducers."""
     return similarity.ivf_topk(spark.table("embeddings"), k=5, n_probe=6)
+
+
+@register(
+    "l11_dedup_clusters",
+    duck_sql="""
+    WITH RECURSIVE sets AS (
+      SELECT doc_id AS id,
+             list_distinct(list_transform(generate_series(1, len(t) - 2),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS toks
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+      WHERE len(t) >= 3),
+    inv AS (SELECT id, len(toks) AS n_toks, unnest(toks) AS tok FROM sets),
+    shared AS (
+      SELECT a.id AS id_a, b.id AS id_b, a.n_toks AS na, b.n_toks AS nb,
+             COUNT(*) AS n_shared
+      FROM inv a JOIN inv b ON a.tok = b.tok AND a.id < b.id
+      GROUP BY 1, 2, 3, 4),
+    pairs AS (
+      SELECT id_a, id_b FROM shared
+      WHERE n_shared / (na + nb - n_shared) >= 0.3),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    reach(id, r) AS (
+      SELECT s, s FROM edges
+      UNION SELECT s, d FROM edges
+      UNION SELECT reach.id, edges.d FROM reach JOIN edges ON reach.r = edges.s)
+    SELECT id AS doc_id, MIN(r) AS component, id = MIN(r) AS keep
+    FROM reach GROUP BY id
+    """,
+)
+def l11_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER resolution: Jaccard pairs → connected components
+    (iterative min-label propagation, O(log n) shuffle-join rounds) → one
+    canonical keeper per cluster. The step after pair generation in every
+    training-data dedup pipeline — pairs alone over-delete transitive
+    groups. Oracle: DuckDB recursive-CTE transitive closure."""
+    return dedup.dedup_clusters(spark.table("documents"), tau=0.3)
+
+
+@register(
+    "l12_deterministic_sample",
+    duck_sql="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '2000'
+    """,
+)
+def l12_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~12.5% Bernoulli sample keyed on md5(doc_id) — the
+    reproducible corpus-downsampling primitive. Unlike rand(), the same
+    row set comes back on every run, engine, and partitioning (md5 is
+    bit-identical across Spark and the oracle); the filter is a pure
+    per-row predicate, so it pushes into the scan with no shuffle."""
+    d = spark.table("documents")
+    return d.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4) < "2000"
+    ).select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "l13_stratified_sample",
+    duck_sql="""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n_lang
+      FROM documents)
+    SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= CAST(ceil(0.2 * n_lang) AS BIGINT)
+    """,
+)
+def l13_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 20%-per-stratum sample: rank rows inside each lang stratum by
+    md5(doc_id) (a deterministic uniform ordering) and keep the first
+    ceil(0.2*n) — every stratum is represented at exactly the target
+    fraction, unlike Bernoulli sampling which drifts on small strata.
+    One window shuffle on the stratum key."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    wc = Window.partitionBy("lang")
+    return (
+        spark.table("documents")
+        .select(
+            "doc_id",
+            "lang",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("n_lang"),
+        )
+        .filter(F.col("rn") <= F.ceil(0.2 * F.col("n_lang")).cast("bigint"))
+        .select("doc_id", "lang", "rn")
+    )
+
+
+@register(
+    "l14_topk_per_group_sample",
+    duck_sql="""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+    SELECT doc_id, source, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 25
+    """,
+)
+def l14_topk_per_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-k-per-group sample (25 docs per source, md5-ordered) — the
+    distributed, deterministic stand-in for per-group reservoir sampling:
+    one window shuffle, no driver state, same rows every run."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        spark.table("documents")
+        .select("doc_id", "source", F.row_number().over(w).cast("bigint").alias("rn"))
+        .filter(F.col("rn") <= 25)
+    )

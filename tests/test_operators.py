@@ -147,3 +147,58 @@ def test_asof_join_matches_duckdb_asof(spark, case):
     else:
         want = sorted((int(i), None) for i in lpd["lid"])
     assert got == want
+
+
+def test_connected_components_vs_union_find(spark):
+    """Min-label propagation must equal a reference union-find on a graph
+    with transitive chains, a cycle, and disjoint clusters."""
+    from pydatalake_gen2_spark.operators.dedup import connected_components
+
+    edges = [
+        (1, 2), (2, 3), (3, 4),          # chain -> component 1
+        (10, 11), (11, 12), (12, 10),    # cycle -> component 10
+        (20, 21),                        # pair -> component 20
+        (30, 31), (32, 31), (33, 32), (34, 33),  # zig-zag chain -> 30
+    ]
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    want = {x: find(x) for x in parent}
+
+    df = spark.createDataFrame(edges, "id_a BIGINT, id_b BIGINT")
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    assert got == want
+
+
+def test_dedup_clusters_keeper_semantics(spark):
+    """Each emitted doc carries its component's min id; exactly the min
+    doc is flagged keep=true."""
+    from pydatalake_gen2_spark.operators.dedup import dedup_clusters
+
+    base = "the quick brown fox jumps over the lazy dog by the river bank"
+    rows = [
+        (1, base), (2, base + " today"), (3, base + " now"),  # one cluster
+        (50, "completely different text about spark shuffles and joins ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = dedup_clusters(df, tau=0.3).collect()
+    comp = {r["doc_id"]: (r["component"], r["keep"]) for r in out}
+    assert comp[1] == (1, True)
+    assert comp[2] == (1, False) and comp[3] == (1, False)
+    assert 50 not in comp  # singleton: no pair, keeps itself implicitly
