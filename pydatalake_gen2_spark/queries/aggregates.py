@@ -208,3 +208,28 @@ def g18_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("p50"),
         F.approx_percentile("l_extendedprice", F.lit(0.95), F.lit(10000)).alias("p95"),
     )
+
+
+sql_pair(
+    "g19_percentile_exact",
+    """
+    SELECT l_returnflag,
+           round(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity), 4) AS q25,
+           round(percentile_cont(0.5)  WITHIN GROUP (ORDER BY l_quantity), 4) AS q50,
+           round(percentile_cont(0.75) WITHIN GROUP (ORDER BY l_quantity), 4) AS q75,
+           round(percentile_disc(0.9)  WITHIN GROUP (ORDER BY l_quantity), 4) AS d90
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    duck_sql="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.25), 4) AS q25,
+           round(quantile_cont(l_quantity, 0.5), 4) AS q50,
+           round(quantile_cont(l_quantity, 0.75), 4) AS q75,
+           round(quantile_disc(l_quantity, 0.9), 4) AS d90
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="""Exact percentiles (interpolating + discrete) per group — the
+    exact anchor for the g18 sketch variant. Exact percentile needs a full
+    sort per group; the scale path is g18's approx_percentile sketch
+    (mergeable, one pass).""",
+)

@@ -252,3 +252,48 @@ sql_pair(
     ORDER BY supplier_cnt DESC, p_brand, p_size
     """,
 )
+
+
+# TPC-H Q7 shape: shipping volume between two nations by year — the
+# 5-table snowflake join (fact + orders + customer + supplier + nation x2).
+sql_pair(
+    "c16_nation_volume",
+    """
+    SELECT supp_nation, cust_nation, yr,
+           CAST(SUM(CAST(volume AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l.l_shipdate) AS yr,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+      JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+      WHERE n1.n_nationkey < 5 AND n2.n_nationkey < 5
+        AND n1.n_nationkey <> n2.n_nationkey) shipping
+    GROUP BY supp_nation, cust_nation, yr
+    ORDER BY supp_nation, cust_nation, yr
+    """,
+)
+
+# TPC-H Q9 shape: profit by supplier nation and year with a part filter.
+sql_pair(
+    "c17_nation_profit",
+    """
+    SELECT n_name AS nation, yr,
+           CAST(SUM(CAST(amount AS DECIMAL(18,4))) AS DOUBLE) AS profit
+    FROM (
+      SELECT n.n_name, year(o.o_orderdate) AS yr,
+             l.l_extendedprice * (1 - l.l_discount) - 0.5 * l.l_quantity AS amount
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN part p     ON p.p_partkey = l.l_partkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      WHERE p.p_name LIKE '%a%') profit
+    GROUP BY n_name, yr
+    ORDER BY nation, yr DESC
+    """,
+)

@@ -420,3 +420,82 @@ def l14_topk_per_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", F.row_number().over(w).cast("bigint").alias("rn"))
         .filter(F.col("rn") <= 25)
     )
+
+
+@register(
+    "l15_sequence_packing",
+    duck_sql="""
+    WITH toks AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents),
+    packed AS (
+      SELECT doc_id, n_tokens,
+             CAST(floor((SUM(n_tokens) OVER (ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - n_tokens) / 256.0)
+                  AS BIGINT) AS bin_id
+      FROM toks)
+    SELECT bin_id, CAST(count(*) AS BIGINT) AS docs_in_bin,
+           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+    FROM packed GROUP BY bin_id
+    """,
+)
+def l15_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window sequence packing: assign docs (in deterministic id
+    order) to ~256-token training bins via a running token total —
+    bin_id = floor((cumsum - own) / target). The packing itself is one
+    window; at scale you partition the window by a shard key (e.g.
+    source) so no single ordered window spans the corpus."""
+    from pyspark.sql.window import Window
+
+    toks = spark.table("documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    packed = toks.select(
+        "doc_id",
+        "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 256.0)
+        .cast("bigint")
+        .alias("bin_id"),
+    )
+    return packed.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("docs_in_bin"),
+        F.sum("n_tokens").cast("bigint").alias("bin_tokens"),
+    )
+
+
+@register(
+    "l16_corpus_mix_weights",
+    duck_sql="""
+    WITH obs AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS n_chars
+      FROM documents GROUP BY lang),
+    tot AS (SELECT sum(n_docs) AS total FROM obs)
+    SELECT lang, n_docs, n_chars,
+           n_docs / (SELECT total FROM tot) AS observed_frac,
+           0.2 / (n_docs / (SELECT total FROM tot)) AS resample_weight
+    FROM obs
+    """,
+)
+def l16_corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mixing weights: observed per-lang share vs a uniform 20%
+    target → per-doc resampling weight (target/observed). The driver-side
+    scalar is one tiny agg; the weight application is a broadcast join in
+    the consuming pipeline."""
+    obs = (
+        spark.table("documents")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+        )
+    )
+    total = obs.agg(F.sum("n_docs")).first()[0]
+    return obs.select(
+        "lang",
+        "n_docs",
+        "n_chars",
+        (F.col("n_docs") / F.lit(total)).alias("observed_frac"),
+        (F.lit(0.2) / (F.col("n_docs") / F.lit(total))).alias("resample_weight"),
+    )

@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from pydatalake_gen2_spark.operators import text
-from pydatalake_gen2_spark.registry import register
+from pydatalake_gen2_spark.registry import register, sql_pair
 
 
 def _profile_sql(lang: str) -> str:
@@ -99,3 +99,44 @@ def t03_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style fingerprint: min md5 over rolling 5-gram windows."""
     return text.fingerprint(spark.table("documents"), n=5)
+
+
+sql_pair(
+    "t05_quality_filter",
+    """
+    WITH feats AS (
+      SELECT doc_id,
+             size(split(text, ' ')) AS n_words,
+             length(text) AS n_chars_obs,
+             length(regexp_replace(text, '[^a-z ]', '')) / length(text)
+               AS alpha_space_ratio
+      FROM documents)
+    SELECT doc_id,
+           (n_words >= 5) AS len_ok,
+           (n_chars_obs / n_words <= 12.0) AS wordlen_ok,
+           (alpha_space_ratio >= 0.8) AS alpha_ok,
+           ((n_words >= 5) AND (n_chars_obs / n_words <= 12.0)
+             AND (alpha_space_ratio >= 0.8)) AS keep
+    FROM feats
+    """,
+    duck_sql="""
+    WITH feats AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_words,
+             length(text) AS n_chars_obs,
+             length(regexp_replace(text, '[^a-z ]', '', 'g')) / length(text)
+               AS alpha_space_ratio
+      FROM documents)
+    SELECT doc_id,
+           (n_words >= 5) AS len_ok,
+           (n_chars_obs / n_words <= 12.0) AS wordlen_ok,
+           (alpha_space_ratio >= 0.8) AS alpha_ok,
+           ((n_words >= 5) AND (n_chars_obs / n_words <= 12.0)
+             AND (alpha_space_ratio >= 0.8)) AS keep
+    FROM feats
+    """,
+    doc="""Gopher-style heuristic quality gate: per-rule boolean flags plus
+    the conjunction — the shape a corpus-cleaning pipeline materializes so
+    rule ablations are one GROUP BY away. Pure per-row codegen, no
+    shuffle.""",
+)

@@ -123,3 +123,44 @@ sql_pair(
     FROM orders
     """,
 )
+
+
+sql_pair(
+    "w11_latest_per_key",
+    """
+    SELECT user_id, event_id, event_type, ROUND(value, 4) AS value
+    FROM (
+      SELECT user_id, event_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    WHERE rn = 1
+    """,
+    doc="""Latest-event-per-key compaction (CDC-style upsert resolution):
+    one window shuffle on the key; at scale this is the standard
+    pre-aggregation that replaces a full dedup sort of the log.""",
+)
+
+
+sql_pair(
+    "w12_funnel_steps",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(count(t_view) AS BIGINT) AS viewed,
+           CAST(sum(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS BIGINT)
+             AS clicked_after_view,
+           CAST(sum(CASE WHEN t_purchase > t_click AND t_click > t_view
+                         THEN 1 ELSE 0 END) AS BIGINT) AS full_funnel
+    FROM firsts
+    """,
+    doc="""Ordered-funnel analysis (view -> click -> purchase): first-touch
+    per step via conditional MIN in ONE groupBy pass (no self-joins,
+    no window sort) — the per-user state is 3 timestamps regardless of
+    event volume.""",
+)
