@@ -343,3 +343,37 @@ sql_pair(
     FROM events
     """,
 )
+
+
+# URL parsing: Spark's parse_url (Hive-compatible) vs a DuckDB regexp
+# decomposition of the same synthesized URL. A data-cleaning staple
+# (host-level dedup, query-param stripping).
+sql_pair(
+    "f37_url_parse",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             concat('https://', source, '.example.com/docs/', CAST(doc_id AS STRING),
+                    '?lang=', lang, '&v=2') AS url
+      FROM documents)
+    SELECT doc_id, url,
+           parse_url(url, 'HOST') AS host,
+           parse_url(url, 'PATH') AS path,
+           parse_url(url, 'QUERY') AS query,
+           parse_url(url, 'QUERY', 'lang') AS lang_param
+    FROM u
+    """,
+    duck_sql="""
+    WITH u AS (
+      SELECT doc_id,
+             concat('https://', source, '.example.com/docs/', CAST(doc_id AS VARCHAR),
+                    '?lang=', lang, '&v=2') AS url
+      FROM documents)
+    SELECT doc_id, url,
+           regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '\\?(.*)$', 1) AS query,
+           regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param
+    FROM u
+    """,
+)

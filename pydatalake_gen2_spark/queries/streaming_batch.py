@@ -197,3 +197,34 @@ def st04_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(streamed, batch_total, streamed < batch_total)],
         "streamed_rows BIGINT, batch_rows BIGINT, late_dropped BOOLEAN",
     )
+
+
+@register(
+    "st09_stream_static_join",
+    duck_sql="""
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def st09_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST09 batch form (the oracle-matched shape): events enriched with the
+    customer dim, aggregated per segment. The streaming run of the same
+    plan is st09_stream (stream-static joins re-resolve the dim each
+    micro-batch — no stream state)."""
+    ev = spark.table("events")
+    cust = spark.table("customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return ev.join(cust, on="user_id").groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+    )
+
+
+@register("st09_stream", duck_sql=None, tier="S")
+def st09_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST09 real streaming run (equality with the batch form asserted in
+    tests/test_streaming.py)."""
+    return replay.run_stream_static_join(spark, sf_dir)

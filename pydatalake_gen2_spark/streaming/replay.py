@@ -262,3 +262,21 @@ def run_late_data_experiment(
     streamed = spark.table("st04_out").agg(F.sum("n")).first()[0] or 0
     batch_total = spark.read.schema(EVENTS_SCHEMA).parquet(lab).count()
     return int(streamed), int(batch_total)
+
+
+def run_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST09: stream-static enrichment join — the streaming side joins a
+    static dim table batch-side per micro-batch (no state, no watermark
+    needed for inner joins; the dim is re-resolved each trigger, so a
+    slowly-changing dim picks up updates). Aggregates enriched events per
+    market segment in complete mode."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    src = read_stream(spark, sf_dir)
+    enriched = src.join(cust, on="user_id").groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+    )
+    _run_to_memory(enriched, "st09_out", "complete")
+    return spark.table("st09_out")

@@ -128,3 +128,52 @@ def test_llm_ops_prune_documents_scan(spark, sf_dir):
     for read in [seg.splitlines()[0] for seg in plan.split("ReadSchema: ")[1:]]:
         if "documents" in read or "text" in read:
             assert "lang" not in read and "source" not in read, read
+
+
+def test_snowflake_joins_broadcast_dims(spark, sf_dir):
+    """c16 (Q7 shape): every dim join (supplier/customer/nation x2) must be
+    a broadcast hash join — the fact table never shuffles for a dim."""
+    plan = _plan(spark, sf_dir, "c16_nation_volume")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+
+
+def test_exists_decorrelates_to_semi_join(spark, sf_dir):
+    """Correlated EXISTS/NOT EXISTS must become semi/anti hash joins, not
+    per-row subquery execution."""
+    p9 = _plan(spark, sf_dir, "c09_exists_priority")
+    assert "LeftSemi" in p9, p9
+    p10 = _plan(spark, sf_dir, "c10_not_exists_quiet_customers")
+    assert "LeftAnti" in p10, p10
+
+
+def test_deterministic_sample_is_scan_side(spark, sf_dir):
+    """l12: the md5 sample predicate is a pure per-row filter — no
+    shuffle/exchange anywhere in the plan."""
+    plan = _plan(spark, sf_dir, "l12_deterministic_sample")
+    assert "Exchange" not in plan, plan
+
+
+def test_quality_filter_no_shuffle(spark, sf_dir):
+    """t05: per-row quality flags must not shuffle."""
+    plan = _plan(spark, sf_dir, "t05_quality_filter")
+    assert "Exchange" not in plan, plan
+
+
+def test_funnel_is_single_aggregation_pass(spark, sf_dir):
+    """w12: conditional-MIN funnel = one partial+final agg per level, no
+    self-joins of events."""
+    plan = _plan(spark, sf_dir, "w12_funnel_steps")
+    assert "Join" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_ivf_assignment_is_single_pass(spark, sf_dir):
+    """lx_ivf_topk: the assignment subtree (scan -> ArrowEvalPython cell
+    UDF -> norms) is persisted, and BOTH consumers (inverted file and
+    probe list) read the cache — so the UDF runs once per row at
+    execution, not once per branch. The explain string repeats the cached
+    subtree per consumer; the InMemoryTableScan nodes are the proof."""
+    plan = _plan(spark, sf_dir, "lx_ivf_topk")
+    assert "ArrowEvalPython" in plan, plan
+    assert plan.count("InMemoryTableScan") >= 2, plan

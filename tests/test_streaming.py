@@ -88,3 +88,7 @@ def test_stateful_counter_equals_batch(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_stream_static_join_equals_batch(spark, sf_dir):
+    _pair_equal(spark, sf_dir, "st09_stream", "st09_stream_static_join")
