@@ -35,6 +35,7 @@ def asof_join(
     right_order: str,
     carry: list[str],
     how: str = "left",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """For each left row, attach the latest right row with
     right[right_ts] <= left[left_ts], matching on `on`.
@@ -42,9 +43,17 @@ def asof_join(
     carry: right columns to attach (prefixed ``asof_`` in the output).
     how: 'left' keeps unmatched left rows (carry columns NULL),
          'inner' drops them.
+    tolerance: optional max lookback (an INTERVAL literal body, e.g.
+        '10 minutes'): a matched right row older than left_ts - tolerance
+        is discarded (carry columns NULL) — pandas merge_asof semantics.
+        The right ts rides inside the carried struct, so the check is one
+        post-window predicate, not a second join.
     """
     lcols = left.columns
-    carry_t = ", ".join(f"`{c}`:{right.schema[c].dataType.simpleString()}" for c in carry)
+    carry_in = list(carry) + ([right_ts] if tolerance and right_ts not in carry else [])
+    carry_t = ", ".join(
+        f"`{c}`:{right.schema[c].dataType.simpleString()}" for c in carry_in
+    )
     l = left.select(
         F.col(on).alias("_k"),
         F.col(left_ts).alias("_ts"),
@@ -58,7 +67,7 @@ def asof_join(
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_tag"),
         F.col(right_order).cast("long").alias("_rord"),
-        F.struct(*[F.col(c) for c in carry]).alias("_rrow"),
+        F.struct(*[F.col(c) for c in carry_in]).alias("_rrow"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
     )
     # Order: ts, then right-before-left at equal ts (inclusive <=), then
@@ -73,6 +82,13 @@ def asof_join(
         .withColumn("_match", F.last("_rrow", ignorenulls=True).over(w))
         .filter(F.col("_tag") == 1)
     )
+    if tolerance is not None:
+        within = F.col("_match").getField(right_ts) >= F.col("_ts") - F.expr(
+            f"INTERVAL {tolerance}"
+        )
+        matched = matched.withColumn(
+            "_match", F.when(within, F.col("_match"))
+        )
     out = matched.select(
         *lcols, *[F.col("_match").getField(c).alias(f"asof_{c}") for c in carry]
     )

@@ -214,3 +214,42 @@ def jx_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_name",
         F.round(F.col("s_acctbal"), 2).alias("s_acctbal"),
     )
+
+
+@register(
+    "j14_asof_tolerance",
+    duck_sql="""
+    SELECT p.event_id, p.user_id,
+           CASE WHEN c.ts >= p.ts - INTERVAL 10 MINUTE THEN c.event_id END
+             AS asof_event_id,
+           CASE WHEN c.ts >= p.ts - INTERVAL 10 MINUTE
+                THEN CAST(c.value AS DOUBLE) END AS asof_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def j14_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a bounded lookback (pandas merge_asof `tolerance`):
+    the latest click at-or-before each purchase counts only within 10
+    minutes. The right ts rides in the carried struct so the tolerance is
+    one post-window predicate — same single-shuffle union-sort plan as
+    j11."""
+    ev = spark.table("events")
+    res = asof_join(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "click"),
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_order="event_id",
+        carry=["event_id", "value"],
+        how="left",
+        tolerance="10 minutes",
+    )
+    return res.select(
+        "event_id",
+        "user_id",
+        "asof_event_id",
+        F.col("asof_value").cast("double").alias("asof_value"),
+    )

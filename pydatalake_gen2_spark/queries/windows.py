@@ -164,3 +164,48 @@ sql_pair(
     no window sort) — the per-user state is 3 timestamps regardless of
     event volume.""",
 )
+
+
+sql_pair(
+    "w13_gap_fill_ffill",
+    """
+    WITH obs AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
+      FROM events WHERE user_id < 20 GROUP BY user_id, date_trunc('hour', ts)),
+    bounds AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM obs GROUP BY user_id),
+    spine AS (
+      SELECT user_id, explode(sequence(h0, h1, interval 1 hour)) AS h FROM bounds),
+    joined AS (
+      SELECT s.user_id, s.h, o.v
+      FROM spine s LEFT JOIN obs o ON s.user_id = o.user_id AND s.h = o.h)
+    SELECT user_id, date_format(h, 'yyyy-MM-dd HH:mm:ss') AS hour,
+           (v IS NOT NULL) AS observed,
+           last(v) IGNORE NULLS
+             OVER (PARTITION BY user_id ORDER BY h) AS v_ffill
+    FROM joined
+    """,
+    duck_sql="""
+    WITH obs AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
+      FROM events WHERE user_id < 20 GROUP BY user_id, date_trunc('hour', ts)),
+    bounds AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM obs GROUP BY user_id),
+    spine AS (
+      SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      FROM bounds),
+    joined AS (
+      SELECT s.user_id, s.h, o.v
+      FROM spine s LEFT JOIN obs o ON s.user_id = o.user_id AND s.h = o.h)
+    SELECT user_id, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+           (v IS NOT NULL) AS observed,
+           last_value(v IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY h) AS v_ffill
+    FROM joined
+    """,
+    doc="""Time-series resample + gap-fill + forward-fill (the hypertable
+    rollup shape): hourly spine per key via sequence/explode (distributed,
+    no driver loop), left join of observed buckets, last-IGNORE-NULLS
+    carry-forward. One join shuffle + one window shuffle, both on the
+    series key.""",
+)
