@@ -76,6 +76,12 @@ class Engine:
     def simhash(self, df, **kw) -> DataFrame:
         return dedup.simhash(df, **kw)
 
+    def connected_components(self, edges, **kw) -> DataFrame:
+        return dedup.connected_components(edges, **kw)
+
+    def dedup_clusters(self, df, **kw) -> DataFrame:
+        return dedup.dedup_clusters(df, **kw)
+
     def cosine_topk(self, corpus, queries, k: int, **kw) -> DataFrame:
         return similarity.cosine_topk(corpus, queries, k, **kw)
 
