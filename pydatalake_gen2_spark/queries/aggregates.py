@@ -233,3 +233,20 @@ sql_pair(
     sort per group; the scale path is g18's approx_percentile sketch
     (mergeable, one pass).""",
 )
+
+
+sql_pair(
+    "g20_regression_aggs",
+    """
+    SELECT l_returnflag,
+           round(corr(l_extendedprice, l_quantity), 4) AS r,
+           round(covar_samp(l_extendedprice, l_quantity), 2) AS cov_s,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 2) AS icpt,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="""Bivariate statistical aggregates (corr / covariance / least-
+    squares fit) — single-pass mergeable accumulators on both engines, so
+    they scale as partial+final aggregation like any sum.""",
+)

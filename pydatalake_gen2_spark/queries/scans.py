@@ -163,3 +163,38 @@ def s11_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         path, lambda: load_table(spark, sf_dir, "nation").write.mode("overwrite").orc(path)
     )
     return spark.read.schema(TABLES["nation"]).orc(path)
+
+
+@register(
+    "s12_compaction_layout",
+    duck_sql="""
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def s12_compaction_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction: rewrite the fact table partitioned by
+    l_returnflag with ONE task per partition directory
+    (repartition(partition_cols) co-locates each Hive partition's rows)
+    and a maxRecordsPerFile cap bounding file size. The layout invariant
+    (<= ceil(rows/cap) files per directory, no task-fragment spray) is
+    asserted in tests/test_operators.py; the read-back group counts
+    hash-match the oracle, proving the rewrite is lossless."""
+    path = _tmp("s12_compact", sf_dir)
+
+    def write():
+        (
+            load_table(spark, sf_dir, "lineitem")
+            .repartition("l_returnflag")
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", 500_000)
+            .partitionBy("l_returnflag")
+            .parquet(path)
+        )
+
+    _write_once(path, write)
+    return (
+        spark.read.parquet(path)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -202,3 +202,62 @@ def test_dedup_clusters_keeper_semantics(spark):
     assert comp[1] == (1, True)
     assert comp[2] == (1, False) and comp[3] == (1, False)
     assert 50 not in comp  # singleton: no pair, keeps itself implicitly
+
+
+def test_compaction_layout_file_counts(spark, sf_dir):
+    """s12: after compaction each partition directory holds
+    ceil(rows/maxRecordsPerFile) files — one writer task per directory,
+    no small-file spray."""
+    import glob
+    import os
+
+    from pydatalake_gen2_spark.registry import load_all
+    from pydatalake_gen2_spark.queries.scans import _tmp
+
+    load_all()["s12_compaction_layout"].spark_fn(spark, sf_dir).collect()
+    root = _tmp("s12_compact", sf_dir)
+    dirs = [d for d in glob.glob(os.path.join(root, "l_returnflag=*"))]
+    assert dirs, root
+    for d in dirs:
+        files = glob.glob(os.path.join(d, "*.parquet"))
+        n_rows = spark.read.parquet(d).count()
+        import math
+
+        assert len(files) == math.ceil(n_rows / 500_000), (d, len(files), n_rows)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(
+    deadline=None,
+    max_examples=10,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_connected_components_random_graphs(spark, edges):
+    """Hypothesis: min-label propagation equals union-find on arbitrary
+    random graphs (self-loops excluded, duplicates/antiparallel allowed)."""
+    from pydatalake_gen2_spark.operators.dedup import connected_components
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+
+    df = spark.createDataFrame(edges, "id_a BIGINT, id_b BIGINT")
+    got = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    assert got == want
