@@ -16,6 +16,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pydatalake_gen2_spark.operators.util import release_persisted
 from pydatalake_gen2_spark.registry import load_all
 from pydatalake_gen2_spark.session import get_spark
 
@@ -85,6 +86,7 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(runs), 3)
+        release_persisted()  # drop operator-cached blocks between queries
 
     print(
         json.dumps(

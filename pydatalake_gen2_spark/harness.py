@@ -62,10 +62,13 @@ def canon_rows(columns: list[str], rows: list[tuple]) -> Counter:
 
 
 def run_pair(spark, con, sf_dir: str, name: str) -> dict:
+    from pydatalake_gen2_spark.operators.util import release_persisted
+
     qp = REGISTRY[name]
     sdf = qp.spark_fn(spark, sf_dir)
     s_cols = [c.lower() for c in sdf.columns]
     s_rows = [tuple(r) for r in sdf.collect()]
+    release_persisted()  # operator caches are consumed; drop the blocks
     out = {"name": name, "tier": qp.tier, "spark_rows": len(s_rows)}
     if qp.duck_sql is None:
         out["status"] = "rows_only"

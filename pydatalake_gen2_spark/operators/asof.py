@@ -21,9 +21,34 @@ Ties: two right rows with equal (key, ts) resolve to the largest
 
 from __future__ import annotations
 
+import datetime as _dt
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+# Simple INTERVAL literal body: "<n> <unit>" terms, e.g. "10 minutes",
+# "1 hour 30 minutes". Validated before interpolation into F.expr so a
+# malformed tolerance fails fast with a clear message instead of an
+# opaque parse error (and never injects arbitrary expression text).
+_INTERVAL_RE = re.compile(
+    r"^\s*\d+\s+(year|month|week|day|hour|minute|second|millisecond|microsecond)s?"
+    r"(\s+\d+\s+(year|month|week|day|hour|minute|second|millisecond|microsecond)s?)*\s*$",
+    re.IGNORECASE,
+)
+
+
+def _tolerance_interval(tolerance: str | _dt.timedelta) -> "F.Column":
+    if isinstance(tolerance, _dt.timedelta):
+        micros = int(tolerance.total_seconds() * 1_000_000)
+        return F.expr(f"INTERVAL {micros} microseconds")
+    if not _INTERVAL_RE.match(str(tolerance)):
+        raise ValueError(
+            f"tolerance must be a timedelta or an interval body like "
+            f"'10 minutes', got: {tolerance!r}"
+        )
+    return F.expr(f"INTERVAL {tolerance}")
 
 
 def asof_join(
@@ -35,7 +60,7 @@ def asof_join(
     right_order: str,
     carry: list[str],
     how: str = "left",
-    tolerance: str | None = None,
+    tolerance: str | _dt.timedelta | None = None,
 ) -> DataFrame:
     """For each left row, attach the latest right row with
     right[right_ts] <= left[left_ts], matching on `on`.
@@ -43,14 +68,19 @@ def asof_join(
     carry: right columns to attach (prefixed ``asof_`` in the output).
     how: 'left' keeps unmatched left rows (carry columns NULL),
          'inner' drops them.
-    tolerance: optional max lookback (an INTERVAL literal body, e.g.
-        '10 minutes'): a matched right row older than left_ts - tolerance
-        is discarded (carry columns NULL) — pandas merge_asof semantics.
-        The right ts rides inside the carried struct, so the check is one
-        post-window predicate, not a second join.
+    tolerance: optional max lookback (a datetime.timedelta or an INTERVAL
+        literal body, e.g. '10 minutes' — validated): a matched right row
+        older than left_ts - tolerance is discarded (carry columns NULL)
+        — pandas merge_asof semantics. The right ts rides inside the
+        carried struct, so the check is one post-window predicate, not a
+        second join.
     """
+    if tolerance is not None:
+        tol_interval = _tolerance_interval(tolerance)  # validate up front
     lcols = left.columns
-    carry_in = list(carry) + ([right_ts] if tolerance and right_ts not in carry else [])
+    carry_in = list(carry) + (
+        [right_ts] if tolerance is not None and right_ts not in carry else []
+    )
     carry_t = ", ".join(
         f"`{c}`:{right.schema[c].dataType.simpleString()}" for c in carry_in
     )
@@ -83,9 +113,7 @@ def asof_join(
         .filter(F.col("_tag") == 1)
     )
     if tolerance is not None:
-        within = F.col("_match").getField(right_ts) >= F.col("_ts") - F.expr(
-            f"INTERVAL {tolerance}"
-        )
+        within = F.col("_match").getField(right_ts) >= F.col("_ts") - tol_interval
         matched = matched.withColumn(
             "_match", F.when(within, F.col("_match"))
         )

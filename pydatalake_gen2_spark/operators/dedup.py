@@ -76,21 +76,23 @@ def exact_jaccard_pairs(
 
     Integer counts → the Jaccard ratio is one exact IEEE division.
     Output: (id_a, id_b, n_shared, n_union, jaccard)."""
-    from pyspark.sql.window import Window
-
     sets = distinct_shingle_sets(df, n, text_col, id_col).select(
         F.col(id_col).alias("id"), "toks", F.size("toks").alias("n_toks")
     )
     inv = sets.select("id", "n_toks", F.explode("toks").alias("tok"))
     if max_df is not None:
-        # Both windows shuffle on keys the plan already needs (tok for the
-        # self-join, id for nothing new at scale worth avoiding here).
-        inv = (
-            inv.withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy("tok")))
-            .filter(F.col("_df") <= max_df)
-            .drop("_df")
-            .withColumn("n_toks", F.count(F.lit(1)).over(Window.partitionBy("id")))
-        )
+        # Hot-shingle document frequency via groupBy+count — map-side
+        # partial aggregation absorbs the hot key, whereas the former
+        # count-over-window(tok) SORTED the very partition the cap exists
+        # to defend against. The hot list is tiny by construction
+        # (#shingles with df>max_df ≤ Σdf/max_df), so the anti-join
+        # broadcasts. Surviving per-doc set sizes are recounted with a
+        # groupBy(id)+join — the same id-keyed shuffle the old window
+        # needed, minus the sort.
+        hot = inv.groupBy("tok").count().filter(F.col("count") > max_df).select("tok")
+        pruned = inv.join(F.broadcast(hot), "tok", "left_anti").select("id", "tok")
+        sizes = pruned.groupBy("id").agg(F.count(F.lit(1)).alias("n_toks"))
+        inv = pruned.join(sizes, "id").select("id", "n_toks", "tok")
     a, b = inv.alias("a"), inv.alias("b")
     shared = (
         a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") < F.col("b.id")))
@@ -212,7 +214,7 @@ def connected_components(
     edges: DataFrame,
     src_col: str = "id_a",
     dst_col: str = "id_b",
-    max_iter: int = 20,
+    max_iter: int = 25,
 ) -> DataFrame:
     """Dup-cluster resolution: undirected pair edges → (id, component)
     where component = min node id reachable from ``id``. This is the step
@@ -220,18 +222,27 @@ def connected_components(
     (exact/minhash/simhash pairs) to pick one canonical document per
     cluster — pairs alone over-delete when A~B and B~C but A!~C.
 
-    Algorithm: large-star/small-star-style min-label propagation expressed
-    as DataFrame joins — per round, every node adopts the smallest label
-    in its closed neighborhood; converges in O(log n) rounds for the
-    near-dup case (small, dense clusters: usually 2-3 rounds). Each round
-    is one shuffle join (labels x edges on node id) + one partial-agg
-    min() — no driver-side graph, state is one (node, label) row per node,
-    so it shards with the shuffle at any scale. Convergence is checked
-    with a cheap count of changed labels per round (an O(rounds) sequence
-    of small jobs, not a collect of data rows).
+    Algorithm: min-label propagation with POINTER DOUBLING — per round,
+    every node adopts the smallest of {own label, neighbors' labels,
+    label-of-its-label}. The label-of-label shortcut halves remaining path
+    lengths each round (same trick as large-star/small-star contraction),
+    so convergence is O(log diameter) — max_iter=25 covers diameters up
+    to ~2^25, and the loop RUNS TO CONVERGENCE (changed == 0), raising
+    RuntimeError rather than silently returning split components if the
+    cap is ever hit. Each round is two shuffle joins + one partial-agg
+    min() — no driver-side graph, state is one (node, label) row per
+    node, so it shards with the shuffle at any scale. Convergence is
+    checked with a cheap limit(1).count() of changed labels per round.
+
+    The returned frame is persisted via util.track_persist (it is the
+    loop's final state); callers release blocks with
+    util.release_persisted() after consuming — see util.py contract.
 
     Output: (id BIGINT, component BIGINT).
     """
+    from pydatalake_gen2_spark.operators.util import track_persist
+
+    # (track_persist on an already-persisted frame is persist-idempotent.)
     # Undirected closure of the edge list + self-loops via init labels.
     e = edges.select(
         F.col(src_col).cast("bigint").alias("s"), F.col(dst_col).cast("bigint").alias("d")
@@ -239,14 +250,28 @@ def connected_components(
     sym = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
     nodes = sym.select(F.col("s").alias("id")).distinct()
     labels = nodes.withColumn("lbl", F.col("id"))
+    converged = False
     for _ in range(max_iter):
         # neighbor labels: for each edge (s,d), s can adopt d's label
         nbr = (
             sym.join(labels.withColumnRenamed("id", "d"), on="d")
             .select(F.col("s").alias("id"), "lbl")
         )
+        # pointer doubling: each node can also adopt its label's label,
+        # collapsing chains exponentially instead of one hop per round.
+        hop = (
+            labels.alias("x")
+            .join(
+                labels.select(
+                    F.col("id").alias("lbl"), F.col("lbl").alias("lbl2")
+                ).alias("y"),
+                on="lbl",
+            )
+            .select(F.col("id"), F.col("lbl2").alias("lbl"))
+        )
         new_labels = (
             labels.union(nbr)
+            .union(hop)
             .groupBy("id")
             .agg(F.min("lbl").alias("lbl"))
             .persist()
@@ -260,7 +285,16 @@ def connected_components(
         labels.unpersist()  # no-op on the (unpersisted) first round
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} rounds "
+            "(graph diameter > 2^max_iter is implausible — investigate)"
+        )
+    # hand lifecycle of the final persisted state to the caller
+    track_persist(labels)  # already persisted — this only registers it
     return labels.select(F.col("id"), F.col("lbl").alias("component"))
 
 

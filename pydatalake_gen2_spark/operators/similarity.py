@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from pydatalake_gen2_spark.operators.util import spread
+from pydatalake_gen2_spark.operators.util import spread, track_persist
 from pydatalake_gen2_spark.operators.vectors import as_double, cosine, dot, l2_norm
 
 
@@ -204,10 +204,11 @@ def ivf_topk(
     # broadcasts the tiny inverted file — without the spread the whole
     # candidate-scoring stage would run in a single task.
     two = spread(corpus.select(F.col(id_col), as_double(vec_col).alias("_v")))
-    base = (
-        two.withColumn("_a", assign("_v"))
-        .withColumn("_n", l2_norm(F.col("_v")))
-        .persist()
+    # track_persist: cached so the assignment gemm runs once for the
+    # inverted file AND the probe side; caller releases via
+    # util.release_persisted() after consuming (see util.py contract).
+    base = track_persist(
+        two.withColumn("_a", assign("_v")).withColumn("_n", l2_norm(F.col("_v")))
     )
     inv = base.select(id_col, "_v", "_n", F.col("_a.cell").alias("cell"))
     probes = base.select(
@@ -250,7 +251,9 @@ def lsh_topk(
     never a cross product. Recall grows with n_tables (OR-amplification);
     precision is exact because survivors are re-scored."""
     corpus = spread(corpus)  # hyperplane projections are per-row heavy
-    bucketed = lsh_bucket(corpus, n_planes, n_tables, seed, vec_col).persist()
+    # track_persist: bucket projections feed both join sides; caller
+    # releases via util.release_persisted() (see util.py contract).
+    bucketed = track_persist(lsh_bucket(corpus, n_planes, n_tables, seed, vec_col))
     # Candidate generation moves ONLY (id, bucket) pairs through the
     # equi-join and the dedup — the 512-byte vectors never ride the
     # candidate shuffle (at n_tables=8 a pair can surface 8x; deduping

@@ -4,17 +4,74 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+# Frames persisted by library operators (ivf_topk / lsh_topk /
+# connected_components). Persisting is an optimization only — unpersisting
+# NEVER invalidates a returned DataFrame (downstream actions recompute from
+# lineage) — so callers own the lifecycle: consume the result, then call
+# ``release_persisted()``. bench.py and the test harness do this between
+# queries; a long-lived session that skips it holds evictable
+# MEMORY_AND_DISK blocks, not a hard leak.
+_TRACKED: list[DataFrame] = []
+
+
+def track_persist(df: DataFrame) -> DataFrame:
+    """Persist ``df`` and register it for ``release_persisted()``."""
+    df.persist()
+    _TRACKED.append(df)
+    return df
+
+
+def release_persisted() -> int:
+    """Unpersist every operator-cached frame; returns how many were held."""
+    n = len(_TRACKED)
+    for df in _TRACKED:
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped
+    _TRACKED.clear()
+    return n
+
+
+def _parse_bytes(v: str) -> int:
+    """Parse a Spark byte-size conf value ('134217728b', '128m', '1g')."""
+    s = str(v).strip().lower()
+    mult = 1
+    for suffix, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                      ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1)):
+        if s.endswith(suffix):
+            s, mult = s[: -len(suffix)], m
+            break
+    return int(float(s)) * mult
+
 
 def spread(df: DataFrame) -> DataFrame:
-    """Ensure a DataFrame has at least defaultParallelism partitions.
+    """Ensure per-row-heavy work fans out across the cluster's cores.
 
     Heavy per-row work (HOF expressions, hashing, explodes) inherits the
     input's split count. A small local fixture arrives as ONE parquet
     split, so without this the whole pipeline runs in a single task. On a
     real cluster the scan already has far more splits than cores and this
-    is a no-op — the branch costs one plan inspection, no job.
+    must stay a no-op — repartitioning a 100 TB scan down to
+    defaultParallelism would be a catastrophic shuffle.
+
+    The decision comes from the optimizer's size estimate
+    (``optimizedPlan().stats().sizeInBytes`` — a plan inspection, no job,
+    no logical→RDD conversion): inputs smaller than
+    defaultParallelism × maxPartitionBytes are the ones the file scanner
+    would have packed into fewer-than-core-count splits, so only those
+    get the round-robin exchange.
     """
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    try:
+        max_pb = _parse_bytes(spark.conf.get("spark.sql.files.maxPartitionBytes"))
+    except Exception:
+        max_pb = 128 << 20
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return df.repartition(par)
+    if size <= par * max_pb:
         return df.repartition(par)
     return df

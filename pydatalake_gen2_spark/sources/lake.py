@@ -125,34 +125,46 @@ class LakeCatalog:
         name = f".{tail}{self._SIDECAR_SUFFIX}"
         return f"{head}/{name}" if head else name
 
+    _xattr_ok: bool | None = None  # per-instance probe memo (lazy)
+
+    def _xattr_supported(self, jp) -> bool:
+        """Probe xattr support ONCE per catalog instance — so a partial
+        failure mid-write can't fall through to the sidecar while stale
+        xattrs remain (mixed-state reads)."""
+        if self._xattr_ok is None:
+            try:
+                self._fs.listXAttrs(jp)
+                self._xattr_ok = True
+            except Exception:
+                self._xattr_ok = False
+        return self._xattr_ok
+
     def set_properties(self, path: str, props: dict[str, str]) -> None:
         """R13 set_properties (client.py:308-325): replace the user
-        property set on a filesystem or path."""
+        property set on a filesystem or path. Only ``user.``-namespace
+        xattrs are replaced — system/security xattrs are never touched."""
         jp = self._jpath(path)
-        try:
+        if self._xattr_supported(jp):
             for k in self._fs.listXAttrs(jp):
-                self._fs.removeXAttr(jp, k)
+                if k.startswith("user."):
+                    self._fs.removeXAttr(jp, k)
             for k, v in props.items():
                 self._fs.setXAttr(jp, f"user.{k}", bytearray(v.encode()))
             return
-        except Exception:
-            pass  # no xattr support on this FS → sidecar
         import json
 
         self.upload_bytes(self._sidecar(path), json.dumps(props).encode())
 
     def get_user_properties(self, path: str) -> dict[str, str]:
         """R12 get_properties_filesystem user-metadata read-back
-        (client.py:292-306)."""
+        (client.py:292-306). Reads only the ``user.`` namespace."""
         jp = self._jpath(path)
-        try:
+        if self._xattr_supported(jp):
             out = {}
             for k in self._fs.listXAttrs(jp):
-                key = k[5:] if k.startswith("user.") else k
-                out[key] = bytes(self._fs.getXAttr(jp, k)).decode()
+                if k.startswith("user."):
+                    out[k[5:]] = bytes(self._fs.getXAttr(jp, k)).decode()
             return out
-        except Exception:
-            pass
         import json
 
         side = self._sidecar(path)
