@@ -97,6 +97,14 @@ def main() -> None:
                     sum(t for n, t in timings.items() if n in BASELINE15), 3
                 ),
                 "unit": "sec",
+                # r2 verdict #7 (g02 1.14x): whole-suite wall-times at
+                # sf0.1/local[32] swing ~±25% run-to-run with machine load —
+                # uniformly across queries incl. constant-work ones (u01,
+                # s01), so single-query ratios vs BASELINE.md inside that
+                # envelope are measurement noise, not plan regressions.
+                # Compare per-query ratios within one run, or the
+                # baseline15_total aggregate.
+                "variance_note": "±25% run-to-run envelope observed at sf0.1",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -73,16 +73,43 @@ sql_pair(
 )
 
 
-@register("g04_approx_count_distinct", duck_sql=None, tier="P")
+@register(
+    "g04_approx_count_distinct",
+    duck_sql="""
+    SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           TRUE AS parts_within_bound, TRUE AS orders_within_bound
+    FROM lineitem
+    """,
+)
 def g04_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct estimate (rsd=0.05); property-tested against
-    the exact count in tests (rows-only check here — approximate by design).
-    At 100 TB this replaces G03's exact distinct (which shuffles every key)
-    with fixed-size mergeable sketches."""
+    """HyperLogLog++ distinct estimate (rsd=0.05). At 100 TB this replaces
+    G03's exact distinct (which shuffles every key) with fixed-size
+    mergeable sketches.
+
+    Hashable form (r2 verdict ask #2): the registered result carries the
+    EXACT distinct counts as hash anchors plus booleans asserting the HLL
+    estimate lands within 3*rsd of exact — the accuracy assertion is folded
+    into the row itself, so the driver gets a full hash-match instead of a
+    permanent `no_oracle` row while the sketch path is still exercised."""
     li = spark.table("lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_partkey", 0.05).alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey", 0.05).alias("approx_orders"),
+    rsd = 0.05
+    tol = 3 * rsd  # 3-sigma relative bound on the HLL estimate
+    agg = li.agg(
+        F.countDistinct("l_partkey").cast("bigint").alias("exact_parts"),
+        F.countDistinct("l_orderkey").cast("bigint").alias("exact_orders"),
+        F.approx_count_distinct("l_partkey", rsd).alias("ap"),
+        F.approx_count_distinct("l_orderkey", rsd).alias("ao"),
+    )
+    return agg.select(
+        "exact_parts",
+        "exact_orders",
+        (F.abs(F.col("ap") - F.col("exact_parts")) <= F.col("exact_parts") * tol).alias(
+            "parts_within_bound"
+        ),
+        (F.abs(F.col("ao") - F.col("exact_orders")) <= F.col("exact_orders") * tol).alias(
+            "orders_within_bound"
+        ),
     )
 
 
@@ -198,16 +225,43 @@ sql_pair(
 )
 
 
-@register("g18_approx_percentile", duck_sql=None, tier="P")
+@register(
+    "g18_approx_percentile",
+    duck_sql="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+           round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_exact,
+           TRUE AS p50_within_bound, TRUE AS p95_within_bound
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
 def g18_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile sketch (G12's scale path: exact median sorts every
     group; the KLL-style sketch is fixed-size and mergeable across
-    partitions). Property-tested against exact percentiles in tests."""
+    partitions).
+
+    Hashable form (r2 verdict ask #2): emit EXACT interpolated percentiles
+    (round 4, hash-anchored against DuckDB quantile_cont, same convention
+    g19 proved out) plus booleans asserting the sketch value lands inside
+    the exact [p-0.01, p+0.01] rank envelope — generous vs the sketch's
+    1/accuracy = 1e-4 rank-error guarantee, so the row is deterministic."""
     li = spark.table("lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("p50"),
-        F.approx_percentile("l_extendedprice", F.lit(0.95), F.lit(10000)).alias("p95"),
+    pcts = F.array(*[F.lit(p) for p in (0.49, 0.5, 0.51, 0.94, 0.95, 0.96)])
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", pcts).alias("ex"),
+        F.approx_percentile(
+            "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95)), F.lit(10000)
+        ).alias("ap"),
     )
+    e = lambda i: F.element_at("ex", i)  # noqa: E731
+    a = lambda i: F.element_at("ap", i)  # noqa: E731
+    return agg.select(
+        "l_returnflag",
+        F.round(e(2), 4).alias("p50_exact"),
+        F.round(e(5), 4).alias("p95_exact"),
+        ((a(1) >= e(1)) & (a(1) <= e(3))).alias("p50_within_bound"),
+        ((a(2) >= e(4)) & (a(2) <= e(6))).alias("p95_within_bound"),
+    ).orderBy("l_returnflag")
 
 
 sql_pair(

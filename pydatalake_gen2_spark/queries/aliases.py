@@ -1,0 +1,157 @@
+"""Driver-window aliases + the LakeCatalog round-trip pair (r2 verdict #1/#8).
+
+The external driver's per-round correctness sweep caps at the first 50
+registry names taken ALPHABETICALLY. With 174 registered pairs, rounds 1-2
+only ever produced driver rows for ``c01..f33`` — every j/l/o/p/s/st/t/u/
+ud/w query had zero driver evidence despite the repo-local oracle sweep
+(tests/test_correctness.py) hash-matching all of them each session.
+
+Per the r2 verdict's explicit ask, this module re-lists ONE REPRESENTATIVE
+QueryPair per operator family under an ``aNN_``-prefixed name so the
+50-name window covers every family instead of 33 scalar-function rows.
+Each alias is the SAME QueryPair object content (identical spark_fn,
+duck_sql, tier — see registry.register_alias); nothing here is a new code
+path, and the mapping below is the complete, auditable list.
+
+``a00_lake_roundtrip`` is the one genuinely new entry: a deterministic
+smoke of the reference's literal §2A surface (create → set/get properties
+→ list → rename → read → stat → delete on a local filesystem root), so the
+reference's REST-client semantics (client.py:213-627) also get a driver
+row. Its result table is fully deterministic, so it carries a VALUES
+oracle and hashes like any H pair.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pydatalake_gen2_spark.registry import register, register_alias
+from pydatalake_gen2_spark.sources.lake import LakeCatalog
+
+_PAYLOAD = b"hello lake"
+
+
+@register(
+    "a00_lake_roundtrip",
+    duck_sql="""
+    SELECT CAST(step AS INT) AS step, op, ok
+    FROM (VALUES
+        (0, 'create_filesystem', TRUE),
+        (1, 'set_get_properties', TRUE),
+        (2, 'list_paths', TRUE),
+        (3, 'rename_path', TRUE),
+        (4, 'read_bytes', TRUE),
+        (5, 'stat_length', TRUE),
+        (6, 'delete_path', TRUE),
+        (7, 'delete_filesystem', TRUE),
+        (8, 'list_filesystems_empty', TRUE)
+    ) t(step, op, ok)
+    ORDER BY step
+    """,
+)
+def a00_lake_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2A reference-surface round-trip (client.py:213-627 equivalents) on a
+    throwaway local-fs root; each step's postcondition becomes one
+    deterministic (step, op, ok) row."""
+    tmp = tempfile.mkdtemp(prefix="lake_rt_")
+    try:
+        cat = LakeCatalog(spark, f"file://{tmp}")
+        checks: list[tuple[str, bool]] = []
+        checks.append(("create_filesystem", cat.create_filesystem("fs1")))
+        cat.create_path("fs1/dir1", "directory")
+        cat.upload_bytes("fs1/dir1/a.bin", _PAYLOAD)
+        cat.set_properties("fs1/dir1/a.bin", {"owner": "spark", "tier": "hot"})
+        checks.append(
+            (
+                "set_get_properties",
+                cat.get_user_properties("fs1/dir1/a.bin")
+                == {"owner": "spark", "tier": "hot"},
+            )
+        )
+        checks.append(
+            ("list_paths", [p.name for p in cat.list_paths("fs1/dir1")] == ["a.bin"])
+        )
+        checks.append(("rename_path", cat.rename_path("fs1/dir1/a.bin", "fs1/dir1/b.bin")))
+        checks.append(("read_bytes", cat.read_bytes("fs1/dir1/b.bin") == _PAYLOAD))
+        checks.append(("stat_length", cat.get_properties("fs1/dir1/b.bin").length == len(_PAYLOAD)))
+        checks.append(("delete_path", cat.delete_path("fs1/dir1", recursive=True)))
+        checks.append(("delete_filesystem", cat.delete_filesystem("fs1")))
+        checks.append(("list_filesystems_empty", cat.list_filesystems() == []))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    rows = [(i, op, bool(ok)) for i, (op, ok) in enumerate(checks)]
+    return spark.createDataFrame(rows, "step INT, op STRING, ok BOOLEAN").orderBy("step")
+
+
+# One representative head per operator family (r2 verdict ask #1). 49 aliases
+# + a00 above = exactly the driver's 50-name window; the c*/f* families they
+# displace were driver-verified green in rounds 1-2 (CORRECTNESS_r01/r02).
+_ALIASES: dict[str, str] = {
+    # joins
+    "a01_j01_inner_equi": "j01_inner_equi",
+    "a02_j02_broadcast_inner": "j02_broadcast_inner",
+    "a03_j05_full_outer": "j05_full_outer",
+    "a04_j10_range_band": "j10_range_band",
+    "a05_j11_asof": "j11_asof",
+    "a06_j13_lateral": "j13_lateral",
+    "a07_j14_asof_tolerance": "j14_asof_tolerance",
+    "a08_jx_salted_skew_join": "jx_salted_skew_join",
+    # aggregate tail (g08+ never sorted into the window)
+    "a09_g04_approx_count_distinct": "g04_approx_count_distinct",
+    "a10_g08_having": "g08_having",
+    "a11_g09_min_max_by": "g09_min_max_by",
+    "a12_g12_median": "g12_median",
+    "a13_g16_pivot": "g16_pivot",
+    "a14_g18_approx_percentile": "g18_approx_percentile",
+    "a15_g19_percentile_exact": "g19_percentile_exact",
+    "a16_g20_regression_aggs": "g20_regression_aggs",
+    # windows
+    "a17_w01_row_number": "w01_row_number",
+    "a18_w05_lag_lead": "w05_lag_lead",
+    "a19_w07_running_total": "w07_running_total",
+    "a20_w12_funnel_steps": "w12_funnel_steps",
+    "a21_w13_gap_fill_ffill": "w13_gap_fill_ffill",
+    # sorts / top-k
+    "a22_o03_limit_topk": "o03_limit_topk",
+    "a23_o04_topk_per_group": "o04_topk_per_group",
+    # set ops
+    "a24_u01_union_all": "u01_union_all",
+    "a25_u05_intersect_except_all": "u05_intersect_except_all",
+    # projection / filter
+    "a26_p05_null_handling": "p05_null_handling",
+    "a27_p07_cast_matrix": "p07_cast_matrix",
+    # scans / sources / sinks
+    "a28_s01_parquet_scan": "s01_parquet_scan",
+    "a29_s05_partitioned_pruned": "s05_partitioned_pruned",
+    "a30_s12_compaction_layout": "s12_compaction_layout",
+    # scalar-function tail (f34+ sorted out of the r2 window)
+    "a31_f34_try_cast": "f34_try_cast",
+    "a32_f35_datetime_construct": "f35_datetime_construct",
+    "a33_f37_url_parse": "f37_url_parse",
+    # LLM-pipeline operators
+    "a34_l01_dedup_exact": "l01_dedup_exact",
+    "a35_l02b_ngram_jaccard": "l02b_ngram_jaccard",
+    "a36_l03_cosine_topk": "l03_cosine_topk",
+    "a37_l04_vector_ops": "l04_vector_ops",
+    "a38_l07_tfidf": "l07_tfidf",
+    "a39_l11_dedup_clusters": "l11_dedup_clusters",
+    "a40_l12_deterministic_sample": "l12_deterministic_sample",
+    "a41_l15_sequence_packing": "l15_sequence_packing",
+    # text analysis
+    "a42_t01_language_id": "t01_language_id",
+    "a43_t02_quality_score": "t02_quality_score",
+    # streaming (batch-equivalent forms)
+    "a44_st01_tumbling_batch": "st01_tumbling_batch",
+    "a45_st03_session_batch": "st03_session_batch",
+    "a46_st08_stateful_counter": "st08_stateful_counter",
+    "a47_st09_stream_static_join": "st09_stream_static_join",
+    # UDF surface
+    "a48_ud01_scalar_udf": "ud01_scalar_udf",
+    "a49_ud02_pandas_cosine": "ud02_pandas_cosine",
+}
+
+for _alias, _target in _ALIASES.items():
+    register_alias(_alias, _target)
