@@ -210,6 +210,88 @@ def hamming64(a, b):
     return F.bit_count(F.col(a).bitwiseXOR(F.col(b)))
 
 
+def simhash_neardup_pairs(
+    df: DataFrame,
+    r: int = 4,
+    bits: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fingerprints: DataFrame | None = None,
+) -> DataFrame:
+    """All (a < b) pairs whose SimHash fingerprints are within Hamming
+    distance ``r`` — the banded multi-index join (Manku et al., WWW'07
+    "Detecting Near-Duplicates for Web Crawling") that turns SimHash from
+    an exact-equal grouping into a usable near-dup operator (r2 verdict
+    ask #4).
+
+    Recall is EXACTLY 1.0 by pigeonhole: the fingerprint is split into
+    ``r + 1`` disjoint bit bands, and two fingerprints that differ in at
+    most ``r`` bits must agree exactly on at least one whole band — so
+    every true pair meets in the (band_idx, band_bits) equi-join.
+    Precision is exact: candidates are verified with
+    ``bit_count(xor) <= r`` before emission.
+
+    Scale shape: one explode to ``r + 1`` index rows per doc (bigint
+    band values, no text), one equi-join on (band, val) — candidates are
+    only fingerprints already colliding on ~bits/(r+1) exact bits, never
+    all pairs — then a distinct + O(1) verify per candidate. Hot bands
+    (e.g. the all-zeros band from boilerplate-heavy corpora) are the same
+    skew class as l02b's hot shingles; AQE skew-join handles moderate
+    cases and a ``max_df``-style band-frequency cap composes identically
+    if a corpus ever needs it.
+
+    If ``fingerprints`` is given (id_col, simhash) it is reused (e.g. the
+    lx_simhash output); otherwise fingerprints are computed from
+    ``text_col``. Output: (id_a, id_b, hamming INT).
+    """
+    if r < 0 or r + 1 > bits:
+        raise ValueError(f"radius r={r} must satisfy 0 <= r <= bits-1 ({bits - 1})")
+    fp = (
+        fingerprints
+        if fingerprints is not None
+        else simhash(df, bits, text_col, id_col)
+    ).select(F.col(id_col).alias("id"), F.col("simhash"))
+    n_bands = r + 1
+    width = bits // n_bands
+    band_structs = []
+    for i in range(n_bands):
+        lo = i * width
+        w = bits - lo if i == n_bands - 1 else width  # last band absorbs remainder
+        mask = (1 << w) - 1
+        band_structs.append(
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright(F.col("simhash"), lo).bitwiseAND(F.lit(mask)).alias("val"),
+            )
+        )
+    idx = fp.select(
+        "id", "simhash", F.explode(F.array(*band_structs)).alias("bv")
+    ).select("id", "simhash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    a, b = idx.alias("a"), idx.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        # a pair colliding on k bands surfaces k times; dedup BEFORE the
+        # (cheap) verify so the verify runs once per pair
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", hamming64("sa", "sb"))
+        .filter(F.col("hamming") <= r)
+        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src_col: str = "id_a",

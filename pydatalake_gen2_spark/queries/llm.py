@@ -279,6 +279,15 @@ def lx_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(spark.table("documents"))
 
 
+@register("lx_simhash_neardup", duck_sql=None, tier="P")
+def lx_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded Hamming-radius near-dup join over 48-bit SimHash (r=4,
+    5 disjoint bands → pigeonhole guarantees 1.0 recall; exact
+    bit_count(xor) verify → exact precision). Property-tested against
+    brute-force pairwise Hamming in tests/test_properties.py."""
+    return dedup.simhash_neardup_pairs(spark.table("documents"), r=4)
+
+
 @register("lx_lsh_topk", duck_sql=None, tier="P")
 def lx_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k neighbours (the 100 TB similarity

@@ -179,6 +179,15 @@ def test_ivf_assignment_is_single_pass(spark, sf_dir):
     assert plan.count("InMemoryTableScan") >= 2, plan
 
 
+def test_simhash_neardup_join_is_equi_not_allpairs(spark, sf_dir):
+    """The banded Hamming join must reach the executor as a hash-keyed
+    equi-join on (band, val) — never a cartesian/BNLJ all-pairs scan
+    (that's the blow-up the banding exists to avoid at 100 TB)."""
+    plan = _plan(spark, sf_dir, "lx_simhash_neardup")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+
+
 def test_no_rdd_conversion_in_source(spark, sf_dir):
     """Library code must stay in the DataFrame plan: touching .rdd forces
     a logical->RDD conversion per call (VERDICT r2 'What's wrong' #2)."""

@@ -83,6 +83,45 @@ def test_simhash_identical_and_neardup(spark):
     assert ham_near <= 12
 
 
+def test_simhash_neardup_matches_bruteforce(spark, sf_dir):
+    """Banded Hamming join == brute-force pairwise Hamming, exactly:
+    recall 1.0 is structural (r+1 disjoint bands → pigeonhole) and
+    precision is exact (bit_count verify), so the candidate-join output
+    must EQUAL the all-pairs truth at fixture scale."""
+    from pydatalake_gen2_spark.registry import ensure_views
+
+    ensure_views(spark, sf_dir)
+    docs = spark.table("documents")
+    r = 6
+    fp = dedup.simhash(docs)
+    got = {
+        (row["id_a"], row["id_b"]): row["hamming"]
+        for row in dedup.simhash_neardup_pairs(docs, r=r, fingerprints=fp).collect()
+    }
+    sigs = {row["doc_id"]: row["simhash"] for row in fp.collect()}
+    ids = sorted(sigs)
+    truth = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = bin(sigs[a] ^ sigs[b]).count("1")
+            if h <= r:
+                truth[(a, b)] = h
+    assert truth, "fixture should contain planted near/exact dups"
+    assert got == truth
+
+
+def test_simhash_neardup_radius_zero_is_exact_equal(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),
+        (3, "totally unrelated words about query engines and joins"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    got = {(r["id_a"], r["id_b"], r["hamming"]) for r in
+           dedup.simhash_neardup_pairs(df, r=0).collect()}
+    assert got == {(1, 2, 0)}
+
+
 def test_lsh_topk_recall(spark, sf_dir):
     """LSH-bucketed ANN must recover a reasonable fraction of the true
     top-5 neighbours (8 planes / 256 buckets on 500 vectors is coarse;
