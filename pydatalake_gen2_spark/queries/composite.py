@@ -278,6 +278,217 @@ sql_pair(
     """,
 )
 
+# ---------------------------------------------------------------------------
+# Round 3: the remaining TPC-H query shapes (Q2/Q6/Q8/Q11/Q12/Q14/Q17/Q19/
+# Q20/Q21), completing all 22. The fixtures have no partsupp table and no
+# shipmode/receiptdate/commitdate columns, so Q2/Q11/Q20/Q21/Q12 are
+# SHAPE-preserving adaptations (same plan skeleton: correlated-min over a
+# part-supplier link, HAVING vs scalar subquery, nested IN, multi-EXISTS
+# self-joins, conditional counts) over the columns that exist — the same
+# convention c17 (Q9) established with its supplycost surrogate.
+
+# TPC-H Q2 shape: min-cost supplier per part. The part-supplier link
+# (partsupp surrogate) is the observed min price per (part, supplier) in
+# lineitem; the correlated scalar subquery re-derives the per-part min
+# under the same region filter — the classic double-evaluation plan.
+sql_pair(
+    "c18_min_cost_supplier",
+    """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey, CAST(min(l_extendedprice) AS DOUBLE) AS cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey)
+    SELECT s.s_name, n.n_name, p.p_partkey, p.p_name, ps.cost
+    FROM part p
+    JOIN ps ON ps.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE p.p_size <= 10 AND r.r_name = 'EUROPE'
+      AND ps.cost = (
+        SELECT min(ps2.cost) FROM ps ps2
+        JOIN supplier s2 ON s2.s_suppkey = ps2.l_suppkey
+        JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+        JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+        WHERE ps2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+    ORDER BY p.p_partkey, s.s_name
+    """,
+)
+
+# TPC-H Q6 shape: forecasting-revenue-change — tight scan-side range
+# filters, one global decimal-exact aggregate, no join at all.
+sql_pair(
+    "c19_forecast_revenue",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.02 AND 0.06
+      AND l_quantity < 24
+    """,
+)
+
+# TPC-H Q8 shape: national market share — conditional numerator over a
+# 6-table snowflake, one final IEEE division per year.
+sql_pair(
+    "c20_market_share",
+    """
+    SELECT yr,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN volume
+                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT year(o.o_orderdate) AS yr,
+             CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = n1.n_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'AMERICA') all_nations
+    GROUP BY yr
+    ORDER BY yr
+    """,
+)
+
+# TPC-H Q11 shape: important stock — per-part value vs a scalar-subquery
+# global threshold; the fraction compare stays exact-decimal (x*1000 > total).
+sql_pair(
+    "c21_important_stock",
+    """
+    SELECT l_partkey,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS value
+    FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    WHERE s.s_nationkey < 13
+    GROUP BY l_partkey
+    HAVING sum(CAST(l_extendedprice AS DECIMAL(18,4))) * 1000 >
+      (SELECT sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+       FROM lineitem l2 JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+       WHERE s2.s_nationkey < 13)
+    ORDER BY value DESC, l_partkey
+    """,
+)
+
+# TPC-H Q12 shape: late-shipment priority counts — conditional CASE sums
+# per lineitem class inside a date window (shipmode surrogate: linestatus).
+sql_pair(
+    "c22_priority_shipments",
+    """
+    SELECT l.l_linestatus,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate
+      AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_linestatus
+    ORDER BY l.l_linestatus
+    """,
+)
+
+# TPC-H Q14 shape: promo-revenue percentage — CASE numerator / total, one
+# scalar output row per month window.
+sql_pair(
+    "c23_promo_revenue",
+    """
+    SELECT 100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                         THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                                   AS DECIMAL(18,4))
+                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(18,4))) AS DOUBLE) AS promo_revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+    """,
+)
+
+# TPC-H Q17 shape: small-quantity-order revenue — correlated AVG subquery
+# per part (quantities are integral doubles, so the avg is bit-identical).
+sql_pair(
+    "c24_small_quantity_revenue",
+    """
+    SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0
+             AS avg_yearly
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#3'
+      AND l.l_quantity < 0.5 * (SELECT avg(l2.l_quantity) FROM lineitem l2
+                                WHERE l2.l_partkey = p.p_partkey)
+    """,
+)
+
+# TPC-H Q19 shape: disjunctive predicate join — three OR'd conjunct groups
+# over part x lineitem attributes sharing the partkey equi-condition (the
+# planner must still extract the equi-join under the OR).
+sql_pair(
+    "c25_disjunctive_revenue",
+    """
+    SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+             AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 40)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 50)
+    """,
+)
+
+# TPC-H Q20 shape: excess-stock suppliers — nested IN subqueries (supplier
+# IN link-table IN part) with a HAVING threshold on shipped quantity.
+sql_pair(
+    "c26_excess_stock_suppliers",
+    """
+    SELECT s.s_name, n.n_name
+    FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN (
+      SELECT l_suppkey FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%widget%')
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      GROUP BY l_suppkey
+      HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 100)
+    ORDER BY s.s_name
+    """,
+)
+
+# TPC-H Q21 shape: suppliers who kept multi-supplier orders waiting —
+# EXISTS + NOT EXISTS self-joins against a shared flagged-lineitem CTE
+# ("late" = shipped after the order date; fixtures carry no receipt/commit
+# dates).
+sql_pair(
+    "c27_waiting_suppliers",
+    """
+    WITH flagged AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             CASE WHEN l.l_shipdate > o.o_orderdate THEN 1 ELSE 0 END AS late
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F')
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN flagged f ON f.l_suppkey = s.s_suppkey
+    WHERE f.late = 1
+      AND EXISTS (SELECT 1 FROM flagged f2
+                  WHERE f2.l_orderkey = f.l_orderkey
+                    AND f2.l_suppkey <> f.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM flagged f3
+                      WHERE f3.l_orderkey = f.l_orderkey
+                        AND f3.l_suppkey <> f.l_suppkey AND f3.late = 1)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    """,
+)
+
+
 # TPC-H Q9 shape: profit by supplier nation and year with a part filter.
 sql_pair(
     "c17_nation_profit",
