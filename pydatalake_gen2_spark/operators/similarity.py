@@ -115,8 +115,11 @@ def ivf_centroids(
     x = np.array([r["_v"] for r in rows], dtype=float)
     rng = np.random.RandomState(seed)
     cent = x[rng.permutation(len(x))[:n_cells]].copy()
+    x_sq = (x * x).sum(axis=1)
     for _ in range(iters):
-        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        # argmin over ||x||^2 - 2 x.c + ||c||^2 via one gemm — same result
+        # as the 3-D broadcast form but O(n*k) memory instead of O(n*k*d)
+        d2 = x_sq[:, None] - 2.0 * (x @ cent.T) + (cent * cent).sum(axis=1)[None, :]
         assign = d2.argmin(axis=1)
         for c in range(n_cells):
             m = assign == c
@@ -176,6 +179,7 @@ def ivf_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Approximate all-pairs top-k via IVF (inverted-file) cells: corpus
     rows live in their nearest-centroid cell; each query probes its
@@ -193,12 +197,17 @@ def ivf_topk(
     - Norms are computed once per row, not once per candidate pair; the
       pair score dot/(qn*cn) is bit-identical to cosine() on the pair.
     """
-    n = corpus.count()  # parquet metadata count: cheap, no scan
-    if n_cells is None:
-        n_cells = max(8, int(n**0.5))
-    cents = ivf_centroids(
-        corpus, n_cells, seed, id_col, vec_col, corpus_n=n
-    )
+    if centroids is not None:
+        # prebuilt codebook (index-build/query separation — real IVF
+        # systems train once and serve many queries; see lx_ivf_topk's
+        # per-corpus codebook cache)
+        cents = centroids
+        n_cells = len(cents)
+    else:
+        n = corpus.count()  # parquet metadata count: cheap, no scan
+        if n_cells is None:
+            n_cells = max(8, int(n**0.5))
+        cents = ivf_centroids(corpus, n_cells, seed, id_col, vec_col, corpus_n=n)
     assign = _cell_assigner(cents, n_probe)
     # spread(): a small corpus arrives as one input split, and AQE
     # broadcasts the tiny inverted file — without the spread the whole
