@@ -143,6 +143,41 @@ def token_count_bpe_ish(df: DataFrame, text_col: str = "text", id_col: str = "do
     )
 
 
+def repetition_metrics(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021
+    §A1.1: repetitious documents are low-quality training data):
+
+    - dup_token_frac:  1 - distinct/total tokens
+    - top_token_share: occurrences of the most frequent token / total
+    - dup_bigram_frac: 1 - distinct/total word 2-grams (0.0 for <2 tokens)
+
+    All row-local higher-order-function expressions — zero shuffle,
+    embarrassingly parallel like T01-T04 (the per-row quadratic
+    top-token scan is bounded by document length, which a real pipeline
+    caps anyway). Ratios are raw IEEE divisions of exact ints."""
+    toks = tokens(text_col)
+    base = df.select(F.col(id_col), toks.alias("_t"), ngrams(toks, 2).alias("_b"))
+    n_tok = F.size("_t")
+    n_bg = F.size("_b")
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct("_t"),
+            lambda x: F.size(F.filter(F.col("_t"), lambda y: y == x)),
+        )
+    )
+    return base.select(
+        F.col(id_col),
+        n_tok.cast("bigint").alias("n_tokens"),
+        (F.lit(1.0) - F.size(F.array_distinct("_t")) / n_tok).alias("dup_token_frac"),
+        (top_cnt / n_tok).alias("top_token_share"),
+        F.when(n_bg > 0, F.lit(1.0) - F.size(F.array_distinct("_b")) / n_bg)
+        .otherwise(F.lit(0.0))
+        .alias("dup_bigram_frac"),
+    )
+
+
 def fingerprint(df: DataFrame, n: int = 5, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Winnowing-style document fingerprint: md5 each word n-gram (the
     rolling windows), keep the lexicographic min — robust to local edits.

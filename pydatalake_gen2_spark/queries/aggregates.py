@@ -289,6 +289,65 @@ sql_pair(
 )
 
 
+@register(
+    "g21_heavy_hitters_cms",
+    duck_sql="""
+    WITH counts AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS token
+      FROM documents),
+    freq AS (SELECT token, COUNT(*) AS n FROM counts GROUP BY token)
+    SELECT token, CAST(n AS BIGINT) AS exact_count, TRUE AS cms_within_bound
+    FROM freq ORDER BY n DESC, token LIMIT 10
+    """,
+)
+def g21_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via Count-Min Sketch, bound-checked against exact
+    counts (same hashable pattern as g04/g18): result rows are the exact
+    top-10 tokens (hash anchor) plus a boolean asserting the CMS estimate
+    obeys its guarantee (exact <= est <= exact + eps*N at eps=0.001).
+
+    Scale rationale: the exact token group-by shuffles every distinct
+    token; the CMS is a fixed 2.7 KB-per-row-of-depth mergeable sketch
+    computed in one pass with partial aggregation — at 100 TB you keep the
+    sketch and drop the exact side (here both run so the sketch is
+    verified)."""
+    eps, conf = 0.001, 0.99
+    tok = spark.table("documents").select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+    )
+    top = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(10)
+        .collect()
+    )
+    n_rows = tok.count()
+    sk_bytes = bytes(
+        tok.agg(
+            F.count_min_sketch(
+                "token", F.lit(eps), F.lit(conf), F.lit(42)
+            ).alias("sk")
+        ).first()["sk"]
+    )
+    jvm = spark._jvm
+    sk = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(sk_bytes)
+    )
+    slack = int(eps * n_rows) + 1
+    rows = [
+        (
+            r["token"],
+            int(r["n"]),
+            bool(r["n"] <= sk.estimateCount(r["token"]) <= r["n"] + slack),
+        )
+        for r in top
+    ]
+    return spark.createDataFrame(
+        rows, "token STRING, exact_count BIGINT, cms_within_bound BOOLEAN"
+    )
+
+
 sql_pair(
     "g20_regression_aggs",
     """

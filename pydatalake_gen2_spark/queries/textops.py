@@ -140,3 +140,34 @@ sql_pair(
     rule ablations are one GROUP BY away. Pure per-row codegen, no
     shuffle.""",
 )
+
+
+@register(
+    "t06_repetition_metrics",
+    duck_sql="""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+    b AS (
+      SELECT doc_id, toks,
+             CASE WHEN len(toks) >= 2
+                  THEN list_transform(generate_series(1, len(toks) - 1),
+                                      i -> toks[i] || ' ' || toks[i+1])
+                  END AS bgs
+      FROM t)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           1.0 - len(list_distinct(toks)) / len(toks) AS dup_token_frac,
+           list_max(list_transform(list_distinct(toks),
+                                   x -> len(list_filter(toks, y -> y = x))))
+             / len(toks) AS top_token_share,
+           CASE WHEN len(toks) >= 2
+                THEN 1.0 - len(list_distinct(bgs)) / (len(toks) - 1)
+                ELSE 0.0 END AS dup_bigram_frac
+    FROM b
+    """,
+)
+def t06_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (dup-token / top-token / dup-bigram
+    fractions) — the standard repetitious-document gate for training
+    corpora. Row-local HOF expressions, zero shuffle."""
+    return text.repetition_metrics(spark.table("documents"))

@@ -196,6 +196,54 @@ def test_ivf_topk_partial_probe_recall(spark, sf_dir):
     assert recall >= 0.3, f"IVF recall too low: {recall}"
 
 
+def test_pq_reconstruction_quality(spark, sf_dir):
+    """PQ codes must reconstruct normalized vectors to high mean cosine —
+    the invariant that makes ADC scores meaningful. Deterministic: seeded
+    codebook, exact numpy arithmetic."""
+    import numpy as np
+
+    from pydatalake_gen2_spark.operators import pq
+    from pydatalake_gen2_spark.registry import ensure_views
+
+    ensure_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    cbs = [np.asarray(c) for c in pq.pq_train(emb, m=16, k=32)]
+    rows = pq.pq_encode(emb, [c.tolist() for c in cbs]).collect()
+    orig = {r["vec_id"]: r for r in emb.collect()}
+    sub = cbs[0].shape[1]
+    cos = []
+    for r in rows:
+        v = np.array(orig[r["vec_id"]]["embedding"], dtype=float)
+        v /= np.linalg.norm(v) or 1.0
+        recon = np.concatenate([cbs[j][r["codes"][j]] for j in range(len(cbs))])
+        cos.append(float(v @ recon / (np.linalg.norm(recon) or 1.0)))
+    assert len(cos) == emb.count()
+    assert sum(cos) / len(cos) >= 0.8, sum(cos) / len(cos)
+    assert sub * len(cbs) == 64
+
+
+def test_pq_topk_recall_vs_exact(spark, sf_dir):
+    """ADC over 8-code PQ must recover a meaningful fraction of the true
+    cosine top-5 (32^16 distinct reconstructions over clustered fixtures)."""
+    from pydatalake_gen2_spark.operators import pq
+    from pydatalake_gen2_spark.registry import ensure_views
+
+    ensure_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    truth = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.cosine_topk(emb, q, k=5).collect()
+    }
+    cb = pq.pq_train(emb, m=16, k=32)
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in pq.pq_topk(emb, q, k=5, codebooks=cb).collect()
+    }
+    recall = len(approx & truth) / len(truth)
+    assert recall >= 0.3, f"PQ/ADC recall too low: {recall}"
+
+
 def test_approx_percentile_bound(spark, sf_dir, duck):
     """g18's registered form emits exact percentile anchors (round 4) plus
     booleans asserting the sketch lands in the exact ±0.01-rank envelope;
