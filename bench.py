@@ -64,6 +64,10 @@ BENCH_QUERIES = [
     "c03_returned_items",
     "jx_salted_skew_join",
     "lx_ivf_topk",
+    # round-3 widening: compressed-ANN + near-dup + decontamination paths
+    "lx_pq_topk",
+    "lx_simhash_neardup",
+    "l17_decontaminate",
 ]
 
 N_RUNS = 3

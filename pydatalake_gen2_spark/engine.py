@@ -91,6 +91,27 @@ class Engine:
     def ivf_topk(self, corpus, k: int, **kw) -> DataFrame:
         return similarity.ivf_topk(corpus, k, **kw)
 
+    def simhash_neardups(self, df, r: int = 4, **kw) -> DataFrame:
+        return dedup.simhash_neardup_pairs(df, r=r, **kw)
+
+    def pq_train(self, corpus, **kw):
+        from pydatalake_gen2_spark.operators import pq
+
+        return pq.pq_train(corpus, **kw)
+
+    def pq_encode(self, df, codebooks, **kw) -> DataFrame:
+        from pydatalake_gen2_spark.operators import pq
+
+        return pq.pq_encode(df, codebooks, **kw)
+
+    def pq_topk(self, corpus, queries, k: int, codebooks, **kw) -> DataFrame:
+        from pydatalake_gen2_spark.operators import pq
+
+        return pq.pq_topk(corpus, queries, k, codebooks, **kw)
+
+    def repetition_metrics(self, df, **kw) -> DataFrame:
+        return text.repetition_metrics(df, **kw)
+
     def token_frequencies(self, df, **kw) -> DataFrame:
         return text.token_frequencies(df, **kw)
 

@@ -579,3 +579,145 @@ def l16_corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_docs") / F.lit(total)).alias("observed_frac"),
         (F.lit(0.2) / (F.col("n_docs") / F.lit(total))).alias("resample_weight"),
     )
+
+
+@register(
+    "l17_decontaminate",
+    duck_sql="""
+    WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(generate_series(1, len(t) - 4),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))) AS gram
+      FROM toks WHERE len(t) >= 5),
+    bench AS (
+      SELECT DISTINCT gram FROM g
+      WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '10'),
+    hits AS (
+      SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_contaminated_grams
+      FROM g JOIN bench USING (gram)
+      WHERE substring(md5(CAST(g.doc_id AS VARCHAR)), 1, 2) >= '10'
+      GROUP BY g.doc_id)
+    SELECT doc_id, CAST(n_contaminated_grams AS BIGINT) AS n_contaminated_grams
+    FROM hits
+    """,
+)
+def l17_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any word
+    5-gram with a held-out benchmark set (here a deterministic md5-keyed
+    ~6% slice standing in for an eval suite; production uses 13-grams).
+    The benchmark gram set is tiny relative to a 100 TB corpus, so it is
+    BROADCAST and the corpus side needs no shuffle before the per-doc
+    count — at extreme gram cardinality swap the broadcast for a bloom
+    filter pre-pass, same plan shape."""
+    d = spark.table("documents")
+    t = text.tokens()
+    is_bench = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "10"
+    grams = d.select(
+        "doc_id",
+        is_bench.alias("is_bench"),
+        F.explode(F.array_distinct(text.ngrams(t, 5))).alias("gram"),
+    )
+    bench = grams.filter("is_bench").select("gram").distinct()
+    return (
+        grams.filter(~F.col("is_bench"))
+        .join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram").alias("n_contaminated_grams"))
+    )
+
+
+@register(
+    "l18_weighted_sample",
+    duck_sql="""
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+           LEAST(1.0, n_chars / 512.0) AS keep_prob
+    FROM documents
+    WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+          < LEAST(4294967296, CAST(n_chars AS BIGINT) * 8388608)
+    """,
+)
+def l18_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted Bernoulli sample with P(keep) ∝ doc length (token-budget
+    sampling): keep iff hash32(doc_id) < n_chars * 2^32/512, i.e. a
+    PURE-INTEGER comparison — bit-deterministic across engines, runs, and
+    partitionings (no float RNG), and a plain scan predicate so it pushes
+    down with zero shuffle. For exact-k weighted reservoirs use the
+    Efraimidis-Spirakis key u^(1/w) ordering instead (top-k, one pass)."""
+    d = spark.table("documents")
+    h32 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    return d.filter(
+        h32 < F.least(F.lit(4294967296), F.col("n_chars").cast("bigint") * 8388608)
+    ).select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.least(F.lit(1.0), F.col("n_chars") / F.lit(512.0)).alias("keep_prob"),
+    )
+
+
+@register(
+    "l19_dataset_card",
+    duck_sql="""
+    WITH d AS (
+      SELECT doc_id, source, lang, text,
+             len(string_split(lower(text), ' ')) AS n_tokens
+      FROM documents),
+    h AS (SELECT source, sha256(text) AS hsh, COUNT(*) AS c
+          FROM d GROUP BY source, sha256(text)),
+    dup AS (SELECT source, SUM(c) - COUNT(*) AS n_dup_docs FROM h GROUP BY source),
+    agg AS (
+      SELECT source, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+             COUNT(DISTINCT lang) AS n_langs,
+             MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens
+      FROM d GROUP BY source)
+    SELECT a.source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(total_tokens AS BIGINT) AS total_tokens,
+           CAST(n_langs AS BIGINT) AS n_langs,
+           CAST(min_tokens AS BIGINT) AS min_tokens,
+           CAST(max_tokens AS BIGINT) AS max_tokens,
+           total_tokens / n_docs AS mean_tokens,
+           CAST(COALESCE(n_dup_docs, 0) AS BIGINT) AS n_dup_docs,
+           COALESCE(n_dup_docs, 0) / n_docs AS dup_frac
+    FROM agg a LEFT JOIN dup USING (source)
+    """,
+)
+def l19_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source "dataset card": doc/token counts, token-length range,
+    language breadth, and exact-duplicate rate in one pass — the summary
+    block a corpus release ships with. Two partial-agg shuffles (one on
+    (source, content-hash) for the dup rate, one on source); both combine
+    map-side, so the exchanges carry pre-aggregated rows, not documents."""
+    d = spark.table("documents").select(
+        "source",
+        "lang",
+        F.sha2(F.col("text"), 256).alias("hsh"),
+        F.size(F.split(F.lower("text"), " ")).alias("n_tokens"),
+    )
+    dup = (
+        d.groupBy("source", "hsh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("source")
+        .agg((F.sum("c") - F.count(F.lit(1))).alias("n_dup_docs"))
+    )
+    agg = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.min("n_tokens").cast("bigint").alias("min_tokens"),
+        F.max("n_tokens").cast("bigint").alias("max_tokens"),
+    )
+    return agg.join(dup, "source", "left").select(
+        "source",
+        "n_docs",
+        F.col("total_tokens").cast("bigint").alias("total_tokens"),
+        "n_langs",
+        "min_tokens",
+        "max_tokens",
+        (F.col("total_tokens") / F.col("n_docs")).alias("mean_tokens"),
+        F.coalesce(F.col("n_dup_docs"), F.lit(0)).cast("bigint").alias("n_dup_docs"),
+        (F.coalesce(F.col("n_dup_docs"), F.lit(0)) / F.col("n_docs")).alias("dup_frac"),
+    )

@@ -6,6 +6,7 @@ oracles mirroring each heuristic exactly.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from pydatalake_gen2_spark.operators import text
 from pydatalake_gen2_spark.registry import register, sql_pair
@@ -171,3 +172,108 @@ def t06_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     fractions) — the standard repetitious-document gate for training
     corpora. Row-local HOF expressions, zero shuffle."""
     return text.repetition_metrics(spark.table("documents"))
+
+
+_EMAIL_RE = "[a-z0-9._]+@[a-z0-9.]+[a-z]"
+_PHONE_RE = "555-[0-9]{4}"
+
+
+@register(
+    "t07_pii_redaction",
+    duck_sql=f"""
+    WITH s AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail' ||
+             CAST(doc_id % 7 AS VARCHAR) || '.example.com or call 555-' ||
+             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS synth
+      FROM documents),
+    r AS (
+      SELECT doc_id, synth,
+             regexp_replace(regexp_replace(synth, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                            '{_PHONE_RE}', '<PHONE>', 'g') AS red
+      FROM s)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(synth, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(synth, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+           CAST(length(red) AS BIGINT) AS redacted_len,
+           md5(red) AS redacted_md5
+    FROM r
+    """,
+)
+def t07_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (email/phone regex redaction + per-doc match counts).
+    The fixture text is PII-free, so a deterministic synthetic email+phone
+    is appended per row first — the redaction machinery then provably
+    fires (counts >= 1) and the oracle checks the redacted text verbatim
+    via md5. Pure per-row JVM regex expressions: no shuffle, scan-pushdown
+    projection, scales linearly. Patterns are kept in the common
+    Java-regex/RE2 subset so both engines match identically."""
+    d = spark.table("documents")
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com or call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(synth, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(synth, F.lit(_EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(synth, F.lit(_PHONE_RE)).cast("bigint").alias("n_phones"),
+        F.length(red).cast("bigint").alias("redacted_len"),
+        F.md5(red).alias("redacted_md5"),
+    )
+
+
+@register(
+    "t08_boilerplate_chunks",
+    duck_sql="""
+    WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+    c AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) // 3),
+               i -> toks[3*i-2] || ' ' || toks[3*i-1] || ' ' || toks[3*i])) AS chunk
+      FROM t WHERE len(toks) >= 3),
+    f AS (SELECT chunk, COUNT(*) AS freq FROM c GROUP BY chunk),
+    j AS (SELECT c.doc_id, f.freq FROM c JOIN f USING (chunk))
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN freq >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+           SUM(CASE WHEN freq >= 5 THEN 1 ELSE 0 END) / COUNT(*) AS boiler_frac
+    FROM j GROUP BY doc_id
+    """,
+)
+def t08_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document boilerplate detection: segment each doc
+    into non-overlapping 3-token chunks (production: lines/sentences),
+    count each chunk's corpus frequency, and report the per-doc fraction
+    of chunks that are corpus-frequent (freq >= 5). Two partial-agg
+    shuffles (chunk freq, per-doc rollup); at 100 TB the frequent-chunk
+    set is tiny relative to the corpus, so the freq side re-joins as a
+    broadcast after a HAVING filter — same plan, smaller exchange."""
+    d = spark.table("documents")
+    toks = text.tokens()
+    chunks_arr = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), (F.size(toks) / 3).cast("int")),
+            lambda i: F.array_join(F.slice(toks, (i - 1) * 3 + 1, 3), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    c = d.select("doc_id", F.explode(chunks_arr).alias("chunk"))
+    freq = c.groupBy("chunk").agg(F.count(F.lit(1)).alias("freq"))
+    is_boiler = F.when(F.col("freq") >= 5, 1).otherwise(0)
+    return (
+        c.join(freq, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(is_boiler).alias("n_boiler"),
+            (F.sum(is_boiler) / F.count(F.lit(1))).alias("boiler_frac"),
+        )
+    )
