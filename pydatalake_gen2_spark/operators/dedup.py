@@ -268,27 +268,25 @@ def simhash_neardup_pairs(
         "id", "simhash", F.explode(F.array(*band_structs)).alias("bv")
     ).select("id", "simhash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
     a, b = idx.alias("a"), idx.alias("b")
-    cand = (
+    # Verify BEFORE the dedup distinct: bit_count(xor) is a row-local O(1)
+    # expression evaluated inside the join stage, while distinct is a
+    # shuffle — filtering first means the exchange carries only true pairs
+    # (<= r+1 occurrences each) instead of every band collision, and the
+    # shuffled rows are 3 narrow columns instead of 4.
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.val") == F.col("b.val"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        # a pair colliding on k bands surfaces k times; dedup BEFORE the
-        # (cheap) verify so the verify runs once per pair
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("sa"),
-            F.col("b.simhash").alias("sb"),
+            hamming64("a.simhash", "b.simhash").cast("int").alias("hamming"),
         )
-        .distinct()
-    )
-    return (
-        cand.withColumn("hamming", hamming64("sa", "sb"))
         .filter(F.col("hamming") <= r)
-        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+        .distinct()
     )
 
 

@@ -329,7 +329,13 @@ def lx_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded Hamming-radius near-dup join over 48-bit SimHash (r=4,
     5 disjoint bands → pigeonhole guarantees 1.0 recall; exact
     bit_count(xor) verify → exact precision). Property-tested against
-    brute-force pairwise Hamming in tests/test_properties.py."""
+    brute-force pairwise Hamming in tests/test_properties.py.
+
+    Bench note: the synthetic fixture's 31-word vocabulary makes SimHash
+    fingerprints pathologically clustered (sf0.1: 3445 distinct over 5000
+    docs, ~1.6M TRUE pairs within r=4 — 13% of all pairs), so this
+    query's wall time is output-volume-bound, not plan-bound; real
+    corpora emit near-linear pair counts through the identical plan."""
     return dedup.simhash_neardup_pairs(spark.table("documents"), r=4)
 
 
