@@ -241,3 +241,43 @@ def test_library_ops_release_cached_blocks(spark, sf_dir):
     assert n_cached() > base  # the caches were really held...
     release_persisted()
     assert n_cached() == base  # ...and really released
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark, sf_dir):
+    """L17: the benchmark-gram set must broadcast — the corpus side of a
+    100 TB decontamination pass cannot shuffle on gram."""
+    plan = _plan(spark, sf_dir, "l17_decontaminate")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_weighted_sample_has_no_exchange(spark, sf_dir):
+    """L18: the weighted Bernoulli predicate is a pure scan-stage filter —
+    any Exchange in this plan means the sample stopped being map-only."""
+    plan = _plan(spark, sf_dir, "l18_weighted_sample")
+    assert "Exchange" not in plan, plan
+
+
+def test_simhash_neardup_verifies_before_distinct(spark, sf_dir):
+    """r3 fix: the Hamming verify must run below the dedup exchange so the
+    shuffle carries only true pairs. In the formatted plan, the first
+    Exchange above the join must sit above the bit_count filter."""
+    import re
+
+    plan = _plan(spark, sf_dir, "lx_simhash_neardup")
+    # formatted-explain node ids grow bottom-up. The bit_count verify may
+    # surface as a Filter, a Project, or be folded into the join condition
+    # — wherever it lands, its node id must be SMALLER than the distinct's
+    # HashAggregate pair. If distinct were re-ordered below the verify,
+    # bit_count would sit in the topmost node instead.
+    headers = list(re.finditer(r"^\((\d+)\) (\w+)", plan, re.MULTILINE))
+    assert headers, plan
+    verify_ids, hashagg_ids = [], []
+    for i, m in enumerate(headers):
+        block_end = headers[i + 1].start() if i + 1 < len(headers) else len(plan)
+        block = plan[m.start() : block_end]
+        if "bit_count" in block:
+            verify_ids.append(int(m.group(1)))
+        if m.group(2) == "HashAggregate":
+            hashagg_ids.append(int(m.group(1)))
+    assert verify_ids and hashagg_ids, plan
+    assert min(verify_ids) < max(hashagg_ids), (verify_ids, hashagg_ids)
