@@ -648,14 +648,13 @@ def l18_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampling): keep iff hash32(doc_id) < n_chars * 2^32/512, i.e. a
     PURE-INTEGER comparison — bit-deterministic across engines, runs, and
     partitionings (no float RNG), and a plain scan predicate so it pushes
-    down with zero shuffle. For exact-k weighted reservoirs use the
-    Efraimidis-Spirakis key u^(1/w) ordering instead (top-k, one pass)."""
+    down with zero shuffle. For exact-k weighted reservoirs see
+    l18b_weighted_reservoir (operators/sampling.py)."""
+    from pydatalake_gen2_spark.operators import sampling
+
     d = spark.table("documents")
-    h32 = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-    ).cast("bigint")
-    return d.filter(
-        h32 < F.least(F.lit(4294967296), F.col("n_chars").cast("bigint") * 8388608)
+    return sampling.weighted_bernoulli(
+        d, F.col("n_chars"), "doc_id", scale=512
     ).select(
         "doc_id",
         "lang",
@@ -727,3 +726,18 @@ def l19_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_dup_docs"), F.lit(0)).cast("bigint").alias("n_dup_docs"),
         (F.coalesce(F.col("n_dup_docs"), F.lit(0)) / F.col("n_docs")).alias("dup_frac"),
     )
+
+
+@register("l18b_weighted_reservoir", duck_sql=None, tier="P")
+def l18b_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k (k=50) weighted sample without replacement via the
+    Efraimidis-Spirakis u^(1/w) key over a deterministic per-row uniform
+    (w = n_chars). Executes as TakeOrderedAndProject — k rows per
+    partition cross the exchange, never a total sort. Tier P: the key is
+    a transcendental double, so ordering is property-tested (determinism
+    across partitionings, weight-rescale invariance, numpy recompute)
+    rather than hash-compared against a second SQL engine."""
+    from pydatalake_gen2_spark.operators import sampling
+
+    d = spark.table("documents").select("doc_id", "lang", "n_chars")
+    return sampling.weighted_reservoir_k(d, F.col("n_chars"), "doc_id", k=50)

@@ -261,3 +261,85 @@ def test_connected_components_random_graphs(spark, edges):
     df = spark.createDataFrame(edges, "id_a BIGINT, id_b BIGINT")
     got = {r["id"]: r["component"] for r in connected_components(df).collect()}
     assert got == want
+
+
+def test_weighted_reservoir_exact_vs_numpy(spark, sf_dir):
+    """The Spark ES top-k must equal a from-scratch recomputation of the
+    u^(1/w) ordering (hashlib + float pow) on the same rows."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from pydatalake_gen2_spark.operators import sampling
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "n_chars")
+    got = sampling.weighted_reservoir_k(d, F.col("n_chars"), "doc_id", k=25).collect()
+
+    rows = d.collect()
+
+    def es_key(doc_id, w):
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+        u = (h + 0.5) / 4294967296.0
+        return u ** (1.0 / float(w))
+
+    expect = sorted(
+        ((es_key(r.doc_id, r.n_chars), r.doc_id) for r in rows),
+        key=lambda t: (-t[0], t[1]),
+    )[:25]
+    assert [r.doc_id for r in got] == [doc_id for _, doc_id in expect]
+    for r, (key, _) in zip(got, expect):
+        assert abs(r.es_key - key) < 1e-12
+
+
+def test_weighted_reservoir_partitioning_and_rescale_invariant(spark, sf_dir):
+    """Same selection under (a) any input partitioning and (b) rescaling
+    every weight by a constant (u^(1/(c*w)) is a monotone transform)."""
+    from pyspark.sql import functions as F
+
+    from pydatalake_gen2_spark.operators import sampling
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "n_chars")
+    base = [
+        r.doc_id
+        for r in sampling.weighted_reservoir_k(d, F.col("n_chars"), "doc_id", 20).collect()
+    ]
+    shuffled = [
+        r.doc_id
+        for r in sampling.weighted_reservoir_k(
+            d.repartition(13), F.col("n_chars"), "doc_id", 20
+        ).collect()
+    ]
+    rescaled = [
+        r.doc_id
+        for r in sampling.weighted_reservoir_k(
+            d, F.col("n_chars") * 7, "doc_id", 20
+        ).collect()
+    ]
+    assert base == shuffled == rescaled
+
+
+def test_weighted_bernoulli_matches_inline_predicate(spark, sf_dir):
+    """Library op must reproduce l18's registered predicate exactly."""
+    from pyspark.sql import functions as F
+
+    from pydatalake_gen2_spark.operators import sampling
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = sorted(
+        r.doc_id
+        for r in sampling.weighted_bernoulli(d, F.col("n_chars"), "doc_id", 512)
+        .select("doc_id")
+        .collect()
+    )
+    h32 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    expect = sorted(
+        r.doc_id
+        for r in d.filter(
+            h32 < F.least(F.lit(4294967296), F.col("n_chars").cast("bigint") * 8388608)
+        )
+        .select("doc_id")
+        .collect()
+    )
+    assert got == expect and len(got) > 0
