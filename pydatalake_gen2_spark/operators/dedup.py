@@ -234,7 +234,8 @@ def simhash_neardup_pairs(
     Scale shape: one explode to ``r + 1`` index rows per doc (bigint
     band values, no text), one equi-join on (band, val) — candidates are
     only fingerprints already colliding on ~bits/(r+1) exact bits, never
-    all pairs — then a distinct + O(1) verify per candidate. Hot bands
+    all pairs — then an O(n_bands) row-local minimal-band + hamming
+    verify per candidate (no dedup shuffle; see inline note). Hot bands
     (e.g. the all-zeros band from boilerplate-heavy corpora) are the same
     skew class as l02b's hot shingles; AQE skew-join handles moderate
     cases and a ``max_df``-style band-frequency cap composes identically
@@ -253,26 +254,39 @@ def simhash_neardup_pairs(
     ).select(F.col(id_col).alias("id"), F.col("simhash"))
     n_bands = r + 1
     width = bits // n_bands
-    band_structs = []
-    for i in range(n_bands):
+
+    def _band_val(col, i):
         lo = i * width
         w = bits - lo if i == n_bands - 1 else width  # last band absorbs remainder
         mask = (1 << w) - 1
-        band_structs.append(
-            F.struct(
-                F.lit(i).alias("band"),
-                F.shiftright(F.col("simhash"), lo).bitwiseAND(F.lit(mask)).alias("val"),
-            )
-        )
+        return F.shiftright(col, lo).bitwiseAND(F.lit(mask))
+
+    band_structs = [
+        F.struct(F.lit(i).alias("band"), _band_val(F.col("simhash"), i).alias("val"))
+        for i in range(n_bands)
+    ]
     idx = fp.select(
         "id", "simhash", F.explode(F.array(*band_structs)).alias("bv")
     ).select("id", "simhash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
     a, b = idx.alias("a"), idx.alias("b")
-    # Verify BEFORE the dedup distinct: bit_count(xor) is a row-local O(1)
-    # expression evaluated inside the join stage, while distinct is a
-    # shuffle — filtering first means the exchange carries only true pairs
-    # (<= r+1 occurrences each) instead of every band collision, and the
-    # shuffled rows are 3 narrow columns instead of 4.
+    # Dedup WITHOUT a distinct: a pair meets at most once per band (one
+    # index row per doc per band), so emitting it only at its MINIMAL
+    # agreeing band makes the output exactly-once by construction. That
+    # minimality test is a row-local O(n_bands) bit expression over the
+    # two fingerprints already in the joined row — it replaces what was a
+    # full shuffle + dedup of every (<= r+1)-fold duplicated true pair.
+    # The hamming verify is likewise evaluated inside the join stage, so
+    # nothing downstream of the join exchanges more than the final rows.
+    agree = [
+        _band_val(F.col("a.simhash"), j) == _band_val(F.col("b.simhash"), j)
+        for j in range(n_bands)
+    ]
+    is_min_band = F.when(F.col("a.band") == 0, F.lit(True))
+    earlier = agree[0]
+    for i in range(1, n_bands):
+        is_min_band = is_min_band.when(F.col("a.band") == i, ~earlier)
+        if i < n_bands - 1:
+            earlier = earlier | agree[i]
     return (
         a.join(
             b,
@@ -280,13 +294,13 @@ def simhash_neardup_pairs(
             & (F.col("a.val") == F.col("b.val"))
             & (F.col("a.id") < F.col("b.id")),
         )
+        .filter(is_min_band)
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
             hamming64("a.simhash", "b.simhash").cast("int").alias("hamming"),
         )
         .filter(F.col("hamming") <= r)
-        .distinct()
     )
 
 

@@ -615,21 +615,23 @@ def l17_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     The benchmark gram set is tiny relative to a 100 TB corpus, so it is
     BROADCAST and the corpus side needs no shuffle before the per-doc
     count — at extreme gram cardinality swap the broadcast for a bloom
-    filter pre-pass, same plan shape."""
+    filter pre-pass, same plan shape.
+
+    Each side filters its doc slice BEFORE tokenizing (the bench side
+    shingles only the ~6% held-out docs), and because grams are already
+    distinct within a doc (array_distinct before the explode) the per-doc
+    tally is a plain COUNT — no distinct-aggregate expansion."""
     d = spark.table("documents")
     t = text.tokens()
     is_bench = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "10"
-    grams = d.select(
-        "doc_id",
-        is_bench.alias("is_bench"),
-        F.explode(F.array_distinct(text.ngrams(t, 5))).alias("gram"),
-    )
-    bench = grams.filter("is_bench").select("gram").distinct()
+    gram = F.explode(F.array_distinct(text.ngrams(t, 5))).alias("gram")
+    bench = d.filter(is_bench).select(gram).distinct()
     return (
-        grams.filter(~F.col("is_bench"))
+        d.filter(~is_bench)
+        .select("doc_id", gram)
         .join(F.broadcast(bench), "gram")
         .groupBy("doc_id")
-        .agg(F.count_distinct("gram").alias("n_contaminated_grams"))
+        .agg(F.count("gram").alias("n_contaminated_grams"))
     )
 
 

@@ -257,27 +257,23 @@ def test_weighted_sample_has_no_exchange(spark, sf_dir):
     assert "Exchange" not in plan, plan
 
 
-def test_simhash_neardup_verifies_before_distinct(spark, sf_dir):
-    """r3 fix: the Hamming verify must run below the dedup exchange so the
-    shuffle carries only true pairs. In the formatted plan, the first
-    Exchange above the join must sit above the bit_count filter."""
+def test_simhash_neardup_dedups_without_shuffle(spark, sf_dir):
+    """r3: each true pair is emitted exactly once at its MINIMAL agreeing
+    band — a row-local bit expression over the two fingerprints — so the
+    plan must contain NO aggregate over the output pair keys (the old
+    .distinct() shuffled every <= r+1-fold duplicated true pair) while
+    the bit_count Hamming verify still runs inside the join stage."""
     import re
 
     plan = _plan(spark, sf_dir, "lx_simhash_neardup")
-    # formatted-explain node ids grow bottom-up. The bit_count verify may
-    # surface as a Filter, a Project, or be folded into the join condition
-    # — wherever it lands, its node id must be SMALLER than the distinct's
-    # HashAggregate pair. If distinct were re-ordered below the verify,
-    # bit_count would sit in the topmost node instead.
+    assert "bit_count" in plan, plan
     headers = list(re.finditer(r"^\((\d+)\) (\w+)", plan, re.MULTILINE))
     assert headers, plan
-    verify_ids, hashagg_ids = [], []
     for i, m in enumerate(headers):
+        if m.group(2) != "HashAggregate":
+            continue
         block_end = headers[i + 1].start() if i + 1 < len(headers) else len(plan)
         block = plan[m.start() : block_end]
-        if "bit_count" in block:
-            verify_ids.append(int(m.group(1)))
-        if m.group(2) == "HashAggregate":
-            hashagg_ids.append(int(m.group(1)))
-    assert verify_ids and hashagg_ids, plan
-    assert min(verify_ids) < max(hashagg_ids), (verify_ids, hashagg_ids)
+        # the only legitimate aggregates are the fingerprint bit tallies
+        # (keyed on doc_id) — never the emitted (id_a, id_b) pairs
+        assert "id_a" not in block, block
