@@ -36,10 +36,12 @@ TABLES: dict[str, str] = {
         "l_quantity DOUBLE, l_extendedprice DOUBLE, l_discount DOUBLE, l_tax DOUBLE, "
         "l_returnflag STRING, l_linestatus STRING, l_shipdate TIMESTAMP"
     ),
-    # ts is parquet TIMESTAMP(NANOS) → read as BIGINT (nanosAsLong conf),
-    # converted to a µs TIMESTAMP in load_table (matches DuckDB truncation).
+    # ts unit varies across fixture generations (TIMESTAMP(NANOS) vs
+    # TIMESTAMP(MICROS)); load_table sniffs the parquet footer and reads
+    # NANOS as BIGINT (nanosAsLong conf) truncated to µs — matching
+    # DuckDB's read — while MICROS maps to TimestampType natively.
     "events": (
-        "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
         "value DOUBLE, props STRING"
     ),
     "documents": "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
@@ -53,13 +55,25 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _events_ts_is_nanos(path: str) -> bool:
+    """Footer-only probe (no data read) for the events.ts parquet unit."""
+    import pyarrow.parquet as pq
+
+    return getattr(pq.read_schema(path).field("ts").type, "unit", None) == "ns"
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table with its pinned schema."""
-    df = spark.read.schema(TABLES[name]).parquet(table_path(sf_dir, name))
-    if name == "events":
-        # ns → µs truncation, same as DuckDB's read of TIMESTAMP(NANOS).
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    path = table_path(sf_dir, name)
+    schema = TABLES[name]
+    if name == "events" and _events_ts_is_nanos(path):
+        # TIMESTAMP(NANOS) parquet: read the raw int64 (nanosAsLong conf)
+        # and truncate to µs, same as DuckDB's read of TIMESTAMP(NANOS).
+        schema = schema.replace("ts TIMESTAMP", "ts BIGINT")
+        return spark.read.schema(schema).parquet(path).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return spark.read.schema(schema).parquet(path)
 
 
 def register_views(
