@@ -413,3 +413,77 @@ def dedup_clusters(
         "component",
         (F.col("id") == F.col("component")).alias("keep"),
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    delim: str | None = "\n",
+    block: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style corpus-level line deduplication (Raffel et al. 2020 §2.2:
+    "we discarded all but one of any three-sentence span occurring more
+    than once"): split every document into lines, keep only the FIRST
+    occurrence of each distinct line across the whole corpus (first =
+    minimal (doc_id, position)), and reassemble the surviving lines in
+    their original order.
+
+    ``delim`` splits on a literal delimiter (newline for real corpora);
+    ``block`` instead forms pseudo-lines from fixed ``block``-word spans
+    (for corpora without line structure — e.g. the synthetic fixture).
+
+    Scale shape: one explode to (doc_id, pos, line) rows, one
+    partial-aggregated groupBy(line) computing min(struct(doc_id, pos))
+    — skew-safe: a boilerplate line that appears 10^9 times partial-
+    aggregates map-side instead of sorting through one window partition
+    (same shape as the r2 exact_jaccard_pairs df fix) — one equi-join
+    back on the line key (AQE skew-split handles hot lines), and one
+    groupBy(doc_id) reassembly. No window over the hot key, no all-pairs.
+
+    Output: (doc_id, text_clean, n_kept BIGINT, n_dropped BIGINT) — one
+    row per input doc; docs whose every line was dropped keep an empty
+    text_clean.
+    """
+    if (delim is None) == (block is None):
+        raise ValueError("exactly one of delim / block must be given")
+    if block is not None:
+        toks = tokens_col(text_col)
+        n_blocks = F.ceil(F.size(toks) / F.lit(block)).cast("int")
+        lines_arr = F.transform(
+            F.sequence(F.lit(0), n_blocks - 1),
+            lambda i: F.array_join(F.slice(toks, i * block + 1, block), " "),
+        )
+    else:
+        lines_arr = F.split(F.col(text_col), F.lit(delim).cast("string"), -1)
+    lines = df.select(
+        F.col(id_col), F.posexplode(lines_arr).alias("pos", "line")
+    ).withColumn("lkey", F.lower(F.trim(F.col("line"))))
+    keeper = lines.groupBy("lkey").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("k")
+    )
+    kept = (
+        lines.join(keeper, "lkey")
+        .filter((F.col(id_col) == F.col(f"k.{id_col}")) & (F.col("pos") == F.col("k.pos")))
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                delim if delim is not None else " ",
+            ).alias("text_clean"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+    )
+    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        totals.join(kept, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0))).cast("bigint").alias("n_dropped"),
+        )
+    )

@@ -185,3 +185,138 @@ def fingerprint(df: DataFrame, n: int = 5, text_col: str = "text", id_col: str =
     grams = ngrams(tokens(text_col), n)
     fp = F.array_min(F.transform(grams, lambda g: F.md5(g)))
     return df.select(F.col(id_col), fp.alias("fp"))
+
+
+def chunk_tokens(
+    df: DataFrame,
+    size: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window chunking: split each document's token stream into
+    training samples of ``size`` tokens advancing by ``stride`` (overlap
+    = size - stride), the standard packing-adjacent step of an LLM data
+    pipeline. Chunk i covers tokens [i*stride+1, i*stride+size]; the
+    number of chunks is 1 + ceil(max(0, n - size) / stride), so every
+    token is covered and only the last chunk may be short.
+
+    Row-local: one explode per doc into its chunk index range, slices via
+    array intrinsics — zero shuffle, embarrassingly parallel, and the
+    1→N fan-out is bounded by n/stride per doc (Spark splits oversized
+    output partitions via AQE if a corpus has pathological doc lengths).
+
+    Output: (doc_id, chunk_id BIGINT, chunk_text, n_tokens BIGINT).
+    """
+    if size < 1 or stride < 1 or stride > size:
+        raise ValueError(f"need 1 <= stride <= size, got size={size} stride={stride}")
+    toks = tokens(text_col)
+    n = F.size(toks)
+    overflow = F.greatest(n - size, F.lit(0))
+    n_chunks = (
+        F.lit(1) + F.floor((overflow + F.lit(stride - 1)) / F.lit(stride))
+    ).cast("int")
+    base = df.select(
+        F.col(id_col), toks.alias("_t"), F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("i")
+    )
+    return base.select(
+        F.col(id_col),
+        F.col("i").cast("bigint").alias("chunk_id"),
+        F.array_join(F.slice("_t", F.col("i") * stride + 1, F.lit(size)), " ").alias(
+            "chunk_text"
+        ),
+        F.least(F.size("_t") - F.col("i") * stride, F.lit(size))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 ranking of every document against a fixed bag of query
+    terms (Robertson & Walker SIGIR'94) — the classic lexical-retrieval
+    scorer a training-data pipeline uses for quality-targeted selection
+    (e.g. DSIR-style proxy retrieval).
+
+    idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5));
+    score  = Σ_t idf · tf·(k1+1) / (tf + k1·(0.25… see below)·dl/avgdl).
+
+    Scale shape: tokens are filtered to the query bag BEFORE the shuffle
+    (the exchange carries only (doc, query_term) hits, not the corpus
+    vocabulary); per-doc length rides the same groupBy via MIN(dl) so
+    there is no second join back to the corpus; term document-frequencies
+    and the 1-row (N, avgdl) stats frame are broadcast. One corpus scan,
+    one tiny shuffle, no driver-side action.
+
+    Floats: each per-term score and the final sum are ROUND(…,4) — the
+    established H-tier discipline (see l07) — and the inner weight is
+    written ``0.25 + 0.75·dl/avgdl`` (constant-folded left-to-right the
+    same way in Spark and DuckDB) so both engines evaluate bit-identical
+    expressions.
+
+    Output: (doc_id, bm25, rn) for docs matching ≥1 term; rn ranks by
+    (bm25 DESC, doc_id) — a global window over output-sized data (use
+    the O03 top-k pattern instead when only the head is needed).
+    """
+    toks = tokens(text_col)
+    base = df.select(
+        F.col(id_col), F.size(toks).alias("dl"), F.explode(toks).alias("term")
+    ).filter(F.col("term").isin(query_terms))
+    tf = base.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = df.agg(
+        F.count(F.lit(1)).alias("n"), F.avg(F.size(toks)).alias("avgdl")
+    )
+    idf = F.log(F.lit(1.0) + ((F.col("n") - F.col("df")).cast("double") + 0.5) / (F.col("df") + 0.5))
+    denom = F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    per_term = F.round(idf * F.col("tf") * F.lit(k1 + 1.0) / denom, 4)
+    from pyspark.sql.window import Window
+
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(F.col(id_col), per_term.alias("s"))
+        .groupBy(id_col)
+        .agg(F.round(F.sum("s"), 4).alias("bm25"))
+    )
+    w = Window.orderBy(F.col("bm25").desc(), F.col(id_col))
+    return scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+
+
+def char_entropy(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Shannon entropy (bits) of the character distribution per document
+    — a cheap quality / gibberish signal (near-zero = degenerate repeats,
+    ~4.1 = typical English prose; binary junk scores far higher).
+
+    explode chars → partial-agg groupBy(doc, ch) → groupBy(doc) entropy.
+    Both shuffles carry (doc, ch, count) tallies, never raw text; per-doc
+    cardinality is bounded by the alphabet so the second agg is tiny.
+    ROUND(…,4) float discipline (l07 precedent).
+
+    Output: (doc_id, n_chars BIGINT, n_distinct_chars BIGINT, entropy).
+    """
+    counts = (
+        df.select(F.col(id_col), F.explode(F.split(F.col(text_col), "")).alias("ch"))
+        .groupBy(id_col, "ch")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = F.sum("c")
+    p = F.col("c") / n
+    return (
+        counts.groupBy(id_col)
+        .agg(
+            n.cast("bigint").alias("n_chars"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_chars"),
+            F.round(-F.sum(F.col("c") * F.log2(F.col("c"))) / n + F.log2(n), 4).alias(
+                "entropy"
+            ),
+        )
+    )

@@ -127,9 +127,12 @@ _ALIASES: dict[str, str] = {
     "a28_s01_parquet_scan": "s01_parquet_scan",
     "a29_s05_partitioned_pruned": "s05_partitioned_pruned",
     "a30_s12_compaction_layout": "s12_compaction_layout",
-    # scalar-function tail (f34+ sorted out of the r2 window)
-    "a31_f34_try_cast": "f34_try_cast",
-    "a32_f35_datetime_construct": "f35_datetime_construct",
+    # r3 repurpose: f34/f35 already have green driver rows from round 1,
+    # so their slots go to round-3's new capability classes instead —
+    # the SCD-2 incremental-merge ≡ full-rebuild equivalence and the
+    # C4-style line dedup (both first-ever driver evidence).
+    "a31_j16_scd2_incremental": "j16_scd2_incremental",
+    "a32_l20_line_dedup": "l20_line_dedup",
     "a33_f37_url_parse": "f37_url_parse",
     # LLM-pipeline operators
     "a34_l01_dedup_exact": "l01_dedup_exact",

@@ -253,3 +253,58 @@ def j14_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "asof_event_id",
         F.col("asof_value").cast("double").alias("asof_value"),
     )
+
+
+_SCD2_REBUILD_SQL = """
+    SELECT o_custkey, o_orderkey, o_totalprice, o_orderstatus,
+           o_orderdate AS valid_from,
+           LEAD(o_orderdate) OVER w AS valid_to,
+           LEAD(o_orderdate) OVER w IS NULL AS is_current,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS version
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@register("j15_scd2_history", duck_sql=_SCD2_REBUILD_SQL)
+def j15_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build from a change stream (orders as per-
+    customer changes): validity intervals + version chain via one
+    window shuffle on the business key (operators/merge.py)."""
+    from pydatalake_gen2_spark.operators.merge import scd2_history
+
+    return scd2_history(
+        spark.table("orders"),
+        key_cols=["o_custkey"],
+        ts_col="o_orderdate",
+        attr_cols=["o_orderkey", "o_totalprice", "o_orderstatus"],
+        tiebreak_cols=["o_orderkey"],
+    )
+
+
+@register("j16_scd2_incremental", duck_sql=_SCD2_REBUILD_SQL)
+def j16_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-INTO equivalence: build the dimension from pre-1997-07
+    orders, then scd2_merge the later batch in — the oracle is a FULL
+    REBUILD over the whole stream, so a hash match proves the
+    incremental path (broadcast batch summary + union, dimension never
+    shuffled) is exactly equivalent under the append-only contract."""
+    from pydatalake_gen2_spark.operators.merge import scd2_history, scd2_merge
+
+    o = spark.table("orders")
+    cut = F.lit("1997-07-01").cast("timestamp")
+    dim = scd2_history(
+        o.filter(F.col("o_orderdate") < cut),
+        key_cols=["o_custkey"],
+        ts_col="o_orderdate",
+        attr_cols=["o_orderkey", "o_totalprice", "o_orderstatus"],
+        tiebreak_cols=["o_orderkey"],
+    )
+    return scd2_merge(
+        dim,
+        o.filter(F.col("o_orderdate") >= cut),
+        key_cols=["o_custkey"],
+        ts_col="o_orderdate",
+        attr_cols=["o_orderkey", "o_totalprice", "o_orderstatus"],
+        tiebreak_cols=["o_orderkey"],
+    )

@@ -743,3 +743,90 @@ def l18b_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = spark.table("documents").select("doc_id", "lang", "n_chars")
     return sampling.weighted_reservoir_k(d, F.col("n_chars"), "doc_id", k=50)
+
+
+@register(
+    "l20_line_dedup",
+    duck_sql="""
+    WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+    ix AS (SELECT doc_id, toks,
+                  unnest(generate_series(1, CAST(ceil(len(toks) / 8.0) AS BIGINT))) AS i
+           FROM t),
+    keyed AS (
+      SELECT doc_id, i - 1 AS pos,
+             array_to_string(toks[((i-1)*8+1):((i-1)*8+8)], ' ') AS line
+      FROM ix),
+    keeper AS (
+      SELECT doc_id, pos, line,
+             ROW_NUMBER() OVER (PARTITION BY lower(trim(line)) ORDER BY doc_id, pos) AS rn
+      FROM keyed),
+    agg AS (SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS text_clean,
+                   COUNT(*) AS n_kept
+            FROM keeper WHERE rn = 1 GROUP BY doc_id),
+    tot AS (SELECT doc_id, COUNT(*) AS n_lines FROM keyed GROUP BY doc_id)
+    SELECT t.doc_id, coalesce(a.text_clean, '') AS text_clean,
+           CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(t.n_lines - coalesce(a.n_kept, 0) AS BIGINT) AS n_dropped
+    FROM tot t LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def l20_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-level line dedup (keep first occurrence of every
+    distinct line, reassemble docs). The fixture has no newlines, so
+    pseudo-lines are 8-word blocks (``block=8``); real corpora pass
+    ``delim="\\n"``. Scale: groupBy(line).min(struct) keeper — partial-
+    aggregated, skew-safe — instead of a window over the hot line key."""
+    return dedup.line_dedup(spark.table("documents"), delim=None, block=8)
+
+
+@register(
+    "l21_chunk_overlap",
+    duck_sql="""
+    WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+    c AS (SELECT doc_id, toks,
+                 1 + CAST(floor((greatest(len(toks) - 64, 0) + 47) / 48.0) AS BIGINT)
+                     AS n_chunks
+          FROM t),
+    ix AS (SELECT doc_id, toks, unnest(generate_series(0, n_chunks - 1)) AS i FROM c)
+    SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+           array_to_string(toks[(i*48+1):(i*48+64)], ' ') AS chunk_text,
+           CAST(least(len(toks) - i*48, 64) AS BIGINT) AS n_tokens
+    FROM ix
+    """,
+)
+def l21_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window training-sample chunking (64-token windows, stride
+    48 → 16-token overlap). Row-local explode + array slices: zero
+    shuffle; the 1→N fan-out is the only data growth."""
+    return text.chunk_tokens(spark.table("documents"), size=64, stride=48)
+
+
+@register(
+    "l22_bm25",
+    duck_sql="""
+    WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+    base AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf, MIN(dl) AS dl
+           FROM base WHERE term IN ('vector', 'stream', 'merge', 'window')
+           GROUP BY doc_id, term),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    stats AS (SELECT COUNT(*) AS n, AVG(len(toks)) AS avgdl FROM t),
+    scored AS (
+      SELECT tf.doc_id,
+             ROUND(ln(1.0 + (CAST(stats.n - dfreq.df AS DOUBLE) + 0.5) / (dfreq.df + 0.5))
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)), 4) AS s
+      FROM tf JOIN dfreq USING (term) CROSS JOIN stats),
+    agg AS (SELECT doc_id, ROUND(SUM(s), 4) AS bm25 FROM scored GROUP BY doc_id)
+    SELECT doc_id, bm25,
+           CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rn
+    FROM agg
+    """,
+)
+def l22_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval scores for a 4-term query bag over the corpus
+    (tokens filtered to the bag before the shuffle; df + corpus stats
+    broadcast; ROUND(…,4) float discipline — see operators/text.py)."""
+    return text.bm25_scores(
+        spark.table("documents"), ["vector", "stream", "merge", "window"]
+    )

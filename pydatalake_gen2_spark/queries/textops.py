@@ -277,3 +277,23 @@ def t08_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(is_boiler) / F.count(F.lit(1))).alias("boiler_frac"),
         )
     )
+
+
+@register(
+    "t09_char_entropy",
+    duck_sql="""
+    WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+    cnt AS (SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY doc_id, ch)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_chars,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+           ROUND(-SUM(c * log2(c)) / SUM(c) + log2(SUM(c)), 4) AS entropy
+    FROM cnt GROUP BY doc_id
+    """,
+)
+def t09_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-distribution Shannon entropy (quality /
+    gibberish signal). Two partial-aggregated shuffles carrying only
+    (doc, ch, count) tallies; identical -Σc·log2(c)/n + log2(n) form on
+    both engines for float determinism."""
+    return text.char_entropy(spark.table("documents"))

@@ -343,3 +343,116 @@ def test_weighted_bernoulli_matches_inline_predicate(spark, sf_dir):
         .collect()
     )
     assert got == expect and len(got) > 0
+
+
+def test_line_dedup_delim_mode_keeps_first_occurrence(spark):
+    from pydatalake_gen2_spark.operators.dedup import line_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha\nshared line\nbeta"),
+            (2, "shared line\ngamma\nshared line"),  # dup across docs AND within doc
+            (3, "shared line"),  # every line dropped -> empty doc survives
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {r.doc_id: r for r in line_dedup(df, delim="\n").collect()}
+    assert out[1].text_clean == "alpha\nshared line\nbeta"
+    assert (out[1].n_kept, out[1].n_dropped) == (3, 0)
+    assert out[2].text_clean == "gamma"  # both 'shared line' copies dropped
+    assert (out[2].n_kept, out[2].n_dropped) == (1, 2)
+    assert out[3].text_clean == "" and (out[3].n_kept, out[3].n_dropped) == (0, 1)
+
+
+def test_line_dedup_block_mode_preserves_token_multiset(spark):
+    """Block mode with all-unique blocks must reassemble text verbatim."""
+    from pydatalake_gen2_spark.operators.dedup import line_dedup
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "f g h")],  # 5 and 3 tokens, block=2
+        "doc_id BIGINT, text STRING",
+    )
+    out = {r.doc_id: r for r in line_dedup(df, delim=None, block=2).collect()}
+    assert out[1].text_clean == "a b c d e" and out[1].n_kept == 3
+    assert out[2].text_clean == "f g h" and out[2].n_kept == 2
+
+
+def test_chunk_tokens_coverage_and_overlap(spark):
+    from pydatalake_gen2_spark.operators.text import chunk_tokens
+
+    toks = [f"w{i}" for i in range(10)]
+    df = spark.createDataFrame(
+        [(1, " ".join(toks)), (2, "x")], "doc_id BIGINT, text STRING"
+    )
+    rows = chunk_tokens(df, size=4, stride=3).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, {})[r.chunk_id] = r
+    # doc 1: n=10, size=4, stride=3 -> 1 + ceil(6/3) = 3 chunks
+    c = by_doc[1]
+    assert [c[i].chunk_text for i in range(3)] == [
+        "w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9",
+    ]
+    assert [c[i].n_tokens for i in range(3)] == [4, 4, 4]
+    # every token covered
+    covered = set(t for i in c for t in c[i].chunk_text.split())
+    assert covered == set(toks)
+    # short doc -> exactly one short chunk
+    assert len(by_doc[2]) == 1 and by_doc[2][0].n_tokens == 1
+
+
+def test_chunk_tokens_rejects_bad_stride(spark):
+    import pytest as _pytest
+
+    from pydatalake_gen2_spark.operators.text import chunk_tokens
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id BIGINT, text STRING")
+    with _pytest.raises(ValueError):
+        chunk_tokens(df, size=4, stride=5)
+    with _pytest.raises(ValueError):
+        chunk_tokens(df, size=0, stride=0)
+
+
+def test_scd2_merge_edge_keys(spark):
+    """Keys only in dim pass through; keys only in batch start at v1;
+    overlapping keys close out and continue numbering."""
+    from pydatalake_gen2_spark.operators.merge import scd2_history, scd2_merge
+
+    early = spark.createDataFrame(
+        [(1, _ts(1), "a"), (1, _ts(2), "b"), (2, _ts(1), "x")],
+        "k BIGINT, ts TIMESTAMP, v STRING",
+    )
+    late = spark.createDataFrame(
+        [(1, _ts(10), "c"), (3, _ts(10), "n")],
+        "k BIGINT, ts TIMESTAMP, v STRING",
+    )
+    merged = scd2_merge(
+        scd2_history(early, ["k"], "ts", ["v"]), late, ["k"], "ts", ["v"]
+    )
+    rebuild = scd2_history(early.union(late), ["k"], "ts", ["v"])
+    key = lambda r: (r.k, r.version)  # noqa: E731
+    m = sorted(([r.k, r.v, r.valid_from, r.valid_to, r.is_current, r.version]
+                for r in merged.collect()))
+    f = sorted(([r.k, r.v, r.valid_from, r.valid_to, r.is_current, r.version]
+                for r in rebuild.collect()))
+    assert m == f
+    cur = {r.k: r.v for r in merged.filter("is_current").collect()}
+    assert cur == {1: "c", 2: "x", 3: "n"}
+
+
+def test_bm25_favors_rarer_terms(spark):
+    from pydatalake_gen2_spark.operators.text import bm25_scores
+
+    df = spark.createDataFrame(
+        [
+            (1, "rare common common common"),
+            (2, "common common common common"),
+            (3, "common filler filler filler"),
+            (4, "filler filler filler filler"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {r.doc_id: r for r in bm25_scores(df, ["rare", "common"]).collect()}
+    assert 4 not in out  # no query term -> no row
+    assert out[1].rn == 1  # only doc with the rare term ranks first
+    assert out[1].bm25 > out[2].bm25 > 0

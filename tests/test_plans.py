@@ -277,3 +277,36 @@ def test_simhash_neardup_dedups_without_shuffle(spark, sf_dir):
         # the only legitimate aggregates are the fingerprint bit tallies
         # (keyed on doc_id) — never the emitted (id_a, id_b) pairs
         assert "id_a" not in block, block
+
+
+def test_chunking_has_no_exchange(spark, sf_dir):
+    """l21 is row-local (explode + slices): any Exchange is a regression."""
+    plan = _plan(spark, sf_dir, "l21_chunk_overlap")
+    assert "Exchange" not in plan, plan
+
+
+def test_line_dedup_keeper_is_partial_agg_not_window(spark, sf_dir):
+    """l20's first-occurrence keeper must be a partial-aggregated
+    min(struct) groupBy on the line key, never a window sort over the
+    (hot) line partition — same gate as the jaccard df fix."""
+    plan = _plan(spark, sf_dir, "l20_line_dedup")
+    assert "Window" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_bm25_broadcasts_stats_and_df(spark, sf_dir):
+    """l22: term document-frequencies and the 1-row stats frame join the
+    tf side as broadcasts; the only exchange shuffles (doc, query_term)
+    hits, never the corpus vocabulary."""
+    plan = _plan(spark, sf_dir, "l22_bm25")
+    assert plan.count("BroadcastHashJoin") >= 1, plan
+    assert "BroadcastNestedLoop" in plan or "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_scd2_merge_broadcasts_batch_summaries(spark, sf_dir):
+    """j16: the change-batch summary joins against the dimension as a
+    broadcast — the dimension side must not shuffle for the merge."""
+    plan = _plan(spark, sf_dir, "j16_scd2_incremental")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
