@@ -127,6 +127,28 @@ class Engine:
     def quality_score(self, df, **kw) -> DataFrame:
         return text.quality_score(df, **kw)
 
+    def line_dedup(self, df, **kw) -> DataFrame:
+        return dedup.line_dedup(df, **kw)
+
+    def chunk_tokens(self, df, **kw) -> DataFrame:
+        return text.chunk_tokens(df, **kw)
+
+    def bm25(self, df, query_terms: list[str], **kw) -> DataFrame:
+        return text.bm25_scores(df, query_terms, **kw)
+
+    def char_entropy(self, df, **kw) -> DataFrame:
+        return text.char_entropy(df, **kw)
+
+    def scd2_history(self, changes, key_cols, ts_col, attr_cols, **kw) -> DataFrame:
+        from pydatalake_gen2_spark.operators.merge import scd2_history
+
+        return scd2_history(changes, key_cols, ts_col, attr_cols, **kw)
+
+    def scd2_merge(self, dim, changes, key_cols, ts_col, attr_cols, **kw) -> DataFrame:
+        from pydatalake_gen2_spark.operators.merge import scd2_merge
+
+        return scd2_merge(dim, changes, key_cols, ts_col, attr_cols, **kw)
+
     # -- streaming ----------------------------------------------------------
     def stream_events(self, sf_dir: str | None = None) -> DataFrame:
         from pydatalake_gen2_spark.streaming import replay

@@ -265,3 +265,61 @@ def test_approx_percentile_bound(spark, sf_dir, duck):
         r = rows[flag]
         assert r["p50_exact"] == p50 and r["p95_exact"] == p95, (flag, r)
         assert r["p50_within_bound"] and r["p95_within_bound"], (flag, r)
+
+
+def test_scd2_merge_equals_rebuild_random_splits(spark):
+    """Property: merge(history(prefix), suffix) == history(all) for EVERY
+    timestamp split point of a random change stream (the append-only CDC
+    contract, j16's invariant at arbitrary cut positions)."""
+    import datetime as dt
+    import random
+
+    from pydatalake_gen2_spark.operators.merge import scd2_history, scd2_merge
+
+    rng = random.Random(7)
+    rows = [
+        (rng.randrange(5), dt.datetime(2024, 1, 1) + dt.timedelta(hours=h), f"v{h}")
+        for h in rng.sample(range(200), 40)
+    ]
+    schema = "k BIGINT, ts TIMESTAMP, v STRING"
+    full = scd2_history(
+        spark.createDataFrame(rows, schema), ["k"], "ts", ["v"], ["v"]
+    )
+    want = sorted(map(tuple, full.collect()))
+    for cut_h in (50, 100, 150):
+        cut = dt.datetime(2024, 1, 1) + dt.timedelta(hours=cut_h)
+        early = [r for r in rows if r[1] < cut]
+        late = [r for r in rows if r[1] >= cut]
+        merged = scd2_merge(
+            scd2_history(spark.createDataFrame(early, schema), ["k"], "ts", ["v"], ["v"]),
+            spark.createDataFrame(late, schema),
+            ["k"], "ts", ["v"], ["v"],
+        )
+        assert sorted(map(tuple, merged.collect())) == want, f"cut={cut_h}"
+
+
+def test_line_dedup_matches_bruteforce(spark, sf_dir):
+    """Exact equivalence with a straight-line Python reference: global
+    first-occurrence (min (doc_id, pos)) keeper over 8-word blocks,
+    original-order reassembly, per-doc kept/dropped counts."""
+    from pydatalake_gen2_spark.operators.dedup import line_dedup
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = {r.doc_id: r.text for r in d.collect()}
+    seen: set[str] = set()
+    want = {}
+    for doc_id in sorted(docs):
+        toks = docs[doc_id].lower().split(" ")
+        blocks = [" ".join(toks[i : i + 8]) for i in range(0, len(toks), 8)]
+        kept = []
+        for b in blocks:
+            key = b.lower().strip()
+            if key not in seen:
+                seen.add(key)
+                kept.append(b)
+        want[doc_id] = (" ".join(kept), len(kept), len(blocks) - len(kept))
+    got = {
+        r.doc_id: (r.text_clean, r.n_kept, r.n_dropped)
+        for r in line_dedup(d, delim=None, block=8).collect()
+    }
+    assert got == want
