@@ -130,6 +130,9 @@ class Engine:
     def line_dedup(self, df, **kw) -> DataFrame:
         return dedup.line_dedup(df, **kw)
 
+    def span_dedup(self, df, L: int = 10, **kw) -> DataFrame:
+        return dedup.span_dedup(df, L=L, **kw)
+
     def chunk_tokens(self, df, **kw) -> DataFrame:
         return text.chunk_tokens(df, **kw)
 

@@ -487,3 +487,77 @@ def line_dedup(
             (F.col("n_lines") - F.coalesce("n_kept", F.lit(0))).cast("bigint").alias("n_dropped"),
         )
     )
+
+
+def span_dedup(
+    df: DataFrame,
+    L: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Repeated-span removal — the substring-level dedup class of Lee et
+    al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better"), approximated with duplicated-L-gram coverage instead of a
+    suffix array (the standard distributed relaxation: any duplicated
+    span of length ≥ L is a run of duplicated L-grams, so removing
+    tokens covered by non-first L-gram occurrences removes every
+    duplicated span while keeping its first occurrence intact).
+
+    Semantics (deterministic): an L-gram occurrence (doc, pos) is DUP iff
+    a strictly smaller (doc, pos) holds the same gram. Token index t of a
+    doc is removed iff some DUP occurrence at pos ∈ [t-L+1, t] covers it.
+    Output per doc: surviving tokens rejoined, with kept/removed counts.
+
+    Scale shape: grams shuffle ONCE keyed by md5(gram) (fixed 32-byte
+    key, not the raw L·word bytes); the first-occurrence keeper is a
+    partial-aggregated min(struct) groupBy (skew-safe — a boilerplate
+    gram occurring 10⁹ times combines map-side); the join back on the
+    gram key is AQE-skew-split; per-doc coverage is row-local over the
+    doc's own dup positions (bounded by doc length — cap document length
+    upstream as every real pipeline does). No window over the hot gram
+    key, no suffix array, no all-pairs.
+
+    Output: (doc_id, text_clean, n_kept BIGINT, n_removed BIGINT).
+    """
+    toks = tokens_col(text_col)
+    base = df.select(F.col(id_col), toks.alias("_t"))
+    grams = (
+        base.filter(F.size("_t") >= L)
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_t") - (L - 1)),
+                    lambda i: F.md5(F.array_join(F.slice("_t", i, L), " ")),
+                )
+            ).alias("p0", "gk"),
+        )
+        .select(F.col(id_col), (F.col("p0") + 1).alias("pos"), "gk")
+    )
+    keeper = grams.groupBy("gk").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("k")
+    )
+    dup_pos = (
+        grams.join(keeper, "gk")
+        .filter((F.col(id_col) != F.col(f"k.{id_col}")) | (F.col("pos") != F.col("k.pos")))
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("pos")).alias("dps"))
+    )
+    j = base.join(dup_pos, id_col, "left").withColumn(
+        "dps", F.coalesce("dps", F.array().cast("array<int>"))
+    )
+    kept = F.filter(
+        F.sequence(F.lit(1), F.size("_t")),
+        lambda ti: F.size(
+            F.filter(F.col("dps"), lambda p: (p >= ti - (L - 1)) & (p <= ti))
+        )
+        == 0,
+    )
+    return j.select(
+        F.col(id_col),
+        F.array_join(
+            F.transform(kept, lambda ti: F.element_at(F.col("_t"), ti)), " "
+        ).alias("text_clean"),
+        F.size(kept).cast("bigint").alias("n_kept"),
+        (F.size("_t") - F.size(kept)).cast("bigint").alias("n_removed"),
+    )

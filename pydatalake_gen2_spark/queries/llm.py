@@ -830,3 +830,41 @@ def l22_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bm25_scores(
         spark.table("documents"), ["vector", "stream", "merge", "window"]
     )
+
+
+@register(
+    "l23_span_dedup",
+    duck_sql="""
+    WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+    g AS (SELECT doc_id, i AS pos, array_to_string(toks[i:(i+9)], ' ') AS gram
+          FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 9)) AS i
+                FROM t)
+          WHERE len(toks) >= 10),
+    dup AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+        FROM g) WHERE rn > 1),
+    d2 AS (SELECT doc_id, list_sort(list(pos)) AS dps FROM dup GROUP BY doc_id),
+    j AS (SELECT t.doc_id, toks, coalesce(dps, []) AS dps
+          FROM t LEFT JOIN d2 USING (doc_id)),
+    k AS (SELECT doc_id, toks,
+                 list_filter(generate_series(1, len(toks)),
+                             ti -> len(list_filter(dps, p -> p >= ti - 9 AND p <= ti)) = 0)
+                     AS kept
+          FROM j)
+    SELECT doc_id,
+           coalesce(array_to_string(list_transform(kept, ti -> toks[ti]), ' '), '')
+               AS text_clean,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           CAST(len(toks) - len(kept) AS BIGINT) AS n_removed
+    FROM k
+    """,
+)
+def l23_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup (Lee et al. 2022 relaxation): remove every
+    token covered by a non-first duplicated 10-gram occurrence, keeping
+    first occurrences intact. md5-keyed gram shuffle + min(struct)
+    keeper groupBy (skew-safe) + row-local coverage — no suffix array,
+    no window over the hot gram key."""
+    return dedup.span_dedup(spark.table("documents"), L=10)

@@ -456,3 +456,20 @@ def test_bm25_favors_rarer_terms(spark):
     assert 4 not in out  # no query term -> no row
     assert out[1].rn == 1  # only doc with the rare term ranks first
     assert out[1].bm25 > out[2].bm25 > 0
+
+
+def test_span_dedup_removes_copied_span_keeps_first(spark):
+    from pydatalake_gen2_spark.operators.dedup import span_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j k l"),       # original span
+            (2, "x y a b c d e f g h i j q r"),   # embeds a copy of the 10-gram
+            (3, "p q r s"),                        # shorter than L -> untouched
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {r.doc_id: r for r in span_dedup(df, L=10).collect()}
+    assert out[1].text_clean == "a b c d e f g h i j k l" and out[1].n_removed == 0
+    assert out[2].text_clean == "x y q r" and out[2].n_removed == 10
+    assert out[3].text_clean == "p q r s" and out[3].n_removed == 0

@@ -310,3 +310,11 @@ def test_scd2_merge_broadcasts_batch_summaries(spark, sf_dir):
     plan = _plan(spark, sf_dir, "j16_scd2_incremental")
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_span_dedup_keeper_is_partial_agg_not_window(spark, sf_dir):
+    """l23's first-occurrence keeper must be partial-aggregated
+    min(struct) on the md5 gram key — no window sort over the hot gram."""
+    plan = _plan(spark, sf_dir, "l23_span_dedup")
+    assert "Window" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
