@@ -455,7 +455,10 @@ def line_dedup(
             lambda i: F.array_join(F.slice(toks, i * block + 1, block), " "),
         )
     else:
-        lines_arr = F.split(F.col(text_col), F.lit(delim).cast("string"), -1)
+        import re as _re
+
+        # F.split takes a regex; escape so delim is treated literally.
+        lines_arr = F.split(F.col(text_col), _re.escape(delim), -1)
     lines = df.select(
         F.col(id_col), F.posexplode(lines_arr).alias("pos", "line")
     ).withColumn("lkey", F.lower(F.trim(F.col("line"))))
