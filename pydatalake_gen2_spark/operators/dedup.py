@@ -217,6 +217,7 @@ def simhash_neardup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     fingerprints: DataFrame | None = None,
+    band_max_df: int | None = None,
 ) -> DataFrame:
     """All (a < b) pairs whose SimHash fingerprints are within Hamming
     distance ``r`` — the banded multi-index join (Manku et al., WWW'07
@@ -238,8 +239,15 @@ def simhash_neardup_pairs(
     verify per candidate (no dedup shuffle; see inline note). Hot bands
     (e.g. the all-zeros band from boilerplate-heavy corpora) are the same
     skew class as l02b's hot shingles; AQE skew-join handles moderate
-    cases and a ``max_df``-style band-frequency cap composes identically
-    if a corpus ever needs it.
+    cases, and ``band_max_df`` caps them outright: band buckets holding
+    more than that many fingerprints are dropped before the join
+    (anti-join against the tiny hot-bucket list), bounding the worst
+    bucket's join fan-out at band_max_df² at an explicit, documented
+    recall cost — pairs whose ONLY agreeing bands are hot are lost
+    (l02b's ``max_df`` contract). Capping forgoes the minimal-band
+    trick (a capped minimal band would wrongly suppress emission at the
+    surviving bands), so the capped path verifies Hamming inside the
+    join and then dedups with a distinct over true pairs only.
 
     If ``fingerprints`` is given (id_col, simhash) it is reused (e.g. the
     lx_simhash output); otherwise fingerprints are computed from
@@ -268,6 +276,30 @@ def simhash_neardup_pairs(
     idx = fp.select(
         "id", "simhash", F.explode(F.array(*band_structs)).alias("bv")
     ).select("id", "simhash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    if band_max_df is not None:
+        hot = (
+            idx.groupBy("band", "val")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") > band_max_df)
+            .select("band", "val")
+        )
+        idx = idx.join(F.broadcast(hot), ["band", "val"], "left_anti")
+        a, b = idx.alias("a"), idx.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.val") == F.col("b.val"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                hamming64("a.simhash", "b.simhash").cast("int").alias("hamming"),
+            )
+            .filter(F.col("hamming") <= r)
+            .distinct()
+        )
     a, b = idx.alias("a"), idx.alias("b")
     # Dedup WITHOUT a distinct: a pair meets at most once per band (one
     # index row per doc per band), so emitting it only at its MINIMAL

@@ -868,3 +868,59 @@ def l23_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeper groupBy (skew-safe) + row-local coverage — no suffix array,
     no window over the hot gram key."""
     return dedup.span_dedup(spark.table("documents"), L=10)
+
+
+@register(
+    "l24_incremental_dedup",
+    duck_sql="""
+    WITH hashed AS (
+      SELECT doc_id, sha256(text) AS content_hash,
+             substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= 'c' AS is_batch
+      FROM documents),
+    seen AS (SELECT DISTINCT content_hash FROM hashed WHERE NOT is_batch),
+    firsts AS (
+      SELECT doc_id, content_hash,
+             ROW_NUMBER() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
+      FROM hashed WHERE is_batch)
+    SELECT f.doc_id, f.content_hash,
+           s.content_hash IS NOT NULL AS dup_of_corpus,
+           f.rn > 1 AS dup_within_batch,
+           (s.content_hash IS NULL AND f.rn = 1) AS keep
+    FROM firsts f LEFT JOIN seen s USING (content_hash)
+    """,
+)
+def l24_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: a new batch (deterministic ~25% md5
+    slice) dedups against the already-ingested corpus's content-hash
+    index AND within itself (first-occurrence keeper). The corpus index
+    is exactly what a production pipeline persists between ingests; the
+    batch joins it on the 64-hex hash — one shuffle keyed by hash, both
+    the within-batch keeper and the index probe partial-aggregate /
+    bucket by the same key, so at 100 TB the index side can be written
+    hash-bucketed once and every future ingest joins shuffle-free."""
+    d = spark.table("documents")
+    hashed = d.select(
+        "doc_id",
+        F.sha2(F.col("text"), 256).alias("content_hash"),
+        (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) >= "c").alias(
+            "is_batch"
+        ),
+    )
+    seen = hashed.filter(~F.col("is_batch")).select("content_hash").distinct()
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    firsts = (
+        hashed.filter("is_batch")
+        .withColumn("rn", F.row_number().over(w))
+    )
+    return (
+        firsts.join(seen.withColumn("_seen", F.lit(True)), "content_hash", "left")
+        .select(
+            "doc_id",
+            "content_hash",
+            F.coalesce("_seen", F.lit(False)).alias("dup_of_corpus"),
+            (F.col("rn") > 1).alias("dup_within_batch"),
+            (F.col("_seen").isNull() & (F.col("rn") == 1)).alias("keep"),
+        )
+    )

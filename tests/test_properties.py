@@ -323,3 +323,27 @@ def test_line_dedup_matches_bruteforce(spark, sf_dir):
         for r in line_dedup(d, delim=None, block=8).collect()
     }
     assert got == want
+
+
+def test_simhash_band_cap_composition(spark, sf_dir):
+    """band_max_df=inf reproduces the uncapped output exactly; a small
+    cap yields a SUBSET of it (never false pairs), and pairs lost are
+    exactly those whose every agreeing band is hot."""
+    from pydatalake_gen2_spark.registry import ensure_views
+
+    ensure_views(spark, sf_dir)
+    d = spark.table("documents").filter("doc_id < 120")
+    full = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.simhash_neardup_pairs(d, r=4).collect()
+    }
+    uncapped_via_cap = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.simhash_neardup_pairs(d, r=4, band_max_df=10**9).collect()
+    }
+    assert uncapped_via_cap == full
+    capped = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.simhash_neardup_pairs(d, r=4, band_max_df=5).collect()
+    }
+    assert capped <= full
