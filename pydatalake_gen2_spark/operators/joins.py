@@ -57,3 +57,62 @@ def salted_join(
     cond = (lhs[left_key] == rhs[right_key]) & (lhs["_salt"] == rhs["_salt"])
     out = lhs.join(rhs, cond, how)
     return out.drop(lhs["_salt"]).drop(rhs["_salt"])
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bin_width: int,
+) -> DataFrame:
+    """Interval-overlap join (closed intervals, integer domains — e.g.
+    epoch microseconds): all (l, r) pairs sharing the ``on`` keys with
+    ``l.start <= r.end AND r.start <= l.end``.
+
+    A naive formulation is a per-key theta join (BroadcastNestedLoop or
+    a key-local cross product). This one turns it into a pure EQUI-join:
+    each interval explodes to the ``bin_width``-sized bins it covers, the
+    join key is (on, bin), and the overlap predicate evaluates inside
+    the join stage. A pair overlapping across several shared bins is
+    emitted EXACTLY ONCE — only in the bin containing the later of the
+    two interval starts (row-local arithmetic, same trick as the
+    simhash minimal-band emission) — so there is no distinct shuffle.
+
+    Scale: shuffle volume = Σ interval_length/bin_width + 1 rows per
+    side, equi-keyed so AQE skew-split applies; pick bin_width ≈ the
+    typical interval length so most intervals hit 1-2 bins. Caller
+    guarantees column names don't clash apart from ``on``.
+    """
+    def binned(df: DataFrame, s: str, e: str) -> DataFrame:
+        return df.withColumn(
+            "_bin",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(s) / bin_width), F.floor(F.col(e) / bin_width)
+                )
+            ),
+        )
+
+    lb = binned(left, left_start, left_end).alias("l")
+    rb = binned(right, right_start, right_end).alias("r")
+    ls, le = F.col(f"l.{left_start}"), F.col(f"l.{left_end}")
+    rs, re_ = F.col(f"r.{right_start}"), F.col(f"r.{right_end}")
+    emit_bin = F.floor(F.greatest(ls, rs) / bin_width)
+    cond = (
+        (ls <= re_) & (rs <= le) & (F.col("l._bin") == emit_bin)
+    )
+    out = lb.join(
+        rb,
+        [F.col(f"l.{c}") == F.col(f"r.{c}") for c in on]
+        + [F.col("l._bin") == F.col("r._bin"), cond],
+    )
+    keep = (
+        [F.col(f"l.{c}") for c in on]
+        + [F.col(f"l.{c}") for c in left.columns if c not in on]
+        + [F.col(f"r.{c}") for c in right.columns if c not in on]
+    )
+    return out.select(*keep)

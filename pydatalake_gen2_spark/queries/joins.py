@@ -308,3 +308,51 @@ def j16_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         attr_cols=["o_orderkey", "o_totalprice", "o_orderstatus"],
         tiebreak_cols=["o_orderkey"],
     )
+
+
+@register(
+    "j17_interval_overlap",
+    duck_sql="""
+    WITH iv AS (
+      SELECT event_id, user_id, event_type,
+             epoch_us(ts) AS s,
+             epoch_us(ts) + CAST(round(value * 1000000) AS BIGINT) AS e
+      FROM events),
+    v AS (SELECT event_id AS view_id, user_id, s AS vs, e AS ve
+          FROM iv WHERE event_type = 'view'),
+    c AS (SELECT event_id AS click_id, user_id, s AS cs, e AS ce
+          FROM iv WHERE event_type = 'click')
+    SELECT v.user_id, view_id, click_id,
+           CAST(least(ve, ce) - greatest(vs, cs) AS BIGINT) AS overlap_us
+    FROM v JOIN c ON v.user_id = c.user_id AND vs <= ce AND cs <= ve
+    """,
+)
+def j17_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: per-user 'view' intervals [ts, ts+value s]
+    vs 'click' intervals, via the bin-bucketed EQUI-join (1-hour bins,
+    exactly-once emission at the later start's bin — no theta join, no
+    distinct; operators/joins.py:interval_overlap_join)."""
+    from pydatalake_gen2_spark.operators.joins import interval_overlap_join
+
+    ev = spark.table("events").select(
+        "event_id", "user_id", "event_type",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.round(F.col("value") * 1000000).cast("bigint")).alias("e"),
+    )
+    v = ev.filter("event_type = 'view'").select(
+        F.col("event_id").alias("view_id"), "user_id",
+        F.col("s").alias("vs"), F.col("e").alias("ve"),
+    )
+    c = ev.filter("event_type = 'click'").select(
+        F.col("event_id").alias("click_id"), "user_id",
+        F.col("s").alias("cs"), F.col("e").alias("ce"),
+    )
+    out = interval_overlap_join(
+        v, c, on=["user_id"],
+        left_start="vs", left_end="ve", right_start="cs", right_end="ce",
+        bin_width=3_600_000_000,
+    )
+    return out.select(
+        "user_id", "view_id", "click_id",
+        (F.least("ve", "ce") - F.greatest("vs", "cs")).cast("bigint").alias("overlap_us"),
+    )

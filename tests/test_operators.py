@@ -473,3 +473,28 @@ def test_span_dedup_removes_copied_span_keeps_first(spark):
     assert out[1].text_clean == "a b c d e f g h i j k l" and out[1].n_removed == 0
     assert out[2].text_clean == "x y q r" and out[2].n_removed == 10
     assert out[3].text_clean == "p q r s" and out[3].n_removed == 0
+
+
+def test_interval_overlap_join_exactly_once_across_bins(spark):
+    """Intervals overlapping across MANY shared bins must emit one row;
+    touching endpoints count as overlap; disjoint intervals none."""
+    from pydatalake_gen2_spark.operators.joins import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [(1, 1, 0, 1000), (2, 1, 5000, 5010), (3, 2, 0, 100)],
+        "lid BIGINT, k BIGINT, s1 BIGINT, e1 BIGINT",
+    )
+    right = spark.createDataFrame(
+        [(10, 1, 990, 3000),   # overlaps lid=1 across bins (width 100)
+         (11, 1, 1000, 1000),  # touches lid=1 endpoint exactly
+         (12, 1, 4000, 4500),  # disjoint from both
+         (13, 2, 100, 200)],   # touches lid=3 at 100
+        "rid BIGINT, k BIGINT, s2 BIGINT, e2 BIGINT",
+    )
+    got = sorted(
+        (r.lid, r.rid)
+        for r in interval_overlap_join(
+            left, right, ["k"], "s1", "e1", "s2", "e2", bin_width=100
+        ).collect()
+    )
+    assert got == [(1, 10), (1, 11), (3, 13)]

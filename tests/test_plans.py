@@ -318,3 +318,11 @@ def test_span_dedup_keeper_is_partial_agg_not_window(spark, sf_dir):
     plan = _plan(spark, sf_dir, "l23_span_dedup")
     assert "Window" not in plan, plan
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_interval_overlap_is_equi_join(spark, sf_dir):
+    """j17 must execute as an equi-join on (key, bin) — never a
+    BroadcastNestedLoop / cartesian theta join."""
+    plan = _plan(spark, sf_dir, "j17_interval_overlap")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
