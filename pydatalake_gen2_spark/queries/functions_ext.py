@@ -12,7 +12,10 @@ engine contract.
 
 from __future__ import annotations
 
-from pydatalake_gen2_spark.registry import sql_pair
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pydatalake_gen2_spark.registry import register, sql_pair
 
 # Spark: `^` is bitwise xor, shiftleft/shiftright builtins.
 # DuckDB: xor(), `<<` / `>>` operators.
@@ -377,3 +380,63 @@ sql_pair(
     FROM u
     """,
 )
+
+
+@register(
+    "f38_bitwise",
+    duck_sql="""
+    SELECT o_orderkey,
+           CAST(o_orderkey & 255 AS BIGINT) AS b_and,
+           CAST(o_orderkey | 4096 AS BIGINT) AS b_or,
+           CAST(xor(o_orderkey, 170) AS BIGINT) AS b_xor,
+           CAST(o_orderkey << 3 AS BIGINT) AS b_shl,
+           CAST(o_orderkey >> 2 AS BIGINT) AS b_shr,
+           CAST(bit_count(o_orderkey) AS BIGINT) AS b_pop
+    FROM orders WHERE o_orderkey < 1000
+    """,
+)
+def f38_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar surface: and/or/xor/shifts/popcount (JVM-side)."""
+    k = F.col("o_orderkey")
+    return (
+        spark.table("orders")
+        .filter(k < 1000)
+        .select(
+            "o_orderkey",
+            k.bitwiseAND(F.lit(255)).cast("bigint").alias("b_and"),
+            k.bitwiseOR(F.lit(4096)).cast("bigint").alias("b_or"),
+            k.bitwiseXOR(F.lit(170)).cast("bigint").alias("b_xor"),
+            F.shiftleft(k, 3).cast("bigint").alias("b_shl"),
+            F.shiftright(k, 2).cast("bigint").alias("b_shr"),
+            F.bit_count(k).cast("bigint").alias("b_pop"),
+        )
+    )
+
+
+@register(
+    "f39_higher_order_arrays",
+    duck_sql="""
+    WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(list_filter(toks, w -> len(w) > 4)) AS BIGINT) AS n_long,
+           len(list_filter(toks, w -> w = 'data')) > 0 AS has_data,
+           CAST(list_sum(list_transform(toks, w -> len(w))) AS BIGINT) AS total_chars,
+           array_to_string(list_transform(toks[1:3], w -> upper(w)), ' ') AS head_upper
+    FROM t
+    """,
+)
+def f39_higher_order_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions as declared surface: filter / exists
+    / aggregate / transform + slice (all JVM lambda expressions)."""
+    toks = F.split(F.lower(F.col("text")), " ")
+    return spark.table("documents").select(
+        "doc_id",
+        F.size(F.filter(toks, lambda w: F.length(w) > 4)).cast("bigint").alias("n_long"),
+        F.exists(toks, lambda w: w == F.lit("data")).alias("has_data"),
+        F.aggregate(
+            toks, F.lit(0).cast("bigint"), lambda s, w: s + F.length(w)
+        ).alias("total_chars"),
+        F.array_join(
+            F.transform(F.slice(toks, 1, 3), lambda w: F.upper(w)), " "
+        ).alias("head_upper"),
+    )

@@ -129,3 +129,25 @@ def ud04_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, c.chunk_idx, c.chunk "
         "FROM documents d, LATERAL chunk_doc(d.text) c"
     )
+
+
+@register("ud05_ewma", duck_sql=None, tier="P")
+def ud05_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key exponential weighted moving average over event time — the
+    canonical sequential-state computation SQL windows cannot express
+    without overflow-prone pow() tricks. Runs as Arrow-batched
+    ``applyInPandas`` per user_id (the batch analog of
+    applyInPandasWithState; one shuffle on the key, sequential scan
+    inside each group — group size bounded by per-user event counts).
+    Tier P: property-tested against a straight numpy recurrence
+    (tests/test_properties.py); driver does the rows-only check."""
+    ev = spark.table("events").select("user_id", "event_id", "ts", "value")
+
+    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        pdf["ewma"] = pdf["value"].ewm(alpha=0.3, adjust=False).mean()
+        return pdf[["user_id", "event_id", "ewma"]]
+
+    return ev.groupBy("user_id").applyInPandas(
+        ewma, "user_id BIGINT, event_id BIGINT, ewma DOUBLE"
+    )

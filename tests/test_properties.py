@@ -347,3 +347,32 @@ def test_simhash_band_cap_composition(spark, sf_dir):
         for r in dedup.simhash_neardup_pairs(d, r=4, band_max_df=5).collect()
     }
     assert capped <= full
+
+
+def test_ewma_matches_numpy_recurrence(spark, sf_dir):
+    """ud05 must equal the textbook y_t = (1-a)·y_{t-1} + a·x_t
+    recurrence exactly (same float64 op order)."""
+    from pydatalake_gen2_spark.registry import ensure_views, load_all
+
+    ensure_views(spark, sf_dir)
+    got = {
+        r.event_id: r.ewma
+        for r in load_all()["ud05_ewma"].spark_fn(spark, sf_dir).collect()
+    }
+    rows = (
+        spark.table("events")
+        .select("user_id", "event_id", "ts", "value")
+        .collect()
+    )
+    by_user: dict = {}
+    for r in sorted(rows, key=lambda r: (r.user_id, r.ts, r.event_id)):
+        by_user.setdefault(r.user_id, []).append(r)
+    a = 0.3
+    n = 0
+    for evs in by_user.values():
+        y = None
+        for r in evs:
+            y = r.value if y is None else (1.0 - a) * y + a * r.value
+            assert got[r.event_id] == y, r.event_id
+            n += 1
+    assert n == len(got) > 0
