@@ -363,3 +363,35 @@ sql_pair(
     squares fit) — single-pass mergeable accumulators on both engines, so
     they scale as partial+final aggregation like any sum.""",
 )
+
+
+@register(
+    "g22_histogram",
+    duck_sql="""
+    WITH b AS (
+      SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bucket
+      FROM lineitem)
+    SELECT bucket,
+           bucket * 5000.0 AS lo,
+           (bucket + 1) * 5000.0 AS hi,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM b GROUP BY bucket
+    """,
+)
+def g22_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (5000-wide buckets over l_extendedprice):
+    one partial-aggregated groupBy on the computed bucket — the
+    mergeable building block for distributed distribution profiling."""
+    b = F.floor(F.col("l_extendedprice") / 5000.0).cast("bigint")
+    return (
+        spark.table("lineitem")
+        .select(b.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bucket",
+            (F.col("bucket") * 5000.0).alias("lo"),
+            ((F.col("bucket") + 1) * 5000.0).alias("hi"),
+            F.col("n").cast("bigint").alias("n"),
+        )
+    )

@@ -440,3 +440,29 @@ def f39_higher_order_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(F.slice(toks, 1, 3), lambda w: F.upper(w)), " "
         ).alias("head_upper"),
     )
+
+
+@register(
+    "f40_string_distance",
+    duck_sql="""
+    SELECT p_partkey,
+           CAST(levenshtein(p_name, p_type) AS BIGINT) AS lev_name_type,
+           CAST(levenshtein(substring(p_name, 1, 8), substring(p_type, 1, 8)) AS BIGINT)
+               AS lev_prefix8
+    FROM part WHERE p_partkey < 500
+    """,
+)
+def f40_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance scalar surface (levenshtein — identical DP
+    definition on both engines)."""
+    return (
+        spark.table("part")
+        .filter(F.col("p_partkey") < 500)
+        .select(
+            "p_partkey",
+            F.levenshtein("p_name", "p_type").cast("bigint").alias("lev_name_type"),
+            F.levenshtein(
+                F.substring("p_name", 1, 8), F.substring("p_type", 1, 8)
+            ).cast("bigint").alias("lev_prefix8"),
+        )
+    )
