@@ -20,7 +20,8 @@ from pyspark.sql import functions as F
 
 
 def tokens_col(text_col: str = "text"):
-    return F.split(F.lower(F.col(text_col)), " ")
+    # NULL text -> [''] (total function; see operators/text.py tokens)
+    return F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), " ")
 
 
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

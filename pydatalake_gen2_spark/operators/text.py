@@ -23,7 +23,9 @@ EN_STOPWORDS = ["the", "a", "and", "or", "of", "to", "in", "is", "on", "for"]
 
 
 def tokens(text_col: str = "text") -> Column:
-    return F.split(F.lower(F.col(text_col)), " ")
+    """Whitespace tokens; NULL text is treated as empty (total function —
+    docs with null text flow through every text op instead of vanishing)."""
+    return F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), " ")
 
 
 def ngrams(toks: Column, n: int) -> Column:

@@ -924,3 +924,47 @@ def l24_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("_seen").isNull() & (F.col("rn") == 1)).alias("keep"),
         )
     )
+
+
+_L25_DOC = """Temperature-rebalanced corpus sampling (mT5/XLM-R style:
+per-language mixture weight q_l ∝ n_l^0.5 upweights low-resource
+languages). The per-stratum keep threshold is computed ENTIRELY in
+integer arithmetic — w_l = round(1000·sqrt(n_l)) (sqrt is IEEE
+correctly-rounded, so bit-identical across engines), then integer DIV
+chains — and the keep decision is the l18 pure-integer hash compare, so
+the sample is bit-deterministic across engines, partitionings, and
+retries, and the predicate evaluates scan-side after a broadcast join
+of the 5-row threshold table (plan: one tiny agg + one broadcast join,
+zero corpus shuffle). DIV-early ordering keeps every intermediate under
+2^63 at any corpus size (documented in SCALE.md)."""
+
+from pydatalake_gen2_spark.registry import sql_pair as _sql_pair
+
+_sql_pair(
+    "l25_temperature_sample",
+    spark_sql="""
+    WITH s AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang),
+    w AS (SELECT lang, n_l, CAST(round(sqrt(n_l) * 1000) AS BIGINT) AS w_l FROM s),
+    tot AS (SELECT SUM(w_l) AS sw, SUM(n_l) AS n FROM w),
+    thr AS (SELECT lang, n_l,
+                   ((w_l * 4294967296 DIV sw) * (n DIV 2)) DIV n_l AS threshold
+            FROM w CROSS JOIN tot)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN thr ON d.lang = thr.lang
+    WHERE CAST(conv(substring(md5(CAST(d.doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)
+          < threshold
+    """,
+    duck_sql="""
+    WITH s AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang),
+    w AS (SELECT lang, n_l, CAST(round(sqrt(n_l) * 1000) AS BIGINT) AS w_l FROM s),
+    tot AS (SELECT SUM(w_l) AS sw, SUM(n_l) AS n FROM w),
+    thr AS (SELECT lang, n_l,
+                   ((w_l * 4294967296 // sw) * (n // 2)) // n_l AS threshold
+            FROM w CROSS JOIN tot)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN thr ON d.lang = thr.lang
+    WHERE CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+          < threshold
+    """,
+    doc=_L25_DOC,
+)

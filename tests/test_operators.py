@@ -498,3 +498,21 @@ def test_interval_overlap_join_exactly_once_across_bins(spark):
         ).collect()
     )
     assert got == [(1, 10), (1, 11), (3, 13)]
+
+
+def test_text_ops_are_total_over_null_text(spark):
+    """Docs with NULL text must flow through (as empty), not vanish."""
+    from pydatalake_gen2_spark.operators.dedup import line_dedup, span_dedup
+    from pydatalake_gen2_spark.operators.text import char_entropy, chunk_tokens
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "a b c")], "doc_id BIGINT, text STRING"
+    )
+    ld = {r.doc_id for r in line_dedup(df, delim=None, block=2).collect()}
+    sd = {r.doc_id for r in span_dedup(df, L=2).collect()}
+    ck = {r.doc_id for r in chunk_tokens(df, size=2, stride=2).collect()}
+    assert ld == sd == ck == {1, 2}
+    # char_entropy explodes raw text chars; null text has none -> doc 1
+    # legitimately absent there (documented: entropy needs content)
+    ce = {r.doc_id for r in char_entropy(df).collect()}
+    assert ce == {2}
