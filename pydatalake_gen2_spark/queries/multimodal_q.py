@@ -37,3 +37,14 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "path", "width", "height", F.length("content").alias("n_bytes")
     )
+
+
+@register("mm_frame_sample", duck_sql=None, tier="S")
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MM-FRAME-SAMPLE: binary ingest → mapInPandas 1→N frame extraction
+    (byte-window stub standing in for a video codec; the Arrow batch
+    shape, schema and fan-out are the real thing). Deterministic output:
+    md5 signature per sampled window."""
+    assets = multimodal.materialize_fake_assets(spark, sf_dir, n=32)
+    raw = multimodal.read_binary(spark, assets)
+    return multimodal.frame_sample(raw, every_n_bytes=64)
