@@ -516,3 +516,54 @@ def test_text_ops_are_total_over_null_text(spark):
     # legitimately absent there (documented: entropy needs content)
     ce = {r.doc_id for r in char_entropy(df).collect()}
     assert ce == {2}
+
+
+def test_interval_overlap_join_matches_bruteforce_random(spark):
+    """Randomized (seeded) intervals vs a Python brute force, across
+    bin widths smaller/larger than typical interval length."""
+    import random
+
+    from pydatalake_gen2_spark.operators.joins import interval_overlap_join
+
+    rng = random.Random(31)
+    L = [(i, rng.randrange(4), *sorted((rng.randrange(0, 3000), rng.randrange(0, 3000))))
+         for i in range(60)]
+    R = [(i, rng.randrange(4), *sorted((rng.randrange(0, 3000), rng.randrange(0, 3000))))
+         for i in range(60)]
+    want = sorted(
+        (l[0], r[0])
+        for l in L for r in R
+        if l[1] == r[1] and l[2] <= r[3] and r[2] <= l[3]
+    )
+    lf = spark.createDataFrame(L, "lid BIGINT, k BIGINT, s1 BIGINT, e1 BIGINT")
+    rf = spark.createDataFrame(R, "rid BIGINT, k BIGINT, s2 BIGINT, e2 BIGINT")
+    for bw in (50, 700, 10000):
+        got = sorted(
+            (r.lid, r.rid)
+            for r in interval_overlap_join(
+                lf, rf, ["k"], "s1", "e1", "s2", "e2", bin_width=bw
+            ).collect()
+        )
+        assert got == want, f"bin_width={bw}"
+
+
+def test_chunk_tokens_param_matrix(spark):
+    """Chunk-count formula, full coverage, and overlap width across a
+    size/stride matrix."""
+    from pydatalake_gen2_spark.operators.text import chunk_tokens
+
+    docs = [(n, " ".join(f"t{i}" for i in range(n))) for n in (1, 5, 64, 65, 200)]
+    df = spark.createDataFrame(docs, "doc_id BIGINT, text STRING")
+    for size, stride in ((8, 8), (8, 5), (64, 48), (3, 1)):
+        rows = chunk_tokens(df, size=size, stride=stride).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        for n, _ in docs:
+            cs = sorted(by_doc[n], key=lambda r: r.chunk_id)
+            expect_chunks = 1 + -(-max(0, n - size) // stride)
+            assert len(cs) == expect_chunks, (n, size, stride)
+            toks = [f"t{i}" for i in range(n)]
+            covered = [t for r in cs for t in r.chunk_text.split()]
+            assert set(covered) == set(toks), (n, size, stride)
+            assert cs[-1].n_tokens == min(n - (len(cs) - 1) * stride, size)
