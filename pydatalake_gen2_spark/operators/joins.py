@@ -116,3 +116,52 @@ def interval_overlap_join(
         + [F.col(f"r.{c}") for c in right.columns if c not in on]
     )
     return out.select(*keep)
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    col: str,
+    k: int = 3,
+) -> DataFrame:
+    """All unordered pairs of DISTINCT values of ``col`` within
+    Levenshtein distance ``k`` — entity-resolution style fuzzy matching
+    without a cross product.
+
+    Blocking: edit distance ≤ k implies length difference ≤ k, so values
+    bucket by floor(len / (k+1)); the left side emits to its own and the
+    two adjacent buckets (any pair with |Δlen| ≤ k shares one of those),
+    the right side stays in its home bucket — each candidate pair meets
+    EXACTLY once (the right bucket is unique), so no distinct shuffle.
+    The exact levenshtein verify runs inside the join stage.
+
+    Scale: operates on the distinct-value dictionary (groupBy first), so
+    the join is dictionary-sized, not row-sized; the 3× emission is the
+    only fan-out. For huge dictionaries compose a second block key
+    (first char / q-gram prefix) the same way. Output:
+    (val_a, val_b, distance BIGINT) with val_a < val_b.
+    """
+    w = k + 1
+    vals = df.select(F.col(col).alias("v")).where(F.col("v").isNotNull()).distinct()
+    home = F.floor(F.length("v") / w)
+    left = vals.select(
+        "v", F.explode(F.array(home - 1, home, home + 1)).alias("b")
+    ).alias("l")
+    right = vals.select("v", home.alias("b")).alias("r")
+    lev = F.levenshtein(F.col("l.v"), F.col("r.v"))
+    return (
+        left.join(
+            right,
+            (F.col("l.b") == F.col("r.b")) & (F.col("l.v") < F.col("r.v")),
+        )
+        .filter(
+            (
+                F.abs(F.length(F.col("l.v")) - F.length(F.col("r.v"))) <= k
+            )
+            & (lev <= k)
+        )
+        .select(
+            F.col("l.v").alias("val_a"),
+            F.col("r.v").alias("val_b"),
+            lev.cast("bigint").alias("distance"),
+        )
+    )

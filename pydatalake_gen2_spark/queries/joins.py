@@ -356,3 +356,23 @@ def j17_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "view_id", "click_id",
         (F.least("ve", "ce") - F.greatest("vs", "cs")).cast("bigint").alias("overlap_us"),
     )
+
+
+@register(
+    "j18_fuzzy_name_match",
+    duck_sql="""
+    WITH v AS (SELECT DISTINCT p_name AS v FROM part WHERE p_name IS NOT NULL)
+    SELECT a.v AS val_a, b.v AS val_b,
+           CAST(levenshtein(a.v, b.v) AS BIGINT) AS distance
+    FROM v a JOIN v b ON a.v < b.v
+    WHERE levenshtein(a.v, b.v) <= 3
+    """,
+)
+def j18_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy matching over the part-name dictionary (levenshtein <= 3)
+    via length-bucket blocking with exactly-once pair emission — the
+    oracle is the full theta join, so the hash match proves the blocking
+    has perfect recall (operators/joins.py:fuzzy_pairs)."""
+    from pydatalake_gen2_spark.operators.joins import fuzzy_pairs
+
+    return fuzzy_pairs(spark.table("part"), "p_name", k=3)

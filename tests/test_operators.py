@@ -567,3 +567,37 @@ def test_chunk_tokens_param_matrix(spark):
             covered = [t for r in cs for t in r.chunk_text.split()]
             assert set(covered) == set(toks), (n, size, stride)
             assert cs[-1].n_tokens == min(n - (len(cs) - 1) * stride, size)
+
+
+def test_fuzzy_pairs_matches_bruteforce(spark):
+    """Blocking recall is exact for arbitrary length spreads (incl.
+    values whose lengths differ by exactly k and by k+1)."""
+    import itertools
+
+    from pydatalake_gen2_spark.operators.joins import fuzzy_pairs
+
+    vals = ["a", "ab", "abc", "abcd", "abcde", "kitten", "sitting",
+            "flaw", "lawn", "zzzzzzzzzz", None, "abc"]
+    df = spark.createDataFrame([(v,) for v in vals], "name STRING")
+    clean = sorted(set(v for v in vals if v is not None))
+
+    def lev(x, y):
+        prev = list(range(len(y) + 1))
+        for i, cx in enumerate(x, 1):
+            cur = [i]
+            for j, cy in enumerate(y, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (cx != cy)))
+            prev = cur
+        return prev[-1]
+
+    for k in (1, 2, 3):
+        want = sorted(
+            (a, b, lev(a, b))
+            for a, b in itertools.combinations(clean, 2)
+            if lev(a, b) <= k
+        )
+        got = sorted(
+            (r.val_a, r.val_b, r.distance)
+            for r in fuzzy_pairs(df, "name", k=k).collect()
+        )
+        assert got == want, k

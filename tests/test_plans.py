@@ -326,3 +326,11 @@ def test_interval_overlap_is_equi_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "j17_interval_overlap")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoop" not in plan, plan
+
+
+def test_fuzzy_match_is_equi_join(spark, sf_dir):
+    """j18's blocking must produce an equi-join on the length bucket —
+    never a cartesian/BNLJ theta join over the dictionary."""
+    plan = _plan(spark, sf_dir, "j18_fuzzy_name_match")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
