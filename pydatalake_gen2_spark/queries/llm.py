@@ -968,3 +968,83 @@ _sql_pair(
     """,
     doc=_L25_DOC,
 )
+
+
+@register(
+    "l26_e2e_pipeline",
+    duck_sql="""
+    WITH gated AS (
+      SELECT doc_id, lang, text FROM documents WHERE n_chars >= 120),
+    keeper AS (
+      SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY sha256(text)),
+    deduped AS (
+      SELECT g.doc_id, g.lang, g.text FROM gated g JOIN keeper USING (doc_id)),
+    s AS (SELECT lang, COUNT(*) AS n_l FROM deduped GROUP BY lang),
+    w AS (SELECT lang, n_l, CAST(round(sqrt(n_l) * 1000) AS BIGINT) AS w_l FROM s),
+    tot AS (SELECT SUM(w_l) AS sw, SUM(n_l) AS n FROM w),
+    thr AS (SELECT lang, n_l,
+                   ((w_l * 4294967296 // sw) * (n // 2)) // n_l AS threshold
+            FROM w CROSS JOIN tot),
+    sampled AS (
+      SELECT d.doc_id, d.lang, d.text
+      FROM deduped d JOIN thr ON d.lang = thr.lang
+      WHERE CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+            < threshold),
+    t AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks FROM sampled),
+    c AS (SELECT doc_id, lang, toks,
+                 1 + CAST(floor((greatest(len(toks) - 32, 0) + 31) / 32.0) AS BIGINT)
+                     AS n_chunks
+          FROM t),
+    ix AS (SELECT doc_id, lang, toks, unnest(generate_series(0, n_chunks - 1)) AS i
+           FROM c)
+    SELECT doc_id, lang, CAST(i AS BIGINT) AS chunk_id,
+           CAST(least(len(toks) - i*32, 32) AS BIGINT) AS n_tokens,
+           md5(array_to_string(toks[(i*32+1):(i*32+32)], ' ')) AS chunk_sig
+    FROM ix
+    """,
+)
+def l26_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data pipeline as ONE composed plan: quality
+    gate (scan predicate) → exact dedup (hash groupBy keeper) →
+    temperature-rebalanced language sampling (broadcast integer
+    thresholds, scan-side hash predicate) → 32-token chunking (row-local
+    explode). Every stage is the registered operator's exact logic, so
+    the hash match certifies the COMPOSITION, not just the pieces — and
+    the whole thing is still three shuffles (dedup keeper, sample-stats
+    agg, none for chunking) at any corpus size. Chunks are emitted as
+    md5 signatures (driver canonicalizer contract for long strings)."""
+    d = spark.table("documents")
+    gated = d.filter(F.col("n_chars") >= 120).select("doc_id", "lang", "text")
+    keeper = gated.groupBy(F.sha2("text", 256)).agg(F.min("doc_id").alias("doc_id"))
+    deduped = gated.join(keeper.select("doc_id"), "doc_id")
+    s = deduped.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    w = s.select(
+        "lang", "n_l", F.round(F.sqrt("n_l") * 1000).cast("bigint").alias("w_l")
+    )
+    tot = w.agg(F.sum("w_l").alias("sw"), F.sum("n_l").alias("n"))
+    thr = w.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.expr("((w_l * 4294967296 DIV sw) * (n DIV 2)) DIV n_l").alias("threshold"),
+    )
+    h32 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    sampled = deduped.join(F.broadcast(thr), "lang").filter(h32 < F.col("threshold"))
+    toks = F.split(F.lower(F.col("text")), " ")
+    n = F.size(toks)
+    n_chunks = (
+        F.lit(1) + F.floor((F.greatest(n - 32, F.lit(0)) + F.lit(31)) / F.lit(32))
+    ).cast("int")
+    base = sampled.select(
+        "doc_id", "lang", toks.alias("_t"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("i"),
+    )
+    return base.select(
+        "doc_id",
+        "lang",
+        F.col("i").cast("bigint").alias("chunk_id"),
+        F.least(F.size("_t") - F.col("i") * 32, F.lit(32)).cast("bigint").alias("n_tokens"),
+        F.md5(F.array_join(F.slice("_t", F.col("i") * 32 + 1, F.lit(32)), " ")).alias(
+            "chunk_sig"
+        ),
+    )

@@ -334,3 +334,12 @@ def test_fuzzy_match_is_equi_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "j18_fuzzy_name_match")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoop" not in plan, plan
+
+
+def test_e2e_pipeline_shape(spark, sf_dir):
+    """l26 composes four stages but must stay a lean plan: threshold
+    table broadcast, no cartesian, chunking adds no exchange."""
+    plan = _plan(spark, sf_dir, "l26_e2e_pipeline")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
