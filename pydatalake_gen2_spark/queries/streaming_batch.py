@@ -228,3 +228,42 @@ def st09_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST09 real streaming run (equality with the batch form asserted in
     tests/test_streaming.py)."""
     return replay.run_stream_static_join(spark, sf_dir)
+
+
+sql_pair(
+    "st10_pipeline_batch",
+    """
+    WITH dedup AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts, user_id) AS rn
+        FROM events) t WHERE rn = 1)
+    SELECT date_format(window(ts, '10 minutes').start, 'yyyy-MM-dd HH:mm:ss') AS w_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM dedup WHERE value >= 1.0
+    GROUP BY window(ts, '10 minutes'), event_type
+    """,
+    duck_sql="""
+    WITH dedup AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts, user_id) AS rn
+        FROM events) t WHERE rn = 1)
+    SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM dedup WHERE value >= 1.0
+    GROUP BY time_bucket(INTERVAL '10 minutes', ts), event_type
+    """,
+    doc="""Batch form of the composed streaming pipeline (gate → dedup →
+    tumbling agg); the streaming run (st10_pipeline_stream) must produce
+    exactly these rows under micro-batch replay.""",
+)
+
+
+@register("st10_pipeline_stream", duck_sql=None, tier="S")
+def st10_pipeline_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed continuous query: filter gate + stateful dedup +
+    watermarked tumbling agg in ONE stream (ST10)."""
+    return replay.run_pipeline_stream(spark, sf_dir)

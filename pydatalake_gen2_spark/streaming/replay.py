@@ -280,3 +280,38 @@ def run_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _run_to_memory(enriched, "st09_out", "complete")
     return spark.table("st09_out")
+
+
+def pipeline_agg(src: DataFrame) -> DataFrame:
+    """ST10 shape: gate → windowed count/sum by event_type (applied after
+    the stateful dedup in the stream form)."""
+    return (
+        src.filter(F.col("value") >= 1.0)
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def run_pipeline_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST10 streaming run: the composed micro-batch pipeline — filter
+    gate, watermarked dropDuplicates-with-state on event_id, tumbling
+    aggregation — one continuous query, complete mode. The batch
+    equivalence (st10_pipeline_batch) is asserted in
+    tests/test_streaming.py, certifying the COMPOSITION under
+    micro-batch replay exactly as l26 does for the batch pipeline."""
+    src = (
+        read_stream(spark, sf_dir)
+        .withWatermark("ts", "30 minutes")
+        .dropDuplicates(["event_id"])
+    )
+    _run_to_memory(pipeline_agg(src), "st10_out", "complete")
+    return spark.table("st10_out")

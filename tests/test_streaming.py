@@ -92,3 +92,8 @@ def test_stateful_counter_equals_batch(spark, sf_dir):
 
 def test_stream_static_join_equals_batch(spark, sf_dir):
     _pair_equal(spark, sf_dir, "st09_stream", "st09_stream_static_join")
+
+
+def test_pipeline_stream_equals_batch(spark, sf_dir):
+    """ST10: composed gate+dedup+window continuous query == batch form."""
+    _pair_equal(spark, sf_dir, "st10_pipeline_stream", "st10_pipeline_batch")
