@@ -45,8 +45,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # events.ts is parquet TIMESTAMP(NANOS); read the raw int64 and
-        # convert to µs in the loader (Spark timestamps are µs precision).
+        # Some fixture generations write events.ts as TIMESTAMP(NANOS);
+        # this conf lets the loader read those as raw int64 and truncate
+        # to µs (tables.py sniffs the footer). Harmless for µs fixtures.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():
