@@ -198,3 +198,42 @@ def s12_compaction_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "s13_sorted_layout",
+    duck_sql="""
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           strftime(min(l_shipdate), '%Y-%m-%d') AS min_ship,
+           strftime(max(l_shipdate), '%Y-%m-%d') AS max_ship
+    FROM lineitem
+    """,
+)
+def s13_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partitioned sorted write — the terasort-style layout that
+    gives a sorted lake table: repartitionByRange(l_shipdate) makes
+    files cover DISJOINT date ranges (zone-map file skipping: a date
+    predicate prunes whole files by footer min/max), and
+    sortWithinPartitions clusters rows inside each file for row-group
+    skipping. Read-back totals hash-match the oracle (lossless); the
+    disjoint-files invariant is asserted in tests/test_operators.py."""
+    path = _tmp("s13_sorted", sf_dir)
+
+    def write():
+        (
+            load_table(spark, sf_dir, "lineitem")
+            .repartitionByRange(8, "l_shipdate")
+            .sortWithinPartitions("l_shipdate", "l_orderkey")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+
+    _write_once(path, write)
+    back = spark.read.schema(TABLES["lineitem"]).parquet(path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("l_orderkey").alias("n_orders"),
+        F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("min_ship"),
+        F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("max_ship"),
+    )

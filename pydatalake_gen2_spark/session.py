@@ -45,6 +45,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Write TIMESTAMP_MICROS, not legacy INT96: INT96 columns carry NO
+        # parquet min/max statistics, which silently disables the zone-map
+        # file/row-group skipping the sorted layouts (s13) exist for.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # Some fixture generations write events.ts as TIMESTAMP(NANOS);
         # this conf lets the loader read those as raw int64 and truncate
         # to µs (tables.py sniffs the footer). Harmless for µs fixtures.

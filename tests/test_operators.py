@@ -601,3 +601,35 @@ def test_fuzzy_pairs_matches_bruteforce(spark):
             for r in fuzzy_pairs(df, "name", k=k).collect()
         )
         assert got == want, k
+
+
+def test_sorted_layout_files_are_disjoint(spark, sf_dir):
+    """s13's files must cover non-overlapping l_shipdate ranges (the
+    zone-map property that lets a date predicate skip whole files)."""
+    from pydatalake_gen2_spark.registry import load_all
+
+    load_all()["s13_sorted_layout"].spark_fn(spark, sf_dir).collect()  # materialize
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    roots = _glob.glob("/tmp/pydatalake_sinks_*/s13_sorted_*" )
+    assert roots
+    ranges = []
+    for root in roots[:1]:
+        for f in _glob.glob(f"{root}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                col = next(
+                    md.row_group(rg).column(i)
+                    for i in range(md.num_columns)
+                    if md.row_group(rg).column(i).path_in_schema == "l_shipdate"
+                )
+                mins.append(col.statistics.min)
+                maxs.append(col.statistics.max)
+            ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) > 1
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, (hi1, lo2)
