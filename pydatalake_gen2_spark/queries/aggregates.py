@@ -395,3 +395,38 @@ def g22_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("bigint").alias("n"),
         )
     )
+
+
+@register(
+    "g23_mode",
+    duck_sql="""
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS n FROM events
+      GROUP BY user_id, event_type)
+    SELECT user_id, event_type AS mode_event, CAST(n AS BIGINT) AS n
+    FROM (SELECT user_id, event_type, n,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY n DESC, event_type) AS rn
+          FROM c) t
+    WHERE rn = 1
+    """,
+)
+def g23_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode with deterministic tie-break (count DESC, value
+    ASC): the raw rows partial-aggregate into (group, value, n) tallies
+    first, and only that tally table — bounded by groups × distinct
+    values, not row count — passes through the rank window."""
+    c = (
+        spark.table("events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc(), F.col("event_type"))
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("user_id", F.col("event_type").alias("mode_event"),
+                F.col("n").cast("bigint").alias("n"))
+    )

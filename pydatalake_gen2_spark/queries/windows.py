@@ -13,7 +13,10 @@ o_custkey so Catalyst shares the exchange when composed.
 
 from __future__ import annotations
 
-from pydatalake_gen2_spark.registry import sql_pair
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pydatalake_gen2_spark.registry import register, sql_pair
 
 sql_pair(
     "w01_row_number",
@@ -209,3 +212,44 @@ sql_pair(
     carry-forward. One join shuffle + one window shuffle, both on the
     series key.""",
 )
+
+
+@register(
+    "w14_cumulative_distinct",
+    duck_sql="""
+    WITH firsts AS (
+      SELECT user_id, strftime(min(CAST(ts AS DATE)), '%Y-%m-%d') AS first_day
+      FROM events GROUP BY user_id),
+    daily AS (
+      SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS new_users
+      FROM firsts GROUP BY first_day)
+    SELECT day, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_users
+    FROM daily
+    """,
+)
+def w14_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users over time WITHOUT a quadratic
+    distinct-per-window: each user collapses to a first-seen day
+    (partial-agg groupBy), days aggregate, and a running sum over the
+    tiny day spine gives the cumulative distinct count — the standard
+    rewrite that turns an O(days × users) windowed COUNT(DISTINCT) into
+    two linear aggs + an output-sized window."""
+    from pyspark.sql.window import Window
+
+    firsts = (
+        spark.table("events")
+        .groupBy("user_id")
+        .agg(F.date_format(F.min(F.col("ts").cast("date")), "yyyy-MM-dd").alias("first_day"))
+    )
+    daily = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "day",
+        F.col("new_users").cast("bigint").alias("new_users"),
+        F.sum("new_users").over(w).cast("bigint").alias("cum_users"),
+    )
