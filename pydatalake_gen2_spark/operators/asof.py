@@ -123,3 +123,114 @@ def asof_join(
     if how == "inner":
         out = out.filter(F.col(f"asof_{carry[0]}").isNotNull())
     return out
+
+
+def nearest_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_id: str,
+    carry: list[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Nearest-event join: for each left row, attach the right row whose
+    timestamp is CLOSEST to the left timestamp (either direction), per
+    key — the bidirectional generalization of asof_join (pandas
+    merge_asof(direction='nearest') semantics).
+
+    Ties resolve deterministically: equal |Δts| picks the EARLIER right
+    row (the backward candidate); equal (key, ts) right rows pre-reduce
+    to the minimum `right_id` row before the join.
+
+    Algorithm: the same union-sort shape as asof_join — ONE shuffle on
+    the key, one in-partition sort — with TWO frames over the same sort:
+    last(ignorenulls) carries the latest right row at-or-before each left
+    row, first(ignorenulls) over the forward frame carries the earliest
+    right row after it; a final row-local comparison picks the closer
+    side. No range cross-product at any point, so the cost profile is
+    identical to asof_join at 100 TB.
+
+    Output: left columns + ``nearest_<carry>`` + ``dist_us`` (abs Δ in
+    microseconds). `how='left'` keeps unmatched left rows (NULL carries).
+    """
+    lcols = left.columns
+    carry_in = [right_ts, right_id] + [
+        c for c in carry if c not in (right_ts, right_id)
+    ]
+    # pre-reduce equal-(key, ts) right rows to the min right_id row:
+    # min(struct(id, ...)) is ordered by its first field, so the whole
+    # row is picked atomically (no column mixing)
+    rr = (
+        right.groupBy(F.col(on).alias("_k"), F.col(right_ts).alias("_ts"))
+        .agg(
+            F.min(
+                F.struct(F.col(right_id).cast("long").alias("_rid"),
+                         *[F.col(c) for c in carry_in])
+            ).alias("_rrow")
+        )
+    )
+    carry_t = ", ".join(
+        ["`_rid`:bigint"]
+        + [f"`{c}`:{right.schema[c].dataType.simpleString()}" for c in carry_in]
+    )
+    l = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_tag"),
+        F.lit(None).cast(f"struct<{carry_t}>").alias("_rrow"),
+        *[F.col(c) for c in lcols],
+    )
+    r = rr.select(
+        "_k",
+        "_ts",
+        F.lit(0).alias("_tag"),
+        "_rrow",
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+    )
+    order = [F.col("_ts"), F.col("_tag")]  # rights before lefts at equal ts
+    w_prev = (
+        Window.partitionBy("_k").orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy("_k").orderBy(*order)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    u = l.unionByName(r)
+    picked = (
+        u.withColumn("_prev", F.last("_rrow", ignorenulls=True).over(w_prev))
+        .withColumn("_next", F.first("_rrow", ignorenulls=True).over(w_next))
+        .filter(F.col("_tag") == 1)
+        .withColumn(
+            "_dprev",
+            F.unix_micros(F.col("_ts")) - F.unix_micros(F.col("_prev").getField(right_ts)),
+        )
+        .withColumn(
+            "_dnext",
+            F.unix_micros(F.col("_next").getField(right_ts)) - F.unix_micros(F.col("_ts")),
+        )
+        .withColumn(
+            "_pick",
+            F.when(F.col("_prev").isNull(), F.col("_next"))
+            .when(F.col("_next").isNull(), F.col("_prev"))
+            .when(F.col("_dprev") <= F.col("_dnext"), F.col("_prev"))
+            .otherwise(F.col("_next")),
+        )
+    )
+    out = picked.select(
+        *lcols,
+        *[F.col("_pick").getField(c).alias(f"nearest_{c}") for c in carry],
+        F.when(F.col("_pick").isNull(), F.lit(None).cast("bigint"))
+        .otherwise(
+            F.abs(
+                F.unix_micros(F.col("_pick").getField(right_ts))
+                - F.unix_micros(F.col("_ts"))
+            )
+        )
+        .alias("dist_us"),
+    )
+    if how == "inner":
+        out = out.filter(F.col(f"nearest_{carry[0]}").isNotNull())
+    return out

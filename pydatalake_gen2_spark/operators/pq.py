@@ -188,3 +188,123 @@ def pq_topk(
         .filter(F.col("rn") <= k)
         .withColumn("adc_ip", F.round(F.col("adc_ip"), 4))
     )
+
+
+def pq_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    codebooks: list[list[list[float]]],
+    shortlist_mult: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ADC shortlist → exact re-rank: the standard two-stage ANN refine.
+
+    Stage 1 runs `pq_topk` with a widened k (``shortlist_mult * k``) over
+    the compressed codes — the cheap, bandwidth-bound scan. Stage 2
+    re-attaches the exact vectors for ONLY the shortlist ids (an equi-join
+    on id: |queries|·mult·k rows, not the corpus) and re-scores with exact
+    cosine, so the final ordering is exact over the shortlist. Recall loss
+    vs brute force is confined to stage-1 misses, which shrink
+    geometrically with the multiplier — the knob a 100 TB deployment tunes
+    instead of ever touching the full-precision column for the scan.
+
+    Output: (query_id, vec_id, cos DOUBLE, rn) — same shape as
+    similarity.cosine_topk, so the recall property test compares id sets
+    directly.
+    """
+    from pydatalake_gen2_spark.operators.vectors import as_double as _ad
+    from pydatalake_gen2_spark.operators.vectors import cosine as _cos
+
+    shortlist = pq_topk(
+        corpus, queries, k * shortlist_mult, codebooks, id_col, vec_col, query_id_col
+    ).select(query_id_col, id_col)
+    vec = corpus.select(F.col(id_col), _ad(vec_col).alias("_v"))
+    qvec = queries.select(
+        F.col(id_col).alias(query_id_col), _ad(vec_col).alias("_qv")
+    )
+    exact = (
+        shortlist.join(F.broadcast(qvec), on=query_id_col)
+        .join(vec, on=id_col)
+        .select(
+            query_id_col, id_col, _cos(F.col("_qv"), F.col("_v")).alias("cos")
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col(id_col))
+    return (
+        exact.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= k)
+        .withColumn("cos", F.round(F.col("cos"), 4))
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    k: int,
+    codebooks: list[list[list[float]]],
+    centroids: list[list[float]],
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: centroid-partitioned inverted file whose postings are PQ
+    codes — the canonical billion-scale ANN layout (Jégou et al. 2011,
+    the Faiss `IVFx,PQy` index with by_residual=False).
+
+    - The inverted file is (cell, id, codes): 8-byte codes instead of
+      256-byte vectors, so each posting list is ~32x smaller than
+      IVF-Flat's — the probe join shuffles codes, never vectors.
+    - Queries (here: all-pairs over the corpus, like ivf_topk) probe
+      their n_probe nearest cells; candidate generation is the equi-join
+      on `cell`.
+    - Candidates are scored by decoding codes against the closure-held
+      codebook and dotting with the exact query — mathematically identical
+      to the ADC LUT gather (LUT[j][c] = q_j · centroid_c; summing LUT
+      entries IS the dot product of the query with the decoded vector),
+      vectorized as one gather + gemm per Arrow batch.
+
+    Output: (query_id, vec_id, adc_ip DOUBLE, rn) — approximate scores;
+    pq_rerank is the exact-refine stage when needed.
+    """
+    from pydatalake_gen2_spark.operators.similarity import _cell_assigner
+
+    cbs = [np.asarray(cb, dtype=float) for cb in codebooks]
+    m = len(cbs)
+    sub = cbs[0].shape[1]
+    assign = _cell_assigner(centroids, n_probe)
+
+    two = spread(corpus.select(F.col(id_col), as_double(vec_col).alias("_v")))
+    base = two.withColumn("_a", assign("_v"))
+    # inverted file: postings are PQ codes, not vectors
+    codes = pq_encode(corpus, codebooks, id_col, vec_col)
+    inv = base.select(id_col, F.col("_a.cell").alias("cell")).join(codes, on=id_col)
+    probes = base.select(
+        F.col(id_col).alias("query_id"),
+        F.col("_v").alias("_qv"),
+        F.explode("_a.probes").alias("cell"),
+    )
+    cand = probes.join(inv, on="cell").filter(F.col("query_id") != F.col(id_col))
+
+    @F.pandas_udf("double")
+    def adc(qv: pd.Series, c: pd.Series) -> pd.Series:
+        if len(qv) == 0:
+            return pd.Series([], dtype=float)
+        q = _normalize_rows(np.stack(qv.to_numpy()))
+        codes_m = np.stack(c.to_numpy()).astype(np.int64)  # (b, m)
+        ip = np.zeros(len(q))
+        for j in range(m):
+            # decoded subvector gather + row-wise dot with the query slice
+            ip += (q[:, j * sub : (j + 1) * sub] * cbs[j][codes_m[:, j]]).sum(axis=1)
+        return pd.Series(ip)
+
+    scored = cand.select(
+        "query_id", id_col, adc(F.col("_qv"), F.col("codes")).alias("adc_ip")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_ip").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= k)
+        .withColumn("adc_ip", F.round(F.col("adc_ip"), 4))
+    )

@@ -376,3 +376,115 @@ def j18_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pydatalake_gen2_spark.operators.joins import fuzzy_pairs
 
     return fuzzy_pairs(spark.table("part"), "p_name", k=3)
+
+
+@register(
+    "j21_nearest_event",
+    duck_sql="""
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    j AS (SELECT p.event_id, p.user_id, c.event_id AS nearest_event_id,
+                 abs(epoch_us(p.ts) - epoch_us(c.ts)) AS dist_us,
+                 row_number() OVER (
+                   PARTITION BY p.event_id
+                   ORDER BY abs(epoch_us(p.ts) - epoch_us(c.ts)), c.ts, c.event_id
+                 ) AS rn
+          FROM p JOIN c ON p.user_id = c.user_id)
+    SELECT event_id, user_id, nearest_event_id, CAST(dist_us AS BIGINT) AS dist_us
+    FROM j WHERE rn = 1
+    """,
+)
+def j21_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest click to each purchase per user, EITHER direction —
+    merge_asof(direction='nearest') semantics via operators.asof.
+    nearest_join: one union-sort shuffle, two frames over the same sort,
+    row-local closer-side pick; the oracle is the brute-force per-pair
+    argmin (viable only at fixture scale — the implementation never
+    builds those pairs). Ties: equal distance → earlier click; equal
+    click ts → min event_id."""
+    from pydatalake_gen2_spark.operators.asof import nearest_join
+
+    ev = spark.table("events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click")
+    res = nearest_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_id="event_id",
+        carry=["event_id"],
+        how="inner",
+    )
+    return res.select(
+        "event_id",
+        "user_id",
+        F.col("nearest_event_id"),
+        F.col("dist_us").cast("bigint").alias("dist_us"),
+    )
+
+
+@register(
+    "j19_dpp_partitioned_join",
+    duck_sql="""
+    WITH f AS (SELECT year(o_orderdate) AS o_year, o_totalprice FROM orders),
+    d AS (SELECT DISTINCT year(o_orderdate) AS o_year,
+                 CASE WHEN year(o_orderdate) % 2 = 0 THEN 'even' ELSE 'odd' END AS tag
+          FROM orders)
+    SELECT f.o_year,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(f.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM f JOIN d ON f.o_year = d.o_year
+    WHERE d.tag = 'odd'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def j19_dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact side is a parquet layout
+    partitioned by o_year; the dim carries the selective predicate
+    (tag = 'odd') on a NON-join column, so static pruning can't help —
+    at execution Spark broadcasts the filtered dim and injects
+    `o_year IN dynamicpruning#N` into the fact scan's PartitionFilters,
+    reading only the matching partition directories. At 100 TB this is
+    the difference between scanning the whole fact table and scanning
+    the qualifying date partitions; plan-gated in tests/test_plans.py.
+
+    Mirrors the star-join + date-dim pattern the reference's consumers
+    would run against a partitioned lake layout (reference has no
+    relational surface; /root/reference/azure/datalake/gen2/client.py
+    is byte-stream I/O only)."""
+    from pydatalake_gen2_spark.queries.scans import _tmp, _write_once
+
+    fact_p = _tmp("j19_fact", sf_dir)
+    dim_p = _tmp("j19_dim", sf_dir)
+    fact = spark.table("orders").withColumn("o_year", F.year("o_orderdate"))
+    _write_once(
+        fact_p,
+        lambda: fact.write.mode("overwrite").partitionBy("o_year").parquet(fact_p),
+    )
+    dim = (
+        fact.select("o_year")
+        .distinct()
+        .withColumn(
+            "tag",
+            F.when(F.col("o_year") % 2 == 0, F.lit("even")).otherwise(F.lit("odd")),
+        )
+    )
+    _write_once(dim_p, lambda: dim.write.mode("overwrite").parquet(dim_p))
+    f = spark.read.parquet(fact_p)
+    d = spark.read.parquet(dim_p)
+    return (
+        f.join(d, "o_year")
+        .filter(F.col("tag") == "odd")
+        .groupBy("o_year")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("o_year")
+    )

@@ -324,6 +324,40 @@ def lx_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("lx_pq_rerank", duck_sql=None, tier="P")
+def lx_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN refine: ADC shortlist (4k over the compressed codes)
+    → exact cosine re-rank of shortlist ids only. The full-precision
+    vectors are read for |queries|·4k rows, never for the corpus scan —
+    the standard way a 100 TB deployment buys back the PQ recall loss.
+    Property-tested: rerank recall vs l03 brute force >= raw ADC recall."""
+    from pydatalake_gen2_spark.operators import pq
+
+    emb = spark.table("embeddings")
+    return pq.pq_rerank(
+        emb, emb.filter(F.col("vec_id") < 20), k=5,
+        codebooks=_pq_codebook(spark, sf_dir),
+    )
+
+
+@register("lx_ivfpq_topk", duck_sql=None, tier="P")
+def lx_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ all-pairs top-k: centroid cells partition the corpus, the
+    inverted file's postings are 16-byte PQ codes (not 256-byte vectors),
+    candidates are ADC-scored per Arrow batch. The billion-scale layout:
+    probe join shuffles codes only; recall property-tested vs brute
+    force."""
+    from pydatalake_gen2_spark.operators import pq
+
+    return pq.ivfpq_topk(
+        spark.table("embeddings"),
+        k=5,
+        codebooks=_pq_codebook(spark, sf_dir),
+        centroids=_ivf_codebook(spark, sf_dir),
+        n_probe=6,
+    )
+
+
 @register("lx_simhash_neardup", duck_sql=None, tier="P")
 def lx_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded Hamming-radius near-dup join over 48-bit SimHash (r=4,

@@ -343,3 +343,11 @@ def test_e2e_pipeline_shape(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastExchange" in plan, plan
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_dpp_join_prunes_fact_partitions(spark, sf_dir):
+    """j19: the partitioned fact scan must carry a dynamic-pruning
+    subquery on the partition column (DPP), so only qualifying o_year
+    directories are read — the 100 TB star-join scan-reduction."""
+    plan = _plan(spark, sf_dir, "j19_dpp_partitioned_join")
+    assert "dynamicpruning" in plan.lower(), plan

@@ -244,6 +244,61 @@ def test_pq_topk_recall_vs_exact(spark, sf_dir):
     assert recall >= 0.3, f"PQ/ADC recall too low: {recall}"
 
 
+def test_pq_rerank_recall_dominates_raw_adc(spark, sf_dir):
+    """Two-stage refine (ADC 4k shortlist → exact re-rank) must recall at
+    least as much of the true top-5 as the raw ADC top-5, and its scores
+    must be exact cosines (spot-checked against cosine_topk on shared
+    pairs)."""
+    from pydatalake_gen2_spark.operators import pq
+    from pydatalake_gen2_spark.registry import ensure_views
+
+    ensure_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    truth_rows = similarity.cosine_topk(emb, q, k=5).collect()
+    truth = {(r["query_id"], r["vec_id"]) for r in truth_rows}
+    exact_cos = {(r["query_id"], r["vec_id"]): r["cos"] for r in truth_rows}
+    cb = pq.pq_train(emb, m=16, k=32)
+    raw = {
+        (r["query_id"], r["vec_id"])
+        for r in pq.pq_topk(emb, q, k=5, codebooks=cb).collect()
+    }
+    rr_rows = pq.pq_rerank(emb, q, k=5, codebooks=cb).collect()
+    rr = {(r["query_id"], r["vec_id"]) for r in rr_rows}
+    raw_recall = len(raw & truth) / len(truth)
+    rr_recall = len(rr & truth) / len(truth)
+    assert rr_recall >= raw_recall, (rr_recall, raw_recall)
+    assert rr_recall >= 0.5, f"rerank recall too low: {rr_recall}"
+    for r in rr_rows:
+        key = (r["query_id"], r["vec_id"])
+        if key in exact_cos:
+            assert abs(r["cos"] - exact_cos[key]) < 1e-9, key
+
+
+def test_ivfpq_topk_recall_vs_exact(spark, sf_dir):
+    """IVF-PQ (cells over PQ-coded postings) must recover a meaningful
+    fraction of the true top-5; its candidate set is bounded by the
+    probed cells so recall <= IVF-Flat's at the same n_probe."""
+    from pydatalake_gen2_spark.operators import pq
+    from pydatalake_gen2_spark.registry import ensure_views
+
+    ensure_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    n = emb.count()
+    truth = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.cosine_topk(emb, emb, k=5).collect()
+    }
+    cb = pq.pq_train(emb, m=16, k=32, corpus_n=n)
+    cents = similarity.ivf_centroids(emb, n_cells=max(8, int(n**0.5)), corpus_n=n)
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in pq.ivfpq_topk(emb, k=5, codebooks=cb, centroids=cents, n_probe=6).collect()
+    }
+    recall = len(approx & truth) / len(truth)
+    assert recall >= 0.25, f"IVF-PQ recall too low: {recall}"
+
+
 def test_approx_percentile_bound(spark, sf_dir, duck):
     """g18's registered form emits exact percentile anchors (round 4) plus
     booleans asserting the sketch lands in the exact ±0.01-rank envelope;
