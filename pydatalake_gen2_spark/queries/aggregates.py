@@ -430,3 +430,62 @@ def g23_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.col("event_type").alias("mode_event"),
                 F.col("n").cast("bigint").alias("n"))
     )
+
+
+sql_pair(
+    "g24_skew_kurtosis",
+    """
+    SELECT l_returnflag,
+           ROUND(skewness(CAST(l_quantity AS DOUBLE)), 3) AS skew,
+           ROUND(kurtosis(CAST(l_quantity AS DOUBLE)), 3) AS kurt
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    """
+    WITH b AS (SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS q FROM lineitem),
+    m AS (SELECT l_returnflag, avg(q) AS mu, avg(q*q) AS m2r,
+                 avg(q*q*q) AS m3r, avg(q*q*q*q) AS m4r
+          FROM b GROUP BY 1)
+    SELECT l_returnflag,
+           ROUND((m3r - 3*mu*m2r + 2*mu*mu*mu)
+                 / pow(m2r - mu*mu, 1.5), 3) AS skew,
+           ROUND((m4r - 4*mu*m3r + 6*mu*mu*m2r - 3*pow(mu, 4))
+                 / pow(m2r - mu*mu, 2) - 3, 3) AS kurt
+    FROM m ORDER BY l_returnflag
+    """,
+    doc="Higher-moment aggregates: Spark's skewness/kurtosis use the "
+        "POPULATION formulas (g1 = m3/m2^1.5, excess g2 = m4/m2^2 - 3), "
+        "while DuckDB's natives are bias-corrected sample statistics — "
+        "the oracle composes the population definitions from raw moments "
+        "(one partial-agg pass; mergeable, skew-safe).",
+)
+
+
+@register(
+    "g25_hll_sketch_distinct",
+    duck_sql="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           TRUE AS within_2pct
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def g25_hll_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apache DataSketches HLL per group (hll_sketch_agg, Spark 3.5+):
+    unlike g04's approx_count_distinct, the SKETCH itself is a column —
+    mergeable across partitions/days with hll_union_agg, which is what a
+    100 TB incremental-rollup pipeline stores. Hashable g04-style form:
+    exact per-group anchors + a boolean asserting the sketch estimate
+    lands within 2% of exact (lgConfigK=14 → ~0.8% rse, 2% ≈ 2.5 sigma)."""
+    li = spark.table("lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("exact_orders"),
+        F.expr("hll_sketch_estimate(hll_sketch_agg(l_orderkey, 14))").alias("est"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_orders",
+        (
+            F.abs(F.col("est") - F.col("exact_orders"))
+            <= F.col("exact_orders") * 0.02
+        ).alias("within_2pct"),
+    ).orderBy("l_returnflag")

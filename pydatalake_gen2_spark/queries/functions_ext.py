@@ -466,3 +466,110 @@ def f40_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("lev_prefix8"),
         )
     )
+
+
+sql_pair(
+    "f41_map_functions",
+    """
+    SELECT n_nationkey,
+           array_join(map_keys(m), ',') AS ks,
+           array_join(transform(map_values(m), v -> CAST(v AS STRING)), ',') AS vs,
+           CAST(element_at(m, 'nat') AS BIGINT) AS v_nat,
+           CAST(cardinality(m) AS BIGINT) AS n_entries
+    FROM (SELECT n_nationkey, map('nat', n_nationkey, 'reg', n_regionkey) AS m
+          FROM nation)
+    ORDER BY n_nationkey
+    """,
+    """
+    SELECT n_nationkey,
+           array_to_string(map_keys(m), ',') AS ks,
+           array_to_string(list_transform(map_values(m), v -> CAST(v AS VARCHAR)), ',') AS vs,
+           CAST(map_extract(m, 'nat')[1] AS BIGINT) AS v_nat,
+           CAST(cardinality(m) AS BIGINT) AS n_entries
+    FROM (SELECT n_nationkey, map(['nat','reg'], [n_nationkey, n_regionkey]) AS m
+          FROM nation)
+    ORDER BY n_nationkey
+    """,
+    doc="MAP column surface: construct / map_keys / map_values / element "
+        "access / cardinality (Spark map() ↔ DuckDB map(list,list); both "
+        "preserve insertion order). Feeds the events.props-style "
+        "semi-structured columns at scale — maps stay JVM-columnar, no "
+        "Python touches them.",
+)
+
+
+sql_pair(
+    "f42_struct_json",
+    """
+    SELECT n_nationkey,
+           s.name AS s_name,
+           CAST(s.region AS BIGINT) AS s_region,
+           to_json(s) AS js
+    FROM (SELECT n_nationkey,
+                 named_struct('name', n_name, 'region', n_regionkey) AS s
+          FROM nation)
+    ORDER BY n_nationkey
+    """,
+    """
+    SELECT n_nationkey,
+           s.name AS s_name,
+           CAST(s.region AS BIGINT) AS s_region,
+           to_json(s) AS js
+    FROM (SELECT n_nationkey,
+                 struct_pack(name := n_name, region := n_regionkey) AS s
+          FROM nation)
+    ORDER BY n_nationkey
+    """,
+    doc="STRUCT column surface: named construction, dotted field access, "
+        "JSON serialization (field order = declaration order in both "
+        "engines; compact JSON rendering agrees byte-for-byte).",
+)
+
+
+sql_pair(
+    "f43_format_split_index",
+    """
+    SELECT p_partkey,
+           format_string('%s#%05d', p_brand, p_partkey) AS tag,
+           substring_index(p_name, ' ', 2) AS first2,
+           substring_index(p_name, ' ', -1) AS last1
+    FROM part WHERE p_partkey < 300 ORDER BY p_partkey
+    """,
+    """
+    SELECT p_partkey,
+           printf('%s#%05d', p_brand, p_partkey) AS tag,
+           array_to_string(string_split(p_name, ' ')[1:2], ' ') AS first2,
+           string_split(p_name, ' ')[-1] AS last1
+    FROM part WHERE p_partkey < 300 ORDER BY p_partkey
+    """,
+    doc="printf-style formatting (format_string ↔ printf) and delimited "
+        "field extraction (substring_index ↔ list-slice composition, "
+        "incl. negative index = from the end).",
+)
+
+
+sql_pair(
+    "f44_timestamp_shift",
+    """
+    SELECT event_id,
+           date_format(timestampadd(MINUTE, CAST(floor(value) AS INT), ts),
+                       'yyyy-MM-dd HH:mm:ss') AS plus_val_min,
+           date_format(timestampadd(HOUR, -2, ts),
+                       'yyyy-MM-dd HH:mm:ss') AS minus_2h,
+           CAST(floor((unix_micros(ts) - unix_micros(date_trunc('DAY', ts)))
+                      / 3600000000.0) AS BIGINT) AS hours_into_day
+    FROM events WHERE event_id < 500 ORDER BY event_id
+    """,
+    """
+    SELECT event_id,
+           strftime(ts + to_minutes(CAST(floor(value) AS INT)),
+                    '%Y-%m-%d %H:%M:%S') AS plus_val_min,
+           strftime(ts - to_hours(2), '%Y-%m-%d %H:%M:%S') AS minus_2h,
+           CAST(floor((epoch_us(ts) - epoch_us(date_trunc('day', ts)))
+                      / 3600000000.0) AS BIGINT) AS hours_into_day
+    FROM events WHERE event_id < 500 ORDER BY event_id
+    """,
+    doc="Variable-amount timestamp shifting (timestampadd ↔ to_minutes/"
+        "to_hours interval builders) and epoch-exact sub-day bucketing — "
+        "second-granularity render per SURVEY determinism rule 3.",
+)

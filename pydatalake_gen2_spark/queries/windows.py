@@ -253,3 +253,83 @@ def w14_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("new_users").cast("bigint").alias("new_users"),
         F.sum("new_users").over(w).cast("bigint").alias("cum_users"),
     )
+
+
+sql_pair(
+    "w15_rolling_stddev",
+    """
+    WITH s AS (
+      SELECT o_custkey, o_orderkey,
+             COUNT(*) OVER w AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) OVER w AS DOUBLE) AS s1,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))
+                      * CAST(o_totalprice AS DECIMAL(28,8))) OVER w AS DOUBLE) AS s2
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 5 PRECEDING AND CURRENT ROW))
+    SELECT o_custkey, o_orderkey,
+           CASE WHEN n > 1
+                THEN ROUND(sqrt((n * s2 - s1 * s1) / (n * (n - 1.0))), 4)
+           END AS rolling_std
+    FROM s ORDER BY o_custkey, o_orderkey
+    """,
+    """
+    WITH s AS (
+      SELECT o_custkey, o_orderkey,
+             COUNT(*) OVER w AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) OVER w AS DOUBLE) AS s1,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))
+                      * CAST(o_totalprice AS DECIMAL(28,8))) OVER w AS DOUBLE) AS s2
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 5 PRECEDING AND CURRENT ROW))
+    SELECT o_custkey, o_orderkey,
+           CASE WHEN n > 1
+                THEN ROUND(sqrt((n * s2 - s1 * s1) / (n * (n - 1.0))), 4)
+           END AS rolling_std
+    FROM s ORDER BY o_custkey, o_orderkey
+    """,
+    doc="Rolling per-key sample stddev over a 6-row frame, composed from "
+        "DECIMAL-exact frame sums (n, Σx, Σx²) so both engines feed "
+        "bit-identical doubles into one final sqrt — no streaming-variance "
+        "float drift. One window shuffle on the key.",
+)
+
+
+sql_pair(
+    "w16_streaks",
+    """
+    WITH d AS (SELECT DISTINCT user_id,
+                      CAST(date_trunc('DAY', ts) AS DATE) AS day
+               FROM events),
+    r AS (SELECT user_id, day,
+                 row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+          FROM d),
+    g AS (SELECT user_id, day, date_sub(day, rn) AS grp FROM r)
+    SELECT user_id,
+           date_format(MIN(day), 'yyyy-MM-dd') AS start_day,
+           CAST(COUNT(*) AS BIGINT) AS streak_len
+    FROM g GROUP BY user_id, grp
+    HAVING COUNT(*) >= 2
+    ORDER BY user_id, start_day
+    """,
+    """
+    WITH d AS (SELECT DISTINCT user_id,
+                      CAST(date_trunc('day', ts) AS DATE) AS day
+               FROM events),
+    r AS (SELECT user_id, day,
+                 row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+          FROM d),
+    g AS (SELECT user_id, day, day - CAST(rn AS INTEGER) AS grp FROM r)
+    SELECT user_id,
+           strftime(MIN(day), '%Y-%m-%d') AS start_day,
+           CAST(COUNT(*) AS BIGINT) AS streak_len
+    FROM g GROUP BY user_id, grp
+    HAVING COUNT(*) >= 2
+    ORDER BY user_id, start_day
+    """,
+    doc="Consecutive-active-day streaks per user — the canonical "
+        "gaps-and-islands rewrite (day minus dense row_number is "
+        "constant within a run). Two shuffles total (distinct + window "
+        "share the user_id key); no self-join, no recursion.",
+)
