@@ -1082,3 +1082,93 @@ def l26_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chunk_sig"
         ),
     )
+
+
+@register(
+    "l27_quality_classifier",
+    duck_sql="""
+    WITH f AS (
+      SELECT doc_id, len(string_split(lower(text), ' ')) AS n_tok,
+             CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
+               / len(string_split(lower(text), ' ')) AS ttr,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                                  w -> w IN ('a', 'the'))) AS DOUBLE)
+               / len(string_split(lower(text), ' ')) AS stop_r
+      FROM documents)
+    SELECT doc_id,
+           ROUND(1.0 / (1.0 + exp(-(3.0 * ttr + 4.0 * stop_r - 0.01 * n_tok - 1.5))), 4)
+             AS quality,
+           (1.0 / (1.0 + exp(-(3.0 * ttr + 4.0 * stop_r - 0.01 * n_tok - 1.5)))) >= 0.5
+             AS keep
+    FROM f ORDER BY doc_id
+    """,
+)
+def l27_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering stand-in: a fixed-weight logistic
+    scorer over row-local lexical features (type-token ratio, stopword
+    ratio, length) — the shape of fastText/linear quality classifiers in
+    production data pipelines (the real model swaps in as a broadcast
+    coefficient vector; the plan is identical). Zero shuffle, pure JVM
+    expressions; threshold keep-decision rides in the row."""
+    toks = F.split(F.lower(F.col("text")), " ")
+    f = spark.table("documents").select(
+        "doc_id",
+        F.size(toks).alias("n_tok"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias("ttr"),
+        (
+            F.size(F.filter(toks, lambda w: w.isin("a", "the"))).cast("double")
+            / F.size(toks)
+        ).alias("stop_r"),
+    )
+    z = 3.0 * F.col("ttr") + 4.0 * F.col("stop_r") - 0.01 * F.col("n_tok") - 1.5
+    score = 1.0 / (1.0 + F.exp(-z))
+    return f.select(
+        "doc_id",
+        F.round(score, 4).alias("quality"),
+        (score >= 0.5).alias("keep"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "l28_token_length_histogram",
+    duck_sql="""
+    WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents),
+    b AS (SELECT doc_id, n_tok,
+                 CAST(floor(n_tok / 16.0) AS BIGINT) * 16 AS bucket,
+                 CAST(ceil(n_tok / 128.0) AS BIGINT) AS n_chunks
+          FROM t)
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chunks) AS BIGINT) AS total_chunks,
+           CAST(SUM(n_chunks * 128 - n_tok) AS BIGINT) AS pad_tokens
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def l28_token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length distribution + packing-cost report: tokens per doc
+    bucketed to 16-wide bins, with the padding overhead a naive
+    one-doc-per-128-token-window batching would pay (the number l15's
+    sequence packing exists to eliminate). The planning query every
+    training-data pipeline runs before choosing context length and
+    packing strategy. One partial-agg shuffle over ~n/16 buckets."""
+    t = spark.table("documents").select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tok")
+    )
+    b = t.select(
+        "n_tok",
+        (F.floor(F.col("n_tok") / 16) * 16).cast("bigint").alias("bucket"),
+        F.ceil(F.col("n_tok") / 128.0).cast("bigint").alias("n_chunks"),
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.sum("n_chunks").cast("bigint").alias("total_chunks"),
+            F.sum(F.col("n_chunks") * 128 - F.col("n_tok"))
+            .cast("bigint")
+            .alias("pad_tokens"),
+        )
+        .orderBy("bucket")
+    )

@@ -237,3 +237,68 @@ def s13_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("min_ship"),
         F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("max_ship"),
     )
+
+
+@register(
+    "s14_text_roundtrip",
+    duck_sql="SELECT md5(text) AS value FROM documents",
+)
+def s14_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-oriented text source/sink (spark.read/write.text — the raw
+    log-file connector): documents render to one md5 line each (hex is
+    delimiter-free so the round-trip is unambiguous), read back as the
+    single `value` column; oracle computes the same md5 set from the
+    original table. Proves the text connector both directions without
+    depending on line order (compare is order-insensitive)."""
+    path = _tmp("s14_text", sf_dir)
+    _write_once(
+        path,
+        lambda: spark.table("documents")
+        .select(F.md5(F.col("text")).alias("value"))
+        .write.mode("overwrite")
+        .text(path),
+    )
+    return spark.read.text(path)
+
+
+@register(
+    "s15_schema_evolution",
+    duck_sql="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice END AS o_totalprice,
+           CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS o_orderpriority
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def s15_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: two parquet generations with different
+    column sets (an old extract with o_totalprice, a new one that added
+    o_orderpriority instead) union under mergeSchema=true — absent
+    columns surface as NULLs, the lake-table pattern for additive schema
+    change without rewriting history. At 100 TB schema merge happens on
+    FOOTERS only (one task per file reads metadata, not data); the
+    oracle derives the same union-by-name semantics from the original
+    table."""
+    pa = _tmp("s15_evo_a", sf_dir)
+    pb = _tmp("s15_evo_b", sf_dir)
+    orders = spark.table("orders")
+    _write_once(
+        pa,
+        lambda: orders.filter(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite")
+        .parquet(pa),
+    )
+    _write_once(
+        pb,
+        lambda: orders.filter(F.col("o_orderkey") % 2 == 1)
+        .select("o_orderkey", "o_orderpriority")
+        .write.mode("overwrite")
+        .parquet(pb),
+    )
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(pa, pb)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .orderBy("o_orderkey")
+    )

@@ -297,3 +297,38 @@ def t09_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc, ch, count) tallies; identical -Σc·log2(c)/n + log2(n) form on
     both engines for float determinism."""
     return text.char_entropy(spark.table("documents"))
+
+
+sql_pair(
+    "t10_lexical_density",
+    """
+    WITH t AS (SELECT doc_id, split(lower(text), ' ') AS toks FROM documents)
+    SELECT doc_id,
+           CAST(size(toks) AS BIGINT) AS n_tokens,
+           ROUND(CAST(size(array_distinct(toks)) AS DOUBLE) / size(toks), 4)
+               AS type_token_ratio,
+           ROUND(CAST(size(filter(toks, w -> w IN ('a', 'the'))) AS DOUBLE)
+                 / size(toks), 4) AS stopword_ratio,
+           ROUND(CAST(aggregate(toks, 0L, (s, w) -> s + length(w)) AS DOUBLE)
+                 / size(toks), 4) AS avg_word_len
+    FROM t ORDER BY doc_id
+    """,
+    """
+    WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4)
+               AS type_token_ratio,
+           ROUND(CAST(len(list_filter(toks, w -> w IN ('a', 'the'))) AS DOUBLE)
+                 / len(toks), 4) AS stopword_ratio,
+           ROUND(CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE)
+                 / len(toks), 4) AS avg_word_len
+    FROM t ORDER BY doc_id
+    """,
+    doc="Lexical-density quality signals per doc: type-token ratio "
+        "(vocabulary diversity — low on templated/spam text), stopword "
+        "ratio (natural-language-ness; Gopher uses the same signal), "
+        "mean word length. All row-local higher-order functions — ZERO "
+        "shuffle, scans only doc_id+text; the division order is fixed "
+        "so both engines emit bit-identical doubles before ROUND.",
+)
