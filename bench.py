@@ -72,6 +72,13 @@ BENCH_QUERIES = [
     "l20_line_dedup",
     "l23_span_dedup",
     "j16_scd2_incremental",
+    # round-4 widening: DPP star join, nearest-event join, IVF-PQ/rerank ANN,
+    # model-based quality gate
+    "j19_dpp_partitioned_join",
+    "j21_nearest_event",
+    "lx_ivfpq_topk",
+    "lx_pq_rerank",
+    "l27_quality_classifier",
 ]
 
 N_RUNS = 3

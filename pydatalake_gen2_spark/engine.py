@@ -109,6 +109,26 @@ class Engine:
 
         return pq.pq_topk(corpus, queries, k, codebooks, **kw)
 
+    def pq_rerank(self, corpus, queries, k: int, codebooks, **kw) -> DataFrame:
+        from pydatalake_gen2_spark.operators import pq
+
+        return pq.pq_rerank(corpus, queries, k, codebooks, **kw)
+
+    def ivfpq_topk(self, corpus, k: int, codebooks, centroids, **kw) -> DataFrame:
+        from pydatalake_gen2_spark.operators import pq
+
+        return pq.ivfpq_topk(corpus, k, codebooks, centroids, **kw)
+
+    def nearest_join(self, left, right, **kw) -> DataFrame:
+        from pydatalake_gen2_spark.operators.asof import nearest_join
+
+        return nearest_join(left, right, **kw)
+
+    def versioned_table(self, root: str) -> "VersionedTable":
+        from pydatalake_gen2_spark.sources.versioned import VersionedTable
+
+        return VersionedTable(self.spark, root)
+
     def repetition_metrics(self, df, **kw) -> DataFrame:
         return text.repetition_metrics(df, **kw)
 

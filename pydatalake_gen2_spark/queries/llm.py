@@ -1172,3 +1172,47 @@ def l28_token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "l30_unigram_lm_score",
+    duck_sql="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+                 FROM documents),
+    lm AS (SELECT tok, COUNT(*) AS freq FROM tok GROUP BY tok),
+    j AS (SELECT t.doc_id, l.freq FROM tok t JOIN lm l ON t.tok = l.tok)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tok,
+           CAST(SUM(freq) AS BIGINT) AS sum_freq,
+           CAST(MIN(freq) AS BIGINT) AS min_freq,
+           ROUND(CAST(SUM(freq) AS DOUBLE) / COUNT(*), 4) AS mean_freq
+    FROM j GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def l30_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM document scoring — the KenLM-perplexity-filter shape
+    (CCNet/RedPajama pipelines): train a token model over the corpus
+    (one partial-agg shuffle), join it back to the exploded tokens (the
+    model side is orders of magnitude smaller than the corpus —
+    broadcastable at any web scale), aggregate per doc. Scores here are
+    integer-exact corpus frequencies (sum/min/mean) so the pair is
+    hash-stable; a production deployment swaps the freq column for
+    log-probs without touching the plan. min_freq flags docs containing
+    corpus-rare (likely garbage) tokens."""
+    tok = spark.table("documents").select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
+    )
+    lm = tok.groupBy("tok").agg(F.count("*").alias("freq"))
+    j = tok.join(lm, on="tok")
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tok"),
+            F.sum("freq").cast("bigint").alias("sum_freq"),
+            F.min("freq").cast("bigint").alias("min_freq"),
+            F.round(
+                F.sum("freq").cast("double") / F.count("*"), 4
+            ).alias("mean_freq"),
+        )
+        .orderBy("doc_id")
+    )

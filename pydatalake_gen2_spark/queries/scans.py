@@ -302,3 +302,36 @@ def s15_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_totalprice", "o_orderpriority")
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "s16_time_travel",
+    duck_sql="""
+    SELECT 1 AS version, r_regionkey, r_name FROM region
+    UNION ALL
+    SELECT 2 AS version, r_regionkey, lower(r_name) FROM region
+    ORDER BY version, r_regionkey
+    """,
+)
+def s16_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-versioned table (sources/versioned.py): two commits —
+    the original region dim, then a rewrite that lowercases names —
+    published via the manifest-log protocol; the query time-travels to
+    v1 AND reads latest, proving both snapshots stay independently
+    readable after the second commit (the lakehouse property plain
+    overwrite destroys). Unit-tested further in tests/test_lake.py
+    (atomic publish, expire retention)."""
+    from pydatalake_gen2_spark.sources.versioned import VersionedTable
+
+    vt = VersionedTable(spark, _tmp("s16_vt", sf_dir))
+    if vt.current_version() == 0:
+        region = spark.table("region")
+        vt.commit(region)
+        vt.commit(region.withColumn("r_name", F.lower(F.col("r_name"))))
+    v1 = vt.read(1).select(
+        F.lit(1).alias("version"), "r_regionkey", "r_name"
+    )
+    latest = vt.read().select(
+        F.lit(2).alias("version"), "r_regionkey", "r_name"
+    )
+    return v1.unionByName(latest).orderBy("version", "r_regionkey")

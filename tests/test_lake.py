@@ -90,3 +90,40 @@ def test_set_get_properties(cat):
     # unset path → empty dict
     cat.upload_bytes("fsp/g.txt", b"y")
     assert cat.get_user_properties("fsp/g.txt") == {}
+
+
+def test_versioned_table_commit_read_time_travel(spark):
+    """VersionedTable: manifest-log commits publish atomically (a listed
+    manifest always has complete data behind it), snapshots stay
+    independently readable, expire retains the newest K and protects
+    readers from dangling manifests."""
+    from pydatalake_gen2_spark.sources.versioned import VersionedTable
+
+    root = tempfile.mkdtemp(prefix="vt_root_")
+    vt = VersionedTable(spark, f"file://{root}")
+    assert vt.versions() == [] and vt.current_version() == 0
+    with pytest.raises(ValueError):
+        vt.read()
+
+    df1 = spark.range(5).withColumnRenamed("id", "k")
+    v1 = vt.commit(df1)
+    df2 = spark.range(8).withColumnRenamed("id", "k")
+    v2 = vt.commit(df2)
+    assert (v1, v2) == (1, 2)
+    assert vt.versions() == [1, 2]
+
+    # latest resolves to v2; time travel to v1 still sees 5 rows
+    assert vt.read().count() == 8
+    assert vt.read(1).count() == 5
+    # snapshots are immutable: committing again never mutates old dirs
+    vt.commit(df1.filter("k < 2"))
+    assert vt.read(1).count() == 5 and vt.read(2).count() == 8
+    assert vt.read().count() == 2
+
+    dropped = vt.expire(keep_last=2)
+    assert dropped == [1]
+    assert vt.versions() == [2, 3]
+    with pytest.raises(ValueError):
+        vt.read(1)
+    # survivors unaffected
+    assert vt.read(2).count() == 8 and vt.read().count() == 2
