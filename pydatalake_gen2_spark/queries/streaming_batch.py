@@ -267,3 +267,38 @@ def st10_pipeline_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed continuous query: filter gate + stateful dedup +
     watermarked tumbling agg in ONE stream (ST10)."""
     return replay.run_pipeline_stream(spark, sf_dir)
+
+
+@register(
+    "st11_custom_sessions",
+    duck_sql="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 5 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged)
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
+           strftime(MAX(ts) + INTERVAL 5 MINUTE, '%Y-%m-%d %H:%M:%S') AS s_end,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def st11_custom_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM stateful sessionization (applyInPandasWithState +
+    EventTimeTimeout, streaming/stateful.py:sessionize): a real streaming
+    run over the chunked replay whose append-mode output — sessions
+    closed by in-stream gaps or by watermark-driven state eviction —
+    hash-matches DuckDB's batch gaps-and-islands sessions directly. The
+    strongest streaming claim in the registry: not a batch stand-in, the
+    actual incremental operator produces the oracle-exact result."""
+    from pydatalake_gen2_spark.streaming.stateful import run_custom_sessions
+
+    return run_custom_sessions(spark, sf_dir)

@@ -315,3 +315,50 @@ def run_pipeline_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _run_to_memory(pipeline_agg(src), "st10_out", "complete")
     return spark.table("st10_out")
+
+
+_session_replay_cache: dict[str, str] = {}
+
+
+def session_replay_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Replay dir for the custom-session operator (stateful.sessionize):
+    the ordinary time-ordered chunks plus TWO trailing single-row
+    '_flush' sentinel files (max_ts + 2h, + 4h). The sentinels carry no
+    session data (the operator filters them) — they exist to advance the
+    event-time watermark after the real data, so EventTimeTimeout fires
+    for the corpus-tail sessions deterministically: sentinel 1 moves the
+    watermark past every real session's (last_ts + gap); the batch
+    processing sentinel 2 evaluates timeouts against that watermark and
+    closes them. This mirrors production, where the stream simply keeps
+    flowing and the watermark sweeps sessions closed."""
+    if sf_dir in _session_replay_cache:
+        return _session_replay_cache[sf_dir]
+    import shutil
+
+    base = replay_dir(spark, sf_dir)
+    flat = tempfile.mkdtemp(prefix="events_sess_stream_")
+    t0 = 1_000_000_000
+    idx = 0
+    for f in sorted(os.listdir(base)):
+        if f.endswith(".parquet"):
+            dst = os.path.join(flat, f"{idx:03d}.parquet")
+            shutil.copyfile(os.path.join(base, f), dst)
+            os.utime(dst, (t0 + idx, t0 + idx))
+            idx += 1
+    max_ts = load_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    for k, hours in enumerate((2, 4)):
+        sent = spark.createDataFrame(
+            [(-1 - k, max_ts + __import__("datetime").timedelta(hours=hours),
+              -1, "_flush", 0.0, None)],
+            schema=EVENTS_SCHEMA,
+        )
+        d = tempfile.mkdtemp(prefix="sentinel_")
+        sent.coalesce(1).write.mode("overwrite").parquet(d)
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".parquet"):
+                dst = os.path.join(flat, f"zz{k}_{idx:03d}.parquet")
+                os.rename(os.path.join(d, f), dst)
+                os.utime(dst, (t0 + idx, t0 + idx))
+                idx += 1
+    _session_replay_cache[sf_dir] = flat
+    return flat
