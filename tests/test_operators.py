@@ -633,3 +633,48 @@ def test_sorted_layout_files_are_disjoint(spark, sf_dir):
     assert len(ranges) > 1
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, (hi1, lo2)
+
+
+def test_nearest_join_matches_bruteforce_random(spark):
+    """nearest_join (bidirectional as-of) vs a Python brute force on
+    seeded random timestamps, including equal-ts collisions and the
+    tie rules: equal |dt| -> earlier right row; equal right ts -> min id."""
+    import datetime
+    import random
+
+    from pydatalake_gen2_spark.operators.asof import nearest_join
+
+    rng = random.Random(7)
+    base = datetime.datetime(2024, 1, 1)
+
+    def t(sec):
+        return base + datetime.timedelta(seconds=sec)
+
+    # coarse grid forces equal-ts and equal-distance ties
+    L = [(i, rng.randrange(3), t(rng.randrange(0, 40) * 10)) for i in range(50)]
+    R = [(100 + i, rng.randrange(3), t(rng.randrange(0, 40) * 10)) for i in range(50)]
+
+    want = {}
+    for lid, lk, lts in L:
+        best = None
+        for rid, rk, rts in R:
+            if rk != lk:
+                continue
+            d = abs(int((rts - lts).total_seconds() * 1_000_000))
+            # order: smaller distance, earlier right ts, smaller id
+            cand = (d, rts, rid)
+            if best is None or cand < best:
+                best = cand
+        if best is not None:
+            want[lid] = (best[2], best[0])
+
+    lf = spark.createDataFrame(L, "lid BIGINT, k BIGINT, ts TIMESTAMP")
+    rf = spark.createDataFrame(R, "rid BIGINT, k BIGINT, ts TIMESTAMP")
+    got = {
+        r.lid: (r.nearest_rid, r.dist_us)
+        for r in nearest_join(
+            lf, rf, on="k", left_ts="ts", right_ts="ts",
+            right_id="rid", carry=["rid"], how="inner",
+        ).collect()
+    }
+    assert got == want

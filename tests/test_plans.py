@@ -351,3 +351,21 @@ def test_dpp_join_prunes_fact_partitions(spark, sf_dir):
     directories are read — the 100 TB star-join scan-reduction."""
     plan = _plan(spark, sf_dir, "j19_dpp_partitioned_join")
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_nearest_join_is_union_sort_not_pairs(spark, sf_dir):
+    """j21: nearest-event must keep the asof-family shape — union-sort
+    windows, never a per-pair product (no cartesian/BNLJ), no Python."""
+    plan = _plan(spark, sf_dir, "j21_nearest_event")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_unigram_lm_model_broadcasts(spark, sf_dir):
+    """l30: the trained token model joins back to the exploded corpus as
+    a broadcast — the corpus side must never shuffle on `tok` a second
+    time for the join."""
+    plan = _plan(spark, sf_dir, "l30_unigram_lm_score")
+    assert "BroadcastExchange" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
