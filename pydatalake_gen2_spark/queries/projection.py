@@ -143,3 +143,26 @@ sql_pair(
     FROM lineitem
     """,
 )
+
+
+sql_pair(
+    "p09_variant_json",
+    """
+    SELECT event_id,
+           variant_get(parse_json(props), '$.k', 'int') AS k,
+           CAST(is_variant_null(try_parse_json(props)) AS BOOLEAN) AS junk
+    FROM events WHERE event_id < 1000 ORDER BY event_id
+    """,
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+           (json_extract(props, '$') IS NULL) AS junk
+    FROM events WHERE event_id < 1000 ORDER BY event_id
+    """,
+    doc="VARIANT semi-structured type (Spark 4): parse_json into the "
+        "binary variant encoding, typed path extraction via variant_get "
+        "— the modern replacement for per-query get_json_object string "
+        "re-parsing (variant parses once, extracts many times, and "
+        "columnar-shreds at the scan at 100 TB). Oracle: DuckDB JSON "
+        "path extraction over the same column.",
+)

@@ -50,3 +50,38 @@ sql_pair(
     ) t GROUP BY nationkey
     """,
 )
+
+
+# u07 uses the DataFrame API (unionByName with allowMissingColumns), so it
+# registers a function rather than a pure SQL pair.
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from pydatalake_gen2_spark.registry import register  # noqa: E402
+
+
+@register(
+    "u07_union_by_name_missing",
+    duck_sql="""
+    SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL BY NAME
+    SELECT o_orderkey, NULL AS o_totalprice, o_orderpriority
+    FROM orders WHERE o_orderkey % 2 = 1
+    ORDER BY o_orderkey
+    """,
+)
+def u07_union_by_name_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of frames with DIFFERENT column sets — unionByName
+    (allowMissingColumns=True) NULL-fills the absent side, matching
+    DuckDB's UNION ALL BY NAME. The schema-drift-tolerant append every
+    multi-generation lake pipeline needs (the relational twin of s15's
+    mergeSchema read)."""
+    orders = spark.table("orders")
+    a = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    b = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_orderpriority"
+    )
+    return a.unionByName(b, allowMissingColumns=True).orderBy("o_orderkey")

@@ -74,3 +74,22 @@ def o04_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= 3)
     )
+
+
+sql_pair(
+    "o05_limit_offset",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20 OFFSET 10
+    """,
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20 OFFSET 10
+    """,
+    doc="Paginated top-k: LIMIT under total order with OFFSET (Spark "
+        "plans GlobalLimit(offset+k) over partial per-partition limits — "
+        "still never a full sort at scale; the skip happens driver-side "
+        "on k+offset rows).",
+)
