@@ -489,3 +489,47 @@ def g25_hll_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.col("exact_orders") * 0.02
         ).alias("within_2pct"),
     ).orderBy("l_returnflag")
+
+
+@register(
+    "g26_hll_union_rollup",
+    duck_sql="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           TRUE AS within_2pct
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def g26_hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGEABILITY — the property that makes sketches the 100 TB
+    distinct-count answer: per-(flag, ship-month) HLL sketches (what an
+    incremental pipeline would persist daily) re-aggregate to per-flag
+    via hll_union_agg WITHOUT touching raw data again; the estimate off
+    the merged sketch must land within 2% of the exact global distinct.
+    Two-level plan: fine-grained sketch agg → sketch-union agg — raw
+    keys cross the wire once, sketches (~10 KB) thereafter."""
+    li = spark.table("lineitem")
+    daily = li.groupBy(
+        "l_returnflag", F.date_trunc("month", "l_shipdate").alias("m")
+    ).agg(
+        F.expr("hll_sketch_agg(l_orderkey, 14)").alias("sk"),
+        F.countDistinct("l_orderkey").alias("_ignore"),
+    )
+    merged = daily.groupBy("l_returnflag").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est")
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("exact_orders")
+    )
+    return (
+        exact.join(merged, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "exact_orders",
+            (
+                F.abs(F.col("est") - F.col("exact_orders"))
+                <= F.col("exact_orders") * 0.02
+            ).alias("within_2pct"),
+        )
+        .orderBy("l_returnflag")
+    )

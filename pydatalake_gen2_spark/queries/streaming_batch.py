@@ -302,3 +302,28 @@ def st11_custom_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pydatalake_gen2_spark.streaming.stateful import run_custom_sessions
 
     return run_custom_sessions(spark, sf_dir)
+
+
+@register(
+    "st12_snapshot_ingest",
+    duck_sql="""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def st12_snapshot_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming → versioned lakehouse table: the replay commits one
+    immutable snapshot per micro-batch (foreachBatch + VersionedTable's
+    manifest-log publish); this query reads the LATEST snapshot, which
+    must equal the batch GROUP BY over all events — while every
+    mid-stream state stays time-travelable (monotonicity asserted in
+    tests/test_streaming.py). Composes ST07's sink surface with S16's
+    atomic-publish table format."""
+    from pydatalake_gen2_spark.streaming.replay import run_snapshot_ingest
+
+    vt = run_snapshot_ingest(spark, sf_dir)
+    return (
+        vt.read()
+        .select("user_id", F.col("n").cast("bigint").alias("n"))
+        .orderBy("user_id")
+    )

@@ -362,3 +362,39 @@ def session_replay_dir(spark: SparkSession, sf_dir: str) -> str:
                 idx += 1
     _session_replay_cache[sf_dir] = flat
     return flat
+
+
+_snapshot_ingest_cache: dict[str, str] = {}
+
+
+def run_snapshot_ingest(spark: SparkSession, sf_dir: str) -> "object":
+    """Streaming lakehouse ingestion: the events replay streams into a
+    snapshot-versioned table (sources/versioned.py) — each micro-batch
+    commits the cumulative per-user aggregate (complete mode) as a NEW
+    immutable snapshot via foreachBatch. Readers running against any
+    already-published version are never torn by in-flight commits, and
+    the version history is a queryable record of mid-stream states
+    (asserted monotone in tests/test_streaming.py). Returns the
+    VersionedTable."""
+    from pydatalake_gen2_spark.sources.versioned import VersionedTable
+
+    root = _snapshot_ingest_cache.get(sf_dir)
+    if root is not None:
+        return VersionedTable(spark, root)
+    root = tempfile.mkdtemp(prefix="vt_stream_")
+    vt = VersionedTable(spark, root)
+    src = read_stream(spark, sf_dir)
+    agg = src.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    with stream_shuffle_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .foreachBatch(lambda df, _bid: vt.commit(df))
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="vt_stream_ckpt_")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    _snapshot_ingest_cache[sf_dir] = root
+    return vt

@@ -97,3 +97,28 @@ def test_stream_static_join_equals_batch(spark, sf_dir):
 def test_pipeline_stream_equals_batch(spark, sf_dir):
     """ST10: composed gate+dedup+window continuous query == batch form."""
     _pair_equal(spark, sf_dir, "st10_pipeline_stream", "st10_pipeline_batch")
+
+
+def test_snapshot_ingest_versions_are_monotone(spark, sf_dir):
+    """st12: every micro-batch published one snapshot; per-user counts
+    must be non-decreasing across versions and the final version must
+    equal the batch aggregate."""
+    from pydatalake_gen2_spark.registry import ensure_views
+    from pydatalake_gen2_spark.streaming.replay import run_snapshot_ingest
+
+    ensure_views(spark, sf_dir)
+    vt = run_snapshot_ingest(spark, sf_dir)
+    vs = vt.versions()
+    assert len(vs) >= 2, vs
+    prev: dict = {}
+    for v in vs:
+        cur = {r["user_id"]: r["n"] for r in vt.read(v).collect()}
+        for u, n in prev.items():
+            assert cur.get(u, 0) >= n, (v, u)
+        prev = cur
+    batch = {
+        r["user_id"]: r["n"]
+        for r in spark.table("events").groupBy("user_id").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert prev == batch
