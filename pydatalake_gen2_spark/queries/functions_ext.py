@@ -573,3 +573,109 @@ sql_pair(
         "to_hours interval builders) and epoch-exact sub-day bucketing — "
         "second-granularity render per SURVEY determinism rule 3.",
 )
+
+
+sql_pair(
+    "f45_map_hof",
+    """
+    SELECT n_nationkey,
+           array_join(transform(map_entries(transform_keys(m, (k, v) -> upper(k))),
+                                e -> concat(e.key, '=', CAST(e.value AS STRING))),
+                      ',') AS upper_entries,
+           array_join(transform(map_entries(transform_values(m, (k, v) -> v * 10)),
+                                e -> concat(e.key, '=', CAST(e.value AS STRING))),
+                      ',') AS scaled_entries,
+           array_join(transform(map_entries(map_zip_with(m, m, (k, v1, v2) -> v1 + v2)),
+                                e -> concat(e.key, '=', CAST(e.value AS STRING))),
+                      ',') AS doubled_entries
+    FROM (SELECT n_nationkey,
+                 map('nat', n_nationkey, 'reg', n_regionkey) AS m
+          FROM nation)
+    ORDER BY n_nationkey
+    """,
+    """
+    SELECT n_nationkey,
+           concat('NAT=', n_nationkey, ',REG=', n_regionkey) AS upper_entries,
+           concat('nat=', n_nationkey * 10, ',reg=', n_regionkey * 10) AS scaled_entries,
+           concat('nat=', n_nationkey * 2, ',reg=', n_regionkey * 2) AS doubled_entries
+    FROM nation ORDER BY n_nationkey
+    """,
+    doc="MAP higher-order functions: transform_keys / transform_values / "
+        "map_zip_with, rendered as insertion-ordered 'k=v' strings. The "
+        "oracle recomputes the expected rendering independently from the "
+        "base columns (DuckDB has no map HOFs) — same-semantics, different "
+        "derivation. All three HOFs run inside whole-stage codegen; no "
+        "Python, no shuffle.",
+)
+
+
+sql_pair(
+    "f46_regexp_extract_all",
+    """
+    SELECT p_partkey,
+           array_join(regexp_extract_all(p_name, '([a-z]+)', 1), ',') AS words,
+           CAST(size(regexp_extract_all(p_name, '([aeiou])', 1)) AS BIGINT) AS n_vowels,
+           regexp_extract(p_type, '^([A-Z]+)', 1) AS type_head
+    FROM part WHERE p_partkey < 400 ORDER BY p_partkey
+    """,
+    """
+    SELECT p_partkey,
+           array_to_string(regexp_extract_all(p_name, '([a-z]+)', 1), ',') AS words,
+           CAST(len(regexp_extract_all(p_name, '([aeiou])', 1)) AS BIGINT) AS n_vowels,
+           regexp_extract(p_type, '^([A-Z]+)', 1) AS type_head
+    FROM part WHERE p_partkey < 400 ORDER BY p_partkey
+    """,
+    doc="regexp_extract_all / regexp_extract scalar surface — identical "
+        "RE2-class pattern semantics on both engines; array output "
+        "stringified per the round-1 hash-stability rule.",
+)
+
+
+sql_pair(
+    "f47_str_to_map",
+    """
+    SELECT p_partkey,
+           CAST(element_at(m, 'size') AS BIGINT) AS v_size,
+           element_at(m, 'brand') AS v_brand,
+           array_join(map_keys(m), ',') AS ks
+    FROM (SELECT p_partkey,
+                 str_to_map(concat('brand:', p_brand, ',size:', p_size,
+                                   ',type:', p_type),
+                            ',', ':') AS m
+          FROM part)
+    WHERE p_partkey < 400 ORDER BY p_partkey
+    """,
+    """
+    SELECT p_partkey,
+           CAST(p_size AS BIGINT) AS v_size,
+           p_brand AS v_brand,
+           'brand,size,type' AS ks
+    FROM part WHERE p_partkey < 400 ORDER BY p_partkey
+    """,
+    doc="str_to_map: delimited-KV string -> MAP (the events.props-style "
+        "config-string decoder). Oracle recomputes expected values from the "
+        "base columns the string was built from — independent derivation of "
+        "the same contract. Insertion order preserved, pure codegen.",
+)
+
+
+sql_pair(
+    "f48_posexplode",
+    """
+    SELECT p_partkey, pos, word
+    FROM part
+    LATERAL VIEW posexplode(split(p_name, ' ')) t AS pos, word
+    WHERE p_partkey < 400
+    ORDER BY p_partkey, pos
+    """,
+    """
+    SELECT p_partkey,
+           unnest(range(0, len(string_split(p_name, ' ')))) AS pos,
+           unnest(string_split(p_name, ' ')) AS word
+    FROM part WHERE p_partkey < 400
+    ORDER BY p_partkey, pos
+    """,
+    doc="posexplode (ordinal-preserving UNNEST) ↔ DuckDB zipped parallel "
+        "unnest. Generator runs inside the scan stage (no shuffle); ordinal "
+        "lets downstream ops reconstruct token order without a window.",
+)

@@ -333,3 +333,46 @@ sql_pair(
         "constant within a run). Two shuffles total (distinct + window "
         "share the user_id key); no self-join, no recursion.",
 )
+
+
+@register(
+    "w17_ohlc_resample",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS bucket,
+           event_type,
+           arg_min(value, ts) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           arg_max(value, ts) AS close,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS volume
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="W17: time-series OHLC resample — downsample the event stream to "
+        "per-(hour, event_type) open/high/low/close bars in ONE partial-agg "
+        "pass (min_by/max_by carry the endpoint values; no window, no "
+        "self-join). Event ts is unique at fixture scale (asserted in "
+        "tests/test_operators.py) so min_by(value, ts) is deterministic; at "
+        "100 TB use min_by(value, struct(ts, event_id)) for tie-safety. "
+        "Scale: map-side partial aggregation collapses each input split to "
+        "one row per (hour, type) before the single shuffle; bar count is "
+        "bounded by hours x types, so the reduce side is tiny regardless of "
+        "input volume.",
+)
+def w17_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.table("events")
+    bucket = F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00")
+    return (
+        ev.groupBy(bucket.alias("bucket"), "event_type")
+        .agg(
+            F.min_by("value", "ts").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ts").alias("close"),
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("volume"),
+        )
+        .orderBy("bucket", "event_type")
+    )
