@@ -1216,3 +1216,60 @@ def l30_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "l17b_decontaminate_bloom",
+    duck_sql="""
+    WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(generate_series(1, len(t) - 4),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))) AS gram
+      FROM toks WHERE len(t) >= 5),
+    bench AS (
+      SELECT DISTINCT gram FROM g
+      WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '10'),
+    hits AS (
+      SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_contaminated_grams
+      FROM g JOIN bench USING (gram)
+      WHERE substring(md5(CAST(g.doc_id AS VARCHAR)), 1, 2) >= '10'
+      GROUP BY g.doc_id)
+    SELECT doc_id, CAST(n_contaminated_grams AS BIGINT) AS n_contaminated_grams
+    FROM hits
+    """,
+)
+def l17b_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bloom-filter scale path promised in l17's docstring: when the
+    held-out gram set is too large to broadcast as an exact hash set
+    (13-gram suites over many benchmarks), build a BLOOM over it
+    (operators/bloom.py — distributed bit_or word build, k=7 double
+    hashing) and probe every corpus gram with pure-codegen bit tests
+    before the exact confirm join. The bloom eliminates the overwhelming
+    majority of corpus grams scan-side (never-shuffled); only the tiny
+    surviving candidate set — bloom true-positives plus an ~fpp sliver of
+    false positives — reaches the exact join, so the OUTPUT is
+    hash-identical to l17 (bloom false positives cannot survive the
+    confirm; false negatives are impossible). Same oracle as l17 by
+    construction. At 100 TB the bloom is ~32 KB-32 MB broadcast vs a
+    multi-GB exact set — the same trade Spark's InjectRuntimeFilter makes.
+    """
+    from pydatalake_gen2_spark.operators import bloom as B
+    from pydatalake_gen2_spark.operators import text
+
+    M, K = 1 << 18, 7
+    d = spark.table("documents")
+    t = text.tokens()
+    is_bench = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "10"
+    gram = F.explode(F.array_distinct(text.ngrams(t, 5))).alias("gram")
+    bench = d.filter(is_bench).select(gram).distinct()
+    bloom_df = B.build_bloom(bench, "gram", M, K)
+    corpus = d.filter(~is_bench).select("doc_id", gram)
+    candidates = corpus.join(F.broadcast(bloom_df)).filter(
+        B.might_contain(F.col("gram"), F.col("bloom_words"), M, K)
+    ).drop("bloom_words")
+    return (
+        candidates.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("gram").alias("n_contaminated_grams"))
+    )

@@ -678,3 +678,33 @@ def test_nearest_join_matches_bruteforce_random(spark):
         ).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------- bloom
+
+
+def test_bloom_no_false_negatives_and_bounded_fpp(spark):
+    from pydatalake_gen2_spark.operators.bloom import build_bloom, might_contain
+    import pyspark.sql.functions as F
+
+    M, K = 1 << 14, 7
+    keys = spark.range(500).select(F.concat(F.lit("key-"), F.col("id")).alias("k"))
+    bloom = build_bloom(keys, "k", M, K)
+    words = bloom.collect()[0].bloom_words
+    assert len(words) == M // 64
+
+    probe = spark.range(2000).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("k")
+    )  # first 500 inserted, rest 1500 absent
+    hits = (
+        probe.join(F.broadcast(bloom))
+        .filter(might_contain(F.col("k"), F.col("bloom_words"), M, K))
+        .select("k")
+        .collect()
+    )
+    hit_ids = {int(r.k.split("-")[1]) for r in hits}
+    # no false negatives: every inserted key must probe true
+    assert set(range(500)) <= hit_ids
+    # bounded false positives: m/n=32.8 bits/key, k=7 → theoretical fpp
+    # ~0.4%; allow 10x slack for hash correlation
+    assert len(hit_ids - set(range(500))) <= 60
