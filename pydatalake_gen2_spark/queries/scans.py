@@ -335,3 +335,43 @@ def s16_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(2).alias("version"), "r_regionkey", "r_name"
     )
     return v1.unionByName(latest).orderBy("version", "r_regionkey")
+
+
+@register(
+    "s17_python_datasource",
+    duck_sql="""
+    SELECT * FROM (VALUES
+      ('customer.parquet',   'parquet'),
+      ('documents.parquet',  'parquet'),
+      ('embeddings.parquet', 'parquet'),
+      ('events.parquet',     'parquet'),
+      ('lineitem.parquet',   'parquet'),
+      ('nation.parquet',     'parquet'),
+      ('orders.parquet',     'parquet'),
+      ('part.parquet',       'parquet'),
+      ('region.parquet',     'parquet'),
+      ('supplier.parquet',   'parquet')) AS t(name, ext)
+    ORDER BY name
+    """,
+)
+def s17_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S17: the reference's recursive listing surface (list_path,
+    reference client.py:481-511) re-expressed as a CUSTOM PYTHON DATA
+    SOURCE (sources/pyds.py, pyspark.sql.datasource — public Spark 4
+    API): partitioned parallel listing (one input partition per root
+    child subtree) with ext/is_dir filter pushdown applied during the
+    walk. This query reads the sf fixture dir through the source and
+    projects the stable columns (file sizes vary by scale factor; the
+    name set is the fixed 10-table contract, so the oracle is VALUES).
+    Pushdown + partition behavior unit-tested in tests/test_lake.py."""
+    from pydatalake_gen2_spark.sources.pyds import ensure_registered
+
+    ensure_registered(spark)
+    return (
+        spark.read.format("lake_listing")
+        .option("path", sf_dir)
+        .load()
+        .filter((F.col("ext") == "parquet") & (~F.col("is_dir")))
+        .select("name", "ext")
+        .orderBy("name")
+    )

@@ -1,0 +1,163 @@
+"""S17 — custom PySpark 4 Python DataSource: the lake listing as a TABLE.
+
+The reference's core read surface is recursive path listing
+(``list_path``, reference client.py:481-511 — 5000-entry pages behind an
+unbounded LRU memo). Here that surface becomes a first-class Spark
+*batch data source* via the public Python DataSource API
+(``pyspark.sql.datasource``, new in Spark 4): register once, then
+
+    spark.dataSource.register(LakeListingDataSource)
+    spark.read.format("lake_listing").option("path", root).load()
+
+yields a DataFrame of every filesystem entry under ``root`` with name /
+extension / directory flag / size / depth columns — queryable, joinable,
+and filter-pushdown-aware like any other source.
+
+Scale design (the part the reference's client cannot do):
+
+- **Partitioned listing.** ``partitions()`` returns one InputPartition
+  per immediate child of the root, so a million-object store listing
+  fans out across executors (each task descends only its own subtree)
+  instead of paging sequentially through one driver-side loop. The root
+  itself is partition "" (its direct entries).
+- **Filter pushdown.** ``pushFilters`` accepts EqualTo/In on ``ext``
+  and EqualTo on ``is_dir`` and applies them DURING the walk — directory
+  subtrees are still descended, but non-matching entries are never
+  yielded to the JVM. Unsupported filters are returned to Spark to
+  evaluate post-scan (the API contract).
+- **Fresh results.** No memo: every load lists live state — the
+  reference's staleness bug (threadsafe_lru never invalidated,
+  client.py:72-86) is deliberately not ported, same decision as
+  sources/lake.py list_paths.
+
+Columns: name (path relative to root, '/'-separated), ext (lowercased
+final suffix, '' for none/dirs), is_dir, size_bytes, depth (1 = direct
+child of root).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    In,
+    InputPartition,
+)
+from pyspark.sql.types import (
+    BooleanType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_SCHEMA = StructType(
+    [
+        StructField("name", StringType(), False),
+        StructField("ext", StringType(), False),
+        StructField("is_dir", BooleanType(), False),
+        StructField("size_bytes", LongType(), False),
+        StructField("depth", IntegerType(), False),
+    ]
+)
+
+
+@dataclass(frozen=True)
+class _Subtree(InputPartition):
+    rel: str  # '' = the root's direct entries; else one child subtree
+
+
+class _ListingReader(DataSourceReader):
+    def __init__(self, root: str) -> None:
+        self.root = root
+        self.want_ext: set[str] | None = None
+        self.want_is_dir: bool | None = None
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("ext",):
+                self.want_ext = {str(f.value)}
+            elif isinstance(f, In) and f.attribute == ("ext",):
+                self.want_ext = {str(v) for v in f.value}
+            elif isinstance(f, EqualTo) and f.attribute == ("is_dir",):
+                self.want_is_dir = bool(f.value)
+            else:
+                yield f  # not ours — Spark evaluates it post-scan
+
+    def partitions(self) -> list[InputPartition]:
+        subs = [
+            _Subtree(e.name)
+            for e in os.scandir(self.root)
+            if e.is_dir(follow_symlinks=False)
+        ]
+        return sorted(subs, key=lambda p: p.rel) + [_Subtree("")]
+
+    def _emit(self, rel: str, is_dir: bool, size: int) -> tuple | None:
+        ext = "" if is_dir else os.path.splitext(rel)[1].lstrip(".").lower()
+        if self.want_ext is not None and ext not in self.want_ext:
+            return None
+        if self.want_is_dir is not None and is_dir != self.want_is_dir:
+            return None
+        return (rel, ext, is_dir, size, rel.count("/") + 1)
+
+    def read(self, partition: _Subtree) -> Iterator[tuple]:
+        root = self.root
+        if partition.rel == "":
+            # the root partition lists only the root's direct entries
+            # (child DIRS are reported here; their contents belong to
+            # their own partition)
+            for e in sorted(os.scandir(root), key=lambda e: e.name):
+                is_dir = e.is_dir(follow_symlinks=False)
+                row = self._emit(e.name, is_dir, 0 if is_dir else e.stat().st_size)
+                if row:
+                    yield row
+            return
+        base = os.path.join(root, partition.rel)
+        for dirpath, dirnames, filenames in os.walk(base):
+            dirnames.sort()
+            reld = os.path.relpath(dirpath, root).replace(os.sep, "/")
+            for d in dirnames:
+                row = self._emit(f"{reld}/{d}", True, 0)
+                if row:
+                    yield row
+            for f in sorted(filenames):
+                full = os.path.join(dirpath, f)
+                row = self._emit(f"{reld}/{f}", False, os.path.getsize(full))
+                if row:
+                    yield row
+
+
+class LakeListingDataSource(DataSource):
+    """``spark.read.format("lake_listing").option("path", root)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "lake_listing"
+
+    def schema(self) -> StructType:
+        return _SCHEMA
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("lake_listing requires .option('path', <root>)")
+        return _ListingReader(path)
+
+
+_registered: set[int] = set()
+
+
+def ensure_registered(spark) -> None:
+    key = id(spark)
+    if key not in _registered:
+        spark.dataSource.register(LakeListingDataSource)
+        # runtime-settable; required for pushFilters to participate
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        _registered.add(key)

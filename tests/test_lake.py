@@ -127,3 +127,49 @@ def test_versioned_table_commit_read_time_travel(spark):
         vt.read(1)
     # survivors unaffected
     assert vt.read(2).count() == 8 and vt.read().count() == 2
+
+
+# ------------------------------------------------- S17 python data source
+
+
+def test_lake_listing_datasource(spark, tmp_path):
+    """Partitioned walk + ext/is_dir pushdown of the custom Python
+    DataSource (sources/pyds.py)."""
+    import pyspark.sql.functions as F
+    from pydatalake_gen2_spark.sources.pyds import ensure_registered
+
+    root = tmp_path / "lake"
+    (root / "a" / "deep").mkdir(parents=True)
+    (root / "b").mkdir()
+    (root / "top.csv").write_text("x")
+    (root / "a" / "one.parquet").write_bytes(b"12345")
+    (root / "a" / "deep" / "two.parquet").write_bytes(b"123")
+    (root / "b" / "three.txt").write_text("abc")
+
+    ensure_registered(spark)
+    df = spark.read.format("lake_listing").option("path", str(root)).load()
+
+    rows = {r.name: r for r in df.collect()}
+    assert set(rows) == {
+        "a", "b", "top.csv", "a/deep", "a/one.parquet",
+        "a/deep/two.parquet", "b/three.txt",
+    }
+    assert rows["a"].is_dir and rows["a"].depth == 1
+    assert rows["a/deep/two.parquet"].size_bytes == 3
+    assert rows["a/deep/two.parquet"].depth == 3
+    assert rows["top.csv"].ext == "csv"
+
+    # ext pushdown: only parquet entries survive the walk
+    pq = df.filter(F.col("ext") == "parquet").select("name").collect()
+    assert {r.name for r in pq} == {"a/one.parquet", "a/deep/two.parquet"}
+
+    # is_dir pushdown composes
+    dirs = df.filter(F.col("is_dir") == True).select("name").collect()  # noqa: E712
+    assert {r.name for r in dirs} == {"a", "b", "a/deep"}
+
+    # one partition per root child subtree + the root itself
+    n_parts = (
+        spark.read.format("lake_listing").option("path", str(root)).load()
+        .select(F.spark_partition_id().alias("p")).distinct().count()
+    )
+    assert n_parts == 3  # subtrees a, b + root-direct entries
