@@ -94,6 +94,14 @@ class Engine:
     def simhash_neardups(self, df, r: int = 4, **kw) -> DataFrame:
         return dedup.simhash_neardup_pairs(df, r=r, **kw)
 
+    def semdedup(self, corpus, n_cells: int = 16, tau: float = 0.97, **kw) -> DataFrame:
+        return dedup.semdedup(corpus, n_cells=n_cells, tau=tau, **kw)
+
+    def bloom_build(self, keys, key_col: str, **kw) -> DataFrame:
+        from pydatalake_gen2_spark.operators import bloom
+
+        return bloom.build_bloom(keys, key_col, **kw)
+
     def pq_train(self, corpus, **kw):
         from pydatalake_gen2_spark.operators import pq
 

@@ -597,3 +597,118 @@ def span_dedup(
         F.size(kept).cast("bigint").alias("n_kept"),
         (F.size("_t") - F.size(kept)).cast("bigint").alias("n_removed"),
     )
+
+
+def semdedup(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    tau: float = 0.97,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_cell: int = 100_000,
+) -> DataFrame:
+    """L31 — SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-duplicate pruning over an embedding column.
+
+    1. k-means the corpus into ``n_cells`` clusters (seeded deterministic
+       codebook — similarity.ivf_centroids — broadcast in the assigner
+       closure; one narrow no-shuffle projection assigns every row).
+    2. WITHIN each cluster only (the paper's locality assumption: true
+       semantic dups land in the same cell), find pairs with cosine
+       similarity >= tau via one BLAS gemm per cluster inside
+       applyInPandas — pairwise work is (n/k)^2 per cell, never n^2.
+    3. Connected dup-groups are contracted locally (union-find inside
+       the pandas group — clusters are single-partition by definition)
+       and ONE representative is kept per group: the member with the
+       LOWEST cosine similarity to its cluster centroid (the paper's
+       diversity-maximizing keeper), ties broken by smaller id.
+
+    Returns (id, cell, grp, cent_sim, keep) — one row per input vector;
+    ``keep=false`` rows are the semantic duplicates to drop.
+
+    Scale: the only shuffle is the groupBy(cell) exchange (vector + two
+    longs wide). Cell populations are ~n/k with k chosen ~sqrt(n) or by
+    memory budget; ``max_cell`` guards the local gemm — an over-full cell
+    (k-means collapse / duplicate flood) raises rather than OOMs, the
+    paper's own remedy being a larger k. Deterministic end-to-end: seeded
+    codebook, stable assignment, order-independent local contraction.
+
+    Reference parity: the reference repo has no similarity surface; this
+    extends the training-data pipeline family (SURVEY §2B.10).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        BooleanType, DoubleType, LongType, StructField, StructType,
+    )
+
+    from pydatalake_gen2_spark.operators.similarity import (
+        _cell_assigner, ivf_centroids,
+    )
+    from pydatalake_gen2_spark.operators.vectors import as_double
+
+    cents = ivf_centroids(
+        corpus, n_cells, seed=seed, id_col=id_col, vec_col=vec_col
+    )
+    assign = _cell_assigner(cents, n_probe=1)
+    c = np.asarray(cents, dtype=float)
+    c_norm = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+
+    assigned = corpus.select(
+        F.col(id_col).alias("id"), as_double(vec_col).alias("_v")
+    ).withColumn("cell", assign(F.col("_v"))["cell"])
+
+    out_type = StructType([
+        StructField("id", LongType()),
+        StructField("cell", LongType()),
+        StructField("grp", LongType()),
+        StructField("cent_sim", DoubleType()),
+        StructField("keep", BooleanType()),
+    ])
+
+    def dedup_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n > max_cell:
+            raise ValueError(
+                f"semdedup cell {int(pdf['cell'].iloc[0])} holds {n} > "
+                f"max_cell={max_cell} vectors; raise n_cells (paper: pick "
+                "k so n/k fits one worker) or max_cell"
+            )
+        pdf = pdf.sort_values("id", kind="mergesort").reset_index(drop=True)
+        x = np.stack(pdf["_v"].to_numpy())
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        cell_id = int(pdf["cell"].iloc[0])
+        cent_sim = xn @ c_norm[cell_id]
+        sim = xn @ xn.T
+        # union-find over tau-pairs (i<j); path-halving find
+        parent = np.arange(n)
+
+        def find(i: int) -> int:
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        ii, jj = np.where(np.triu(sim >= tau, k=1))
+        for i, j in zip(ii.tolist(), jj.tolist()):
+            ri, rj = find(i), find(j)
+            if ri != rj:
+                parent[max(ri, rj)] = min(ri, rj)
+        root = np.array([find(i) for i in range(n)])
+        # keeper per group: lowest centroid-sim, tie -> smallest id (rows
+        # are id-sorted, so lexsort on (cent_sim, position) suffices)
+        keep = np.zeros(n, dtype=bool)
+        for r in np.unique(root):
+            members = np.where(root == r)[0]
+            keep[members[np.argmin(cent_sim[members], )]] = True
+        ids = pdf["id"].to_numpy()
+        return pd.DataFrame({
+            "id": ids,
+            "cell": np.full(n, cell_id, dtype="int64"),
+            "grp": ids[root],
+            "cent_sim": cent_sim,
+            "keep": keep,
+        })
+
+    return assigned.groupBy("cell").applyInPandas(dedup_cell, out_type)

@@ -1273,3 +1273,26 @@ def l17b_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("gram").alias("n_contaminated_grams"))
     )
+
+
+@register("l31_semdedup", duck_sql=None, tier="P")
+def l31_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L31 SemDeDup (Abbas et al. 2023): semantic near-dup pruning —
+    k-means cells, within-cell pairwise cosine >= tau, keep the
+    least-central member per dup group (operators/dedup.py::semdedup).
+    Tier P: k-means is not SQL-expressible, so the driver records a
+    rows-only check; exactness of the within-cell contraction is
+    property-tested against a brute-force reimplementation at fixture
+    scale (tests/test_properties.py::test_semdedup_matches_bruteforce).
+    Deterministic output — seeded codebook, stable ties."""
+    from pydatalake_gen2_spark.operators.dedup import semdedup
+
+    emb = spark.table("embeddings")
+    return (
+        semdedup(emb, n_cells=8, tau=0.9)
+        .select(
+            F.col("id").alias("vec_id"), "cell", "grp",
+            F.round("cent_sim", 6).alias("cent_sim"), "keep",
+        )
+        .orderBy("vec_id")
+    )

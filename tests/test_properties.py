@@ -431,3 +431,65 @@ def test_ewma_matches_numpy_recurrence(spark, sf_dir):
             assert got[r.event_id] == y, r.event_id
             n += 1
     assert n == len(got) > 0
+
+
+def test_semdedup_matches_bruteforce(spark, sf_dir):
+    """semdedup's distributed within-cell contraction must equal a
+    single-process brute-force replay: same cell assignment (shared
+    codebook), same tau-pairs, same union-find groups, same
+    least-central keeper."""
+    import numpy as np
+
+    from pydatalake_gen2_spark.operators.dedup import semdedup
+    from pydatalake_gen2_spark.operators.similarity import ivf_centroids
+    from pydatalake_gen2_spark.registry import ensure_views
+
+    ensure_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    tau, k = 0.9, 8
+    got = {
+        r.id: (r.cell, r.grp, r.keep)
+        for r in semdedup(emb, n_cells=k, tau=tau).collect()
+    }
+
+    rows = sorted(emb.collect(), key=lambda r: r.vec_id)
+    ids = np.array([r.vec_id for r in rows])
+    x = np.array([list(map(float, r.embedding)) for r in rows])
+    c = np.asarray(ivf_centroids(emb, k), dtype=float)
+    d2 = (x * x).sum(1)[:, None] - 2 * x @ c.T + (c * c).sum(1)[None, :]
+    cell = d2.argmin(1)
+    xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    cn = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+
+    n_dup_groups = 0
+    for cl in np.unique(cell):
+        mem = np.where(cell == cl)[0]
+        sim = xn[mem] @ xn[mem].T
+        parent = list(range(len(mem)))
+
+        def find(i):
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        for i in range(len(mem)):
+            for j in range(i + 1, len(mem)):
+                if sim[i, j] >= tau:
+                    ri, rj = find(i), find(j)
+                    if ri != rj:
+                        parent[max(ri, rj)] = min(ri, rj)
+        cent_sim = xn[mem] @ cn[cl]
+        groups: dict = {}
+        for i in range(len(mem)):
+            groups.setdefault(find(i), []).append(i)
+        for root, members in groups.items():
+            if len(members) > 1:
+                n_dup_groups += 1
+            keeper = min(members, key=lambda i: (cent_sim[i], i))
+            for i in members:
+                vid = int(ids[mem[i]])
+                assert got[vid] == (
+                    int(cl), int(ids[mem[root]]), i == keeper
+                ), vid
+    assert len(got) == len(ids)
