@@ -375,3 +375,41 @@ def s17_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("name", "ext")
         .orderBy("name")
     )
+
+
+@register(
+    "s18_zorder_layout",
+    duck_sql="""
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(l_partkey) AS BIGINT) AS sum_part,
+           CAST(sum(l_suppkey) AS BIGINT) AS sum_supp,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+    FROM lineitem
+    """,
+)
+def s18_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S18: Z-order (Morton-curve) clustered layout on (l_partkey,
+    l_suppkey) — operators/layout.py::zorder_write. Files cover disjoint
+    z ranges = small rectangles in key space, so footer zone maps prune
+    files for predicates on EITHER column (the property 1-d sorting
+    can't give; asserted from real parquet footers in
+    tests/test_operators.py::test_zorder_file_skipping). The registered
+    output is the lossless read-back aggregate: rewriting layout must
+    never change content."""
+    from pydatalake_gen2_spark.operators.layout import zorder_write
+
+    path = _tmp("s18_zorder", sf_dir)
+
+    def write():
+        zorder_write(
+            load_table(spark, sf_dir, "lineitem"), path, "l_partkey", "l_suppkey"
+        )
+
+    _write_once(path, write)
+    back = spark.read.schema(TABLES["lineitem"]).parquet(path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("l_partkey").cast("bigint").alias("sum_part"),
+        F.sum("l_suppkey").cast("bigint").alias("sum_supp"),
+        F.count_distinct("l_orderkey").alias("n_orders"),
+    )

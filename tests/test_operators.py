@@ -708,3 +708,48 @@ def test_bloom_no_false_negatives_and_bounded_fpp(spark):
     # bounded false positives: m/n=32.8 bits/key, k=7 → theoretical fpp
     # ~0.4%; allow 10x slack for hash correlation
     assert len(hit_ids - set(range(500))) <= 60
+
+
+def test_zorder_file_skipping(spark, sf_dir):
+    """s18's z-ordered files must be prunable on BOTH columns: for a box
+    predicate in the low quadrant of (l_partkey, l_suppkey), a
+    substantial fraction of files' footer [min,max] ranges must miss the
+    box on each dimension — the 2-d zone-map property 1-d sorting lacks."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    from pydatalake_gen2_spark.registry import load_all
+
+    load_all()["s18_zorder_layout"].spark_fn(spark, sf_dir).collect()
+    roots = _glob.glob("/tmp/pydatalake_sinks_*/s18_zorder_*")
+    assert roots
+    boxes = []
+    for f in _glob.glob(f"{roots[0]}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        stats = {"l_partkey": [], "l_suppkey": []}
+        for rg in range(md.num_row_groups):
+            for i in range(md.num_columns):
+                col = md.row_group(rg).column(i)
+                if col.path_in_schema in stats:
+                    stats[col.path_in_schema].append(
+                        (col.statistics.min, col.statistics.max)
+                    )
+        boxes.append(
+            tuple(
+                (min(lo for lo, _ in v), max(hi for _, hi in v))
+                for v in (stats["l_partkey"], stats["l_suppkey"])
+            )
+        )
+    assert len(boxes) > 4
+    max_a = max(hi for (_, hi), _ in boxes)
+    max_b = max(hi for _, (_, hi) in boxes)
+    # box predicate: both keys in their lowest quartile
+    qa, qb = max_a / 4, max_b / 4
+    surviving = [
+        1
+        for (alo, ahi), (blo, bhi) in boxes
+        if alo <= qa and blo <= qb  # file COULD contain matching rows
+    ]
+    # z-ordering must let the 2-d predicate skip at least half the files
+    assert len(surviving) <= len(boxes) / 2, (len(surviving), len(boxes))
