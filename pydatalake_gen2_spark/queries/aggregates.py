@@ -533,3 +533,141 @@ def g26_hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "g29_median_abs_deviation",
+    duck_sql="""
+    SELECT event_type,
+           ROUND(CAST(median(value) AS DOUBLE), 4) AS med_value,
+           ROUND(CAST(mad(value) AS DOUBLE), 4) AS mad_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="G29: per-group median absolute deviation — the robust dispersion "
+        "stat quality pipelines use for outlier gating. Engine side "
+        "composes it from two exact-median passes (median per group, "
+        "broadcast the tiny per-group medians back, median of |x-med|); "
+        "the oracle is DuckDB's NATIVE mad() — an independent "
+        "implementation, so agreement is a strong check. Scale: groups "
+        "are low-cardinality (event types), medians per group via "
+        "single-shuffle sort-based exact percentile; the medians frame "
+        "is group-count-sized and broadcast.",
+)
+def g29_median_abs_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.table("events")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med_value"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "absdev", F.abs(F.col("value") - F.col("med_value"))
+    )
+    return (
+        dev.groupBy("event_type")
+        .agg(
+            F.round(F.first("med_value"), 4).alias("med_value"),
+            F.round(F.median("absdev"), 4).alias("mad_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+sql_pair(
+    "g27_table_checksum",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(conv(substr(md5(concat_ws('|',
+                CAST(l_orderkey AS STRING), CAST(l_linenumber AS STRING),
+                l_returnflag, l_linestatus,
+                CAST(CAST(l_extendedprice AS DECIMAL(18,4)) AS STRING),
+                date_format(l_shipdate, 'yyyy-MM-dd'))), 1, 12), 16, 10)
+             AS DECIMAL(38,0))) AS STRING) AS sum_check,
+           CAST(bit_xor(CAST(conv(substr(md5(concat_ws('|',
+                CAST(l_orderkey AS STRING), CAST(l_linenumber AS STRING),
+                l_returnflag, l_linestatus,
+                CAST(CAST(l_extendedprice AS DECIMAL(18,4)) AS STRING),
+                date_format(l_shipdate, 'yyyy-MM-dd'))), 1, 12), 16, 10)
+             AS BIGINT)) AS BIGINT) AS xor_check
+    FROM lineitem
+    """,
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(concat('0x', substr(md5(concat_ws('|',
+                CAST(l_orderkey AS STRING), CAST(l_linenumber AS STRING),
+                l_returnflag, l_linestatus,
+                CAST(CAST(l_extendedprice AS DECIMAL(18,4)) AS STRING),
+                strftime(l_shipdate, '%Y-%m-%d'))), 1, 12)) AS UBIGINT))
+             AS STRING) AS sum_check,
+           CAST(bit_xor(CAST(concat('0x', substr(md5(concat_ws('|',
+                CAST(l_orderkey AS STRING), CAST(l_linenumber AS STRING),
+                l_returnflag, l_linestatus,
+                CAST(CAST(l_extendedprice AS DECIMAL(18,4)) AS STRING),
+                strftime(l_shipdate, '%Y-%m-%d'))), 1, 12)) AS UBIGINT))
+             AS BIGINT) AS xor_check
+    FROM lineitem
+    """,
+    doc="G27: order-independent table checksum — count + commutative SUM "
+        "and XOR of a 48-bit md5 prefix of each row's canonical rendering "
+        "(decimal-exact numeric strings, explicit date format, '|' joins). "
+        "The anti-entropy primitive for comparing a 100 TB table across "
+        "clusters/engines without sorting anything: fully partial-agg, one "
+        "tiny final merge, no shuffle of data rows. Cross-engine by "
+        "construction (md5 is bit-identical everywhere); DuckDB computes "
+        "the identical scalar pipeline via 0x-prefix UBIGINT casts.",
+)
+
+
+sql_pair(
+    "g28_quality_audit",
+    """
+    WITH m AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_rows,
+             CAST(count(l_quantity) AS DOUBLE) AS qty_nonnull,
+             CAST(count(DISTINCT l_orderkey, l_linenumber) AS DOUBLE)
+               AS key_distinct,
+             CAST(min(l_discount) AS DOUBLE) AS min_disc,
+             CAST(max(l_discount) AS DOUBLE) AS max_disc,
+             CAST(sum(CASE WHEN l_returnflag IN ('A','N','R') THEN 0
+                           ELSE 1 END) AS DOUBLE) AS bad_flag
+      FROM lineitem)
+    SELECT check_name, ROUND(metric, 4) AS metric, passed FROM (
+      SELECT stack(5,
+        'completeness_l_quantity', qty_nonnull / n_rows, qty_nonnull = n_rows,
+        'uniqueness_order_line',   key_distinct / n_rows, key_distinct = n_rows,
+        'min_discount_ge_0',       min_disc,              min_disc >= 0.0,
+        'max_discount_le_1',       max_disc,              max_disc <= 1.0,
+        'domain_returnflag',       bad_flag,              bad_flag = 0.0
+      ) AS (check_name, metric, passed) FROM m)
+    ORDER BY check_name
+    """,
+    """
+    WITH m AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_rows,
+             CAST(count(l_quantity) AS DOUBLE) AS qty_nonnull,
+             CAST(count(DISTINCT (l_orderkey, l_linenumber)) AS DOUBLE)
+               AS key_distinct,
+             CAST(min(l_discount) AS DOUBLE) AS min_disc,
+             CAST(max(l_discount) AS DOUBLE) AS max_disc,
+             CAST(sum(CASE WHEN l_returnflag IN ('A','N','R') THEN 0
+                           ELSE 1 END) AS DOUBLE) AS bad_flag
+      FROM lineitem)
+    SELECT 'completeness_l_quantity' AS check_name,
+           ROUND(qty_nonnull / n_rows, 4) AS metric,
+           qty_nonnull = n_rows AS passed FROM m
+    UNION ALL SELECT 'uniqueness_order_line', ROUND(key_distinct / n_rows, 4),
+           key_distinct = n_rows FROM m
+    UNION ALL SELECT 'min_discount_ge_0', ROUND(min_disc, 4),
+           min_disc >= 0.0 FROM m
+    UNION ALL SELECT 'max_discount_le_1', ROUND(max_disc, 4),
+           max_disc <= 1.0 FROM m
+    UNION ALL SELECT 'domain_returnflag', ROUND(bad_flag, 4),
+           bad_flag = 0.0 FROM m
+    ORDER BY check_name
+    """,
+    doc="G28: deequ-style data-quality audit — completeness, key "
+        "uniqueness, numeric bounds, and categorical-domain checks "
+        "computed in ONE aggregation pass over the table (a single "
+        "partial+final HashAggregate; the count-distinct expands to one "
+        "extra shuffle on the key), then unpivoted row-per-check with a "
+        "boolean verdict. The shape a 100 TB nightly table-health job "
+        "wants: metrics all ride the same scan, verdicts are row-local "
+        "on a 1-row frame. Spark side renders the report via stack(); "
+        "the oracle unpivots the same 1-row CTE with UNION ALL.",
+)

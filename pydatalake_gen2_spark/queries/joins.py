@@ -15,6 +15,8 @@ Physical strategy notes (the 100 TB story):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -487,4 +489,73 @@ def j19_dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
         .orderBy("o_year")
+    )
+
+
+@register(
+    "j22_bucketed_join",
+    duck_sql="""
+    SELECT o.o_orderkey, o.o_totalprice,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS line_total
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY o.o_orderkey, o.o_totalprice
+    """,
+    doc="J22: shuffle-free fact-fact join via bucketed layout — both "
+        "sides written once with bucketBy(8, orderkey) + sortBy into the "
+        "session catalog, then joined WITHOUT any Exchange (plan-gated in "
+        "tests/test_plans.py: zero Exchange nodes in the join subtree). "
+        "This is THE layout move for a 100 TB fact⋈fact: pay the shuffle "
+        "once at write time, then every subsequent join/aggregate on the "
+        "bucket key is co-located scan-side. The groupBy on the same key "
+        "also rides the bucketing (no post-join shuffle). Oracle is the "
+        "plain logical join — bucketing is physical-only.",
+)
+def j22_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    to, tl = f"j22_orders_{tag}", f"j22_lineitem_{tag}"
+    # The in-memory session catalog forgets tables across processes while
+    # the warehouse directory persists — drop stale locations first.
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    for t in (to, tl):
+        if not spark.catalog.tableExists(t):
+            shutil.rmtree(
+                os.path.join(warehouse.replace("file:", ""), t), ignore_errors=True
+            )
+    if not spark.catalog.tableExists(to):
+        (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .select("o_orderkey", "o_orderstatus", "o_totalprice")
+            .write.bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .mode("overwrite")
+            .saveAsTable(to)
+        )
+    if not spark.catalog.tableExists(tl):
+        (
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            .select("l_orderkey", "l_extendedprice")
+            .write.bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .mode("overwrite")
+            .saveAsTable(tl)
+        )
+    o = spark.table(to).filter(F.col("o_orderstatus") == "F")
+    l = spark.table(tl)
+    # merge hint: at fixture scale AQE would broadcast the small side and
+    # throw away the co-located layout; at 100 TB both sides are facts and
+    # SMJ-over-buckets IS the plan — pin it so the gate tests that plan.
+    return (
+        o.join(l.hint("merge"), o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("line_total"),
+        )
     )

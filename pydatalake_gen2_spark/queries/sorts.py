@@ -93,3 +93,26 @@ sql_pair(
         "still never a full sort at scale; the skip happens driver-side "
         "on k+offset rows).",
 )
+
+
+@register(
+    "o06_global_row_id",
+    duck_sql="""
+    SELECT o_orderkey,
+           CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) AS BIGINT) AS row_id
+    FROM orders
+    """,
+    doc="O06: global ordered row-id assignment (DataFrame-native "
+        "zipWithIndex). The oracle is the naive ROW_NUMBER-over-everything; "
+        "the engine side computes the identical ids with the two-pass "
+        "range-partition layout (operators/rowid.py) — disjoint ordered "
+        "ranges + local Arrow-batched ranks + broadcast cumulative "
+        "offsets — so no single task ever sorts the full table. Plan-gated "
+        "in tests/test_plans.py: no empty-partition Window, range exchange "
+        "present.",
+)
+def o06_global_row_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pydatalake_gen2_spark.operators.rowid import global_row_ids
+
+    ids = global_row_ids(spark.table("orders"), ["o_orderkey"])
+    return ids.select("o_orderkey", "row_id")

@@ -376,3 +376,45 @@ def w17_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket", "event_type")
     )
+
+
+sql_pair(
+    "w18_time_range_frame",
+    """
+    SELECT user_id,
+           date_format(ts2, 'yyyy-MM-dd HH:mm:ss') AS ts_s,
+           CAST(count(*) OVER (
+               PARTITION BY user_id ORDER BY ts2
+               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_last_hour,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) OVER (
+               PARTITION BY user_id ORDER BY ts2
+               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+           ) AS STRING) AS sum_last_hour
+    FROM (SELECT user_id, date_trunc('second', ts) AS ts2, value FROM events)
+    ORDER BY user_id, ts_s
+    """,
+    """
+    SELECT user_id,
+           strftime(ts2, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           CAST(count(*) OVER (
+               PARTITION BY user_id ORDER BY ts2
+               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_last_hour,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) OVER (
+               PARTITION BY user_id ORDER BY ts2
+               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+           ) AS STRING) AS sum_last_hour
+    FROM (SELECT user_id, date_trunc('second', ts) AS ts2, value FROM events)
+    ORDER BY user_id, ts_s
+    """,
+    doc="W18: event-time RANGE frame with an INTERVAL boundary — the "
+        "trailing-hour sliding aggregate per user (count + exact-decimal "
+        "sum). Complements w09's numeric RANGE frame: the boundary here is "
+        "calendar-typed, evaluated against the ORDER BY timestamp, so "
+        "every row gets its own look-back window without self-joins or "
+        "explode-per-bucket blowup. ts truncated to seconds in both "
+        "dialects (events.ts is ns in the footer; Spark reads µs). "
+        "Scale: one shuffle on user_id; frame evaluation is a per-key "
+        "sliding two-pointer over the sorted run, O(n) per key.",
+)

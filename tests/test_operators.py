@@ -753,3 +753,15 @@ def test_zorder_file_skipping(spark, sf_dir):
     ]
     # z-ordering must let the 2-d predicate skip at least half the files
     assert len(surviving) <= len(boxes) / 2, (len(surviving), len(boxes))
+
+
+def test_global_row_ids_exact_and_contiguous(spark, sf_dir):
+    from pydatalake_gen2_spark.operators.rowid import global_row_ids
+    from pydatalake_gen2_spark.operators.util import release_persisted
+
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = global_row_ids(df, ["o_orderkey"], num_partitions=7)
+    rows = out.select("o_orderkey", "row_id").collect()
+    release_persisted()
+    by_key = sorted(rows, key=lambda r: r["o_orderkey"])
+    assert [r["row_id"] for r in by_key] == list(range(1, len(rows) + 1))

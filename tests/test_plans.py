@@ -369,3 +369,36 @@ def test_unigram_lm_model_broadcasts(spark, sf_dir):
     plan = _plan(spark, sf_dir, "l30_unigram_lm_score")
     assert "BroadcastExchange" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_global_row_id_never_single_partition_sorts(spark, sf_dir):
+    # o06's whole point: ids WITHOUT `Window [... ORDER BY ...]` over an
+    # empty partitionBy (the all-data-to-one-task plan). The plan must
+    # range-partition and rank locally via Arrow mapInPandas instead.
+    plan = _plan(spark, sf_dir, "o06_global_row_id")
+    assert "Window" not in plan, plan
+    assert "rangepartitioning" in plan.lower(), plan
+    assert "MapInPandas" in plan, plan
+    from pydatalake_gen2_spark.operators.util import release_persisted
+    release_persisted()
+
+
+def test_quality_audit_is_one_scan(spark, sf_dir):
+    # All audit metrics must ride a single lineitem scan (one FileScan
+    # node); the count-distinct expand is allowed, a scan per metric is not.
+    plan = _plan(spark, sf_dir, "g28_quality_audit")
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
+
+
+def test_table_checksum_is_partial_agg(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "g27_table_checksum")
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "SinglePartition" in plan, plan  # only the 1-row merge crosses
+
+
+def test_bucketed_join_has_zero_exchanges(spark, sf_dir):
+    # j22: both sides bucketed+sorted on the join key -> SMJ and the
+    # same-key groupBy ride the layout; ANY Exchange is a regression.
+    plan = _plan(spark, sf_dir, "j22_bucketed_join")
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange" not in plan, plan
