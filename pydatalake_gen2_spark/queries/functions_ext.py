@@ -679,3 +679,44 @@ sql_pair(
         "unnest. Generator runs inside the scan stage (no shuffle); ordinal "
         "lets downstream ops reconstruct token order without a window.",
 )
+
+
+sql_pair(
+    "f49_nested_roundtrip",
+    """
+    WITH nested AS (
+      SELECT l_orderkey,
+             sort_array(collect_list(named_struct(
+               'ln', l_linenumber, 'qty', CAST(l_quantity AS DOUBLE)))) AS items
+      FROM lineitem GROUP BY l_orderkey)
+    SELECT l_orderkey,
+           item.ln AS l_linenumber,
+           item.qty AS l_quantity,
+           CAST(size(items) AS INT) AS n_items
+    FROM nested LATERAL VIEW explode(items) t AS item
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    """
+    WITH nested AS (
+      SELECT l_orderkey,
+             list_sort(list(struct_pack(
+               ln := l_linenumber, qty := CAST(l_quantity AS DOUBLE)))) AS items
+      FROM lineitem GROUP BY l_orderkey)
+    SELECT l_orderkey, ln AS l_linenumber, qty AS l_quantity, n_items
+    FROM (
+      SELECT l_orderkey,
+             unnest(items, recursive := true),
+             CAST(len(items) AS INT) AS n_items
+      FROM nested)
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    doc="F49: nest-then-flatten round-trip — collect lineitems into a "
+        "sorted ARRAY<STRUCT> per order (the document/denormalized data "
+        "model), then explode back to rows carrying the per-order array "
+        "size. Exercises named_struct construction, struct-aware "
+        "sort_array ordering, and LATERAL VIEW explode ↔ DuckDB's "
+        "recursive unnest. Scale: one shuffle on the order key; array "
+        "size is bounded by lines-per-order, so no skew blowup. The "
+        "pattern behind writing nested parquet for point-lookup serving "
+        "layers.",
+)

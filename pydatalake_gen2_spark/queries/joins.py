@@ -559,3 +559,47 @@ def j22_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("line_total"),
         )
     )
+
+
+_J23_BODY = """
+    WITH v0 AS (
+      SELECT c_custkey, c_name,
+             CAST(CAST(c_acctbal AS DECIMAL(18,4)) AS STRING) AS bal
+      FROM customer),
+    v1 AS (
+      SELECT c_custkey, c_name,
+             CASE WHEN c_custkey % 10 = 4
+                  THEN CAST(CAST(c_acctbal + 100.0 AS DECIMAL(18,4)) AS STRING)
+                  ELSE CAST(CAST(c_acctbal AS DECIMAL(18,4)) AS STRING)
+             END AS bal
+      FROM customer WHERE c_custkey % 10 <> 3
+      UNION ALL
+      SELECT -c_custkey, concat('new_', c_name),
+             CAST(CAST(c_acctbal AS DECIMAL(18,4)) AS STRING)
+      FROM customer WHERE c_custkey % 10 = 5)
+    SELECT COALESCE(v1.c_custkey, v0.c_custkey) AS c_custkey,
+           CASE WHEN v0.c_custkey IS NULL THEN 'I'
+                WHEN v1.c_custkey IS NULL THEN 'D'
+                ELSE 'U' END AS change_type,
+           v0.bal AS old_bal, v1.bal AS new_bal
+    FROM v0 FULL OUTER JOIN v1 ON v0.c_custkey = v1.c_custkey
+    WHERE v0.c_custkey IS NULL OR v1.c_custkey IS NULL OR v0.bal <> v1.bal
+    ORDER BY c_custkey
+"""
+
+sql_pair(
+    "j23_snapshot_diff",
+    _J23_BODY,
+    _J23_BODY,
+    doc="J23: CDC snapshot diff — classify every key across two table "
+        "versions as Insert / Update / Delete via ONE full-outer join on "
+        "the business key, emitting old/new values for changed rows only "
+        "(unchanged keys are filtered before they leave the join). The "
+        "change-feed primitive for incremental downstream refresh when "
+        "the source offers only snapshots. The two versions here are "
+        "derived deterministically from `customer` (drop %10=3, shift "
+        "balances %10=4, insert negated keys %10=5) so the pair is "
+        "hashable. Scale: one co-partitioned shuffle on the key for both "
+        "sides; with both snapshots bucketed on the key (j22 layout) the "
+        "diff is shuffle-free. Values compared as DECIMAL-exact strings.",
+)

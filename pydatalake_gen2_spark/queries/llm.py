@@ -1296,3 +1296,113 @@ def l31_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@register(
+    "l32_dictionary_encode",
+    duck_sql="""
+    WITH tok AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, ' '), 1) AS pos,
+             unnest(string_split(text, ' ')) AS tok
+      FROM documents),
+    vocab AS (
+      SELECT tok,
+             CAST(ROW_NUMBER() OVER (
+               ORDER BY count(*) DESC, tok) AS BIGINT) AS token_id
+      FROM tok GROUP BY tok)
+    SELECT t.doc_id,
+           array_to_string(list_transform(
+             list_sort(list(struct_pack(p := t.pos, i := v.token_id))),
+             s -> CAST(s.i AS STRING)), ' ') AS ids,
+           CAST(count(*) AS BIGINT) AS n_tokens
+    FROM tok t JOIN vocab v ON t.tok = v.tok
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+    doc="L32: corpus dictionary encoding — build a frequency-ranked token "
+        "vocabulary (id 1 = most frequent; ties break lexically) and "
+        "re-encode every document as its token-id sequence. The "
+        "normalization step before integer-token training corpora and "
+        "the star-schema trick for string-heavy logs (strings stored "
+        "once, facts carry ints). Scale: vocab is bounded by distinct "
+        "tokens (Heaps' law — millions, not corpus-sized), so the "
+        "ranking window over the vocab agg is fine and the id map "
+        "broadcast-joins back to the exploded token stream; the encode "
+        "is one shuffle on doc_id to reassemble ordered sequences.",
+)
+def l32_dictionary_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    toks = spark.table("documents").select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .count()
+        .select(
+            "tok",
+            F.row_number()
+            .over(Window.orderBy(F.col("count").desc(), F.col("tok")))
+            .cast("bigint")
+            .alias("token_id"),
+        )
+    )
+    enc = toks.join(F.broadcast(vocab), "tok")
+    return (
+        enc.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col("pos").alias("p"),
+                                                         F.col("token_id").alias("i")))),
+                    lambda s: s["i"].cast("string"),
+                ),
+                " ",
+            ).alias("ids"),
+            F.count("*").cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "l33_incremental_agg",
+    duck_sql="""
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+    doc="L33: incremental aggregate maintenance — per-(lang, source) "
+        "corpus stats kept as a mergeable state table. The engine side "
+        "builds the state from the 'already ingested' corpus slice "
+        "(doc_id%10!=7), aggregates ONLY the new batch (doc_id%10==7), "
+        "and merges state+delta by re-aggregating the union of the two "
+        "key-sized frames — never rescanning the historical corpus. The "
+        "oracle is the full recompute over everything, proving "
+        "merge(state, delta) == recompute exactly (count/sum are "
+        "decomposable; avg derives downstream as sum/count). At 100 TB "
+        "this is the difference between a nightly stats job reading one "
+        "day and reading three years; state and delta are key-cardinality "
+        "sized, so the merge shuffle is tiny.",
+)
+def l33_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.table("documents")
+    aggs = [
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    ]
+    state = docs.filter(F.col("doc_id") % 10 != 7).groupBy("lang", "source").agg(*aggs)
+    delta = docs.filter(F.col("doc_id") % 10 == 7).groupBy("lang", "source").agg(*aggs)
+    return (
+        state.unionByName(delta)
+        .groupBy("lang", "source")
+        .agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("total_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("lang", "source")
+    )
