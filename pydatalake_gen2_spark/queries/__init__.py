@@ -5,6 +5,7 @@ from pydatalake_gen2_spark.queries import (  # noqa: F401
     composite,
     functions,
     functions_ext,
+    graph,
     joins,
     llm,
     multimodal_q,

@@ -1,0 +1,147 @@
+"""Graph queries over the order network — iterative algorithms expressed
+as joins + aggregations (no GraphX / driver-side loops over rows).
+
+Engine parity note: the reference (client.py) has no graph surface; this
+extends the declared engine layer the same way the L* pipeline ops do.
+Related: operators/dedup.py `connected_components` (min-label propagation)
+is the other iterative-graph op in the engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pydatalake_gen2_spark.registry import register
+
+# Customer -> supplier edges: a customer "links to" every supplier that
+# fulfilled a line of one of their orders. Dedup to simple edges.
+_N_ITER = 3
+_DAMP = "0.85"
+
+
+_IDIV = "//"  # DuckDB integer division; Spark spells it `div`
+
+
+def _duck_pagerank() -> str:
+    """Unrolled 3-iteration PageRank in portable SQL (DuckDB oracle).
+
+    Hash-stability design: the recurrence contains NO floating point at
+    all. Each per-edge contribution round(rank/deg) at scale 10 is
+    computed with integer arithmetic — n = rank*10^12 exactly (ranks are
+    scale-12 decimals), then round-half-up as (n + 50*deg) intdiv
+    (100*deg) — and rescaled by an exact decimal multiply; the per-node
+    SUM over exact decimals is order-independent; the damp update
+    0.15 + 0.85*sum uses DECIMAL(3,2) factors so the product stays at
+    scale 12 / precision <= 34 (no precision-38 overflow, so neither
+    engine applies its own scale-reduction rule). Both engines carry
+    bit-identical ranks into every iteration. The tempting shortcuts are
+    NOT portable: float division + CAST-to-decimal lands on exact .5
+    ties that Spark (shortest-repr HALF_UP) and DuckDB (binary
+    expansion) resolve differently, and wide-decimal damping overflows
+    precision 38 with engine-specific truncation.
+    """
+    sql = """
+    WITH edges AS (
+      SELECT DISTINCT o.o_custkey AS src, l.l_suppkey AS dst
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    nodes AS (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    outdeg AS (
+      SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+    r0 AS (SELECT node, CAST(1.0 AS DECIMAL(18,10)) AS rank FROM nodes)
+    """
+    prev = "r0"
+    for i in range(1, _N_ITER + 1):
+        sql += f""",
+    r{i} AS (
+      SELECT n.node,
+             CAST(0.15 AS DECIMAL(3,2)) + CAST({_DAMP} AS DECIMAL(3,2))
+               * COALESCE(c.contrib, CAST(0 AS DECIMAL(20,10))) AS rank
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node,
+               CAST(SUM(CAST((CAST(CAST(r.rank AS DECIMAL(26,12))
+                                   * 1000000000000 AS BIGINT)
+                              + d.deg * 50) {_IDIV} (d.deg * 100)
+                             AS DECIMAL(18,0))
+                        * CAST(0.0000000001 AS DECIMAL(10,10)))
+                    AS DECIMAL(20,10)) AS contrib
+        FROM edges e
+        JOIN {prev} r ON e.src = r.node
+        JOIN outdeg d ON e.src = d.src
+        GROUP BY e.dst) c ON n.node = c.node)
+        """
+        prev = f"r{i}"
+    sql += f"""
+    SELECT node, CAST(rank AS STRING) AS pagerank
+    FROM {prev} ORDER BY node
+    """
+    return sql
+
+
+@register(
+    "gr01_pagerank",
+    duck_sql=_duck_pagerank(),
+    doc="GR01: 3 PageRank iterations over the customer->supplier fulfil "
+        "graph, as pure join+agg rounds (rank flows src->dst; damping "
+        "0.15/0.85; simplified dangling handling — no redistribution). "
+        "Spark side runs the textbook distributed loop: per-iteration "
+        "contributions = edges ⋈ ranks ⋈ outdeg, partial-agg summed on "
+        "dst; the DuckDB oracle is the SAME recurrence unrolled into "
+        "CTEs. Per-edge contributions are quantized to DECIMAL(18,10) "
+        "before the sum (exact, order-independent) and the damp update "
+        "is exact narrow-decimal arithmetic — the discipline that makes "
+        "an iterative numeric algorithm hashable across engines (see "
+        "_duck_pagerank docstring). "
+        "Scale: each round is one shuffle on dst (edges co-partitioned "
+        "by src with ranks via the join); rank/outdeg frames are "
+        "node-sized. For many more iterations, checkpoint every ~5 "
+        "rounds to cut lineage (documented, not needed at 3).",
+)
+def gr01_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.table("orders")
+    l = spark.table("lineitem")
+    edges = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
+        .distinct()
+    )
+    nodes = edges.select(F.col("src").alias("node")).union(
+        edges.select(F.col("dst").alias("node"))
+    ).distinct()
+    outdeg = edges.groupBy("src").agg(F.count("*").cast("bigint").alias("deg"))
+    ranks = nodes.select("node", F.lit("1.0").cast("decimal(18,10)").alias("rank"))
+    for _ in range(_N_ITER):
+        # integer round-half-up of (rank/deg) at scale 10:
+        # n = rank*10^12 exactly; c_int = (n + 50*deg) div (100*deg)
+        n = F.expr("CAST(CAST(rank AS DECIMAL(26,12)) * 1000000000000 AS BIGINT)")
+        c_int = F.expr(
+            "(CAST(CAST(rank AS DECIMAL(26,12)) * 1000000000000 AS BIGINT)"
+            " + deg * 50) div (deg * 100)"
+        )
+        contribs = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                (
+                    c_int.cast("decimal(18,0)")
+                    * F.lit("0.0000000001").cast("decimal(10,10)")
+                ).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").cast("decimal(20,10)").alias("contrib"))
+        )
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (
+                F.lit("0.15").cast("decimal(3,2)")
+                + F.lit(_DAMP).cast("decimal(3,2)")
+                * F.coalesce(
+                    F.col("contrib"), F.lit("0").cast("decimal(20,10)")
+                )
+            ).alias("rank"),
+        )
+    return ranks.select(
+        "node", F.col("rank").cast("string").alias("pagerank")
+    ).orderBy("node")

@@ -1406,3 +1406,94 @@ def l33_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+@register(
+    "l34_train_split",
+    duck_sql="""
+    WITH assigned AS (
+      SELECT doc_id, lang,
+             CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                    THEN 'train'
+                  WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents)
+    SELECT a.doc_id, a.lang, a.split FROM assigned a
+    ORDER BY a.doc_id
+    """,
+    doc="L34: deterministic train/val/test split — every doc is assigned "
+        "by comparing an md5(doc_id) prefix against fixed hex fences "
+        "('cc' ~ 80%, 'e6' ~ 90%), so the split is reproducible across "
+        "runs, engines, partitionings, and INCREMENTAL INGESTS (a new "
+        "batch lands in the same splits without touching old rows — the "
+        "property rand()-based splits lack). Pure per-row predicate: no "
+        "shuffle, pushes to the scan; downstream writers fan the three "
+        "splits out with partitionBy('split') in one pass.",
+)
+def l34_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return (
+        spark.table("documents")
+        .select(
+            "doc_id",
+            "lang",
+            F.when(h < "cc", "train").when(h < "e6", "val").otherwise("test")
+            .alias("split"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "l35_class_rebalance",
+    duck_sql="""
+    WITH sized AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+    floor_n AS (SELECT min(n) AS target FROM sized),
+    ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rn
+      FROM documents)
+    SELECT r.doc_id, r.lang
+    FROM ranked r, floor_n f
+    WHERE r.rn <= f.target
+    ORDER BY r.doc_id
+    """,
+    doc="L35: class rebalancing by undersampling — every lang class is "
+        "cut to the size of the SMALLEST class (exact, not expected-"
+        "value), choosing survivors by the deterministic md5 ordering so "
+        "the rebalanced corpus is reproducible. The majority-class "
+        "downsampler for classifier training sets. Scale: one window "
+        "shuffle on the class key to rank, a 1-row broadcast for the "
+        "floor; at extreme skew the hot class's rank window is the "
+        "bottleneck — switch to l18-style integer-hash thresholding "
+        "(approximate per-class fractions, zero shuffle) when exactness "
+        "isn't required.",
+)
+def l35_class_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = spark.table("documents")
+    target = (
+        docs.groupBy("lang").count().agg(F.min("count").alias("target"))
+    )
+    ranked = docs.select(
+        "doc_id",
+        "lang",
+        F.row_number()
+        .over(
+            Window.partitionBy("lang").orderBy(
+                F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+            )
+        )
+        .alias("rn"),
+    )
+    return (
+        ranked.join(F.broadcast(target))
+        .filter(F.col("rn") <= F.col("target"))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )

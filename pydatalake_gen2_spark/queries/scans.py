@@ -413,3 +413,55 @@ def s18_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("l_suppkey").cast("bigint").alias("sum_supp"),
         F.count_distinct("l_orderkey").alias("n_orders"),
     )
+
+
+@register(
+    "s20_dynamic_partition_overwrite",
+    duck_sql="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(CASE WHEN o_orderpriority = '1-URGENT'
+                              THEN o_totalprice + 1000.0
+                              ELSE o_totalprice END AS DECIMAL(18,4)))
+                AS DOUBLE) AS sum_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="S20: dynamic partition overwrite — rewrite ONLY the partitions "
+        "present in the incoming batch (spark.sql.sources."
+        "partitionOverwriteMode=dynamic), leaving sibling partitions "
+        "untouched. The idempotent daily-reprocess primitive at 100 TB: "
+        "re-running one day's batch replaces that day's directory "
+        "atomically instead of truncating the table (static overwrite "
+        "would drop every other partition). Exercised by partitioning "
+        "orders on o_orderpriority, then overwriting just '1-URGENT' "
+        "with +1000 prices; the read-back aggregate proves the other "
+        "four partitions survived byte-identically.",
+)
+def s20_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _tmp("s20_dpo", sf_dir)
+    marker = os.path.join(path, "_STEP2_DONE")
+    orders = load_table(spark, sf_dir, "orders")
+    _write_once(
+        path,
+        lambda: orders.write.mode("overwrite")
+        .partitionBy("o_orderpriority")
+        .parquet(path),
+    )
+    if not os.path.exists(marker):
+        urgent = (
+            orders.filter(F.col("o_orderpriority") == "1-URGENT")
+            .withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
+        )
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            urgent.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        open(marker, "w").close()
+    back = spark.read.parquet(path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double")
+        .alias("sum_price"),
+    )
