@@ -79,6 +79,12 @@ BENCH_QUERIES = [
     "lx_ivfpq_topk",
     "lx_pq_rerank",
     "l27_quality_classifier",
+    # round-4 widening #2: layout-exploiting joins, distributed row ids,
+    # anti-entropy checksum, iterative graph
+    "o06_global_row_id",
+    "j22_bucketed_join",
+    "g27_table_checksum",
+    "gr01_pagerank",
 ]
 
 N_RUNS = 3

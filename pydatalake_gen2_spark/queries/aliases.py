@@ -133,7 +133,10 @@ _ALIASES: dict[str, str] = {
     # C4-style line dedup (both first-ever driver evidence).
     "a31_j16_scd2_incremental": "j16_scd2_incremental",
     "a32_l20_line_dedup": "l20_line_dedup",
-    "a33_f37_url_parse": "f37_url_parse",
+    # r3 repurpose #2: the f-family holds 33 green driver rows from
+    # rounds 1-2, so f37's slot goes to the new iterative-graph family
+    # (integer-exact PageRank) for first-ever driver evidence.
+    "a33_gr01_pagerank": "gr01_pagerank",
     # LLM-pipeline operators
     "a34_l01_dedup_exact": "l01_dedup_exact",
     "a35_l02b_ngram_jaccard": "l02b_ngram_jaccard",
