@@ -137,6 +137,13 @@ class Engine:
 
         return VersionedTable(self.spark, root)
 
+    def global_row_ids(self, df, order_cols, **kw) -> DataFrame:
+        """Distributed zipWithIndex — ROW_NUMBER ids without a global sort
+        (operators/rowid.py; caller releases the tracked persist)."""
+        from pydatalake_gen2_spark.operators.rowid import global_row_ids
+
+        return global_row_ids(df, order_cols, **kw)
+
     def repetition_metrics(self, df, **kw) -> DataFrame:
         return text.repetition_metrics(df, **kw)
 

@@ -603,3 +603,35 @@ sql_pair(
         "sides; with both snapshots bucketed on the key (j22 layout) the "
         "diff is shuffle-free. Values compared as DECIMAL-exact strings.",
 )
+
+
+@register(
+    "j24_shuffle_hash_hint",
+    duck_sql="""
+    SELECT n.n_name,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    doc="J24: explicit SHUFFLE_HASH strategy pin — the third physical "
+        "join strategy alongside broadcast (J02) and sort-merge (J22), "
+        "surfaced so a user can force hash join when one side fits an "
+        "executor's memory but exceeds the driver broadcast threshold "
+        "(the classic mid-size dimension at 100 TB: too big to "
+        "broadcast, wasteful to sort). Plan-gated: ShuffledHashJoin "
+        "node present. Oracle is the plain logical join — the hint is "
+        "physical-only.",
+)
+def j24_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = spark.table("customer")
+    n = spark.table("nation").hint("shuffle_hash")
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double")
+            .alias("total_bal"),
+        )
+    )

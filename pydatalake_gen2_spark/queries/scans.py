@@ -465,3 +465,50 @@ def s20_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFra
         F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double")
         .alias("sum_price"),
     )
+
+
+@register(
+    "s21_codec_matrix",
+    duck_sql="""
+    SELECT codec,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS sum_price
+    FROM orders, (VALUES ('snappy'), ('zstd')) c(codec)
+    GROUP BY codec ORDER BY codec
+    """,
+    doc="S21: compression-codec matrix — the same table written as "
+        "snappy AND zstd parquet, read back and aggregated per codec; "
+        "equality of the two rows proves codec choice is "
+        "value-transparent. Operationally this is the 100 TB storage "
+        "knob: zstd ~30-50% smaller at similar scan CPU (fewer bytes "
+        "off the lake often wins end-to-end), snappy cheapest to "
+        "encode for hot write paths; per-table choice is one writer "
+        "option, never a schema change.",
+)
+def s21_codec_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    outs = []
+    for codec in ("snappy", "zstd"):
+        path = _tmp(f"s21_{codec}", sf_dir)
+        _write_once(
+            path,
+            lambda p=path, c=codec: orders.write.mode("overwrite")
+            .option("compression", c)
+            .parquet(p),
+        )
+        outs.append(
+            spark.read.parquet(path).select(
+                F.lit(codec).alias("codec"), "o_totalprice"
+            )
+        )
+    both = outs[0].unionByName(outs[1])
+    return (
+        both.groupBy("codec")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("codec")
+    )

@@ -418,3 +418,53 @@ sql_pair(
         "Scale: one shuffle on user_id; frame evaluation is a per-key "
         "sliding two-pointer over the sorted run, O(n) per key.",
 )
+
+
+sql_pair(
+    "w19_ratio_to_report",
+    """
+    SELECT n_name,
+           revenue,
+           ROUND(revenue * 100.0 / total, 4) AS pct_of_total,
+           CAST(rev_rank AS BIGINT) AS rev_rank
+    FROM (
+      SELECT n.n_name,
+             CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS revenue,
+             CAST(sum(sum(CAST(o.o_totalprice AS DECIMAL(18,4))))
+                  OVER () AS DOUBLE) AS total,
+             RANK() OVER (ORDER BY sum(CAST(o.o_totalprice AS DECIMAL(18,4)))
+                          DESC) AS rev_rank
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name)
+    ORDER BY n_name
+    """,
+    """
+    SELECT n_name,
+           revenue,
+           ROUND(revenue * 100.0 / total, 4) AS pct_of_total,
+           CAST(rev_rank AS BIGINT) AS rev_rank
+    FROM (
+      SELECT n.n_name,
+             CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS revenue,
+             CAST(sum(sum(CAST(o.o_totalprice AS DECIMAL(18,4))))
+                  OVER () AS DOUBLE) AS total,
+             RANK() OVER (ORDER BY sum(CAST(o.o_totalprice AS DECIMAL(18,4)))
+                          DESC) AS rev_rank
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name)
+    ORDER BY n_name
+    """,
+    doc="W19: ratio-to-report — each nation's share of total revenue "
+        "(windows OVER aggregates, the share-of-total reporting "
+        "shape; the share itself is one IEEE double divide on "
+        "decimal-exact sums, rounded). The empty "
+        "OVER () runs on the ALREADY-AGGREGATED 25-row frame, not the "
+        "fact table — the only safe place for a global window at "
+        "100 TB.",
+)

@@ -765,3 +765,51 @@ def test_global_row_ids_exact_and_contiguous(spark, sf_dir):
     release_persisted()
     by_key = sorted(rows, key=lambda r: r["o_orderkey"])
     assert [r["row_id"] for r in by_key] == list(range(1, len(rows) + 1))
+
+
+def test_global_row_ids_random_partitions(spark, sf_dir):
+    """Ids must be invariant to the partition count (range boundaries are
+    an implementation detail; offset+local_rank is always the global rank)."""
+    from pydatalake_gen2_spark.operators.rowid import global_row_ids
+    from pydatalake_gen2_spark.operators.util import release_persisted
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id")
+    expect = None
+    for nparts in (1, 3, 13):
+        out = global_row_ids(df, ["event_id"], num_partitions=nparts)
+        got = sorted(
+            (r["event_id"], r["row_id"])
+            for r in out.select("event_id", "row_id").collect()
+        )
+        release_persisted()
+        if expect is None:
+            expect = got
+        assert got == expect, nparts
+
+
+def test_snapshot_diff_classes_are_disjoint_and_complete(spark, sf_dir):
+    from pydatalake_gen2_spark.registry import load_all
+
+    df = load_all()["j23_snapshot_diff"].spark_fn(spark, sf_dir)
+    rows = df.collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["change_type"], []).append(r)
+    # deletes: %10==3 keys; inserts: negative keys; updates: %10==4 keys
+    assert all(r["c_custkey"] % 10 == 3 for r in by_type.get("D", []))
+    assert all(r["c_custkey"] < 0 for r in by_type.get("I", []))
+    assert all(
+        r["c_custkey"] % 10 == 4 and r["old_bal"] != r["new_bal"]
+        for r in by_type.get("U", [])
+    )
+
+
+def test_dynamic_partition_overwrite_is_idempotent(spark, sf_dir):
+    """Re-running s20 (writes already done) must return identical results —
+    the reprocess-safety property the partitionOverwriteMode gives us."""
+    from pydatalake_gen2_spark.registry import load_all
+
+    fn = load_all()["s20_dynamic_partition_overwrite"].spark_fn
+    a = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    b = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    assert a == b and len(a) == 5

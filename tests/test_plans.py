@@ -402,3 +402,8 @@ def test_bucketed_join_has_zero_exchanges(spark, sf_dir):
     plan = _plan(spark, sf_dir, "j22_bucketed_join")
     assert "SortMergeJoin" in plan, plan
     assert "Exchange" not in plan, plan
+
+
+def test_shuffle_hash_hint_is_honored(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "j24_shuffle_hash_hint")
+    assert "ShuffledHashJoin" in plan, plan
