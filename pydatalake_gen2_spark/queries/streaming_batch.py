@@ -327,3 +327,39 @@ def st12_snapshot_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.col("n").cast("bigint").alias("n"))
         .orderBy("user_id")
     )
+
+
+sql_pair(
+    "st13_outer_join_batch",
+    """
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           c.user_id AS c_user
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+    ORDER BY click_id, purchase_id
+    """,
+    """
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           c.user_id AS c_user
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+    ORDER BY click_id, purchase_id
+    """,
+    doc="ST13 batch form: every click LEFT-joined to purchases within "
+        "the following 10 minutes (nulls where none) — the reference "
+        "semantics the watermarked stream-stream OUTER join run "
+        "(st13_outer_join_stream) must reproduce, including the "
+        "null-emission rows the stream can only emit after the "
+        "watermark closes each click's wait window.",
+)
+
+
+@register("st13_outer_join_stream", duck_sql=None, tier="S")
+def st13_outer_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real watermarked stream-stream LEFT OUTER join run (ST13);
+    stream == batch asserted in tests/test_streaming.py."""
+    return replay.run_outer_join_stream(spark, sf_dir)

@@ -398,3 +398,67 @@ def run_snapshot_ingest(spark: SparkSession, sf_dir: str) -> "object":
         q.awaitTermination()
     _snapshot_ingest_cache[sf_dir] = root
     return vt
+
+
+def run_outer_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST13: stream-stream LEFT OUTER interval join — every click emits,
+    enriched with a purchase that followed within 10 minutes, or with
+    NULLs once the watermark proves no such purchase can still arrive.
+    The null-emission decision is the stateful part (inner ST06 never
+    decides "give up waiting"): Spark holds each unmatched left row
+    until the global watermark passes c_ts + 10 min, then emits it with
+    nulls in append mode. The sentinel-tailed replay (session_replay_dir)
+    advances the watermark past the corpus tail; the engine's trailing
+    no-data micro-batches then run the final state evictions, so the
+    stream result equals the batch LEFT JOIN exactly — asserted in
+    tests/test_streaming.py, nulls included.
+
+    PUSHDOWN TRAP (cost a debugging session; do not reintroduce): the
+    '_flush' sentinels must ride BOTH branches to advance BOTH watermark
+    nodes, and any post-join filter on left-side columns (e.g.
+    c_type == 'click') is legal to push below a LEFT OUTER join — and
+    Catalyst pushes it below the left WATERMARK node too, silently
+    deleting the sentinels from the click timeline and pinning the
+    global (min-policy) watermark at max-click-ts - delay forever, so
+    the tail clicks' null rows are withheld. Sentinel rows are instead
+    filtered AFTER the sink (user_id is -1), where no pushdown exists.
+
+    Scale: join state is bounded by (watermark delay + join window) x
+    per-key arrival rate — eviction is continuous; a day of 100 TB
+    stream holds minutes of state per executor.
+    """
+    flat = session_replay_dir(spark, sf_dir)
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    clicks = (
+        src.filter(F.col("event_type").isin("click", "_flush"))
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        src.filter(F.col("event_type").isin("purchase", "_flush"))
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "left_outer",
+    ).select("click_id", "purchase_id", "c_user")
+    _run_to_memory(joined, "st13_out", "append")
+    # sentinel left rows (user -1) emit as unmatched; drop them here —
+    # NOT pre-sink, where the filter would be pushed under the watermark.
+    return spark.table("st13_out").filter(F.col("c_user") >= 0)

@@ -122,3 +122,22 @@ def test_snapshot_ingest_versions_are_monotone(spark, sf_dir):
         .withColumnRenamed("count", "n").collect()
     }
     assert prev == batch
+
+
+def test_outer_join_stream_equals_batch(spark, sf_dir):
+    """ST13: the watermarked stream-stream LEFT OUTER join must emit
+    exactly the batch left-join result — matched rows AND the
+    null-enriched unmatched clicks (which only exist because the
+    watermark closed their windows)."""
+    from pydatalake_gen2_spark.registry import load_all
+
+    reg = load_all()
+    streamed = sorted(
+        map(tuple, reg["st13_outer_join_stream"].spark_fn(spark, sf_dir).collect())
+    )
+    batch = sorted(
+        map(tuple, reg["st13_outer_join_batch"].spark_fn(spark, sf_dir)
+            .select("click_id", "purchase_id", "c_user").collect())
+    )
+    assert streamed == batch
+    assert any(p is None for _, p, _ in streamed)  # nulls actually emitted
