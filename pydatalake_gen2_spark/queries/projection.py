@@ -166,3 +166,37 @@ sql_pair(
         "columnar-shreds at the scan at 100 TB). Oracle: DuckDB JSON "
         "path extraction over the same column.",
 )
+
+
+@register(
+    "p10_nested_pruning",
+    duck_sql="""
+    SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE) AS price
+    FROM orders
+    """,
+    doc="P10: nested-schema pruning — orders rewritten as parquet with a "
+        "3-field STRUCT column, read back projecting ONE leaf "
+        "(info.o_totalprice). Catalyst prunes the ReadSchema to "
+        "struct<o_totalprice> (plan-gated in tests/test_plans.py: the "
+        "sibling leaves never leave the footer), so deeply nested "
+        "100 TB event schemas pay only for the leaves a query touches — "
+        "the property that makes the denormalized/nested layout (f49) "
+        "viable at scale. Oracle is the flat projection.",
+)
+def p10_nested_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pydatalake_gen2_spark.queries.scans import _tmp, _write_once
+    from pydatalake_gen2_spark.tables import load_table
+
+    path = _tmp("p10_nested", sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    nested = orders.select(
+        "o_orderkey",
+        F.struct("o_orderstatus", "o_totalprice", "o_orderpriority").alias("info"),
+    )
+    _write_once(path, lambda: nested.write.mode("overwrite").parquet(path))
+    back = spark.read.parquet(path)
+    return back.select(
+        "o_orderkey",
+        F.col("info.o_totalprice").cast("decimal(18,4)").cast("double").alias("price"),
+    )

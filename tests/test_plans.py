@@ -407,3 +407,12 @@ def test_bucketed_join_has_zero_exchanges(spark, sf_dir):
 def test_shuffle_hash_hint_is_honored(spark, sf_dir):
     plan = _plan(spark, sf_dir, "j24_shuffle_hash_hint")
     assert "ShuffledHashJoin" in plan, plan
+
+
+def test_nested_schema_pruning_reads_one_leaf(spark, sf_dir):
+    # p10: the struct has 3 leaves; the projection touches 1 — the scan's
+    # ReadSchema must contain o_totalprice and NEITHER sibling leaf.
+    plan = _plan(spark, sf_dir, "p10_nested_pruning")
+    read = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "o_totalprice" in read, read
+    assert "o_orderstatus" not in read and "o_orderpriority" not in read, read
