@@ -512,3 +512,87 @@ def s21_codec_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("codec")
     )
+
+
+@register(
+    "s22_permissive_json",
+    duck_sql="""
+    SELECT status, CAST(n AS BIGINT) AS n, ids FROM (VALUES
+      ('good', 4, '1,2,4,6'),
+      ('corrupt', 3, '')) t(status, n, ids)
+    ORDER BY status
+    """,
+    doc="S22: malformed-record tolerant JSON ingest — PERMISSIVE mode "
+        "with columnNameOfCorruptRecord routes unparseable lines into a "
+        "quarantine column instead of failing the 100 TB job at the "
+        "first bad byte (ingest survives upstream producers' garbage; "
+        "the corrupt originals stay queryable for triage). The fixture "
+        "file is written deterministically with 4 valid + 3 corrupt "
+        "lines, so the good/corrupt tallies and surviving ids hash "
+        "against a VALUES oracle. FAILFAST remains the right mode once "
+        "a feed is trusted; DROPMALFORMED silently loses data and is "
+        "never the default here.",
+)
+def s22_permissive_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _tmp("s22_json", sf_dir)
+    if not os.path.exists(path):
+        os.makedirs(path, exist_ok=True)
+        lines = [
+            '{"id": 1, "v": "a"}',
+            '{"id": 2, "v": "b"}',
+            '{"id": 3, "v": ',            # truncated
+            'not json at all',            # garbage
+            '{"id": 4, "v": "d"}',
+            '{"id": 5, "v"}',             # malformed
+            '{"id": 6, "v": "f"}',
+        ]
+        with open(os.path.join(path, "part-000.json"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+    df = (
+        spark.read.schema("id BIGINT, v STRING, _bad STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(path)
+    )
+    return (
+        df.withColumn(
+            "status", F.when(F.col("_bad").isNull(), "good").otherwise("corrupt")
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.array_join(
+                F.sort_array(F.collect_list(F.col("id").cast("string"))), ","
+            ).alias("ids"),
+        )
+        .orderBy("status")
+    )
+
+
+@register(
+    "s23_metadata_columns",
+    duck_sql="""
+    SELECT 'orders.parquet' AS file_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys
+    FROM orders
+    """,
+    doc="S23: hidden file-metadata column — every file-source row "
+        "carries _metadata (file_name/path/size/modification time) "
+        "resolved from the scan, no storage cost. The lineage primitive "
+        "at 100 TB: per-file row counts for audit, quarantining a bad "
+        "producer's files by name, incremental processing by "
+        "modification time. Grouping by _metadata.file_name proves the "
+        "column binds to the real scan unit; the fixture is a single "
+        "parquet file so the name is deterministic and the pair hashes.",
+)
+def s23_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        df.select("o_orderkey", F.col("_metadata.file_name").alias("file_name"))
+        .groupBy("file_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("o_orderkey").cast("bigint").alias("n_keys"),
+        )
+    )
