@@ -361,22 +361,37 @@ def connected_components(
     node, so it shards with the shuffle at any scale. Convergence is
     checked with a cheap limit(1).count() of changed labels per round.
 
-    The returned frame is persisted via util.track_persist (it is the
-    loop's final state); callers release blocks with
-    util.release_persisted() after consuming — see util.py contract.
+    Each round's state is materialized with a PLAN-TRUNCATING
+    localCheckpoint (util.checkpoint_truncate), not a plain persist:
+    the round recurrence references the previous frame 4x, so without
+    truncation the analyzed logical plan grows 4^k and the DRIVER OOMs
+    on long chains even though the data is tiny. Superseded rounds'
+    blocks are freed immediately (util.release_checkpoint). The returned
+    frame is the final checkpointed state, registered via
+    util.track_checkpoint; callers release with util.release_persisted()
+    AFTER fully consuming (a truncated frame does not recompute).
 
     Output: (id BIGINT, component BIGINT).
     """
-    from pydatalake_gen2_spark.operators.util import track_persist
+    from pydatalake_gen2_spark.operators.util import (
+        checkpoint_truncate,
+        release_checkpoint,
+        track,
+    )
 
-    # (track_persist on an already-persisted frame is persist-idempotent.)
     # Undirected closure of the edge list + self-loops via init labels.
+    # sym feeds every round's neighbor join — persist once (static plan,
+    # safe to recompute, so plain persist is right here).
     e = edges.select(
         F.col(src_col).cast("bigint").alias("s"), F.col(dst_col).cast("bigint").alias("d")
     )
-    sym = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
+    sym = (
+        e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .distinct()
+        .persist()
+    )
     nodes = sym.select(F.col("s").alias("id")).distinct()
-    labels = nodes.withColumn("lbl", F.col("id"))
+    labels = checkpoint_truncate(nodes.withColumn("lbl", F.col("id")))
     converged = False
     for _ in range(max_iter):
         # neighbor labels: for each edge (s,d), s can adopt d's label
@@ -396,12 +411,8 @@ def connected_components(
             )
             .select(F.col("id"), F.col("lbl2").alias("lbl"))
         )
-        new_labels = (
-            labels.union(nbr)
-            .union(hop)
-            .groupBy("id")
-            .agg(F.min("lbl").alias("lbl"))
-            .persist()
+        new_labels = checkpoint_truncate(
+            labels.union(nbr).union(hop).groupBy("id").agg(F.min("lbl").alias("lbl"))
         )
         changed = (
             new_labels.join(labels.withColumnRenamed("lbl", "old"), on="id")
@@ -409,19 +420,21 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels.unpersist()  # no-op on the (unpersisted) first round
+        release_checkpoint(labels)  # superseded round: free blocks now
         labels = new_labels
         if changed == 0:
             converged = True
             break
+    sym.unpersist()
     if not converged:
-        labels.unpersist()
+        release_checkpoint(labels)
         raise RuntimeError(
             f"connected_components did not converge within {max_iter} rounds "
             "(graph diameter > 2^max_iter is implausible — investigate)"
         )
-    # hand lifecycle of the final persisted state to the caller
-    track_persist(labels)  # already persisted — this only registers it
+    # hand lifecycle of the final (already-materialized) state to the caller:
+    # release_persisted() frees the checkpoint blocks via release_checkpoint.
+    track(labels)
     return labels.select(F.col("id"), F.col("lbl").alias("component"))
 
 

@@ -14,11 +14,60 @@ from pyspark.sql import DataFrame
 _TRACKED: list[DataFrame] = []
 
 
+def track(df: DataFrame) -> DataFrame:
+    """Register an already-materialized frame for ``release_persisted()``."""
+    _TRACKED.append(df)
+    return df
+
+
 def track_persist(df: DataFrame) -> DataFrame:
     """Persist ``df`` and register it for ``release_persisted()``."""
     df.persist()
     _TRACKED.append(df)
     return df
+
+
+def checkpoint_truncate(df: DataFrame) -> DataFrame:
+    """Materialize ``df`` and TRUNCATE its logical plan (localCheckpoint).
+
+    Iterative algorithms (connected components' pointer doubling) reference
+    the previous round's frame several times per round; ``persist()`` caches
+    the *data* but the analyzed logical plan still grows multiplicatively
+    (~4x/round here), and analyzing a 4^k-leaf tree OOMs the driver long
+    before the data does. ``localCheckpoint(eager=True)`` cuts the plan to a
+    flat ``LogicalRDD`` so every round starts from a constant-size plan —
+    the same reason GraphFrames/GraphX checkpoint each superstep. The blocks
+    are executor-local (an executor loss mid-loop fails the job and the
+    caller reruns; a production session that needs fault tolerance sets
+    ``sparkContext.setCheckpointDir`` and swaps in ``.checkpoint()``).
+
+    NOTE: unlike plain persist, a truncated frame CANNOT be recomputed
+    after its blocks are released — release only after fully consuming.
+    """
+    return df.localCheckpoint(eager=True)
+
+
+def release_checkpoint(df: DataFrame) -> None:
+    """Free the blocks behind a ``checkpoint_truncate`` frame immediately.
+
+    ``DataFrame.unpersist`` is a no-op for localCheckpointed frames (their
+    RDD is not in the CacheManager), and waiting for the ContextCleaner
+    makes block release nondeterministic — so reach through to the
+    ``LogicalRDD``'s underlying RDD and unpersist it directly.
+    """
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass  # session already stopped / plan shape changed
+
+
+def track_checkpoint(df: DataFrame) -> DataFrame:
+    """checkpoint_truncate + register for ``release_persisted()``."""
+    out = checkpoint_truncate(df)
+    _TRACKED.append(out)
+    return out
 
 
 def release_persisted() -> int:
@@ -29,6 +78,7 @@ def release_persisted() -> int:
             df.unpersist()
         except Exception:
             pass  # session already stopped
+        release_checkpoint(df)
     _TRACKED.clear()
     return n
 

@@ -1497,3 +1497,125 @@ def l35_class_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# l36: pure-SQL MinHash — deterministic, hash-matched across engines
+# ---------------------------------------------------------------------------
+
+_L36_K = 8      # signature length (8 md5-seeded min-hashes)
+_L36_BANDS = 4  # 4 bands x 2 rows
+_L36_TAU = 0.2  # exact-Jaccard verify threshold on candidates
+
+
+@register(
+    "l36_minhash_sql",
+    duck_sql=f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ') AS tok
+      FROM documents,
+           unnest(generate_series(1, len(string_split(text, ' ')) - 2)) AS g(i)),
+    sigs AS (
+      SELECT doc_id,
+             {", ".join(f"min(md5('{i}:' || tok)) AS h{i}" for i in range(_L36_K))}
+      FROM toks GROUP BY doc_id),
+    bands AS (
+      {" UNION ALL ".join(
+          f"SELECT doc_id, {b} AS band, md5(h{2*b} || h{2*b+1}) AS bh FROM sigs"
+          for b in range(_L36_BANDS))}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS ninter
+      FROM cand c
+      JOIN toks ta ON ta.doc_id = c.doc_a
+      JOIN toks tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+      GROUP BY c.doc_a, c.doc_b)
+    SELECT i.doc_a, i.doc_b,
+           i.ninter * 1.0 / (sa.n + sb.n - i.ninter) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE i.ninter * 1.0 / (sa.n + sb.n - i.ninter) >= {_L36_TAU}
+    ORDER BY i.doc_a, i.doc_b
+    """,
+)
+def l36_minhash_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-native MinHash near-dup WITHOUT MLlib: md5-seeded min-hash
+    signatures -> banded candidate join -> exact-Jaccard verify, every
+    stage a deterministic SQL expression, so (unlike l02's seeded
+    MinHashLSH, tier P) the WHOLE pipeline hash-matches DuckDB bit-for-bit
+    — the oracle runs the identical banded algorithm, not a stand-in.
+
+    Scale shape is the canonical LSH layout: per-doc signatures are one
+    explode + partial-agg min (k=8 tallies/doc); the candidate join is an
+    equi-join on (band, band_hash) — docs only meet inside a bucket,
+    never all-pairs; the verify join touches candidate pairs' tokens
+    only. md5-on-string beats murmur here because every engine renders
+    identical hex — cross-engine reproducibility is itself a pipeline
+    requirement (rerunning dedup on a different engine must keep the
+    same docs)."""
+    docs = spark.table("documents")
+    # 3-word shingles (operators/text.ngrams, the guarded sequence+slice
+    # HOF): the fixture vocab is ~31 words, so UNIGRAM sets are
+    # near-identical across docs and the banded join degenerates to
+    # all-pairs; shingles are the standard fix (and what real near-dup
+    # pipelines hash).
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(text.ngrams(F.split(F.col("text"), " "), 3)).alias("tok"),
+        )
+        .distinct()
+    )
+    sigs = toks.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("tok")))).alias(f"h{i}")
+            for i in range(_L36_K)
+        ]
+    )
+    bands = None
+    for b in range(_L36_BANDS):
+        part = sigs.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.md5(F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}"))).alias("bh"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ta = toks.alias("ta")
+    tb = toks.alias("tb")
+    inter = (
+        cand.join(ta, F.col("ta.doc_id") == F.col("doc_a"))
+        .join(
+            tb,
+            (F.col("tb.doc_id") == F.col("doc_b"))
+            & (F.col("tb.tok") == F.col("ta.tok")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("ninter"))
+    )
+    jacc = F.col("ninter") * F.lit(1.0) / (F.col("sa.n") + F.col("sb.n") - F.col("ninter"))
+    return (
+        inter.join(sizes.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sizes.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", jacc.alias("jaccard"))
+        .filter(F.col("jaccard") >= _L36_TAU)
+        .orderBy("doc_a", "doc_b")
+    )

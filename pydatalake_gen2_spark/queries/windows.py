@@ -468,3 +468,43 @@ sql_pair(
         "fact table — the only safe place for a global window at "
         "100 TB.",
 )
+
+
+_W20_SQL = """
+    WITH s AS (
+      SELECT user_id, event_id,
+             CAST(value AS DOUBLE) AS v,
+             COUNT(*) OVER w AS n,
+             CAST(SUM(CAST(value AS DECIMAL(28,8))) OVER w AS DOUBLE) AS s1,
+             CAST(SUM(CAST(value AS DECIMAL(28,8))
+                      * CAST(value AS DECIMAL(28,8))) OVER w AS DOUBLE) AS s2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+    z AS (
+      SELECT user_id, event_id, n,
+             CASE WHEN n > 1 AND (n * s2 - s1 * s1) > 0
+                  THEN ROUND((v - s1 / n)
+                             / sqrt((n * s2 - s1 * s1) / (n * (n - 1.0))), 4)
+             END AS zscore
+      FROM s)
+    SELECT user_id, event_id, zscore,
+           CASE WHEN abs(zscore) > 2.0 THEN TRUE ELSE FALSE END AS anomaly
+    FROM z WHERE n >= 4 ORDER BY user_id, event_id
+"""
+
+sql_pair(
+    "w20_rolling_zscore",
+    _W20_SQL,
+    _W20_SQL,
+    doc="W20: rolling z-score anomaly flags — each event's value scored "
+        "against the TRAILING 7-event window of the same user (frame "
+        "excludes the current row, so the point under test never "
+        "contaminates its own baseline). Mean and variance come from "
+        "DECIMAL-exact frame sums (w15's trick), so both engines feed "
+        "bit-identical doubles into the single final sqrt/divide; "
+        "degenerate frames (n<4 or zero variance) are suppressed/NULL. "
+        "One window shuffle on user_id; at 100 TB this is the same "
+        "partition profile as any per-user session analysis — no global "
+        "window anywhere.",
+)
