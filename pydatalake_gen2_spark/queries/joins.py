@@ -635,3 +635,75 @@ def j24_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_bal"),
         )
     )
+
+
+@register(
+    "j25_merge_upsert",
+    duck_sql="""
+    WITH agg AS (
+      SELECT o_custkey AS c_custkey,
+             'upd-' || CAST(o_custkey AS VARCHAR) AS c_name,
+             SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS c_acctbal
+      FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+      GROUP BY o_custkey),
+    src AS (
+      SELECT c_custkey, c_name, c_acctbal, CAST(NULL AS VARCHAR) AS c_mktsegment
+      FROM agg
+      UNION ALL
+      SELECT c_custkey + 1000000, 'new-' || CAST(c_custkey AS VARCHAR),
+             c_acctbal, 'MERGED' FROM agg WHERE c_custkey % 7 = 0),
+    tgt AS (
+      SELECT c_custkey, c_name, CAST(c_acctbal AS DECIMAL(18,4)) AS c_acctbal,
+             c_mktsegment
+      FROM customer)
+    SELECT COALESCE(t.c_custkey, s.c_custkey) AS c_custkey,
+           COALESCE(s.c_name, t.c_name)       AS c_name,
+           COALESCE(s.c_acctbal, t.c_acctbal) AS c_acctbal,
+           COALESCE(s.c_mktsegment, t.c_mktsegment) AS c_mktsegment,
+           CASE WHEN s.c_custkey IS NULL THEN 'carry'
+                WHEN t.c_custkey IS NULL THEN 'insert'
+                ELSE 'update' END AS action
+    FROM tgt t FULL JOIN src s ON t.c_custkey = s.c_custkey
+    ORDER BY c_custkey
+    """,
+)
+def j25_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J25: generic MERGE INTO (operators/merge.merge_upsert) — a change
+    batch derived from recent orders upserts the customer dimension:
+    matched customers get name+balance overwritten (segment NULL in the
+    batch -> target's segment carries, proving per-column partial
+    update), synthetic keys insert, untouched customers carry. The
+    oracle is the textbook FULL JOIN + COALESCE expansion of MERGE —
+    hash-equality certifies the operator implements exactly ANSI MERGE
+    semantics. See the operator docstring for the partition-pruned
+    rewrite this plan becomes at 100 TB."""
+    from pydatalake_gen2_spark.operators.merge import merge_upsert
+
+    agg = (
+        spark.table("orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("c_acctbal"))
+        .select(
+            "c_custkey",
+            F.concat(F.lit("upd-"), F.col("c_custkey").cast("string")).alias("c_name"),
+            "c_acctbal",
+        )
+    )
+    src = agg.select(
+        "c_custkey", "c_name", "c_acctbal",
+        F.lit(None).cast("string").alias("c_mktsegment"),
+    ).unionByName(
+        agg.filter(F.col("c_custkey") % 7 == 0).select(
+            (F.col("c_custkey") + 1000000).alias("c_custkey"),
+            F.concat(F.lit("new-"), F.col("c_custkey").cast("string")).alias("c_name"),
+            "c_acctbal",
+            F.lit("MERGED").alias("c_mktsegment"),
+        )
+    )
+    tgt = spark.table("customer").select(
+        "c_custkey", "c_name",
+        F.col("c_acctbal").cast("decimal(18,4)").alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    return merge_upsert(tgt, src, ["c_custkey"]).orderBy("c_custkey")

@@ -200,3 +200,69 @@ def p10_nested_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.col("info.o_totalprice").cast("decimal(18,4)").cast("double").alias("price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# p11: collation-aware string semantics (Spark 4 COLLATE)
+# ---------------------------------------------------------------------------
+
+sql_pair(
+    "p11_collation",
+    """
+    WITH m AS (
+      SELECT CASE WHEN doc_id % 2 = 0 THEN upper(lang) ELSE lang END AS x
+      FROM documents)
+    SELECT count(DISTINCT x COLLATE UTF8_LCASE)                 AS n_ci,
+           count(DISTINCT x)                                    AS n_cs,
+           count(CASE WHEN x COLLATE UTF8_LCASE = 'EN' THEN 1 END) AS n_en_ci,
+           count(CASE WHEN x = 'EN' THEN 1 END)                 AS n_en_cs
+    FROM m
+    """,
+    """
+    WITH m AS (
+      SELECT CASE WHEN doc_id % 2 = 0 THEN upper(lang) ELSE lang END AS x
+      FROM documents)
+    SELECT count(DISTINCT lower(x))                             AS n_ci,
+           count(DISTINCT x)                                    AS n_cs,
+           count(CASE WHEN lower(x) = 'en' THEN 1 END)          AS n_en_ci,
+           count(CASE WHEN x = 'EN' THEN 1 END)                 AS n_en_cs
+    FROM m
+    """,
+    doc="P11: collation-aware comparison/distinct (Spark 4 COLLATE "
+        "UTF8_LCASE) over a deterministically case-mixed column — "
+        "case-insensitive semantics expressed AT THE TYPE LEVEL, so "
+        "Catalyst keeps pushdown/codegen, vs the lower()-wrapping the "
+        "oracle must use. At 100 TB the difference matters: collated "
+        "equality joins/groupBys hash the collation key directly instead "
+        "of materializing a lowered copy of every string.",
+)
+
+
+# ---------------------------------------------------------------------------
+# p12: SQL pipe syntax (Spark 4 |> operators)
+# ---------------------------------------------------------------------------
+
+sql_pair(
+    "p12_sql_pipe",
+    """
+    FROM lineitem
+    |> WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    |> EXTEND CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS rev
+    |> AGGREGATE SUM(rev) AS revenue, COUNT(*) AS n GROUP BY l_returnflag
+    |> ORDER BY l_returnflag
+    """,
+    """
+    SELECT l_returnflag,
+           SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="P12: the same filtered-aggregate expressed in Spark 4's SQL pipe "
+        "syntax (|> WHERE / EXTEND / AGGREGATE / ORDER BY) vs the oracle's "
+        "classic form — pipe stages compile to the identical Catalyst plan "
+        "(linear, declaration-ordered), proving the new surface is pure "
+        "syntax: no plan or performance difference to re-audit.",
+)

@@ -596,3 +596,55 @@ def s23_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("o_orderkey").cast("bigint").alias("n_keys"),
         )
     )
+
+
+@register(
+    "s24_source_options",
+    duck_sql="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey
+    """,
+)
+def s24_source_options(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S24: file-source discovery options — recursiveFileLookup walks
+    arbitrarily nested non-partition directories (a/, b/deep/) and
+    pathGlobFilter('*.parquet') excludes a decoy data file planted with
+    extra rows under a non-matching name. Read-back must equal the
+    original table exactly: nesting lost no rows, the decoy leaked none
+    in. This is the messy-lake ingest shape (vendor drops, crawler
+    output) where layout is not hive-partitioned and stray sidecar files
+    (manifests, checksums, _tmp) sit beside data; discovery stays in the
+    driver's InMemoryFileIndex (a listing, no data read) so filtering
+    happens BEFORE any task is scheduled."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = _tmp("s24_opts", sf_dir)
+
+    def write() -> None:
+        nat = load_table(spark, sf_dir, "nation")
+        nat.filter("n_nationkey < 13").coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(path, "a")
+        )
+        nat.filter("n_nationkey >= 13").coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(path, "b", "deep")
+        )
+        # decoy: real parquet bytes, non-matching extension — if the glob
+        # filter ever regressed, row 999 would appear and the hash breaks
+        decoy = pa.table(
+            {
+                "n_nationkey": pa.array([999], pa.int32()),
+                "n_name": pa.array(["DECOY"], pa.string()),
+                "n_regionkey": pa.array([9], pa.int32()),
+            }
+        )
+        pq.write_table(decoy, os.path.join(path, "b", "extra.skipme"))
+        with open(os.path.join(path, "_SUCCESS"), "w"):
+            pass
+
+    _write_once(path, write)
+    df = (
+        spark.read.option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(path)
+    )
+    return df.select("n_nationkey", "n_name", "n_regionkey").orderBy("n_nationkey")

@@ -190,3 +190,51 @@ def ud06_arrow_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "ud07_map_in_arrow",
+    duck_sql="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_quantity AS BIGINT) AS qty,
+           l_quantity > 25.0 AS big_qty,
+           upper(l_returnflag) AS flag
+    FROM lineitem ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def ud07_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UD07: mapInArrow — the zero-copy end of the Python UDF ladder
+    (row-pickle UDF -> Arrow scalar UDF -> pandas UDF -> grouped-map ->
+    UDTF -> stateful -> RecordBatch-level mapInArrow). The function sees
+    raw pyarrow RecordBatches: no pandas materialization, no per-row
+    Python, compute stays in Arrow's vectorized kernels — the right
+    shape for byte-heavy transforms (tokenizers, codecs) where even
+    pandas conversion doubles memory. Arithmetic is kept integer/boolean
+    exact (cast, compare, upper) so the pair hash-matches the oracle
+    with no float-rounding caveats.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    src = spark.table("lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+
+    def fn(batches):
+        for b in batches:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("l_orderkey"),
+                    b.column("l_linenumber"),
+                    pc.cast(b.column("l_quantity"), pa.int64()),
+                    pc.greater(b.column("l_quantity"), 25.0),
+                    pc.utf8_upper(b.column("l_returnflag")),
+                ],
+                ["l_orderkey", "l_linenumber", "qty", "big_qty", "flag"],
+            )
+
+    out = src.mapInArrow(
+        fn,
+        "l_orderkey long, l_linenumber int, qty long, big_qty boolean, flag string",
+    )
+    return out.orderBy("l_orderkey", "l_linenumber")
