@@ -813,3 +813,47 @@ def test_dynamic_partition_overwrite_is_idempotent(spark, sf_dir):
     a = sorted(map(tuple, fn(spark, sf_dir).collect()))
     b = sorted(map(tuple, fn(spark, sf_dir).collect()))
     assert a == b and len(a) == 5
+
+
+def test_connected_components_long_chain_plan_truncation(spark):
+    """Regression: the pointer-doubling loop's logical plan grew 4^rounds
+    before the localCheckpoint fix — a long path graph OOMed the driver
+    during analysis while the data stayed tiny. A 200-edge chain needs
+    ~8 doubling rounds; it must converge fast and return one component."""
+    from pydatalake_gen2_spark.operators.dedup import connected_components
+    from pydatalake_gen2_spark.operators.util import release_persisted
+
+    n = 200
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a BIGINT, id_b BIGINT"
+    )
+    out = connected_components(edges).collect()
+    release_persisted()
+    assert len(out) == n + 1
+    assert {r["component"] for r in out} == {0}
+
+
+def test_merge_upsert_matches_dict_semantics(spark):
+    """merge_upsert == the obvious python dict upsert, including the
+    per-column partial-update rule (NULL source cell keeps target value),
+    inserts of unseen keys, and carry-through of source-less columns."""
+    from pydatalake_gen2_spark.operators.merge import merge_upsert
+
+    tgt_rows = [(1, "a", 10, "X"), (2, "b", 20, "Y"), (3, "c", 30, "Z")]
+    src_rows = [
+        (2, "b2", None),   # partial update: val stays 20
+        (3, None, 33),     # partial update: name stays c
+        (9, "i", 99),      # insert (extra col carries as NULL)
+    ]
+    tgt = spark.createDataFrame(tgt_rows, "k BIGINT, name STRING, val INT, extra STRING")
+    src = spark.createDataFrame(src_rows, "k BIGINT, name STRING, val INT")
+    got = {
+        r["k"]: (r["name"], r["val"], r["extra"], r["action"])
+        for r in merge_upsert(tgt, src, ["k"]).collect()
+    }
+    assert got == {
+        1: ("a", 10, "X", "carry"),
+        2: ("b2", 20, "Y", "update"),
+        3: ("c", 33, "Z", "update"),
+        9: ("i", 99, None, "insert"),
+    }

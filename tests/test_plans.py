@@ -416,3 +416,19 @@ def test_nested_schema_pruning_reads_one_leaf(spark, sf_dir):
     read = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
     assert "o_totalprice" in read, read
     assert "o_orderstatus" not in read and "o_orderpriority" not in read, read
+
+
+def test_minhash_sql_joins_stay_equi(spark, sf_dir):
+    """l36: the banded candidate join and the verify join must both be
+    hash/merge equi-joins — an LSH pipeline that falls back to a nested
+    loop is quadratic and defeats its own purpose."""
+    plan = _plan(spark, sf_dir, "l36_minhash_sql")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+
+
+def test_triangle_count_no_nested_loop(spark, sf_dir):
+    """gr02: oriented compact-forward enumeration is three equi-joins;
+    no theta/nested-loop join may appear."""
+    plan = _plan(spark, sf_dir, "gr02_triangle_count")
+    assert "CartesianProduct" not in plan, plan
