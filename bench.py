@@ -85,6 +85,11 @@ BENCH_QUERIES = [
     "j22_bucketed_join",
     "g27_table_checksum",
     "gr01_pagerank",
+    # round-5 widening: oriented triangle enumeration, engine-independent
+    # banded MinHash, MERGE upsert
+    "gr02_triangle_count",
+    "l36_minhash_sql",
+    "j25_merge_upsert",
 ]
 
 N_RUNS = 3

@@ -720,3 +720,28 @@ sql_pair(
         "pattern behind writing nested parquet for point-lookup serving "
         "layers.",
 )
+
+
+sql_pair(
+    "f50_split_part_overlay",
+    """
+    SELECT doc_id,
+           split_part(text, ' ', 2)          AS second_word,
+           split_part(text, ' ', -1)         AS last_word,
+           overlay(text PLACING '###' FROM 5 FOR 3) AS patched,
+           locate('a', text)                 AS first_a
+    FROM documents ORDER BY doc_id
+    """,
+    """
+    SELECT doc_id,
+           split_part(text, ' ', 2)          AS second_word,
+           split_part(text, ' ', -1)         AS last_word,
+           substr(text, 1, 4) || '###' || substr(text, 8) AS patched,
+           strpos(text, 'a')                 AS first_a
+    FROM documents ORDER BY doc_id
+    """,
+    doc="F50: positional string surgery — split_part (incl. negative "
+        "index, identical in both engines), ANSI OVERLAY (DuckDB lacks "
+        "it; oracle composes substr||replacement||substr), and "
+        "locate<->strpos. Row-local, codegen'd, zero shuffle.",
+)

@@ -151,12 +151,16 @@ def gr01_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # gr02: triangle counting over the co-supply graph
 # ---------------------------------------------------------------------------
 
-_TRIANGLE_SQL = """
+_TRIANGLE_SPARK = """
     WITH ps AS (
       SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
-    edges AS (
-      SELECT DISTINCT a.s AS u, b.s AS v
-      FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s),
+    w AS (
+      SELECT a.s AS u, b.s AS v, count(*) AS cnt
+      FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+      GROUP BY a.s, b.s),
+    thr AS (
+      SELECT percentile_disc(0.99) WITHIN GROUP (ORDER BY cnt) AS t FROM w),
+    edges AS (SELECT u, v FROM w, thr WHERE cnt >= t),
     tri AS (
       SELECT count(*) AS n_triangles
       FROM edges e1
@@ -168,20 +172,28 @@ _TRIANGLE_SQL = """
     FROM tri
 """
 
+_TRIANGLE_DUCK = _TRIANGLE_SPARK.replace(
+    "percentile_disc(0.99) WITHIN GROUP (ORDER BY cnt)", "quantile_disc(cnt, 0.99)"
+)
+
 sql_pair(
     "gr02_triangle_count",
-    _TRIANGLE_SQL,
-    _TRIANGLE_SQL,
-    doc="Triangle counting over the supplier co-supply graph (two suppliers "
-        "are adjacent iff they supplied the same part). Edges are ORIENTED "
-        "low-id -> high-id, so each triangle is enumerated exactly once as "
-        "u<v<w (the compact-forward algorithm) — three equi-joins, no "
-        "theta join, no post-hoc distinct/3! division. At scale the "
-        "orientation should be by (degree, id) instead of raw id (orients "
-        "every wedge at its lowest-degree apex, bounding per-node wedge "
-        "fan-out by arboricity — see SCALE.md); id-orientation keeps the "
-        "oracle pair trivially portable here. Hot-part fan-out on the "
-        "co-occurrence self-join is the l02b shingle problem; the same "
-        "max_df cap applies when parts are supplied by thousands of "
-        "suppliers.",
+    _TRIANGLE_SPARK,
+    _TRIANGLE_DUCK,
+    doc="Triangle counting over the co-supply BACKBONE: supplier pairs are "
+        "weighted by how many parts they co-supply, only the strongest 1% "
+        "(exact discrete percentile threshold) become edges, then oriented "
+        "low-id -> high-id so each triangle is enumerated exactly once as "
+        "u<v<w (compact-forward) — three equi-joins, no theta join, no "
+        "post-hoc distinct/3! division; plan-gated against nested loops. "
+        "The backbone step is the point at scale: a raw co-occurrence "
+        "projection of a uniform bipartite graph is near-COMPLETE (every "
+        "supplier eventually co-supplies every other), and triangle "
+        "enumeration on a dense graph is Theta(n^3) no matter how it is "
+        "joined — first measured here as a 16 s bench entry before "
+        "thresholding. Weight-thresholding (disparity-filter/backbone "
+        "extraction) is how co-occurrence networks are made countable; "
+        "the remaining knobs are degree-ordering the orientation "
+        "(bounds wedge fan-out by arboricity) and l02b's max_df cap on "
+        "pathologically hot parts — see SCALE.md.",
 )

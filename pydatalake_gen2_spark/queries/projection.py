@@ -266,3 +266,34 @@ sql_pair(
         "(linear, declaration-ordered), proving the new surface is pure "
         "syntax: no plan or performance difference to re-audit.",
 )
+
+
+@register(
+    "p13_parameterized_sql",
+    duck_sql="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS total
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2000-01-01' AND o_totalprice > 1000.0
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def p13_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P13: named parameter markers (spark.sql(..., args={...}), Spark
+    3.4+/4) — the injection-safe way to template the same query over
+    changing thresholds/dates; parameters bind as typed literals in the
+    parser, so Catalyst constant-folds and pushes them down exactly like
+    inline literals (same plan, same PushedFilters). The oracle is the
+    equivalent literal SQL."""
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n,
+               SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS total
+        FROM orders
+        WHERE o_orderdate >= :cutoff AND o_totalprice > :floor
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        args={"cutoff": "2000-01-01 00:00:00", "floor": 1000.0},
+    )
