@@ -187,6 +187,13 @@ class Engine:
 
         return scd2_merge(dim, changes, key_cols, ts_col, attr_cols, **kw)
 
+    def merge_upsert(self, target, source, key_cols, **kw) -> DataFrame:
+        """ANSI MERGE (Type-1): update matched, insert unmatched, carry
+        the rest — see operators/merge.merge_upsert (J25)."""
+        from pydatalake_gen2_spark.operators.merge import merge_upsert
+
+        return merge_upsert(target, source, key_cols, **kw)
+
     # -- streaming ----------------------------------------------------------
     def stream_events(self, sf_dir: str | None = None) -> DataFrame:
         from pydatalake_gen2_spark.streaming import replay

@@ -363,3 +363,22 @@ def st13_outer_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real watermarked stream-stream LEFT OUTER join run (ST13);
     stream == batch asserted in tests/test_streaming.py."""
     return replay.run_outer_join_stream(spark, sf_dir)
+
+
+@register(
+    "st15_restart_recovery",
+    duck_sql="""
+    SELECT event_id, event_type, user_id
+    FROM events ORDER BY event_id
+    """,
+)
+def st15_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST15: exactly-once through a mid-stream crash — foreachBatch
+    writes batch-id-keyed parquet, the first attempt dies AFTER writing
+    batch 2 but BEFORE its offsets commit, a second query on the same
+    checkpoint reprocesses batch 2, and the idempotent overwrite makes
+    the sink exactly-once anyway. The hash-match against the plain
+    events table proves no loss AND no duplicates survived a real
+    injected failure (streaming/replay.run_restart_recovery)."""
+    out = replay.run_restart_recovery(spark, sf_dir)
+    return out.select("event_id", "event_type", "user_id").orderBy("event_id")

@@ -462,3 +462,68 @@ def run_outer_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sentinel left rows (user -1) emit as unmatched; drop them here —
     # NOT pre-sink, where the filter would be pushed under the watermark.
     return spark.table("st13_out").filter(F.col("c_user") >= 0)
+
+
+_recovery_cache: dict[str, str] = {}
+
+
+def run_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST15: exactly-once across a mid-stream CRASH. The replayed event
+    stream is written through foreachBatch into batch-id-keyed parquet
+    directories; a poisoned first attempt writes micro-batch 2 and then
+    dies BEFORE the checkpoint commits its offsets (the worst-case
+    crash window — data out, progress not recorded). A second
+    writeStream on the SAME checkpoint resumes, REPROCESSES batch 2
+    (foreachBatch is at-least-once by contract), and the idempotent
+    overwrite-by-batch-id makes the sink exactly-once anyway: the final
+    sink must equal the full events table, no loss, no duplicates.
+
+    This is the committer discipline every production foreachBatch sink
+    needs (idempotent writes keyed on batchId, or a transactional
+    target); the checkpoint supplies deterministic batch boundaries and
+    replay, the SINK supplies idempotence — exactly-once is their
+    composition, demonstrated here against a real failure, not claimed.
+    """
+    if sf_dir in _recovery_cache:
+        return spark.read.parquet(_recovery_cache[sf_dir])
+    from pyspark.errors import StreamingQueryException
+
+    path = replay_dir(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="st15_sink_")
+    ckpt = tempfile.mkdtemp(prefix="st15_ckpt_")
+
+    def make_writer(poison: bool):
+        def write_batch(df: DataFrame, bid: int) -> None:
+            df.select("event_id", "event_type", "user_id").write.mode(
+                "overwrite"
+            ).parquet(os.path.join(out, f"batch={bid}"))
+            if poison and bid == 2:
+                raise RuntimeError("injected crash: batch 2 written, offsets not committed")
+
+        return write_batch
+
+    def start(poison: bool):
+        src = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+        )
+        return (
+            src.writeStream.foreachBatch(make_writer(poison))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q1 = start(poison=True)
+    crashed = False
+    try:
+        q1.awaitTermination()
+    except StreamingQueryException:
+        crashed = True
+    if not crashed:
+        raise AssertionError("injected crash did not fire — recovery untested")
+    q2 = start(poison=False)
+    q2.awaitTermination()
+    _recovery_cache[sf_dir] = out
+    return spark.read.parquet(out)
