@@ -1619,3 +1619,48 @@ def l36_minhash_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= _L36_TAU)
         .orderBy("doc_a", "doc_b")
     )
+
+
+_L37_DUCK = """
+    WITH words AS (
+      SELECT t.w FROM documents, unnest(string_split(text, ' ')) AS t(w)
+      WHERE t.w <> ''),
+    pairs AS (
+      SELECT substr(w || '_', i, 2) AS pair
+      FROM words, unnest(generate_series(1, len(w))) AS g(i))
+    SELECT pair, CAST(count(*) AS BIGINT) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair LIMIT 50
+"""
+
+
+@register("l37_bpe_pair_stats", duck_sql=_L37_DUCK)
+def l37_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L37: the statistic a BPE tokenizer trainer iterates on — corpus-wide
+    adjacent-symbol pair counts (character pairs with '_' end-of-word
+    marker), top pairs under a deterministic (count DESC, pair) order.
+    One training round = take the max pair, merge it into the symbol
+    vocabulary, recount; this query is that round's counting step as a
+    pure explode -> partial-agg plan: the shuffle carries (pair,
+    partial_count) tallies — at most |alphabet|^2 keys per task — never
+    raw text, so a 100 TB corpus counts pairs with a KB-sized exchange
+    per task. Full BPE training iterates this with the vocabulary
+    broadcast back per round (the L32 dictionary-encode layout) and the
+    loop checkpointed per round (the connected-components discipline)."""
+    words = (
+        spark.table("documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .select(F.concat(F.col("w"), F.lit("_")).alias("w"))
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(50)
+    )

@@ -648,3 +648,39 @@ def s24_source_options(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(path)
     )
     return df.select("n_nationkey", "n_name", "n_regionkey").orderBy("n_nationkey")
+
+
+@register(
+    "s25_xml_roundtrip",
+    duck_sql="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey
+    """,
+)
+def s25_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S25: XML source/sink round-trip (Spark 4 ships spark-xml natively:
+    format('xml') + rowTag). Write nation as <row> elements, read back
+    with an EXPLICIT schema (inference on XML is string-happy — the same
+    discipline as S02's CSV read), hash-match the original table. DuckDB
+    has no XML reader, so the oracle certifies the round-trip by reading
+    the source table directly — any loss or type drift in either
+    direction breaks the hash. XML matters for ingest parity: legacy
+    vendor feeds are the main place a lake still meets XML; once read,
+    everything downstream is columnar."""
+    path = _tmp("s25_xml", sf_dir)
+    nat = load_table(spark, sf_dir, "nation")
+    _write_once(
+        path,
+        lambda: nat.coalesce(1)
+        .write.format("xml")
+        .option("rootTag", "nations")
+        .option("rowTag", "row")
+        .mode("overwrite")
+        .save(path),
+    )
+    back = (
+        spark.read.format("xml")
+        .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .option("rowTag", "row")
+        .load(path)
+    )
+    return back.select("n_nationkey", "n_name", "n_regionkey").orderBy("n_nationkey")

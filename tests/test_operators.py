@@ -857,3 +857,17 @@ def test_merge_upsert_matches_dict_semantics(spark):
         3: ("c", 33, "Z", "update"),
         9: ("i", 99, None, "insert"),
     }
+
+
+def test_merge_upsert_idempotent(spark):
+    """Applying the same batch twice must be a fixpoint (Type-1 MERGE is
+    idempotent): merge(merge(t, s), s) == merge(t, s) minus action tags."""
+    from pydatalake_gen2_spark.operators.merge import merge_upsert
+
+    tgt = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "k BIGINT, name STRING, val INT"
+    )
+    src = spark.createDataFrame([(2, "b2", 22), (3, "c", 33)], "k BIGINT, name STRING, val INT")
+    once = merge_upsert(tgt, src, ["k"]).drop("action")
+    twice = merge_upsert(once, src, ["k"]).drop("action")
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
