@@ -671,3 +671,40 @@ sql_pair(
         "on a 1-row frame. Spark side renders the report via stack(); "
         "the oracle unpivots the same 1-row CTE with UNION ALL.",
 )
+
+
+@register(
+    "g31_observe_metrics",
+    duck_sql="""
+    SELECT CAST(count(*) AS BIGINT)                   AS n,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
+           CAST(min(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_min,
+           CAST(max(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_max
+    FROM lineitem
+    """,
+)
+def g31_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G31: the Observation API — named metrics attached to a running
+    query (`df.observe(...)`) and harvested from the driver AFTER the
+    action, with ZERO extra scan: the aggregates ride the same tasks as
+    the job they instrument. This is how a production pipeline exports
+    row counts / bounds / null tallies for every batch without paying a
+    second pass over 100 TB (the push-based alternative to G28's
+    dedicated audit query). Metrics here are integer-exact so the
+    harvested values hash-match the oracle's standalone aggregation."""
+    from pyspark.sql import Observation
+
+    obs = Observation("g31")
+    base = spark.table("lineitem").observe(
+        obs,
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("qty_sum"),
+        F.min(F.col("l_quantity").cast("bigint")).alias("qty_min"),
+        F.max(F.col("l_quantity").cast("bigint")).alias("qty_max"),
+    )
+    base.count()  # the instrumented action; metrics are now available
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n"], m["qty_sum"], m["qty_min"], m["qty_max"])],
+        "n BIGINT, qty_sum BIGINT, qty_min BIGINT, qty_max BIGINT",
+    )

@@ -745,3 +745,34 @@ sql_pair(
         "it; oracle composes substr||replacement||substr), and "
         "locate<->strpos. Row-local, codegen'd, zero shuffle.",
 )
+
+
+sql_pair(
+    "f51_try_arithmetic",
+    """
+    SELECT l_orderkey, l_linenumber,
+           try_divide(l_extendedprice, l_discount)            AS div_maybe_null,
+           try_add(CAST(l_quantity AS BIGINT), 9223372036854775807) AS add_overflow,
+           try_element_at(split(l_returnflag, ','), 5)        AS oob_elem,
+           try_to_number(l_returnflag, '999')                 AS not_a_number
+    FROM lineitem ORDER BY l_orderkey, l_linenumber
+    """,
+    """
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_discount = 0.0 THEN NULL
+                ELSE l_extendedprice / l_discount END         AS div_maybe_null,
+           CAST(NULL AS BIGINT)                               AS add_overflow,
+           CAST(NULL AS VARCHAR)                              AS oob_elem,
+           CAST(NULL AS DECIMAL(3,0))                         AS not_a_number
+    FROM lineitem ORDER BY l_orderkey, l_linenumber
+    """,
+    doc="F51: error-safe arithmetic (ANSI mode without the blast radius) "
+        "— try_divide(x, 0)->NULL, try_add on guaranteed bigint overflow"
+        "->NULL, try_element_at past the end->NULL, try_to_number on "
+        "unparseable input->NULL. The oracle states the expected "
+        "NULL/value outcomes directly (quantities are integral, every "
+        "flag is non-numeric, so outcomes are total functions of the "
+        "data). At 100 TB this surface is what keeps ONE malformed row "
+        "from killing a 6-hour job while still surfacing as a NULL "
+        "tally in the G28/G31 audit metrics.",
+)

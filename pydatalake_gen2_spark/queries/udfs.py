@@ -8,6 +8,8 @@ the Python logic in SQL.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -238,3 +240,35 @@ def ud07_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey long, l_linenumber int, qty long, big_qty boolean, flag string",
     )
     return out.orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "ud08_pandas_iter_udf",
+    duck_sql="""
+    SELECT o_orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) % 97 AS price_bucket
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def ud08_pandas_iter_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UD08: the ITERATOR-of-Series pandas UDF — same Arrow transport as
+    UD02's Series->Series flavor, but the function owns the whole batch
+    iterator, so expensive one-time setup (loading a tokenizer, an ONNX
+    quality model, a codec table) runs ONCE PER TASK instead of once per
+    batch. That amortization is why model-scoring pipelines (L27's
+    real-world form) use this flavor at scale. The 'model' here is a
+    deterministic mod-97 bucketer on integer cents so the pair
+    hash-matches."""
+    from pyspark.sql.types import LongType
+
+    @F.pandas_udf(LongType())
+    def bucket(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        modulus = 97  # stand-in for expensive per-task init (model load)
+        for s in it:
+            yield (s.mul(100).round(0).astype("int64")) % modulus
+
+    return (
+        spark.table("orders")
+        .select("o_orderkey", bucket(F.col("o_totalprice")).alias("price_bucket"))
+        .orderBy("o_orderkey")
+    )
