@@ -684,3 +684,44 @@ def s25_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(path)
     )
     return back.select("n_nationkey", "n_name", "n_regionkey").orderBy("n_nationkey")
+
+
+@register(
+    "s26_python_datasource_writer",
+    duck_sql="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey
+    """,
+)
+def s26_python_datasource_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S26: custom Python DataSource WRITER (the write half of the Spark 4
+    Python DataSource API; S17 is the read half). nation goes out through
+    format('lake_jsonl') — executor tasks stage unique temp files, the
+    driver commit renames them to part-N.jsonl and writes a _SUCCESS
+    manifest, abort cleans staging (sources/pyds._JsonlWriter: the
+    reference's append+flush two-phase upload recast as Spark's
+    committer contract). Read back with an explicit schema and
+    hash-match the source — round-trip proves both task-side streaming
+    write and the commit rename actually published every row exactly
+    once."""
+    from pydatalake_gen2_spark.sources.pyds import ensure_sink_registered
+
+    ensure_sink_registered(spark)
+    path = _tmp("s26_jsonl", sf_dir)
+
+    def write() -> None:
+        nat = load_table(spark, sf_dir, "nation")
+        (
+            nat.repartition(3)
+            .write.format("lake_jsonl")
+            .option("path", path)
+            .mode("append")
+            .save()
+        )
+
+    _write_once(path, write)
+    back = (
+        spark.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .option("pathGlobFilter", "part-*.jsonl")
+        .json(path)
+    )
+    return back.orderBy("n_nationkey")

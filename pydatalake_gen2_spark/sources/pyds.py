@@ -44,10 +44,12 @@ from typing import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     In,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import (
     BooleanType,
@@ -161,3 +163,89 @@ def ensure_registered(spark) -> None:
         # runtime-settable; required for pushFilters to participate
         spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
         _registered.add(key)
+
+
+# ---------------------------------------------------------------------------
+# S26 — Python DataSource WRITER: staged part files + manifest commit
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _StagedFile(WriterCommitMessage):
+    staged: str
+    rows: int
+
+
+class _JsonlWriter(DataSourceWriter):
+    """Two-phase committed JSON-lines sink.
+
+    Executor tasks stream their partition to a STAGED file (unique name,
+    invisible to readers); the driver-side ``commit`` renames every
+    staged file to its final ``part-N.jsonl`` name and only then writes
+    the ``_SUCCESS`` manifest (file list + row count); ``abort`` deletes
+    the staged files. This is the reference's chunked ``append`` +
+    final ``flush`` upload protocol (client.py:548-562, 584-627) recast
+    as Spark's committer contract: data is never visible half-written,
+    a crashed job leaves only garbage-collectable staging, and a retry
+    of one task cannot double-publish (its staged file is simply never
+    committed). JSON values are rendered with sorted keys so output is
+    byte-deterministic per row.
+    """
+
+    def __init__(self, path: str) -> None:
+        self.path = path
+
+    def write(self, iterator) -> "_StagedFile":
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        staged = os.path.join(self.path, f"_staged-{uuid.uuid4().hex}.tmp")
+        n = 0
+        with open(staged, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict(), sort_keys=True) + "\n")
+                n += 1
+        return _StagedFile(staged=staged, rows=n)
+
+    def commit(self, messages) -> None:
+        import json
+        import os
+
+        files = []
+        total = 0
+        for i, m in enumerate(sorted(messages, key=lambda m: m.staged)):
+            final = os.path.join(self.path, f"part-{i:05d}.jsonl")
+            os.replace(m.staged, final)
+            files.append(os.path.basename(final))
+            total += m.rows
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            json.dump({"files": files, "rows": total}, f)
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            try:
+                os.remove(m.staged)
+            except FileNotFoundError:
+                pass
+
+
+class LakeJsonlSink(DataSource):
+    """`format("lake_jsonl")` — see _JsonlWriter."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "lake_jsonl"
+
+    def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
+        return _JsonlWriter(self.options["path"])
+
+
+def ensure_sink_registered(spark) -> None:
+    try:
+        spark.dataSource.register(LakeJsonlSink)
+    except Exception:
+        pass  # already registered in this session

@@ -871,3 +871,31 @@ def test_merge_upsert_idempotent(spark):
     once = merge_upsert(tgt, src, ["k"]).drop("action")
     twice = merge_upsert(once, src, ["k"]).drop("action")
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_jsonl_sink_commit_and_abort_protocol(tmp_path):
+    """S26 writer: staged files are invisible until commit renames them
+    and writes the manifest; abort removes staging entirely (the
+    reference's append+flush two-phase upload, as a committer)."""
+    import json
+    import os
+
+    from pyspark.sql import Row
+
+    from pydatalake_gen2_spark.sources.pyds import _JsonlWriter
+
+    out = str(tmp_path / "sink")
+    w = _JsonlWriter(out)
+    m1 = w.write(iter([Row(a=1, b="x"), Row(a=2, b="y")]))
+    m2 = w.write(iter([Row(a=3, b="z")]))
+    # staged, not published
+    assert all(f.startswith("_staged-") for f in os.listdir(out))
+    w.commit([m1, m2])
+    names = sorted(os.listdir(out))
+    assert names == ["_SUCCESS", "part-00000.jsonl", "part-00001.jsonl"]
+    manifest = json.load(open(os.path.join(out, "_SUCCESS")))
+    assert manifest["rows"] == 3 and len(manifest["files"]) == 2
+    # abort path: a fresh staged file disappears, published files stay
+    m3 = w.write(iter([Row(a=9, b="q")]))
+    w.abort([m3])
+    assert sorted(os.listdir(out)) == names
