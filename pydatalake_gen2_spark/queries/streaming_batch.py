@@ -382,3 +382,19 @@ def st15_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     injected failure (streaming/replay.run_restart_recovery)."""
     out = replay.run_restart_recovery(spark, sf_dir)
     return out.select("event_id", "event_type", "user_id").orderBy("event_id")
+
+
+@register(
+    "st16_dedup_within_watermark",
+    duck_sql="""
+    SELECT event_id, user_id, event_type, value
+    FROM events ORDER BY event_id
+    """,
+)
+def st16_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST16: dropDuplicatesWithinWatermark over a replay with injected
+    redeliveries (every 10th event arrives twice) — bounded-state
+    streaming dedup whose sink must hash-match the duplicate-free events
+    table (streaming/replay.run_dedup_within_watermark)."""
+    out = replay.run_dedup_within_watermark(spark, sf_dir)
+    return out.select("event_id", "user_id", "event_type", "value").orderBy("event_id")

@@ -508,3 +508,70 @@ sql_pair(
         "partition profile as any per-user session analysis — no global "
         "window anywhere.",
 )
+
+
+_W21_CORE = """
+    WITH obs AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
+      FROM events WHERE user_id < 20 GROUP BY user_id, date_trunc('hour', ts)),
+    bounds AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM obs GROUP BY user_id),
+    spine AS ({spine}),
+    joined AS (
+      SELECT s.user_id, s.h, {epoch} AS e, o.v
+      FROM spine s LEFT JOIN obs o ON s.user_id = o.user_id AND s.h = o.h),
+    ctx AS (
+      SELECT user_id, h, e, v,
+             {last_v}  OVER (PARTITION BY user_id ORDER BY h
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+             {last_e}  OVER (PARTITION BY user_id ORDER BY h
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe,
+             {first_v} OVER (PARTITION BY user_id ORDER BY h
+                             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+             {first_e} OVER (PARTITION BY user_id ORDER BY h
+                             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS ne
+      FROM joined)
+    SELECT user_id, {fmt} AS hour, (v IS NOT NULL) AS observed,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN pv IS NOT NULL AND nv IS NOT NULL
+                  THEN pv + (nv - pv)
+                       * (CAST(e - pe AS DOUBLE) / CAST(ne - pe AS DOUBLE))
+                WHEN pv IS NOT NULL THEN pv
+                ELSE nv END AS v_interp
+    FROM ctx ORDER BY user_id, hour
+"""
+
+_W21_SPARK = _W21_CORE.format(
+    spine="SELECT user_id, explode(sequence(h0, h1, interval 1 hour)) AS h FROM bounds",
+    epoch="unix_timestamp(s.h)",
+    last_v="last(o_v) IGNORE NULLS".replace("o_v", "v"),
+    last_e="last(CASE WHEN v IS NOT NULL THEN e END) IGNORE NULLS",
+    first_v="first(v) IGNORE NULLS",
+    first_e="first(CASE WHEN v IS NOT NULL THEN e END) IGNORE NULLS",
+    fmt="date_format(h, 'yyyy-MM-dd HH:mm:ss')",
+)
+
+_W21_DUCK = _W21_CORE.format(
+    spine="SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h"
+          " FROM bounds",
+    epoch="CAST(epoch(s.h) AS BIGINT)",
+    last_v="last_value(v IGNORE NULLS)",
+    last_e="last_value(CASE WHEN v IS NOT NULL THEN e END IGNORE NULLS)",
+    first_v="first_value(v IGNORE NULLS)",
+    first_e="first_value(CASE WHEN v IS NOT NULL THEN e END IGNORE NULLS)",
+    fmt="strftime(h, '%Y-%m-%d %H:%M:%S')",
+)
+
+sql_pair(
+    "w21_linear_interpolate",
+    _W21_SPARK,
+    _W21_DUCK,
+    doc="W21: time-series LINEAR interpolation over the gap-filled hourly "
+        "spine (w13's shape, upgraded from carry-forward): missing "
+        "buckets get pv + (nv-pv)*(e-pe)/(ne-pe) from the nearest "
+        "observed neighbors on each side via IGNORE NULLS frame scans; "
+        "edges fall back to nearest-value. Identical IEEE expression "
+        "order in both engines makes the doubles bit-equal with no "
+        "rounding. Two window passes + one join, all partitioned by the "
+        "series key — nothing global.",
+)

@@ -527,3 +527,51 @@ def run_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     q2.awaitTermination()
     _recovery_cache[sf_dir] = out
     return spark.read.parquet(out)
+
+
+_dup_replay_cache: dict[str, str] = {}
+
+
+def run_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST16: dropDuplicatesWithinWatermark (Spark 3.5+) over a replay with
+    INJECTED duplicates — every event whose id is divisible by 10 arrives
+    a second time in a later micro-batch. Unlike ST05's dropDuplicates
+    (state grows forever unless the watermark passes the id's event
+    time), WithinWatermark keeps an id's state only until the watermark
+    moves past its event time + delay: the production contract for
+    at-least-once sources (Kafka redeliveries, S3 double-drops) where
+    duplicates cluster close in time and state must stay BOUNDED by the
+    delay window, not by distinct-key cardinality. Duplicates here share
+    the original's event time (a true redelivery), so they land inside
+    the window and the sink must equal the duplicate-free table."""
+    if sf_dir in _dup_replay_cache:
+        out = _dup_replay_cache[sf_dir]
+    else:
+        import shutil
+
+        base = replay_dir(spark, sf_dir)
+        out = tempfile.mkdtemp(prefix="events_dup_replay_")
+        for f in sorted(os.listdir(base)):
+            if f.endswith(".parquet"):
+                shutil.copy(os.path.join(base, f), os.path.join(out, f"a_{f}"))
+        dups = load_table(spark, sf_dir, "events").filter(
+            (F.col("event_id") % 10) == 0
+        )
+        dup_dir = tempfile.mkdtemp(prefix="events_dups_")
+        dups.coalesce(1).write.mode("overwrite").parquet(dup_dir)
+        idx = 0
+        for f in sorted(os.listdir(dup_dir)):
+            if f.endswith(".parquet"):
+                shutil.copy(os.path.join(dup_dir, f), os.path.join(out, f"z_dup{idx}.parquet"))
+                idx += 1
+        _dup_replay_cache[sf_dir] = out
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(out)
+        .withWatermark("ts", "60 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    _run_to_memory(src, "st16_out", "append")
+    return spark.table("st16_out")
