@@ -101,6 +101,14 @@ def _duck_pagerank() -> str:
 def gr01_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = spark.table("orders")
     l = spark.table("lineitem")
+    # The edge list appears ~8x in the unrolled plan (every iteration's
+    # contrib join, plus nodes/outdeg). DELIBERATELY NOT persisted:
+    # measured at sf0.1, AQE's ReusedExchange already computes the
+    # orders⋈lineitem+distinct exchange once and shares it, while
+    # persist() was ~40% SLOWER (4.5s -> 6.5s) — the InMemoryRelation
+    # boundary blocks AQE re-planning and pays columnar cache
+    # (de)serialization. Exchange reuse is the right dedup for
+    # single-query repeated subtrees; caching is for cross-query reuse.
     edges = (
         o.join(l, o.o_orderkey == l.l_orderkey)
         .select(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))

@@ -1559,7 +1559,13 @@ def l36_minhash_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical hex — cross-engine reproducibility is itself a pipeline
     requirement (rerunning dedup on a different engine must keep the
     same docs)."""
-    docs = spark.table("documents")
+    from pydatalake_gen2_spark.operators.util import spread
+
+    # spread(): the local fixture is one parquet split, which would run
+    # the whole explode+md5 signature pipeline in a single task; on a
+    # real cluster the scan already has more splits than cores and this
+    # is a no-op (see util.spread).
+    docs = spread(spark.table("documents"))
     # 3-word shingles (operators/text.ngrams, the guarded sequence+slice
     # HOF): the fixture vocab is ~31 words, so UNIGRAM sets are
     # near-identical across docs and the banded join degenerates to
