@@ -398,3 +398,20 @@ def st16_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     table (streaming/replay.run_dedup_within_watermark)."""
     out = replay.run_dedup_within_watermark(spark, sf_dir)
     return out.select("event_id", "user_id", "event_type", "value").orderBy("event_id")
+
+
+@register(
+    "st17_python_stream_source",
+    duck_sql="""
+    SELECT event_id, user_id, event_type, value
+    FROM events ORDER BY event_id
+    """,
+)
+def st17_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST17: custom Python STREAMING data source — the replay served
+    through a SimpleDataSourceStreamReader with dict offsets and
+    replayable committed ranges, drained by a live micro-batch query
+    into the memory sink; hash-matched against the events table
+    (streaming/replay.run_python_stream_source)."""
+    out = replay.run_python_stream_source(spark, sf_dir)
+    return out.select("event_id", "user_id", "event_type", "value").orderBy("event_id")

@@ -15,6 +15,7 @@ from __future__ import annotations
 import contextlib
 import os
 import tempfile
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -575,3 +576,42 @@ def run_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _run_to_memory(src, "st16_out", "append")
     return spark.table("st16_out")
+
+
+def run_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST17: a custom PYTHON streaming source (Spark 4
+    SimpleDataSourceStreamReader, sources/pyds._ReplayStreamReader)
+    feeding a real micro-batch query — offsets are dicts the source
+    defines, the engine checkpoints them, and readBetweenOffsets makes
+    committed ranges replayable (the recovery contract). The run drains
+    the bounded replay, then stops; the sink must hold every event
+    exactly once."""
+    from pydatalake_gen2_spark.sources.pyds import ensure_stream_source_registered
+
+    if spark.catalog.tableExists("st17_out"):
+        return spark.table("st17_out")
+    ensure_stream_source_registered(spark)
+    path = replay_dir(spark, sf_dir)
+    expected = load_table(spark, sf_dir, "events").count()
+    src = (
+        spark.readStream.format("events_replay_stream")
+        .option("path", path)
+        .load()
+    )
+    q = (
+        src.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("st17_out")
+        .start()
+    )
+    deadline = time.time() + 180
+    while time.time() < deadline:
+        if spark.table("st17_out").count() >= expected:
+            break
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination()
+    n = spark.table("st17_out").count()
+    if n < expected:
+        raise AssertionError(f"python stream source drained {n}/{expected} rows")
+    return spark.table("st17_out")
