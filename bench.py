@@ -86,10 +86,11 @@ BENCH_QUERIES = [
     "g27_table_checksum",
     "gr01_pagerank",
     # round-5 widening: oriented triangle enumeration, engine-independent
-    # banded MinHash, MERGE upsert
+    # banded MinHash, MERGE upsert, iterative k-core peeling
     "gr02_triangle_count",
     "l36_minhash_sql",
     "j25_merge_upsert",
+    "gr03_kcore",
 ]
 
 N_RUNS = 3

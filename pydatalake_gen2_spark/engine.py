@@ -76,6 +76,13 @@ class Engine:
     def simhash(self, df, **kw) -> DataFrame:
         return dedup.simhash(df, **kw)
 
+    def k_core(self, edges, k: int, **kw) -> DataFrame:
+        """Dense-kernel extraction: iterative peeling to the unique
+        k-core (operators/graph.k_core, GR03)."""
+        from pydatalake_gen2_spark.operators.graph import k_core
+
+        return k_core(edges, k, **kw)
+
     def connected_components(self, edges, **kw) -> DataFrame:
         return dedup.connected_components(edges, **kw)
 

@@ -1,0 +1,86 @@
+"""Iterative graph operators beyond dedup's connected components.
+
+Engine parity note: the reference (client.py) has no graph surface; these
+extend the declared engine layer the same way the L* pipeline ops do
+(SURVEY.md 2B.14+). All loops follow the plan-truncating checkpoint
+discipline established by operators/dedup.connected_components: each
+round's state materializes through util.checkpoint_truncate so the
+analyzed plan stays constant-size, superseded rounds' blocks are freed
+immediately, and the final state's lifecycle belongs to the caller via
+util.release_persisted().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """The k-core of an undirected graph: the (unique) maximal subgraph
+    in which every node has degree >= k — the standard "dense kernel"
+    extractor (community seeds, spam-ring detection, backbone pruning
+    one step past GR02's edge thresholding).
+
+    Algorithm: iterative peeling. Each round computes degrees (one
+    partial-agg shuffle), keeps nodes with degree >= k, and semi-joins
+    the edge list down to edges whose BOTH endpoints survive; the loop
+    stops when the edge count reaches a fixpoint. Peeling removes at
+    least one node per non-final round, so rounds are bounded by the
+    peel depth (the graph's degeneracy ordering length) — small in
+    practice; ``max_iter`` is a backstop that RAISES rather than
+    returning a non-fixpoint.
+
+    State is one (src, dst) edge frame, checkpoint-truncated per round
+    (see module docstring). Output: (node BIGINT, core_degree BIGINT) —
+    every node in the k-core with its within-core degree.
+    """
+    from pydatalake_gen2_spark.operators.util import (
+        checkpoint_truncate,
+        release_checkpoint,
+        track,
+    )
+
+    e = edges.select(
+        F.col(src_col).cast("bigint").alias("s"),
+        F.col(dst_col).cast("bigint").alias("d"),
+    )
+    alive = checkpoint_truncate(
+        e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
+    )
+    prev = alive.count()
+    converged = False
+    for _ in range(max_iter):
+        keep = (
+            alive.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select(F.col("s").alias("n"))
+        )
+        new_alive = checkpoint_truncate(
+            alive.join(keep, alive.s == keep.n, "left_semi").join(
+                keep.withColumnRenamed("n", "m"),
+                F.col("d") == F.col("m"),
+                "left_semi",
+            )
+        )
+        cur = new_alive.count()
+        release_checkpoint(alive)
+        alive = new_alive
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    if not converged:
+        release_checkpoint(alive)
+        raise RuntimeError(f"k_core did not reach a fixpoint within {max_iter} rounds")
+    track(alive)
+    return alive.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("core_degree")
+    )

@@ -205,3 +205,67 @@ sql_pair(
         "(bounds wedge fan-out by arboricity) and l02b's max_df cap on "
         "pathologically hot parts — see SCALE.md.",
 )
+
+
+# ---------------------------------------------------------------------------
+# gr03: k-core extraction (iterative peeling) over the co-supply backbone
+# ---------------------------------------------------------------------------
+
+_GR03_K = 3
+_GR03_ROUNDS = 6  # fixpoint reached in <=3 rounds at sf0.001/0.01/0.1
+
+_GR03_BACKBONE = """
+    WITH ps AS (
+      SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+    w AS (
+      SELECT a.s AS u, b.s AS v, count(*) AS cnt
+      FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+      GROUP BY a.s, b.s),
+    thr AS (
+      SELECT percentile_disc(0.95) WITHIN GROUP (ORDER BY cnt) AS t FROM w)
+    SELECT u, v FROM w, thr WHERE cnt >= t
+"""
+
+
+def _gr03_duck() -> str:
+    sql = """
+    WITH ps AS (
+      SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+    w AS (
+      SELECT a.s AS u, b.s AS v, count(*) AS cnt
+      FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+      GROUP BY a.s, b.s),
+    thr AS (SELECT quantile_disc(cnt, 0.95) AS t FROM w),
+    ed AS (SELECT u, v FROM w, thr WHERE cnt >= t),
+    e0 AS MATERIALIZED (SELECT u AS s, v AS d FROM ed UNION SELECT v, u FROM ed)"""
+    # AS MATERIALIZED is load-bearing: every e{i} is referenced twice
+    # (k{i} and e{i+1}), and an inlining planner would otherwise double
+    # the pair-weight join per round — 2^ROUNDS copies.
+    for i in range(_GR03_ROUNDS):
+        sql += f""",
+    k{i} AS MATERIALIZED (
+      SELECT s AS n FROM e{i} GROUP BY s HAVING count(*) >= {_GR03_K}),
+    e{i + 1} AS MATERIALIZED (
+      SELECT e.s, e.d FROM e{i} e
+      JOIN k{i} a ON e.s = a.n JOIN k{i} b ON e.d = b.n)"""
+    sql += f"""
+    SELECT s AS node, CAST(count(*) AS BIGINT) AS core_degree
+    FROM e{_GR03_ROUNDS} GROUP BY s ORDER BY node
+    """
+    return sql
+
+
+@register("gr03_kcore", duck_sql=_gr03_duck())
+def gr03_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GR03: k-core of the co-supply backbone (operators/graph.k_core) —
+    iterative peeling run to its (unique) fixpoint with per-round
+    plan-truncating checkpoints; the oracle unrolls the same peel for a
+    fixed round budget that provably covers the fixpoint depth at every
+    fixture scale (peeling is idempotent past the fixpoint, so extra
+    unrolled rounds are harmless). k-core is the dense-kernel extractor
+    one step past gr02's edge thresholding: backbone keeps strong EDGES,
+    the core keeps mutually-dense NODES."""
+    from pydatalake_gen2_spark.operators.graph import k_core
+
+    ed = spark.sql(_GR03_BACKBONE)
+    return k_core(ed, k=_GR03_K, src_col="u", dst_col="v").orderBy("node")

@@ -899,3 +899,43 @@ def test_jsonl_sink_commit_and_abort_protocol(tmp_path):
     m3 = w.write(iter([Row(a=9, b="q")]))
     w.abort([m3])
     assert sorted(os.listdir(out)) == names
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(2, 4),
+)
+@settings(
+    deadline=None,
+    max_examples=8,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_k_core_matches_python_peeling(spark, edges, k):
+    """Hypothesis: distributed peeling equals the obvious sequential
+    peel on arbitrary small graphs (k-core is unique, so any peel order
+    converges to the same subgraph)."""
+    from pydatalake_gen2_spark.operators.graph import k_core
+    from pydatalake_gen2_spark.operators.util import release_persisted
+
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    while True:
+        drop = [n for n, nb in adj.items() if len(nb) < k]
+        if not drop:
+            break
+        for n in drop:
+            for m in adj[n]:
+                adj[m].discard(n)
+            del adj[n]
+    want = {n: len(nb) for n, nb in adj.items()}
+
+    df = spark.createDataFrame(edges, "id_a BIGINT, id_b BIGINT")
+    got = {r["node"]: r["core_degree"] for r in k_core(df, k).collect()}
+    release_persisted()
+    assert got == want
