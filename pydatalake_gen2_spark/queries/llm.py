@@ -1670,3 +1670,62 @@ def l37_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "pair")
         .limit(50)
     )
+
+
+@register(
+    "l40_quality_keeper",
+    duck_sql="""
+    WITH RECURSIVE sets AS (
+      SELECT doc_id AS id,
+             list_distinct(list_transform(generate_series(1, len(t) - 2),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS toks
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+      WHERE len(t) >= 3),
+    inv AS (SELECT id, len(toks) AS n_toks, unnest(toks) AS tok FROM sets),
+    shared AS (
+      SELECT a.id AS id_a, b.id AS id_b, a.n_toks AS na, b.n_toks AS nb,
+             COUNT(*) AS n_shared
+      FROM inv a JOIN inv b ON a.tok = b.tok AND a.id < b.id
+      GROUP BY 1, 2, 3, 4),
+    pairs AS (
+      SELECT id_a, id_b FROM shared
+      WHERE n_shared / (na + nb - n_shared) >= 0.3),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    reach(id, r) AS (
+      SELECT s, s FROM edges
+      UNION SELECT s, d FROM edges
+      UNION SELECT reach.id, edges.d FROM reach JOIN edges ON reach.r = edges.s),
+    comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+    SELECT c.id AS doc_id, c.component,
+           row_number() OVER (PARTITION BY c.component
+                              ORDER BY d.n_chars DESC, c.id) = 1 AS keep
+    FROM comp c JOIN documents d ON d.doc_id = c.id
+    ORDER BY doc_id
+    """,
+)
+def l40_quality_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L40: quality-aware canonical selection — l11's near-dup clusters,
+    but the keeper per cluster is the HIGHEST-QUALITY member (longest
+    doc, doc_id tiebreak) instead of the smallest id. This is the rule
+    real curation pipelines want: when a boilerplate family collapses to
+    one survivor, keep the most complete copy, not an arbitrary one. The
+    keeper pick is one row_number window over cluster-sized partitions —
+    cost rides the (tiny) cluster table, never the corpus."""
+    from pyspark.sql.window import Window
+
+    comps = dedup.dedup_clusters(spark.table("documents"), tau=0.3).select(
+        "doc_id", "component"
+    )
+    docs = spark.table("documents").select("doc_id", "n_chars")
+    w = Window.partitionBy("component").orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        comps.join(docs, "doc_id")
+        .select(
+            "doc_id",
+            "component",
+            (F.row_number().over(w) == 1).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

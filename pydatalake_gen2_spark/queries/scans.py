@@ -725,3 +725,47 @@ def s26_python_datasource_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .json(path)
     )
     return back.orderBy("n_nationkey")
+
+
+@register(
+    "s27_partition_evolution",
+    duck_sql="""
+    SELECT o_orderkey, o_totalprice, CAST(year(o_orderdate) AS INT) AS o_year
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def s27_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S27: partition-LAYOUT evolution — generation 1 of a table was
+    written flat (o_year as an ordinary column), generation 2 is
+    hive-partitioned by o_year (the column lives in directory names).
+    The migrated read is two scans + unionByName: Spark rebuilds gen2's
+    o_year from partition directories, gen1 carries it as data, and the
+    union must equal the unsplit table. This is the real shape of a lake
+    that adopted partitioning mid-life: you re-layout going FORWARD and
+    leave old data in place — schema evolution (S15) handles changing
+    COLUMNS, this handles changing LAYOUT, and neither forces a
+    rewrite of history."""
+    path = _tmp("s27_layout", sf_dir)
+
+    def write() -> None:
+        orders = load_table(spark, sf_dir, "orders").withColumn(
+            "o_year", F.year("o_orderdate").cast("int")
+        )
+        gen1 = orders.filter(F.col("o_year") < 1998)
+        gen2 = orders.filter(F.col("o_year") >= 1998)
+        gen1.select("o_orderkey", "o_totalprice", "o_year").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(path, "gen1"))
+        gen2.select("o_orderkey", "o_totalprice", "o_year").write.partitionBy(
+            "o_year"
+        ).mode("overwrite").parquet(os.path.join(path, "gen2"))
+        with open(os.path.join(path, "_SUCCESS"), "w"):
+            pass
+
+    _write_once(path, write)
+    gen1 = spark.read.parquet(os.path.join(path, "gen1"))
+    gen2 = spark.read.parquet(os.path.join(path, "gen2"))
+    return (
+        gen1.unionByName(gen2.select("o_orderkey", "o_totalprice", "o_year"))
+        .orderBy("o_orderkey")
+    )
