@@ -162,3 +162,187 @@ def ingest_with_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.join(docs, "doc_id").select(
         "doc_id", "lang", "source", "n_bytes", "format", "width", "height"
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL codecs within stdlib constraints (no PIL/cv2 in the container):
+# PNG via zlib+struct, WAV via the stdlib wave module. These upgrade the
+# decode path from "honest stub" to a working end-to-end pipeline —
+# swap in PIL/libvips kernels on a cluster image for full formats.
+# ---------------------------------------------------------------------------
+
+import struct
+import zlib
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(width: int, height: int, rgb: bytes) -> bytes:
+    """Minimal truecolor 8-bit PNG encoder (filter 0 rows, one IDAT)."""
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb must be width*height*3 bytes")
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + rgb[y * width * 3 : (y + 1) * width * 3] for y in range(height)
+    )
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> tuple[int, int, bytes]:
+    """Minimal PNG decoder: 8-bit RGB, filters 0 (None), 1 (Sub), 2 (Up).
+    Returns (width, height, rgb bytes). Raises NotImplementedError on
+    formats outside that envelope — honest about its limits."""
+    if data[:8] != PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, w, h, idat = 8, None, None, b""
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            w, h, bitdepth, colortype = struct.unpack(">IIBB", body[:10])
+            if bitdepth != 8 or colortype != 2:
+                raise NotImplementedError("only 8-bit truecolor RGB PNGs")
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    raw = zlib.decompress(idat)
+    stride = w * 3 + 1
+    out = bytearray()
+    prev = bytearray(w * 3)
+    for y in range(h):
+        row = raw[y * stride : (y + 1) * stride]
+        filt, cur = row[0], bytearray(row[1:])
+        if filt == 1:  # Sub
+            for i in range(3, len(cur)):
+                cur[i] = (cur[i] + cur[i - 3]) & 0xFF
+        elif filt == 2:  # Up
+            for i in range(len(cur)):
+                cur[i] = (cur[i] + prev[i]) & 0xFF
+        elif filt != 0:
+            raise NotImplementedError(f"PNG filter {filt}")
+        out += cur
+        prev = cur
+    return w, h, bytes(out)
+
+
+def materialize_png_assets(spark: SparkSession, sf_dir: str, n: int = 64) -> str:
+    """Deterministic 8x8 RGB PNGs, one per document: R = x*32, G = y*32,
+    B = (doc_id*7)%256 — every channel analytically predictable, so the
+    decode pipeline gets a REAL SQL oracle (mm_png_decode)."""
+    out = tempfile.mkdtemp(prefix="mm_png_")
+    ids = [
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id")
+        .orderBy("doc_id")
+        .limit(n)
+        .collect()
+    ]
+    for doc_id in ids:
+        b = (doc_id * 7) % 256
+        rgb = bytes(
+            c
+            for y in range(8)
+            for x in range(8)
+            for c in ((x * 32) % 256, (y * 32) % 256, b)
+        )
+        with open(os.path.join(out, f"doc_{doc_id:06d}.png"), "wb") as f:
+            f.write(encode_png(8, 8, rgb))
+    return out
+
+
+def materialize_wav_assets(spark: SparkSession, sf_dir: str, n: int = 16) -> str:
+    """Deterministic mono 16-bit PCM WAVs (stdlib wave): sample i of doc d
+    is (i*(d+1)) % 65536 - 32768, 1000 frames @ 8 kHz — min/max/count all
+    analytically predictable (mm_wav_decode's oracle)."""
+    import wave
+
+    out = tempfile.mkdtemp(prefix="mm_wav_")
+    ids = [
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id")
+        .orderBy("doc_id")
+        .limit(n)
+        .collect()
+    ]
+    for doc_id in ids:
+        frames = struct.pack(
+            "<1000h", *[(i * (doc_id + 1)) % 65536 - 32768 for i in range(1000)]
+        )
+        with wave.open(os.path.join(out, f"doc_{doc_id:06d}.wav"), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(frames)
+    return out
+
+
+def decode_png_batch(df: DataFrame) -> DataFrame:
+    """mapInPandas over binaryFile rows → (doc_id, width, height, channel
+    means). Arrow-batched; the per-row python decode is the honest cost
+    of a codec UDF — at cluster scale this is where a vectorized kernel
+    (PIL/libvips via UD07's mapInArrow transport) plugs in."""
+    schema = (
+        "doc_id BIGINT, width INT, height INT, "
+        "r_mean DOUBLE, g_mean DOUBLE, b_mean DOUBLE"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for path, content in zip(b["path"], b["content"]):
+                w, h, rgb = decode_png(bytes(content))
+                doc_id = int(os.path.basename(path).split("_")[1].split(".")[0])
+                npx = w * h
+                sums = [0, 0, 0]
+                for i, c in enumerate(rgb):
+                    sums[i % 3] += c
+                rows.append(
+                    (doc_id, w, h, sums[0] / npx, sums[1] / npx, sums[2] / npx)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "r_mean", "g_mean", "b_mean"],
+            )
+
+    return df.select("path", "content").mapInPandas(run, schema)
+
+
+def decode_wav_batch(df: DataFrame) -> DataFrame:
+    """mapInPandas over binaryFile rows → (doc_id, n_frames, s_min, s_max)
+    via the stdlib wave module (real RIFF/PCM parsing)."""
+    import io
+    import wave
+
+    schema = "doc_id BIGINT, n_frames BIGINT, s_min BIGINT, s_max BIGINT"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for path, content in zip(b["path"], b["content"]):
+                with wave.open(io.BytesIO(bytes(content)), "rb") as w:
+                    n = w.getnframes()
+                    samples = struct.unpack(f"<{n}h", w.readframes(n))
+                doc_id = int(os.path.basename(path).split("_")[1].split(".")[0])
+                rows.append((doc_id, n, min(samples), max(samples)))
+            yield pd.DataFrame(rows, columns=["doc_id", "n_frames", "s_min", "s_max"])
+
+    return df.select("path", "content").mapInPandas(run, schema)

@@ -66,3 +66,35 @@ def test_resize_stub_raises_without_fake(spark, sf_dir):
         multimodal.resize_batch(
             multimodal.read_binary(spark, assets), fake=False
         )
+
+
+def test_png_codec_roundtrip_and_filters():
+    """encode->decode is identity, and the decoder reverses Sub(1)/Up(2)
+    filtered rows (hand-built IDAT), not just our encoder's filter 0."""
+    import struct
+    import zlib
+
+    from pydatalake_gen2_spark.sources.multimodal import (
+        PNG_SIG,
+        _png_chunk,
+        decode_png,
+        encode_png,
+    )
+
+    rgb = bytes(range(48))  # 4x4 RGB
+    assert decode_png(encode_png(4, 4, rgb)) == (4, 4, rgb)
+
+    # row 0 Sub-filtered, row 1 Up-filtered (2x2 image)
+    px = [10, 20, 30, 40, 60, 80, 5, 15, 25, 50, 70, 90]
+    row0, row1 = px[:6], px[6:]
+    sub0 = bytes([row0[0], row0[1], row0[2],
+                  (row0[3] - row0[0]) & 0xFF,
+                  (row0[4] - row0[1]) & 0xFF,
+                  (row0[5] - row0[2]) & 0xFF])
+    up1 = bytes([(row1[i] - row0[i]) & 0xFF for i in range(6)])
+    raw = b"\x01" + sub0 + b"\x02" + up1
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    data = (PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b""))
+    assert decode_png(data) == (2, 2, bytes(px))
