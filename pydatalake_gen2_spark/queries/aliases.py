@@ -126,7 +126,12 @@ _ALIASES: dict[str, str] = {
     # scans / sources / sinks
     "a28_s01_parquet_scan": "s01_parquet_scan",
     "a29_s05_partitioned_pruned": "s05_partitioned_pruned",
-    "a30_s12_compaction_layout": "s12_compaction_layout",
+    # r5 repurpose: the s-family already held three window slots
+    # (a28/a29/a30) while the multimodal family — now a REAL stdlib-PNG
+    # decode pipeline with a full SQL oracle (mm_png_decode), no longer a
+    # smoke-tier stub — had none; s12 stays oracle-verified in the local
+    # mirror like every other out-of-window pair.
+    "a30_mm_png_decode": "mm_png_decode",
     # r3 repurpose: f34/f35 already have green driver rows from round 1,
     # so their slots go to round-3's new capability classes instead —
     # the SCD-2 incremental-merge ≡ full-rebuild equivalence and the

@@ -106,3 +106,30 @@ def mm_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         _WAV_CACHE[sf_dir] = multimodal.materialize_wav_assets(spark, sf_dir, n=16)
     raw = multimodal.read_binary(spark, _WAV_CACHE[sf_dir], glob="*.wav")
     return multimodal.decode_wav_batch(raw).orderBy("doc_id")
+
+
+@register(
+    "mm_png_resize",
+    duck_sql="""
+    SELECT doc_id, 4 AS width, 4 AS height,
+           CAST(96.0 AS DOUBLE) AS r_mean,
+           CAST(96.0 AS DOUBLE) AS g_mean,
+           CAST((doc_id * 7) % 256 AS DOUBLE) AS b_mean
+    FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 64)
+    ORDER BY doc_id
+    """,
+)
+def mm_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MM-PNG-RESIZE: the full decode → nearest-neighbor downsample →
+    re-encode loop on real PNG bytes (sources/multimodal.resize_png_batch);
+    the 8x8 gradient halves to 4x4, picking columns x∈{0,2,4,6} whose R/G
+    means are analytically 96.0 while B stays the per-doc constant — the
+    oracle certifies the resample actually sampled the right pixels, not
+    just that bytes moved."""
+    if sf_dir not in _PNG_CACHE:
+        _PNG_CACHE[sf_dir] = multimodal.materialize_png_assets(spark, sf_dir, n=64)
+    raw = multimodal.read_binary(spark, _PNG_CACHE[sf_dir], glob="*.png")
+    out = multimodal.resize_png_batch(raw, factor=2)
+    return out.select(
+        "doc_id", "width", "height", "r_mean", "g_mean", "b_mean"
+    ).orderBy("doc_id")

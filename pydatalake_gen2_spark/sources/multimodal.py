@@ -346,3 +346,44 @@ def decode_wav_batch(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "n_frames", "s_min", "s_max"])
 
     return df.select("path", "content").mapInPandas(run, schema)
+
+
+def resize_png_batch(df: DataFrame, factor: int = 2) -> DataFrame:
+    """REAL image resize: decode (stdlib PNG) → nearest-neighbor
+    downsample by ``factor`` → re-encode PNG → stats of the resized
+    image. The full decode→transform→encode loop of an image-pipeline
+    stage, Arrow-batched; a library kernel (PIL.Image.resize) swaps in
+    behind the same contract for general formats/filters."""
+    schema = (
+        "doc_id BIGINT, width INT, height INT, n_bytes BIGINT, "
+        "r_mean DOUBLE, g_mean DOUBLE, b_mean DOUBLE"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for path, content in zip(b["path"], b["content"]):
+                w, h, rgb = decode_png(bytes(content))
+                nw, nh = w // factor, h // factor
+                out = bytearray()
+                for y in range(nh):
+                    for x in range(nw):
+                        src = (y * factor * w + x * factor) * 3
+                        out += rgb[src : src + 3]
+                resized = encode_png(nw, nh, bytes(out))
+                doc_id = int(os.path.basename(path).split("_")[1].split(".")[0])
+                npx = nw * nh
+                sums = [0, 0, 0]
+                for i, c in enumerate(out):
+                    sums[i % 3] += c
+                rows.append(
+                    (doc_id, nw, nh, len(resized),
+                     sums[0] / npx, sums[1] / npx, sums[2] / npx)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "n_bytes",
+                         "r_mean", "g_mean", "b_mean"],
+            )
+
+    return df.select("path", "content").mapInPandas(run, schema)
