@@ -769,3 +769,37 @@ def s27_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         gen1.unionByName(gen2.select("o_orderkey", "o_totalprice", "o_year"))
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "s28_column_defaults",
+    duck_sql="""
+    SELECT o_orderkey AS k, 'UNKNOWN' AS status, 'batch' AS src
+    FROM orders WHERE o_orderkey <= 32
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, 'manual'
+    FROM orders WHERE o_orderkey > 32 AND o_orderkey <= 64
+    ORDER BY k
+    """,
+)
+def s28_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S28: DEFAULT column values (Spark 3.4+ DDL) — a catalog table
+    declares per-column defaults, a partial-column INSERT materializes
+    them, an explicit INSERT overrides them; the oracle states both
+    outcomes literally. Defaults are how a lake table adds a column
+    WITHOUT rewriting producers: old writers keep inserting the narrow
+    shape, readers see the declared default — the write-side half of
+    what mergeSchema (S15) does on the read side."""
+    spark.sql("DROP TABLE IF EXISTS s28_def")
+    spark.sql(
+        "CREATE TABLE s28_def (k BIGINT, status STRING DEFAULT 'UNKNOWN', "
+        "src STRING DEFAULT 'batch') USING parquet"
+    )
+    spark.sql(
+        "INSERT INTO s28_def (k) SELECT o_orderkey FROM orders WHERE o_orderkey <= 32"
+    )
+    spark.sql(
+        "INSERT INTO s28_def SELECT o_orderkey, o_orderstatus, 'manual' "
+        "FROM orders WHERE o_orderkey > 32 AND o_orderkey <= 64"
+    )
+    return spark.sql("SELECT * FROM s28_def ORDER BY k")

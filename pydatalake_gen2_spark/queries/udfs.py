@@ -272,3 +272,51 @@ def ud08_pandas_iter_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", bucket(F.col("o_totalprice")).alias("price_bucket"))
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "ud09_udtf_analyze",
+    duck_sql="""
+    SELECT doc_id,
+           split_part(text, ' ', 1) AS c0,
+           split_part(text, ' ', 2) AS c1,
+           split_part(text, ' ', 3) AS c2
+    FROM documents ORDER BY doc_id
+    """,
+)
+def ud09_udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UD09: POLYMORPHIC Python UDTF — the static analyze() hook computes
+    the OUTPUT SCHEMA from the call's arguments at plan time (here: n
+    leading words -> n string columns), so one registered function serves
+    any width without a schema literal at the call site. This is the
+    Spark 4 UDTF upgrade over UD04's fixed-schema variant — the shape a
+    generic 'unpack this column' library function needs. Analysis-time
+    schema means Catalyst still sees concrete columns: pruning and
+    downstream resolution work exactly as if the schema were written by
+    hand."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructField, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class LeadingWords:
+        @staticmethod
+        def analyze(s: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            return AnalyzeResult(
+                schema=StructType(
+                    [StructField(f"c{i}", StringType()) for i in range(n.value)]
+                )
+            )
+
+        def eval(self, s, n):
+            parts = (s or "").split(" ")
+            yield tuple(parts[i] if i < len(parts) else None for i in range(n))
+
+    spark.udtf.register("ud09_leading_words", LeadingWords)
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.c0, t.c1, t.c2
+        FROM documents d, LATERAL ud09_leading_words(d.text, 3) t
+        ORDER BY d.doc_id
+        """
+    )
