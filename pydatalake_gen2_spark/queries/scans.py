@@ -790,10 +790,19 @@ def s28_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITHOUT rewriting producers: old writers keep inserting the narrow
     shape, readers see the declared default — the write-side half of
     what mergeSchema (S15) does on the read side."""
+    import shutil
+
+    # explicit LOCATION + wipe: a managed table's directory outlives the
+    # per-session in-memory metastore, so a later session's CREATE hits
+    # LOCATION_ALREADY_EXISTS even after DROP TABLE IF EXISTS (which no
+    # longer knows the table). An external table at a per-process temp
+    # location, wiped before CREATE, is rerun-safe.
+    loc = _tmp("s28_table", sf_dir)
     spark.sql("DROP TABLE IF EXISTS s28_def")
+    shutil.rmtree(loc, ignore_errors=True)
     spark.sql(
         "CREATE TABLE s28_def (k BIGINT, status STRING DEFAULT 'UNKNOWN', "
-        "src STRING DEFAULT 'batch') USING parquet"
+        f"src STRING DEFAULT 'batch') USING parquet LOCATION '{loc}'"
     )
     spark.sql(
         "INSERT INTO s28_def (k) SELECT o_orderkey FROM orders WHERE o_orderkey <= 32"
