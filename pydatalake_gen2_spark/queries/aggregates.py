@@ -708,3 +708,91 @@ def g31_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n"], m["qty_sum"], m["qty_min"], m["qty_max"])],
         "n BIGINT, qty_sum BIGINT, qty_min BIGINT, qty_max BIGINT",
     )
+
+
+_G32_SPARK = """
+    WITH f AS (
+      SELECT {fences}
+      FROM orders),
+    b AS (
+      SELECT o_totalprice AS v,
+             1 {bucket} AS bucket
+      FROM orders, f)
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+           ROUND(min(v), 2) AS lo, ROUND(max(v), 2) AS hi
+    FROM b GROUP BY bucket ORDER BY bucket
+"""
+
+
+def _g32_pair() -> tuple[str, str]:
+    ks = [i / 8 for i in range(1, 8)]
+    spark_f = ", ".join(
+        f"percentile_disc({k}) WITHIN GROUP (ORDER BY o_totalprice) AS q{i}"
+        for i, k in enumerate(ks, 1)
+    )
+    duck_f = ", ".join(
+        f"quantile_disc(o_totalprice, {k}) AS q{i}" for i, k in enumerate(ks, 1)
+    )
+    spark_b = " ".join(
+        f"+ (CASE WHEN o_totalprice > f.q{i} THEN 1 ELSE 0 END)" for i in range(1, 8)
+    )
+    duck_b = " ".join(f"+ CAST(o_totalprice > f.q{i} AS INT)" for i in range(1, 8))
+    return (
+        _G32_SPARK.format(fences=spark_f, bucket=spark_b),
+        _G32_SPARK.format(fences=duck_f, bucket=duck_b),
+    )
+
+
+_g32_s, _g32_d = _g32_pair()
+
+sql_pair(
+    "g32_equiheight_histogram",
+    _g32_s,
+    _g32_d,
+    doc="G32: equi-HEIGHT histogram (equal row counts per bucket; g22 is "
+        "the equi-width sibling) built the scale-right way: bucket fences "
+        "come from exact discrete percentiles (one agg), assignment is a "
+        "row-local CASE ladder against the 7 broadcast fence values, "
+        "counts are one more partial agg — NO global ntile sort of the "
+        "table, which is the naive formulation's 100 TB killer. Exact "
+        "discrete quantiles on data values keep both engines bit-equal.",
+)
+
+
+sql_pair(
+    "g33_skew_report",
+    """
+    WITH c AS (
+      SELECT l_suppkey AS key, count(*) AS n FROM lineitem GROUP BY l_suppkey),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(n) AS BIGINT) AS total,
+             CAST(max(n) AS BIGINT) AS max_n
+      FROM c),
+    top AS (SELECT key, n FROM c ORDER BY n DESC, key LIMIT 5)
+    SELECT t.key, CAST(t.n AS BIGINT) AS n, s.n_keys, s.total,
+           CAST(t.n AS DOUBLE) / s.total AS share,
+           CAST(s.max_n AS DOUBLE) * s.n_keys / s.total AS skew_factor
+    FROM top t CROSS JOIN s ORDER BY n DESC, key
+    """,
+    """
+    WITH c AS (
+      SELECT l_suppkey AS key, count(*) AS n FROM lineitem GROUP BY l_suppkey),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(n) AS BIGINT) AS total,
+             CAST(max(n) AS BIGINT) AS max_n
+      FROM c),
+    top AS (SELECT key, n FROM c ORDER BY n DESC, key LIMIT 5)
+    SELECT t.key, CAST(t.n AS BIGINT) AS n, s.n_keys, s.total,
+           CAST(t.n AS DOUBLE) / s.total AS share,
+           CAST(s.max_n AS DOUBLE) * s.n_keys / s.total AS skew_factor
+    FROM top t CROSS JOIN s ORDER BY n DESC, key
+    """,
+    doc="G33: join-key skew diagnostic — per-key tallies (partial agg; "
+        "the shuffle carries key counts, not rows), hottest keys, each "
+        "hot key's share of all rows, and skew_factor = max/mean (the "
+        "number that says whether AQE skew-split / JX salting is needed "
+        "BEFORE a 100 TB join is launched). The report any production "
+        "join planner wants next to its query.",
+)

@@ -776,3 +776,31 @@ sql_pair(
         "from killing a 6-hour job while still surfacing as a NULL "
         "tally in the G28/G31 audit metrics.",
 )
+
+
+sql_pair(
+    "f52_mask",
+    """
+    SELECT c_custkey,
+           mask(c_name)                      AS masked_default,
+           mask(c_name, 'Q', 'q', '9', '_') AS masked_custom
+    FROM customer ORDER BY c_custkey
+    """,
+    """
+    SELECT c_custkey,
+           regexp_replace(regexp_replace(regexp_replace(
+             c_name, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+             AS masked_default,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             c_name, '[A-Z]', 'Q', 'g'), '[a-z]', 'q', 'g'), '[0-9]', '9', 'g'),
+             '[^Qq9]', '_', 'g')
+             AS masked_custom
+    FROM customer ORDER BY c_custkey
+    """,
+    doc="F52: PII masking scalar (mask(): upper->X, lower->x, digit->n, "
+        "other kept; custom replacement set incl. the other-char class) — "
+        "the column-masking primitive for serving de-identified copies of "
+        "a table. The oracle composes it from global regexp passes. "
+        "Row-local, codegen'd; at 100 TB masking rides the scan like any "
+        "projection.",
+)

@@ -707,3 +707,51 @@ def j25_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
     )
     return merge_upsert(tgt, src, ["c_custkey"]).orderBy("c_custkey")
+
+
+@register(
+    "j26_bloom_prefiltered_join",
+    duck_sql="""
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS revenue
+    FROM lineitem
+    WHERE l_orderkey IN
+          (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000.0)
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def j26_bloom_prefiltered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J26: semi-join reduction via a broadcast bloom filter — the fact
+    table is pre-filtered by operators/bloom.might_contain (pure codegen
+    bit probes against the one-row broadcast bitmap built by
+    build_bloom) BEFORE the exact left-semi join removes the bloom's
+    false positives. Result is EXACTLY the plain semi join (the oracle),
+    but at 100 TB the bloom drops ~all non-matching fact rows inside the
+    scan stage, so the semi join's shuffle carries only survivors — the
+    manual form of the runtime-filter pushdown engines inject, with the
+    bitmap's size (m_bits) under the pipeline's control instead of the
+    optimizer's."""
+    from pydatalake_gen2_spark.operators.bloom import build_bloom, might_contain
+
+    keys = (
+        spark.table("orders")
+        .filter(F.col("o_totalprice") > 450000.0)
+        .select("o_orderkey")
+    )
+    bloom = F.broadcast(build_bloom(keys, "o_orderkey"))
+    li = (
+        spark.table("lineitem")
+        .crossJoin(bloom)
+        .filter(might_contain(F.col("l_orderkey"), F.col("bloom_words")))
+    )
+    exact = li.join(
+        keys.withColumnRenamed("o_orderkey", "l_orderkey"), "l_orderkey", "left_semi"
+    )
+    return (
+        exact.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
