@@ -812,3 +812,55 @@ def s28_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM orders WHERE o_orderkey > 32 AND o_orderkey <= 64"
     )
     return spark.sql("SELECT * FROM s28_def ORDER BY k")
+
+
+@register(
+    "s29_parquet_bloom",
+    duck_sql="""
+    SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS revenue
+    FROM lineitem WHERE l_orderkey IN (1, 32, 33, 64, 97)
+    GROUP BY l_orderkey ORDER BY l_orderkey
+    """,
+)
+def s29_parquet_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S29: parquet BLOOM FILTERS at write time
+    (parquet.bloom.filter.enabled#col) — the storage knob for
+    point-lookup workloads on high-cardinality keys where min/max zone
+    maps (S13's sorted layout) can't discriminate: an unsorted 100 TB
+    table answers `key IN (...)` by testing each row group's bloom and
+    skipping clean groups, no re-layout required. The write also sets
+    expected NDV (sizes the bitmap). Read-back point lookups must
+    hash-match the base table. Parquet is ADAPTIVE here: at fixture
+    cardinality the key column stays dictionary-encoded and the writer
+    correctly omits the bloom (a dictionary page already filters
+    exactly); past the dictionary threshold — any production fact key —
+    the bitmap materializes, which the companion test proves on a
+    high-cardinality write (size delta vs a bloom-less twin)."""
+    path = _tmp("s29_bloom", sf_dir)
+
+    def write() -> None:
+        # coalesce(1): one file per twin so the size-delta layout test
+        # compares like with like (and one bloom bitmap per twin).
+        li = load_table(spark, sf_dir, "lineitem").coalesce(1)
+        (
+            li.write.option("parquet.bloom.filter.enabled#l_orderkey", "true")
+            .option("parquet.bloom.filter.expected.ndv#l_orderkey", "1000000")
+            .mode("overwrite")
+            .parquet(os.path.join(path, "bloom"))
+        )
+        li.write.mode("overwrite").parquet(os.path.join(path, "plain"))
+        with open(os.path.join(path, "_SUCCESS"), "w"):
+            pass
+
+    _write_once(path, write)
+    back = spark.read.parquet(os.path.join(path, "bloom"))
+    return (
+        back.filter(F.col("l_orderkey").isin(1, 32, 33, 64, 97))
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias("revenue"),
+        )
+        .orderBy("l_orderkey")
+    )

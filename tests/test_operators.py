@@ -939,3 +939,35 @@ def test_k_core_matches_python_peeling(spark, edges, k):
     got = {r["node"]: r["core_degree"] for r in k_core(df, k).collect()}
     release_persisted()
     assert got == want
+
+
+def test_parquet_bloom_bytes_present(spark, tmp_path):
+    """s29's storage knob, proved where it applies: past the dictionary
+    threshold (high-cardinality key) the bloom-enabled twin must carry
+    materially more bytes than the plain twin — the bitmaps are really
+    in the files (pyarrow here does not expose bloom offsets, so size
+    delta is the observable). At fixture cardinality parquet correctly
+    omits the bloom because the column stays dictionary-encoded — also
+    asserted, since that adaptivity is part of the contract."""
+    import glob
+    import os
+
+    def total(d):
+        return sum(os.path.getsize(f) for f in glob.glob(os.path.join(d, "*.parquet")))
+
+    hi = spark.range(200_000).selectExpr("id AS k")
+    (hi.coalesce(1).write
+       .option("parquet.bloom.filter.enabled#k", "true")
+       .option("parquet.bloom.filter.expected.ndv#k", "200000")
+       .mode("overwrite").parquet(str(tmp_path / "hi_bloom")))
+    hi.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "hi_plain"))
+    assert total(str(tmp_path / "hi_bloom")) > total(str(tmp_path / "hi_plain")) * 1.1
+
+    lo = spark.range(200_000).selectExpr("id % 100 AS k")
+    (lo.coalesce(1).write
+       .option("parquet.bloom.filter.enabled#k", "true")
+       .option("parquet.bloom.filter.expected.ndv#k", "100")
+       .mode("overwrite").parquet(str(tmp_path / "lo_bloom")))
+    lo.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "lo_plain"))
+    # dictionary-encoded column: writer omits the (redundant) bloom
+    assert total(str(tmp_path / "lo_bloom")) == total(str(tmp_path / "lo_plain"))
