@@ -83,6 +83,13 @@ class Engine:
 
         return k_core(edges, k, **kw)
 
+    def bfs_distances(self, edges, seeds, **kw) -> DataFrame:
+        """Multi-source BFS hop distances from a seed set
+        (operators/graph.bfs_distances, GR04)."""
+        from pydatalake_gen2_spark.operators.graph import bfs_distances
+
+        return bfs_distances(edges, seeds, **kw)
+
     def connected_components(self, edges, **kw) -> DataFrame:
         return dedup.connected_components(edges, **kw)
 

@@ -269,3 +269,61 @@ def gr03_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ed = spark.sql(_GR03_BACKBONE)
     return k_core(ed, k=_GR03_K, src_col="u", dst_col="v").orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# gr04: multi-source BFS hop distances over the co-supply backbone
+# ---------------------------------------------------------------------------
+
+_GR04_ROUNDS = 6  # fixpoint reached in <=4 rounds at sf0.001/0.01/0.1
+
+
+def _gr04_duck() -> str:
+    sql = """
+    WITH ps AS (
+      SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+    w AS (
+      SELECT a.s AS u, b.s AS v, count(*) AS cnt
+      FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+      GROUP BY a.s, b.s),
+    thr AS (SELECT quantile_disc(cnt, 0.95) AS t FROM w),
+    ed AS (SELECT u, v FROM w, thr WHERE cnt >= t),
+    e0 AS MATERIALIZED (SELECT u AS s, v AS d FROM ed UNION SELECT v, u FROM ed),
+    d0 AS MATERIALIZED (
+      SELECT DISTINCT s AS node, 0 AS dist FROM e0 WHERE s % 10 = 0)"""
+    for i in range(_GR04_ROUNDS):
+        sql += f""",
+    d{i + 1} AS MATERIALIZED (
+      SELECT node, min(dist) AS dist FROM (
+        SELECT node, dist FROM d{i}
+        UNION ALL
+        SELECT e.d AS node, x.dist + 1 FROM d{i} x JOIN e0 e ON e.s = x.node
+      ) GROUP BY node)"""
+    sql += f"""
+    SELECT node, CAST(dist AS BIGINT) AS dist
+    FROM d{_GR04_ROUNDS} ORDER BY node
+    """
+    return sql
+
+
+@register("gr04_bfs_distances", duck_sql=_gr04_duck())
+def gr04_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GR04: multi-source BFS (operators/graph.bfs_distances) — hop
+    distance from the nearest seed supplier (ids divisible by 10) over
+    the co-supply backbone; the blast-radius query ("everything within k
+    hops of the flagged set"). Run to fixpoint with per-round
+    checkpoints; the oracle unrolls relaxation for a round budget that
+    provably covers the fixpoint depth at every fixture scale
+    (relaxation is idempotent past the fixpoint). Unlike components'
+    pointer doubling, rounds here are bounded by seed-eccentricity —
+    path LENGTH is the answer, so no shortcutting is sound."""
+    from pydatalake_gen2_spark.operators.graph import bfs_distances
+
+    ed = spark.sql(_GR03_BACKBONE)
+    seeds = (
+        ed.select(F.col("u").alias("node"))
+        .union(ed.select(F.col("v").alias("node")))
+        .filter(F.col("node") % 10 == 0)
+        .distinct()
+    )
+    return bfs_distances(ed, seeds, src_col="u", dst_col="v").orderBy("node")

@@ -971,3 +971,53 @@ def test_parquet_bloom_bytes_present(spark, tmp_path):
     lo.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "lo_plain"))
     # dictionary-encoded column: writer omits the (redundant) bloom
     assert total(str(tmp_path / "lo_bloom")) == total(str(tmp_path / "lo_plain"))
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=25,
+    ),
+    st.sets(st.integers(0, 12), min_size=1, max_size=3),
+)
+@settings(
+    deadline=None,
+    max_examples=8,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bfs_distances_match_python(spark, edges, seeds):
+    """Hypothesis: distributed relaxation equals a textbook BFS from the
+    seed set (only seeds that exist as graph nodes count; unreachable
+    nodes are absent from the output)."""
+    from collections import deque
+
+    from pydatalake_gen2_spark.operators.graph import bfs_distances
+    from pydatalake_gen2_spark.operators.util import release_persisted
+
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want: dict[int, int] = {}
+    q = deque()
+    for s in sorted(seeds):
+        if s in adj:
+            want[s] = 0
+            q.append(s)
+    while q:
+        n = q.popleft()
+        for m in adj[n]:
+            if m not in want:
+                want[m] = want[n] + 1
+                q.append(m)
+
+    df = spark.createDataFrame(edges, "id_a BIGINT, id_b BIGINT")
+    sdf = spark.createDataFrame([(s,) for s in seeds], "node BIGINT")
+    # seeds that are not graph nodes still get dist 0 (they are trivially
+    # at distance 0 from themselves) — mirror that in the expectation
+    got = {r["node"]: r["dist"] for r in bfs_distances(df, sdf).collect()}
+    release_persisted()
+    for s in seeds:
+        want.setdefault(s, 0)
+    assert got == want
