@@ -415,3 +415,21 @@ def st17_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     (streaming/replay.run_python_stream_source)."""
     out = replay.run_python_stream_source(spark, sf_dir)
     return out.select("event_id", "user_id", "event_type", "value").orderBy("event_id")
+
+
+@register(
+    "st18_union_streams",
+    duck_sql="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def st18_union_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST18: two independent streaming sources (odd/even event-id halves,
+    separate file readers with separate offsets) unioned into one
+    continuous aggregation — the multi-topic ingestion shape; the merged
+    sink must equal aggregating the whole table
+    (streaming/replay.run_union_streams)."""
+    out = replay.run_union_streams(spark, sf_dir)
+    return out.select("event_type", "n", "sum_value").orderBy("event_type")

@@ -615,3 +615,28 @@ def run_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     if n < expected:
         raise AssertionError(f"python stream source drained {n}/{expected} rows")
     return spark.table("st17_out")
+
+
+def run_union_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST18: MULTI-SOURCE ingestion — two independent streaming readers
+    over disjoint halves of the replay (odd / even event ids, each its
+    own file source with its own offsets) unioned into ONE continuous
+    query feeding a single aggregation. This is the multi-topic shape
+    (clicks topic + purchases topic → one sessionizer): each leg tracks
+    its own progress in the shared checkpoint, and the engine advances
+    the query's watermark as the MIN of the legs' watermarks, so one
+    slow source correctly holds back event-time results instead of
+    dropping the other leg's late data."""
+    base = read_stream(spark, sf_dir)
+    odd = base.filter(F.col("event_id") % 2 == 1)
+    even = read_stream(spark, sf_dir).filter(F.col("event_id") % 2 == 0)
+    both = odd.unionByName(even).withWatermark("ts", "10 minutes")
+    counts = (
+        both.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+    )
+    _run_to_memory(counts, "st18_out", "complete")
+    return spark.table("st18_out")
