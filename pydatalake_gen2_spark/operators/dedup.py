@@ -367,9 +367,9 @@ def connected_components(
     truncation the analyzed logical plan grows 4^k and the DRIVER OOMs
     on long chains even though the data is tiny. Superseded rounds'
     blocks are freed immediately (util.release_checkpoint). The returned
-    frame is the final checkpointed state, registered via
-    util.track_checkpoint; callers release with util.release_persisted()
-    AFTER fully consuming (a truncated frame does not recompute).
+    frame is the final checkpointed state, registered via util.track;
+    callers release with util.release_persisted() AFTER fully consuming
+    (a truncated frame does not recompute).
 
     Output: (id BIGINT, component BIGINT).
     """
@@ -393,39 +393,44 @@ def connected_components(
     nodes = sym.select(F.col("s").alias("id")).distinct()
     labels = checkpoint_truncate(nodes.withColumn("lbl", F.col("id")))
     converged = False
-    for _ in range(max_iter):
-        # neighbor labels: for each edge (s,d), s can adopt d's label
-        nbr = (
-            sym.join(labels.withColumnRenamed("id", "d"), on="d")
-            .select(F.col("s").alias("id"), "lbl")
-        )
-        # pointer doubling: each node can also adopt its label's label,
-        # collapsing chains exponentially instead of one hop per round.
-        hop = (
-            labels.alias("x")
-            .join(
-                labels.select(
-                    F.col("id").alias("lbl"), F.col("lbl").alias("lbl2")
-                ).alias("y"),
-                on="lbl",
+    try:
+        for _ in range(max_iter):
+            # neighbor labels: for each edge (s,d), s can adopt d's label
+            nbr = (
+                sym.join(labels.withColumnRenamed("id", "d"), on="d")
+                .select(F.col("s").alias("id"), "lbl")
             )
-            .select(F.col("id"), F.col("lbl2").alias("lbl"))
-        )
-        new_labels = checkpoint_truncate(
-            labels.union(nbr).union(hop).groupBy("id").agg(F.min("lbl").alias("lbl"))
-        )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("lbl", "old"), on="id")
-            .filter(F.col("lbl") != F.col("old"))
-            .limit(1)
-            .count()
-        )
-        release_checkpoint(labels)  # superseded round: free blocks now
-        labels = new_labels
-        if changed == 0:
-            converged = True
-            break
-    sym.unpersist()
+            # pointer doubling: each node can also adopt its label's label,
+            # collapsing chains exponentially instead of one hop per round.
+            hop = (
+                labels.alias("x")
+                .join(
+                    labels.select(
+                        F.col("id").alias("lbl"), F.col("lbl").alias("lbl2")
+                    ).alias("y"),
+                    on="lbl",
+                )
+                .select(F.col("id"), F.col("lbl2").alias("lbl"))
+            )
+            new_labels = checkpoint_truncate(
+                labels.union(nbr).union(hop).groupBy("id").agg(F.min("lbl").alias("lbl"))
+            )
+            changed = (
+                new_labels.join(labels.withColumnRenamed("lbl", "old"), on="id")
+                .filter(F.col("lbl") != F.col("old"))
+                .limit(1)
+                .count()
+            )
+            release_checkpoint(labels)  # superseded round: free blocks now
+            labels = new_labels
+            if changed == 0:
+                converged = True
+                break
+    except Exception:
+        release_checkpoint(labels)  # free the live round on job failure
+        raise
+    finally:
+        sym.unpersist()
     if not converged:
         release_checkpoint(labels)
         raise RuntimeError(

@@ -54,29 +54,35 @@ def k_core(
     alive = checkpoint_truncate(
         e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
     )
-    prev = alive.count()
     converged = False
-    for _ in range(max_iter):
-        keep = (
-            alive.groupBy("s")
-            .agg(F.count(F.lit(1)).alias("deg"))
-            .filter(F.col("deg") >= k)
-            .select(F.col("s").alias("n"))
-        )
-        new_alive = checkpoint_truncate(
-            alive.join(keep, alive.s == keep.n, "left_semi").join(
-                keep.withColumnRenamed("n", "m"),
-                F.col("d") == F.col("m"),
-                "left_semi",
+    try:
+        prev = alive.count()
+        for _ in range(max_iter):
+            keep = (
+                alive.groupBy("s")
+                .agg(F.count(F.lit(1)).alias("deg"))
+                .filter(F.col("deg") >= k)
+                .select(F.col("s").alias("n"))
             )
-        )
-        cur = new_alive.count()
+            new_alive = checkpoint_truncate(
+                alive.join(keep, alive.s == keep.n, "left_semi").join(
+                    keep.withColumnRenamed("n", "m"),
+                    F.col("d") == F.col("m"),
+                    "left_semi",
+                )
+            )
+            cur = new_alive.count()
+            release_checkpoint(alive)
+            alive = new_alive
+            if cur == prev:
+                converged = True
+                break
+            prev = cur
+    except Exception:
+        # job failure mid-loop: free the live round's blocks (VERDICT-style
+        # leak otherwise — a failing sweep would accumulate dead state)
         release_checkpoint(alive)
-        alive = new_alive
-        if cur == prev:
-            converged = True
-            break
-        prev = cur
+        raise
     if not converged:
         release_checkpoint(alive)
         raise RuntimeError(f"k_core did not reach a fixpoint within {max_iter} rounds")
@@ -131,28 +137,33 @@ def bfs_distances(
         .distinct()
         .withColumn("dist", F.lit(0))
     )
-    prev = dist.agg(F.count(F.lit(1)), F.coalesce(F.sum("dist"), F.lit(0))).first()
     converged = False
-    for _ in range(max_iter):
-        relax = sym.join(dist, sym.s == dist.node).select(
-            F.col("d").alias("node"), (F.col("dist") + 1).alias("dist")
-        )
-        new_dist = checkpoint_truncate(
-            dist.select("node", "dist")
-            .union(relax)
-            .groupBy("node")
-            .agg(F.min("dist").alias("dist"))
-        )
-        cur = new_dist.agg(
-            F.count(F.lit(1)), F.coalesce(F.sum("dist"), F.lit(0))
-        ).first()
-        release_checkpoint(dist)
-        dist = new_dist
-        if tuple(cur) == tuple(prev):
-            converged = True
-            break
-        prev = cur
-    sym.unpersist()
+    try:
+        prev = dist.agg(F.count(F.lit(1)), F.coalesce(F.sum("dist"), F.lit(0))).first()
+        for _ in range(max_iter):
+            relax = sym.join(dist, sym.s == dist.node).select(
+                F.col("d").alias("node"), (F.col("dist") + 1).alias("dist")
+            )
+            new_dist = checkpoint_truncate(
+                dist.select("node", "dist")
+                .union(relax)
+                .groupBy("node")
+                .agg(F.min("dist").alias("dist"))
+            )
+            cur = new_dist.agg(
+                F.count(F.lit(1)), F.coalesce(F.sum("dist"), F.lit(0))
+            ).first()
+            release_checkpoint(dist)
+            dist = new_dist
+            if tuple(cur) == tuple(prev):
+                converged = True
+                break
+            prev = cur
+    except Exception:
+        release_checkpoint(dist)  # free the live round on job failure
+        raise
+    finally:
+        sym.unpersist()
     if not converged:
         release_checkpoint(dist)
         raise RuntimeError(f"bfs_distances did not converge within {max_iter} rounds")

@@ -121,6 +121,7 @@ def merge_upsert(
     source: DataFrame,
     key_cols: list[str],
     action_col: str = "action",
+    validate_source_keys: bool = False,
 ) -> DataFrame:
     """Generic MERGE INTO — WHEN MATCHED THEN UPDATE, WHEN NOT MATCHED
     THEN INSERT (Type-1 overwrite; scd2_merge is the Type-2 sibling).
@@ -133,6 +134,13 @@ def merge_upsert(
     Columns only the target knows always carry through. ``action_col``
     tags each row update/insert/carry for audit sinks.
 
+    PRECONDITION: the source batch must be key-unique (ANSI MERGE raises
+    on multiple matches; here a duplicate source key would fan the
+    target row out through the join). Compact the batch first (W11
+    latest-per-key is the canonical compactor), or pass
+    ``validate_source_keys=True`` to pay one aggregation that raises on
+    violation instead of producing duplicates.
+
     Scale shape: expressed as ONE full-outer join on the key. At 100 TB
     target scale the physical plan to want is the Delta/Iceberg MERGE
     rewrite — semi-join source→target partitions first, rewrite only
@@ -144,26 +152,41 @@ def merge_upsert(
     makes the result a new committed version rather than an in-place
     mutation.
     """
-    t = target.alias("t")
-    s = source.alias("s")
+    if validate_source_keys:
+        dupes = (
+            source.groupBy(*key_cols).count().filter(F.col("count") > 1).limit(1).count()
+        )
+        if dupes:
+            raise ValueError(
+                "merge_upsert: source batch has duplicate keys — compact it "
+                "first (e.g. W11 latest-per-key)"
+            )
+    # Presence FLAGS, not key-NULL checks, classify each row: a NULL key
+    # component is legitimate data under eqNullSafe matching, so
+    # "matched" must mean "a row from that side joined", independent of
+    # key values or how many key columns there are.
+    t = target.withColumn("_t_present", F.lit(True)).alias("t")
+    s = source.withColumn("_s_present", F.lit(True)).alias("s")
     cond = None
     for k in key_cols:
         c = F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
         cond = c if cond is None else cond & c
     joined = t.join(s, cond, "full_outer")
-    src_key = F.col(f"s.{key_cols[0]}")
-    tgt_key = F.col(f"t.{key_cols[0]}")
     cols = []
     for name in target.columns:
         if name in key_cols:
-            cols.append(F.coalesce(F.col(f"t.{name}"), F.col(f"s.{name}")).alias(name))
+            cols.append(
+                F.when(F.col("t._t_present").isNotNull(), F.col(f"t.{name}"))
+                .otherwise(F.col(f"s.{name}"))
+                .alias(name)
+            )
         elif name in source.columns:
             cols.append(F.coalesce(F.col(f"s.{name}"), F.col(f"t.{name}")).alias(name))
         else:
             cols.append(F.col(f"t.{name}").alias(name))
     action = (
-        F.when(src_key.isNull(), F.lit("carry"))
-        .when(tgt_key.isNull(), F.lit("insert"))
+        F.when(F.col("s._s_present").isNull(), F.lit("carry"))
+        .when(F.col("t._t_present").isNull(), F.lit("insert"))
         .otherwise(F.lit("update"))
         .alias(action_col)
     )

@@ -67,13 +67,6 @@ def release_checkpoint(df: DataFrame) -> None:
         pass  # session already stopped / plan shape changed
 
 
-def track_checkpoint(df: DataFrame) -> DataFrame:
-    """checkpoint_truncate + register for ``release_persisted()``."""
-    out = checkpoint_truncate(df)
-    _TRACKED.append(out)
-    return out
-
-
 def release_persisted() -> int:
     """Unpersist every operator-cached frame; returns how many were held."""
     n = len(_TRACKED)

@@ -544,7 +544,7 @@ _W21_CORE = """
 _W21_SPARK = _W21_CORE.format(
     spine="SELECT user_id, explode(sequence(h0, h1, interval 1 hour)) AS h FROM bounds",
     epoch="unix_timestamp(s.h)",
-    last_v="last(o_v) IGNORE NULLS".replace("o_v", "v"),
+    last_v="last(v) IGNORE NULLS",
     last_e="last(CASE WHEN v IS NOT NULL THEN e END) IGNORE NULLS",
     first_v="first(v) IGNORE NULLS",
     first_e="first(CASE WHEN v IS NOT NULL THEN e END) IGNORE NULLS",

@@ -215,13 +215,23 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
         body = data[pos + 8 : pos + 8 + ln]
         pos += 12 + ln
         if tag == b"IHDR":
-            w, h, bitdepth, colortype = struct.unpack(">IIBB", body[:10])
+            w, h, bitdepth, colortype, comp, filt_m, interlace = struct.unpack(
+                ">IIBBBBB", body[:13]
+            )
             if bitdepth != 8 or colortype != 2:
                 raise NotImplementedError("only 8-bit truecolor RGB PNGs")
+            if comp != 0 or filt_m != 0 or interlace != 0:
+                # Adam7 data decoded with the sequential layout would be
+                # silently-wrong pixels — refuse loudly instead.
+                raise NotImplementedError(
+                    "only non-interlaced PNGs with standard compression/filtering"
+                )
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
             break
+    if w is None or h is None:
+        raise ValueError("PNG has no IHDR chunk")
     raw = zlib.decompress(idat)
     stride = w * 3 + 1
     out = bytearray()

@@ -206,7 +206,10 @@ class _JsonlWriter(DataSourceWriter):
         n = 0
         with open(staged, "w") as f:
             for row in iterator:
-                f.write(json.dumps(row.asDict(), sort_keys=True) + "\n")
+                # default=str totalizes the sink: timestamps/dates render
+                # ISO-ish, Decimals as exact digit strings, binary via
+                # repr — JSON-native types are untouched.
+                f.write(json.dumps(row.asDict(), sort_keys=True, default=str) + "\n")
                 n += 1
         return _StagedFile(staged=staged, rows=n)
 
@@ -227,7 +230,11 @@ class _JsonlWriter(DataSourceWriter):
     def abort(self, messages) -> None:
         import os
 
+        # API contract: a FAILED task's commit message arrives as None —
+        # only successful tasks have staged files to clean.
         for m in messages:
+            if m is None:
+                continue
             try:
                 os.remove(m.staged)
             except FileNotFoundError:

@@ -566,11 +566,21 @@ def run_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
                 shutil.copy(os.path.join(dup_dir, f), os.path.join(out, f"z_dup{idx}.parquet"))
                 idx += 1
         _dup_replay_cache[sf_dir] = out
+    # The hash-match needs every injected duplicate to arrive while its
+    # original's state is still live, i.e. delay > the fixture's event
+    # span — derive it from the data instead of baking in a constant
+    # that a wider fixture would silently outgrow. (In production the
+    # delay is the REDELIVERY horizon, far smaller than the stream's
+    # lifetime; here the replay compresses a whole table into one run.)
+    span = load_table(spark, sf_dir, "events").agg(
+        F.max("ts").alias("hi"), F.min("ts").alias("lo")
+    ).first()
+    delay_days = (span["hi"] - span["lo"]).days + 2
     src = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .parquet(out)
-        .withWatermark("ts", "60 days")
+        .withWatermark("ts", f"{delay_days} days")
         .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id", "user_id", "event_type", "value")
     )
@@ -613,6 +623,9 @@ def run_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     n = spark.table("st17_out").count()
     if n < expected:
+        # drop the partial memory sink BEFORE raising: the tableExists
+        # shortcut above must never serve an incomplete table to a retry
+        spark.catalog.dropTempView("st17_out")
         raise AssertionError(f"python stream source drained {n}/{expected} rows")
     return spark.table("st17_out")
 

@@ -1021,3 +1021,63 @@ def test_bfs_distances_match_python(spark, edges, seeds):
     for s in seeds:
         want.setdefault(s, 0)
     assert got == want
+
+
+def test_merge_upsert_null_keys_and_validation(spark):
+    """Review fixes: (a) a matched row whose key is NULL must classify as
+    'update' (presence flags, not key-NULL checks); (b) duplicate source
+    keys raise under validate_source_keys."""
+    import pytest
+
+    from pydatalake_gen2_spark.operators.merge import merge_upsert
+
+    tgt = spark.createDataFrame([(None, "a", 1), (2, "b", 2)], "k BIGINT, name STRING, val INT")
+    src = spark.createDataFrame([(None, "a2", None)], "k BIGINT, name STRING, val INT")
+    got = {r["k"]: (r["name"], r["val"], r["action"])
+           for r in merge_upsert(tgt, src, ["k"]).collect()}
+    assert got[None] == ("a2", 1, "update")  # NULL key matched via eqNullSafe
+    assert got[2] == ("b", 2, "carry")
+
+    dup_src = spark.createDataFrame([(2, "x", 9), (2, "y", 8)], "k BIGINT, name STRING, val INT")
+    with pytest.raises(ValueError, match="duplicate keys"):
+        merge_upsert(tgt, dup_src, ["k"], validate_source_keys=True)
+
+
+def test_jsonl_sink_abort_tolerates_failed_task_messages(tmp_path):
+    """Review fix: abort receives None for FAILED tasks (API contract) and
+    must still clean the successful tasks' staging."""
+    import os
+
+    from pyspark.sql import Row
+
+    from pydatalake_gen2_spark.sources.pyds import _JsonlWriter
+
+    out = str(tmp_path / "sink")
+    w = _JsonlWriter(out)
+    m = w.write(iter([Row(a=1)]))
+    w.abort([None, m, None])
+    assert os.listdir(out) == []
+
+
+def test_png_decoder_rejects_interlaced_and_headerless():
+    """Review fix: Adam7 interlace must raise (silent pixel scrambling
+    otherwise); a PNG with no IHDR must raise ValueError, not TypeError."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from pydatalake_gen2_spark.sources.multimodal import (
+        PNG_SIG,
+        _png_chunk,
+        decode_png,
+    )
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)  # interlace=1
+    data = (PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+            + _png_chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError, match="interlaced|standard"):
+        decode_png(data)
+    with pytest.raises(ValueError, match="IHDR"):
+        decode_png(PNG_SIG + _png_chunk(b"IEND", b""))
