@@ -433,3 +433,33 @@ def st18_union_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
     (streaming/replay.run_union_streams)."""
     out = replay.run_union_streams(spark, sf_dir)
     return out.select("event_type", "n", "sum_value").orderBy("event_type")
+
+
+_ST19_VT: dict[str, object] = {}
+
+
+@register(
+    "st19_streaming_upsert",
+    duck_sql="""
+    SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+           value AS last_value
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) t
+    WHERE rn = 1 ORDER BY user_id
+    """,
+)
+def st19_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST19: the Delta-style streaming MERGE sink — per micro-batch
+    latest-per-key compaction upserted into the snapshot-versioned
+    dimension (streaming/replay.run_streaming_upsert); the FINAL version
+    must equal the batch latest-per-key over the whole table. The
+    version chain additionally records every intermediate dimension
+    state, time-travelable via S16."""
+    if sf_dir not in _ST19_VT:
+        _ST19_VT[sf_dir] = replay.run_streaming_upsert(spark, sf_dir)
+    vt = _ST19_VT[sf_dir]
+    return vt.read().select(
+        "user_id", "last_event_id", "last_type", "last_value"
+    ).orderBy("user_id")

@@ -320,3 +320,47 @@ def ud09_udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d.doc_id
         """
     )
+
+
+@register(
+    "ud10_apply_in_arrow",
+    duck_sql="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS min_cents,
+           CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS max_cents
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def ud10_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UD10: grouped-map over RAW ARROW TABLES (applyInArrow, Spark 4) —
+    ud03's applyInPandas sibling without the pandas materialization:
+    each group arrives as a pyarrow.Table and leaves as one, so
+    group-wise logic over byte-heavy columns pays one Arrow buffer, not
+    an Arrow→pandas copy. Completes the grouped half of the UDF ladder
+    (ud03 pandas grouped-map, ud05 stateful, ud10 arrow grouped-map).
+    Cents arithmetic keeps the outputs integer-exact."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def stats(table: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(table.column("o_totalprice"), 100)), pa.int64())
+        return pa.table(
+            {
+                "o_orderpriority": [table.column("o_orderpriority")[0].as_py()],
+                "n": [table.num_rows],
+                "min_cents": [pc.min(cents).as_py()],
+                "max_cents": [pc.max(cents).as_py()],
+            }
+        )
+
+    return (
+        spark.table("orders")
+        .select("o_orderpriority", "o_totalprice")
+        .groupBy("o_orderpriority")
+        .applyInArrow(
+            stats,
+            "o_orderpriority STRING, n BIGINT, min_cents BIGINT, max_cents BIGINT",
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -653,3 +653,53 @@ def run_union_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _run_to_memory(counts, "st18_out", "complete")
     return spark.table("st18_out")
+
+
+_upsert_done: set[str] = set()
+
+
+def run_streaming_upsert(spark: SparkSession, sf_dir: str):
+    """ST19: streaming MERGE — each micro-batch is compacted to its
+    latest row per user (W11's rule: max (ts, event_id)) and UPSERTED
+    into a snapshot-versioned dimension via merge_upsert + commit: the
+    Delta-style `foreachBatch { merge into }` pattern, composed entirely
+    from this engine's own parts (S16 versioned table + J25 merge +
+    W11 compaction). Batches arrive in event-time order (the replay is
+    time-sorted), so last-batch-wins per key == global latest per key —
+    which is exactly the batch oracle. Returns the VersionedTable."""
+    from pyspark.sql.window import Window as W
+
+    from pydatalake_gen2_spark.operators.merge import merge_upsert
+    from pydatalake_gen2_spark.sources.versioned import VersionedTable
+
+    root = tempfile.mkdtemp(prefix="st19_upsert_")
+    vt = VersionedTable(spark, root)
+
+    def apply_batch(batch: DataFrame, bid: int) -> None:
+        w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+        latest = (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                "user_id",
+                F.col("event_id").alias("last_event_id"),
+                F.col("event_type").alias("last_type"),
+                F.col("value").alias("last_value"),
+            )
+        )
+        if vt.versions():
+            current = vt.read()
+            merged = merge_upsert(current, latest, ["user_id"]).drop("action")
+        else:
+            merged = latest
+        vt.commit(merged)
+
+    src = read_stream(spark, sf_dir)
+    q = (
+        src.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="st19_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return vt
