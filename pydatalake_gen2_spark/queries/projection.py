@@ -297,3 +297,38 @@ def p13_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"cutoff": "2000-01-01 00:00:00", "floor": 1000.0},
     )
+
+
+sql_pair(
+    "f53_try_variant",
+    """
+    WITH raw AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN concat('{"k": ', CAST(doc_id AS STRING), '}')
+                  WHEN doc_id % 3 = 1 THEN 'not json at all'
+                  ELSE concat('[', CAST(doc_id AS STRING), ']') END AS payload
+      FROM documents)
+    SELECT doc_id,
+           try_parse_json(payload) IS NULL               AS unparseable,
+           variant_get(try_parse_json(payload), '$.k', 'bigint') AS k
+    FROM raw ORDER BY doc_id
+    """,
+    """
+    WITH raw AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN '{"k": ' || CAST(doc_id AS VARCHAR) || '}'
+                  WHEN doc_id % 3 = 1 THEN 'not json at all'
+                  ELSE '[' || CAST(doc_id AS VARCHAR) || ']' END AS payload
+      FROM documents)
+    SELECT doc_id,
+           (doc_id % 3 = 1)                              AS unparseable,
+           CASE WHEN doc_id % 3 = 0 THEN doc_id END      AS k
+    FROM raw ORDER BY doc_id
+    """,
+    doc="F53: error-tolerant VARIANT ingestion — try_parse_json turns "
+        "producer garbage into NULL instead of a job abort (the f51/s22 "
+        "discipline applied to the VARIANT type, p09's strict sibling); "
+        "typed variant_get paths return NULL when the shape mismatches "
+        "(array payload, missing key). The oracle states each branch's "
+        "expected outcome from the payload constructor itself.",
+)

@@ -141,3 +141,22 @@ def test_outer_join_stream_equals_batch(spark, sf_dir):
     )
     assert streamed == batch
     assert any(p is None for _, p, _ in streamed)  # nulls actually emitted
+
+
+def test_streaming_upsert_version_history(spark, sf_dir):
+    """st19: one committed version per micro-batch (4-chunk replay), and
+    the dimension must GROW or persist keys monotonically — a later
+    version never loses a user the previous one had (upsert never
+    deletes)."""
+    from pydatalake_gen2_spark.queries.streaming_batch import _ST19_VT
+    from pydatalake_gen2_spark.registry import load_all
+
+    load_all()["st19_streaming_upsert"].spark_fn(spark, sf_dir).collect()
+    vt = _ST19_VT[sf_dir]
+    versions = vt.versions()
+    assert len(versions) == 4, versions
+    seen: set[int] = set()
+    for v in versions:
+        users = {r["user_id"] for r in vt.read(v).select("user_id").collect()}
+        assert seen <= users, v
+        seen = users
