@@ -391,9 +391,10 @@ def connected_components(
         .persist()
     )
     nodes = sym.select(F.col("s").alias("id")).distinct()
-    labels = checkpoint_truncate(nodes.withColumn("lbl", F.col("id")))
+    labels = None
     converged = False
     try:
+        labels = checkpoint_truncate(nodes.withColumn("lbl", F.col("id")))
         for _ in range(max_iter):
             # neighbor labels: for each edge (s,d), s can adopt d's label
             nbr = (
@@ -415,19 +416,24 @@ def connected_components(
             new_labels = checkpoint_truncate(
                 labels.union(nbr).union(hop).groupBy("id").agg(F.min("lbl").alias("lbl"))
             )
-            changed = (
-                new_labels.join(labels.withColumnRenamed("lbl", "old"), on="id")
-                .filter(F.col("lbl") != F.col("old"))
-                .limit(1)
-                .count()
-            )
+            try:
+                changed = (
+                    new_labels.join(labels.withColumnRenamed("lbl", "old"), on="id")
+                    .filter(F.col("lbl") != F.col("old"))
+                    .limit(1)
+                    .count()
+                )
+            except Exception:
+                release_checkpoint(new_labels)  # the round that won't be adopted
+                raise
             release_checkpoint(labels)  # superseded round: free blocks now
             labels = new_labels
             if changed == 0:
                 converged = True
                 break
     except Exception:
-        release_checkpoint(labels)  # free the live round on job failure
+        if labels is not None:
+            release_checkpoint(labels)  # free the live round on job failure
         raise
     finally:
         sym.unpersist()

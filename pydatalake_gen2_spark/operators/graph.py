@@ -71,7 +71,11 @@ def k_core(
                     "left_semi",
                 )
             )
-            cur = new_alive.count()
+            try:
+                cur = new_alive.count()
+            except Exception:
+                release_checkpoint(new_alive)  # the round that won't be adopted
+                raise
             release_checkpoint(alive)
             alive = new_alive
             if cur == prev:
@@ -132,13 +136,14 @@ def bfs_distances(
         .distinct()
         .persist()
     )
-    dist = checkpoint_truncate(
-        seeds.select(F.col(seed_col).cast("bigint").alias("node"))
-        .distinct()
-        .withColumn("dist", F.lit(0))
-    )
+    dist = None
     converged = False
     try:
+        dist = checkpoint_truncate(
+            seeds.select(F.col(seed_col).cast("bigint").alias("node"))
+            .distinct()
+            .withColumn("dist", F.lit(0))
+        )
         prev = dist.agg(F.count(F.lit(1)), F.coalesce(F.sum("dist"), F.lit(0))).first()
         for _ in range(max_iter):
             relax = sym.join(dist, sym.s == dist.node).select(
@@ -150,9 +155,13 @@ def bfs_distances(
                 .groupBy("node")
                 .agg(F.min("dist").alias("dist"))
             )
-            cur = new_dist.agg(
-                F.count(F.lit(1)), F.coalesce(F.sum("dist"), F.lit(0))
-            ).first()
+            try:
+                cur = new_dist.agg(
+                    F.count(F.lit(1)), F.coalesce(F.sum("dist"), F.lit(0))
+                ).first()
+            except Exception:
+                release_checkpoint(new_dist)  # the round that won't be adopted
+                raise
             release_checkpoint(dist)
             dist = new_dist
             if tuple(cur) == tuple(prev):
@@ -160,7 +169,8 @@ def bfs_distances(
                 break
             prev = cur
     except Exception:
-        release_checkpoint(dist)  # free the live round on job failure
+        if dist is not None:
+            release_checkpoint(dist)  # free the live round on job failure
         raise
     finally:
         sym.unpersist()

@@ -122,17 +122,21 @@ def merge_upsert(
     key_cols: list[str],
     action_col: str = "action",
     validate_source_keys: bool = False,
+    partial_updates: bool = True,
 ) -> DataFrame:
     """Generic MERGE INTO — WHEN MATCHED THEN UPDATE, WHEN NOT MATCHED
     THEN INSERT (Type-1 overwrite; scd2_merge is the Type-2 sibling).
 
     Semantics: one output row per distinct key across both inputs.
     Matched keys take the SOURCE's value for every column the source
-    carries (per-column COALESCE(source, target), so a NULL source cell
-    means "keep the target's value" — partial-update batches work);
-    source-only keys insert; target-only keys carry through unchanged.
-    Columns only the target knows always carry through. ``action_col``
-    tags each row update/insert/carry for audit sinks.
+    carries; source-only keys insert; target-only keys carry through
+    unchanged. Columns only the target knows always carry through.
+    ``partial_updates`` picks the NULL-cell rule: True (default) reads a
+    NULL source cell as "keep the target's value" (per-column COALESCE —
+    sparse patch batches); False replaces matched rows with the source
+    row VERBATIM, NULLs included (whole-row semantics — what a
+    latest-record compaction needs, where NULL is data, not absence).
+    ``action_col`` tags each row update/insert/carry for audit sinks.
 
     PRECONDITION: the source batch must be key-unique (ANSI MERGE raises
     on multiple matches; here a duplicate source key would fan the
@@ -164,29 +168,48 @@ def merge_upsert(
     # Presence FLAGS, not key-NULL checks, classify each row: a NULL key
     # component is legitimate data under eqNullSafe matching, so
     # "matched" must mean "a row from that side joined", independent of
-    # key values or how many key columns there are.
-    t = target.withColumn("_t_present", F.lit(True)).alias("t")
-    s = source.withColumn("_s_present", F.lit(True)).alias("s")
+    # key values or how many key columns there are. Flag names dodge any
+    # real column of either input (a user column must pass through
+    # untouched, never be clobbered by the marker).
+    tflag, sflag = "_t_present", "_s_present"
+    taken = set(target.columns) | set(source.columns)
+    while tflag in taken:
+        tflag += "_"
+    while sflag in taken or sflag == tflag:
+        sflag += "_"
+    t = target.withColumn(tflag, F.lit(True)).alias("t")
+    s = source.withColumn(sflag, F.lit(True)).alias("s")
     cond = None
     for k in key_cols:
         c = F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
         cond = c if cond is None else cond & c
     joined = t.join(s, cond, "full_outer")
+    t_present = F.col(f"t.{tflag}").isNotNull()
+    s_present = F.col(f"s.{sflag}").isNotNull()
     cols = []
     for name in target.columns:
         if name in key_cols:
             cols.append(
-                F.when(F.col("t._t_present").isNotNull(), F.col(f"t.{name}"))
+                F.when(t_present, F.col(f"t.{name}"))
                 .otherwise(F.col(f"s.{name}"))
                 .alias(name)
             )
         elif name in source.columns:
-            cols.append(F.coalesce(F.col(f"s.{name}"), F.col(f"t.{name}")).alias(name))
+            if partial_updates:
+                cols.append(
+                    F.coalesce(F.col(f"s.{name}"), F.col(f"t.{name}")).alias(name)
+                )
+            else:
+                cols.append(
+                    F.when(s_present, F.col(f"s.{name}"))
+                    .otherwise(F.col(f"t.{name}"))
+                    .alias(name)
+                )
         else:
             cols.append(F.col(f"t.{name}").alias(name))
     action = (
-        F.when(F.col("s._s_present").isNull(), F.lit("carry"))
-        .when(F.col("t._t_present").isNull(), F.lit("insert"))
+        F.when(~s_present, F.lit("carry"))
+        .when(~t_present, F.lit("insert"))
         .otherwise(F.lit("update"))
         .alias(action_col)
     )

@@ -435,7 +435,9 @@ def st18_union_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_type", "n", "sum_value").orderBy("event_type")
 
 
-_ST19_VT: dict[str, object] = {}
+# keyed by (session id, sf_dir): a VersionedTable is bound to the session
+# that created it — serving one from a stopped/other session is a bug.
+_ST19_VT: dict[tuple[int, str], object] = {}
 
 
 @register(
@@ -457,9 +459,10 @@ def st19_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     must equal the batch latest-per-key over the whole table. The
     version chain additionally records every intermediate dimension
     state, time-travelable via S16."""
-    if sf_dir not in _ST19_VT:
-        _ST19_VT[sf_dir] = replay.run_streaming_upsert(spark, sf_dir)
-    vt = _ST19_VT[sf_dir]
+    key = (id(spark), sf_dir)
+    if key not in _ST19_VT:
+        _ST19_VT[key] = replay.run_streaming_upsert(spark, sf_dir)
+    vt = _ST19_VT[key]
     return vt.read().select(
         "user_id", "last_event_id", "last_type", "last_value"
     ).orderBy("user_id")

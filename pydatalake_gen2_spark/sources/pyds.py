@@ -206,10 +206,15 @@ class _JsonlWriter(DataSourceWriter):
         n = 0
         with open(staged, "w") as f:
             for row in iterator:
-                # default=str totalizes the sink: timestamps/dates render
-                # ISO-ish, Decimals as exact digit strings, binary via
-                # repr — JSON-native types are untouched.
-                f.write(json.dumps(row.asDict(), sort_keys=True, default=str) + "\n")
+                # recursive asDict: nested structs become dicts (a shallow
+                # asDict leaves Row objects, which default=str would
+                # silently stringify as repr). default=str then totalizes
+                # the leaves: timestamps/dates render ISO-ish, Decimals as
+                # exact digit strings — JSON-native types untouched.
+                f.write(
+                    json.dumps(row.asDict(recursive=True), sort_keys=True, default=str)
+                    + "\n"
+                )
                 n += 1
         return _StagedFile(staged=staged, rows=n)
 

@@ -546,7 +546,7 @@ def run_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     the original's event time (a true redelivery), so they land inside
     the window and the sink must equal the duplicate-free table."""
     if sf_dir in _dup_replay_cache:
-        out = _dup_replay_cache[sf_dir]
+        out, delay_days = _dup_replay_cache[sf_dir]
     else:
         import shutil
 
@@ -565,17 +565,20 @@ def run_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
             if f.endswith(".parquet"):
                 shutil.copy(os.path.join(dup_dir, f), os.path.join(out, f"z_dup{idx}.parquet"))
                 idx += 1
-        _dup_replay_cache[sf_dir] = out
-    # The hash-match needs every injected duplicate to arrive while its
-    # original's state is still live, i.e. delay > the fixture's event
-    # span — derive it from the data instead of baking in a constant
-    # that a wider fixture would silently outgrow. (In production the
-    # delay is the REDELIVERY horizon, far smaller than the stream's
-    # lifetime; here the replay compresses a whole table into one run.)
-    span = load_table(spark, sf_dir, "events").agg(
-        F.max("ts").alias("hi"), F.min("ts").alias("lo")
-    ).first()
-    delay_days = (span["hi"] - span["lo"]).days + 2
+        # The hash-match needs every injected duplicate to arrive while
+        # its original's state is still live, i.e. delay > the fixture's
+        # event span — derive it from the data (a wider fixture would
+        # silently outgrow a constant) and cache it with the replay dir
+        # so re-runs don't pay the span scan again. In production the
+        # delay is the REDELIVERY horizon, far smaller than the stream's
+        # lifetime; the replay compresses a whole table into one run.
+        span = load_table(spark, sf_dir, "events").agg(
+            F.max("ts").alias("hi"), F.min("ts").alias("lo")
+        ).first()
+        if span["hi"] is None:
+            raise ValueError("events table is empty — nothing to replay")
+        delay_days = (span["hi"] - span["lo"]).days + 2
+        _dup_replay_cache[sf_dir] = (out, delay_days)
     src = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
@@ -655,9 +658,6 @@ def run_union_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("st18_out")
 
 
-_upsert_done: set[str] = set()
-
-
 def run_streaming_upsert(spark: SparkSession, sf_dir: str):
     """ST19: streaming MERGE — each micro-batch is compacted to its
     latest row per user (W11's rule: max (ts, event_id)) and UPSERTED
@@ -689,7 +689,13 @@ def run_streaming_upsert(spark: SparkSession, sf_dir: str):
         )
         if vt.versions():
             current = vt.read()
-            merged = merge_upsert(current, latest, ["user_id"]).drop("action")
+            # partial_updates=False: this is whole-ROW replacement — the
+            # batch's latest record wins verbatim, NULL cells included
+            # (a NULL value on the newest event is data, not absence;
+            # COALESCE semantics would resurrect the superseded value).
+            merged = merge_upsert(
+                current, latest, ["user_id"], partial_updates=False
+            ).drop("action")
         else:
             merged = latest
         vt.commit(merged)

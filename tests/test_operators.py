@@ -1081,3 +1081,27 @@ def test_png_decoder_rejects_interlaced_and_headerless():
         decode_png(data)
     with pytest.raises(ValueError, match="IHDR"):
         decode_png(PNG_SIG + _png_chunk(b"IEND", b""))
+
+
+def test_merge_upsert_whole_row_and_flag_collision(spark):
+    """Review fixes round 2: (a) partial_updates=False replaces matched
+    rows verbatim — a NULL source cell WINS (latest-record semantics);
+    (b) user columns named like the presence flags pass through
+    untouched."""
+    from pydatalake_gen2_spark.operators.merge import merge_upsert
+
+    tgt = spark.createDataFrame([(1, "a", 10)], "k BIGINT, name STRING, val INT")
+    src = spark.createDataFrame([(1, None, None)], "k BIGINT, name STRING, val INT")
+    whole = merge_upsert(tgt, src, ["k"], partial_updates=False).collect()[0]
+    assert (whole["name"], whole["val"], whole["action"]) == (None, None, "update")
+    patch = merge_upsert(tgt, src, ["k"]).collect()[0]
+    assert (patch["name"], patch["val"]) == ("a", 10)  # default keeps target
+
+    tgt2 = spark.createDataFrame(
+        [(1, "keepme", False)], "k BIGINT, _t_present STRING, _s_present BOOLEAN"
+    )
+    src2 = spark.createDataFrame([(2, "ins")], "k BIGINT, _t_present STRING")
+    rows = {r["k"]: r for r in merge_upsert(tgt2, src2, ["k"]).collect()}
+    assert rows[1]["_t_present"] == "keepme" and rows[1]["_s_present"] is False
+    assert rows[1]["action"] == "carry"
+    assert rows[2]["_t_present"] == "ins" and rows[2]["action"] == "insert"
