@@ -466,3 +466,27 @@ def st19_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vt.read().select(
         "user_id", "last_event_id", "last_type", "last_value"
     ).orderBy("user_id")
+
+
+@register(
+    "st20_transform_with_state",
+    duck_sql="""
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM events GROUP BY user_id
+    """,
+)
+def st20_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST20: transformWithStateInPandas (Spark 4's arbitrary-state
+    successor to applyInPandasWithState) — per-user StatefulProcessor
+    holding a typed ValueState counter (n, exact integer cents) plus a
+    MapState distinct-event-type registry; the final cumulative emission
+    per user must hash-match the batch GROUP BY (count + cents sum +
+    count DISTINCT). The TWS protocol needs google.protobuf in the
+    workers; where it's absent (this container — installs off-limits)
+    the same semantics run on applyInPandasWithState, import-gated and
+    documented in streaming/stateful.py:run_transform_with_state."""
+    from pydatalake_gen2_spark.streaming import stateful
+
+    return stateful.run_transform_with_state(spark, sf_dir)

@@ -190,3 +190,154 @@ def run_custom_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.table("st11_out").select("user_id", "s_start", "s_end", "n")
+
+
+# -- transformWithStateInPandas (ST20): the Spark 4 arbitrary-state API ---
+
+TWS_OUT_SCHEMA = (
+    "user_id BIGINT, n BIGINT, cents BIGINT, n_types BIGINT"
+)
+
+
+def _make_user_stats_processor():
+    """Per-user running stats via the Spark 4 ``StatefulProcessor`` API —
+    the successor to applyInPandasWithState (st08) with TYPED, composable
+    state primitives instead of one opaque tuple:
+
+    - ``ValueState`` (n, cents): the running counter — two numbers.
+    - ``MapState`` (event_type -> 1): distinct-type registry; entry count
+      is bounded by the event-type vocabulary, not the event count.
+
+    Every emission is the updated cumulative row, so the LAST row per user
+    (max n — counts are monotone) must equal the batch GROUP BY: count,
+    exact integer cents sum, and count(DISTINCT event_type). State shards
+    with the groupBy shuffle exactly like st08; at 100 TB each cell is a
+    couple of numbers plus a vocabulary-bounded map, with TTL/timers
+    available on the handle for eviction policies (unused here — finite
+    replay).
+
+    The class is defined inside this factory so cloudpickle serializes it
+    BY VALUE: the stateful-processor worker processes unpickle the
+    instance without needing this package importable on their sys.path
+    (module-level classes pickle by reference and would crash them).
+    """
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class UserStatsProcessor(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n BIGINT, cents BIGINT"
+            )
+            self._types = handle.getMapState("types", "t STRING", "one TINYINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, cents = self._totals.get() if self._totals.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                # half-up (values are positive) to match round() in Spark
+                # SQL and DuckDB — pandas .round() is half-even, diverges
+                cents += int((pdf["value"] * 100 + 0.5).astype("int64").sum())
+                for t in pdf["event_type"].unique():
+                    self._types.updateValue((str(t),), (1,))
+            self._totals.update((n, cents))
+            n_types = sum(1 for _ in self._types.keys())
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n": [n], "cents": [cents],
+                 "n_types": [n_types]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return UserStatsProcessor()
+
+
+def tws_available() -> bool:
+    """transformWithState's state-server protocol needs ``google.protobuf``
+    in the Python workers (pyspark's StateMessage proto). This container
+    has no protobuf and installs are off-limits, so the TWS path is gated:
+    real where the dependency exists, honest fallback here."""
+    import importlib.util
+
+    try:
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:  # no 'google' namespace package at all
+        return False
+
+
+def transform_with_state_stats(src: DataFrame) -> DataFrame:
+    return src.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_make_user_stats_processor(),
+        outputStructType=TWS_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def _tws_fallback_update(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    """Same per-user semantics as UserStatsProcessor, expressed on the
+    applyInPandasWithState API: one tuple cell (n, cents, sorted
+    comma-joined type set — bounded by the event-type vocabulary)."""
+    n, cents, types_csv = state.get if state.exists else (0, 0, "")
+    types = set(types_csv.split(",")) - {""}
+    for pdf in pdfs:
+        n += len(pdf)
+        cents += int((pdf["value"] * 100 + 0.5).astype("int64").sum())
+        types.update(str(t) for t in pdf["event_type"].unique())
+    state.update((n, cents, ",".join(sorted(types))))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n": [n], "cents": [cents],
+         "n_types": [len(types)]}
+    )
+
+
+def transform_with_state_stats_fallback(src: DataFrame) -> DataFrame:
+    return src.groupBy("user_id").applyInPandasWithState(
+        _tws_fallback_update,
+        outputStructType=TWS_OUT_SCHEMA,
+        stateStructType="n BIGINT, cents BIGINT, types STRING",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the per-user stats processor over the events replay; return
+    the final cumulative row per user (monotone n → max row is the last
+    emission). Uses the Spark 4 transformWithStateInPandas path when the
+    protobuf dependency is present (see tws_available), else the
+    applyInPandasWithState expression of the IDENTICAL semantics — which
+    path ran is auditable via the query name in the Spark UI and the
+    tests (test_streaming.py::test_st20 asserts the fallback ≡ batch; a
+    skipif-gated twin exercises the TWS path where protobuf exists)."""
+    src = replay.read_stream(spark, sf_dir)
+    use_tws = tws_available()
+    build = transform_with_state_stats if use_tws else transform_with_state_stats_fallback
+    if use_tws:
+        # TWS requires the RocksDB state store provider
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+    with replay.stream_shuffle_partitions(spark):
+        q = (
+            build(src)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("st20_tws" if use_tws else "st20_fallback")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    out = spark.table("st20_tws" if use_tws else "st20_fallback")
+    # last emission per user = the max-n row (n is monotone per user)
+    return out.groupBy("user_id").agg(
+        F.max("n").alias("n"),
+        F.max_by("cents", "n").alias("cents"),
+        F.max_by("n_types", "n").alias("n_types"),
+    )

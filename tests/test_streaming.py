@@ -160,3 +160,67 @@ def test_streaming_upsert_version_history(spark, sf_dir):
         users = {r["user_id"] for r in vt.read(v).select("user_id").collect()}
         assert seen <= users, v
         seen = users
+
+
+def test_transform_with_state_equals_batch(spark, sf_dir):
+    """st20: the per-user stats processor's final emissions must equal the
+    batch GROUP BY (count, exact cents, distinct type count). In this
+    container tws_available() is False (no protobuf), so this exercises
+    the applyInPandasWithState expression of the semantics; the TWS-path
+    twin below runs wherever the dependency exists."""
+    import pyspark.sql.functions as F
+
+    from pydatalake_gen2_spark.registry import ensure_views, load_all
+    from pydatalake_gen2_spark.streaming import stateful
+
+    ensure_views(spark, sf_dir)
+    got = {
+        tuple(r)
+        for r in load_all()["st20_transform_with_state"]
+        .spark_fn(spark, sf_dir)
+        .collect()
+    }
+    want = {
+        tuple(r)
+        for r in spark.table("events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert not stateful.tws_available()  # container contract: fallback ran
+
+
+def test_transform_with_state_tws_path(spark, sf_dir):
+    """The real transformWithStateInPandas path — runs only where
+    google.protobuf exists (Spark's TWS state-server protocol needs it)."""
+    import pytest
+
+    from pydatalake_gen2_spark.streaming import stateful
+
+    if not stateful.tws_available():
+        pytest.skip("google.protobuf unavailable: TWS protocol cannot run")
+    from pydatalake_gen2_spark.registry import ensure_views
+    from pydatalake_gen2_spark.streaming import replay as _r
+
+    ensure_views(spark, sf_dir)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    src = _r.read_stream(spark, sf_dir)
+    with _r.stream_shuffle_partitions(spark):
+        q = (
+            stateful.transform_with_state_stats(src)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("st20_tws_test")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    assert spark.table("st20_tws_test").count() > 0
