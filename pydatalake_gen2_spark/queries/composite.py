@@ -508,3 +508,33 @@ sql_pair(
     ORDER BY nation, yr DESC
     """,
 )
+
+
+# Recursive CTE (Spark 4 WITH RECURSIVE): hierarchical ancestor-chain
+# roll-up — the BOM/org-chart recursion shape. Suppliers form an implicit
+# binary tree (parent(k) = floor(k/2)); each supplier's chain walks to the
+# root accumulating DECIMAL-exact account balances. Both engines run the
+# IDENTICAL text; Spark executes the recursion as an iterative union —
+# one equi-join per level, so the 100 TB cost is depth(hierarchy) shuffles
+# of the frontier, not an unbounded loop (depth here = log2(n_suppliers)).
+sql_pair(
+    "c28_recursive_cte",
+    """
+    WITH RECURSIVE chain AS (
+      SELECT s_suppkey AS root, s_suppkey AS node,
+             CAST(s_acctbal AS DECIMAL(18,4)) AS bal, 0 AS depth
+      FROM supplier
+      UNION ALL
+      SELECT c.root, s.s_suppkey AS node,
+             CAST(c.bal + CAST(s.s_acctbal AS DECIMAL(18,4))
+                  AS DECIMAL(18,4)) AS bal,
+             c.depth + 1 AS depth
+      FROM chain c
+      JOIN supplier s ON s.s_suppkey = CAST(floor(c.node / 2.0) AS BIGINT)
+      WHERE c.node > 1
+    )
+    SELECT root AS s_suppkey, CAST(depth AS BIGINT) AS depth,
+           CAST(bal AS DOUBLE) AS chain_bal
+    FROM chain WHERE node = 1 ORDER BY s_suppkey
+    """,
+)

@@ -755,3 +755,38 @@ def j26_bloom_prefiltered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "j27_null_safe_join",
+    duck_sql="""
+    WITH a AS (SELECT c_custkey, NULLIF(c_nationkey % 5, 3) AS k FROM customer),
+         b AS (SELECT n_nationkey, NULLIF(n_nationkey % 5, 3) AS k FROM nation)
+    SELECT a.k AS k, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT a.c_custkey) AS BIGINT) AS n_cust,
+           CAST(count(DISTINCT b.n_nationkey) AS BIGINT) AS n_nation
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    GROUP BY a.k
+    """,
+)
+def j27_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J27: null-safe equality join (`<=>` / IS NOT DISTINCT FROM) — NULL
+    keys MATCH each other instead of vanishing, the semantics dimension
+    lookups with optional keys need. Still a hash-join key for Catalyst
+    (EqualNullSafe is an equi-join condition, not a theta filter), so the
+    physical plan is the same broadcast/SMJ as J01 — no nested loop."""
+    a = spark.table("customer").select(
+        "c_custkey", F.nullif(F.col("c_nationkey") % 5, F.lit(3)).alias("k")
+    )
+    b = spark.table("nation").select(
+        "n_nationkey", F.nullif(F.col("n_nationkey") % 5, F.lit(3)).alias("k")
+    )
+    return (
+        a.join(b, a["k"].eqNullSafe(b["k"]))
+        .groupBy(a["k"].alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("c_custkey").alias("n_cust"),
+            F.countDistinct("n_nationkey").alias("n_nation"),
+        )
+    )

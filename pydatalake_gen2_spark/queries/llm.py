@@ -1729,3 +1729,76 @@ def l40_quality_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "l41_knn_label_propagation",
+    duck_sql="""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+                      label AS true_label
+               FROM embeddings WHERE vec_id % 20 = 0),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS cv, label
+          FROM embeddings WHERE vec_id % 20 <> 0),
+    pairs AS (
+      SELECT query_id, vec_id, label,
+             list_dot_product(qv, cv) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+      FROM c CROSS JOIN q),
+    ranked AS (
+      SELECT query_id, label,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, vec_id) AS rn
+      FROM pairs),
+    votes AS (
+      SELECT query_id, label, count(*) AS v
+      FROM ranked WHERE rn <= 5 GROUP BY query_id, label),
+    best AS (
+      SELECT query_id, label AS pred_label, v,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY v DESC, label) AS rb
+      FROM votes)
+    SELECT b.query_id AS query_id, q.true_label, b.pred_label,
+           CAST(b.v AS BIGINT) AS votes
+    FROM best b JOIN q ON q.query_id = b.query_id
+    WHERE rb = 1 ORDER BY b.query_id
+    """,
+)
+def l41_knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L41: k-NN weak labeling — every 20th vector is treated as unlabeled
+    and receives the majority label of its 5 nearest labeled neighbours
+    by cosine (ties: smaller label), the standard semi-supervised
+    annotation step for training-data curation. Rides L03's exact top-k
+    (broadcast queries, corpus streams); at scale the neighbour search
+    swaps to the LSH/IVF candidates (lx_*) with this exact form as the
+    recall oracle — the vote/argmax tail is unchanged."""
+    emb = spark.table("embeddings")
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    corpus = emb.filter(F.col("vec_id") % 20 != 0)
+    nn = similarity.cosine_topk(corpus, queries, k=5)
+    votes = (
+        nn.join(corpus.select("vec_id", "label"), "vec_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("v").desc(), F.col("label"))
+    best = (
+        votes.withColumn("rb", F.row_number().over(w))
+        .filter(F.col("rb") == 1)
+        .select("query_id", F.col("label").alias("pred_label"), "v")
+    )
+    return (
+        best.join(
+            queries.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("label").alias("true_label"),
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id", "true_label", "pred_label",
+            F.col("v").cast("bigint").alias("votes"),
+        )
+        .orderBy("query_id")
+    )

@@ -364,3 +364,50 @@ def ud10_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "ud11_grouped_agg_pandas",
+    duck_sql="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                    CAST(l_quantity AS BIGINT)) AS BIGINT) AS wtotal_cents,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_total
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def ud11_grouped_agg_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UD11: GROUPED_AGG pandas UDF (Series... -> scalar) — the custom
+    vectorized AGGREGATE flavor of the UDF ladder (ud02 scalar, ud03/ud10
+    grouped map, ud05 stateful, ud08 iterator). Each group's columns
+    arrive as whole pandas Series per partition chunk and Spark combines
+    the partial results, so it composes with hash aggregation like a
+    built-in; quantity-weighted cents keep it integer-exact. The same
+    UDAF also works as a window function — the only pandas UDF kind that
+    does."""
+
+    @F.pandas_udf("bigint")
+    def wsum_cents(price: pd.Series, qty: pd.Series) -> int:
+        # half-up matches round() in Spark SQL / DuckDB (prices positive)
+        return int(
+            ((price * 100 + 0.5).astype("int64") * qty.astype("int64")).sum()
+        )
+
+    li = spark.table("lineitem")
+    # a grouped-agg pandas UDF cannot share an agg() with JVM aggregates
+    # (INVALID_PANDAS_UDF_PLACEMENT) — run it alone and join the plain
+    # aggregate on the (3-value) group key; both sides are one shuffle on
+    # the same key, which AQE coalesces
+    udaf = li.groupBy("l_returnflag").agg(
+        wsum_cents("l_extendedprice", "l_quantity").alias("wtotal_cents")
+    )
+    plain = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("qty_total"),
+    )
+    return (
+        plain.join(udaf, "l_returnflag")
+        .select("l_returnflag", "n", "wtotal_cents", "qty_total")
+        .orderBy("l_returnflag")
+    )

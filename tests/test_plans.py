@@ -435,3 +435,18 @@ def test_triangle_count_no_nested_loop(spark, sf_dir):
     no theta/nested-loop join may appear."""
     plan = _plan(spark, sf_dir, "gr02_triangle_count")
     assert "CartesianProduct" not in plan, plan
+
+
+def test_null_safe_join_is_hash_join(spark, sf_dir):
+    """j27: EqualNullSafe is an equi-join condition for Catalyst — the
+    plan must be a hash/sort-merge join, never a nested loop over NULLs."""
+    plan = _plan(spark, sf_dir, "j27_null_safe_join")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+
+
+def test_recursive_cte_is_bounded_union_loop(spark, sf_dir):
+    """c28: the recursion plans as UnionLoop (iterative frontier), not an
+    unrolled/exploded join tree."""
+    plan = _plan(spark, sf_dir, "c28_recursive_cte")
+    assert "UnionLoop" in plan or "Recursion" in plan, plan
