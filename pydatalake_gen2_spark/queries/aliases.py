@@ -97,12 +97,19 @@ _ALIASES: dict[str, str] = {
     "a04_j10_range_band": "j10_range_band",
     "a05_j11_asof": "j11_asof",
     "a06_j13_lateral": "j13_lateral",
-    "a07_j14_asof_tolerance": "j14_asof_tolerance",
+    # r6 repurpose: a05 already covers the as-of family, so the tolerance
+    # variant's slot goes to the new null-safe equality join (distinct
+    # NULL-matching semantics class, first driver evidence).
+    "a07_j27_null_safe": "j27_null_safe_join",
     "a08_jx_salted_skew_join": "jx_salted_skew_join",
     # aggregate tail (g08+ never sorted into the window)
     "a09_g04_approx_count_distinct": "g04_approx_count_distinct",
     "a10_g08_having": "g08_having",
-    "a11_g09_min_max_by": "g09_min_max_by",
+    # r6 repurpose: the g-family holds 7 other window reps, so g09's slot
+    # goes to the new k-NN weak-labeling capability (first driver row for
+    # the semi-supervised annotation family); g09 stays oracle-verified
+    # in the local mirror like every out-of-window pair.
+    "a11_l41_knn_label": "l41_knn_label_propagation",
     "a12_g12_median": "g12_median",
     "a13_g16_pivot": "g16_pivot",
     "a14_g18_approx_percentile": "g18_approx_percentile",
@@ -120,8 +127,11 @@ _ALIASES: dict[str, str] = {
     # set ops
     "a24_u01_union_all": "u01_union_all",
     "a25_u05_intersect_except_all": "u05_intersect_except_all",
-    # projection / filter
-    "a26_p05_null_handling": "p05_null_handling",
+    # projection / filter (a27 keeps the family's window rep)
+    # r6 repurpose: p05's slot goes to the new recursive-CTE capability
+    # (Spark 4 WITH RECURSIVE — iterative hierarchy traversal, a class no
+    # other window row exercises).
+    "a26_c28_recursive_cte": "c28_recursive_cte",
     "a27_p07_cast_matrix": "p07_cast_matrix",
     # scans / sources / sinks
     "a28_s01_parquet_scan": "s01_parquet_scan",
@@ -156,12 +166,18 @@ _ALIASES: dict[str, str] = {
     "a43_t02_quality_score": "t02_quality_score",
     # streaming (batch-equivalent forms)
     "a44_st01_tumbling_batch": "st01_tumbling_batch",
-    "a45_st03_session_batch": "st03_session_batch",
+    # r6 repurpose: windowed-agg streaming keeps a44 and explicit state
+    # keeps a46, so the session-window slot goes to the new
+    # transformWithState surface (Spark 4 StatefulProcessor family).
+    "a45_st20_transform_with_state": "st20_transform_with_state",
     "a46_st08_stateful_counter": "st08_stateful_counter",
     "a47_st09_stream_static_join": "st09_stream_static_join",
     # UDF surface
     "a48_ud01_scalar_udf": "ud01_scalar_udf",
-    "a49_ud02_pandas_cosine": "ud02_pandas_cosine",
+    # r6 repurpose: ud02 runs in every bench round, so its correctness
+    # slot goes to the GROUPED_AGG pandas-UDF flavor (the ladder rung no
+    # window row exercised).
+    "a49_ud11_grouped_agg": "ud11_grouped_agg_pandas",
 }
 
 for _alias, _target in _ALIASES.items():
