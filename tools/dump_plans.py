@@ -73,6 +73,11 @@ SHOW = [
     ("w21_linear_interpolate", "spine join + two IGNORE NULLS frame scans per key"),
     ("j26_bloom_prefiltered_join", "bloom bit probes in the scan stage + exact semi join"),
     ("g32_equiheight_histogram", "percentile fences + row-local CASE ladder, no global sort"),
+    # round 6
+    ("c28_recursive_cte", "WITH RECURSIVE as iterative UnionLoop frontier joins"),
+    ("j27_null_safe_join", "EqualNullSafe stays on the hash-join path"),
+    ("ud11_grouped_agg_pandas", "pandas UDAF composes with partial aggregation"),
+    ("l41_knn_label_propagation", "kNN voting: broadcast queries + partial-agg argmax"),
 ]
 
 
