@@ -796,3 +796,29 @@ sql_pair(
         "BEFORE a 100 TB join is launched). The report any production "
         "join planner wants next to its query.",
 )
+
+
+@register(
+    "g34_approx_top_k",
+    duck_sql="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    ORDER BY n DESC, event_type LIMIT 3
+    """,
+    doc="G34: approx_top_k heavy hitters (Spark 4 native DataSketches "
+        "frequent-items). At this cardinality (5 types < maxItemsTracked) "
+        "the sketch is EXACT, so the pair hashes against the exact "
+        "oracle; the 100 TB story is the sketch's bounded memory and "
+        "mergeable partials — the engine-native sibling of G21's "
+        "hand-rolled count-min sketch. The fixture's type counts are "
+        "strictly separated at every SF, so top-3 membership and order "
+        "are deterministic.",
+)
+def g34_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(
+        """
+        WITH s AS (SELECT approx_top_k(event_type, 3) AS tk FROM events)
+        SELECT x.item AS event_type, CAST(x.count AS BIGINT) AS n
+        FROM s LATERAL VIEW inline(tk) x AS item, count
+        """
+    )

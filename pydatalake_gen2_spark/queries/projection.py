@@ -332,3 +332,42 @@ sql_pair(
         "(array payload, missing key). The oracle states each branch's "
         "expected outcome from the payload constructor itself.",
 )
+
+
+# ---------------------------------------------------------------------------
+# p14: VARIANT lateral explode (Spark 4 variant_explode)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p14_variant_explode",
+    duck_sql="""
+    SELECT event_id, CAST(0 AS BIGINT) AS pos,
+           CAST(user_id AS VARCHAR) AS vjson FROM events
+    UNION ALL
+    SELECT event_id, 1, CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR)
+    FROM events
+    UNION ALL
+    SELECT event_id, 2, concat('"', event_type, '"') FROM events
+    """,
+    doc="P14: variant_explode — lateral expansion of a VARIANT array into "
+        "(pos, value) rows, the row-generator face of the VARIANT surface "
+        "(p09 path extraction, f53 error-tolerant parse). The exploded "
+        "values round-trip through to_json; the oracle states each "
+        "position's canonical JSON text directly (DuckDB's json_each "
+        "needs the json extension, unavailable offline). Row-local "
+        "generation — no exchange; at 100 TB this is the shred step for "
+        "semi-structured ingestion.",
+)
+def p14_variant_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(
+        """
+        SELECT e.event_id, CAST(p.pos AS BIGINT) AS pos,
+               to_json(p.value) AS vjson
+        FROM events e,
+        LATERAL variant_explode(parse_json(concat(
+            '[', CAST(e.user_id AS STRING), ',',
+            CAST(CAST(round(e.value * 100) AS BIGINT) AS STRING),
+            ',"', e.event_type, '"]'))) p
+        """
+    )
