@@ -133,3 +133,31 @@ def mm_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "width", "height", "r_mean", "g_mean", "b_mean"
     ).orderBy("doc_id")
+
+
+@register(
+    "mm_wav_resample",
+    duck_sql="""
+    SELECT doc_id,
+           CAST(500 AS BIGINT) AS n_frames,
+           CAST(4000 AS BIGINT) AS framerate,
+           (SELECT min((2 * i * (doc_id + 1)) % 65536 - 32768)
+              FROM generate_series(0, 499) g(i)) AS s_min,
+           (SELECT max((2 * i * (doc_id + 1)) % 65536 - 32768)
+              FROM generate_series(0, 499) g(i)) AS s_max,
+           CAST(1044 AS BIGINT) AS n_bytes
+    FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 16)
+    ORDER BY doc_id
+    """,
+)
+def mm_wav_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MM-WAV-RESAMPLE: decode → decimate-by-2 → re-encode at 4 kHz →
+    re-decode the produced bytes (sources/multimodal.resample_wav_batch).
+    The oracle states the kept samples analytically ((2i·(d+1)) mod 2¹⁶ −
+    2¹⁵ over i<500) plus the exact RIFF container size (44-byte header +
+    1000 bytes PCM) — a wrong decimation grid, rate header, or encode
+    breaks the hash. Audio sibling of mm_png_resize."""
+    if sf_dir not in _WAV_CACHE:
+        _WAV_CACHE[sf_dir] = multimodal.materialize_wav_assets(spark, sf_dir, n=16)
+    raw = multimodal.read_binary(spark, _WAV_CACHE[sf_dir], glob="*.wav")
+    return multimodal.resample_wav_batch(raw, factor=2).orderBy("doc_id")

@@ -411,3 +411,64 @@ def ud11_grouped_agg_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_returnflag", "n", "wtotal_cents", "qty_total")
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "ud12_table_arg_udtf",
+    duck_sql="""
+    WITH g AS (
+      SELECT user_id,
+             CAST(epoch_us(ts) - epoch_us(lag(ts) OVER
+                  (PARTITION BY user_id ORDER BY (ts, event_id)))
+                  AS BIGINT) AS gap_us
+      FROM events)
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+           CAST(max(gap_us) AS BIGINT) AS max_gap_us
+    FROM g GROUP BY user_id ORDER BY user_id
+    """,
+)
+def ud12_table_arg_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UD12: Python UDTF with a TABLE argument (Spark 4: `f(TABLE(...)
+    PARTITION BY ... ORDER BY ...)`) — the engine shuffles/sorts each
+    partition and streams its rows through one UDTF instance (eval per
+    row, terminate at partition end), i.e. a user-defined PARTITIONED
+    AGGREGATION declared in SQL, no groupBy wiring at the call site.
+    Computes per-user event count + max inter-event gap in integer
+    microseconds (order-dependent state — only correct BECAUSE the
+    engine honors ORDER BY inside the table argument)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="user_id BIGINT, n BIGINT, max_gap_us BIGINT")
+    class GapStats:
+        def __init__(self) -> None:
+            self._user = None
+            self._n = 0
+            self._last = None
+            self._max_gap = None
+
+        def eval(self, row):
+            self._user = row["user_id"]
+            ts = row["ts"]
+            if self._last is not None:
+                # naive-datetime subtraction: timezone-independent, unlike
+                # .timestamp(), which reinterprets naive values as local
+                d = ts - self._last
+                gap = (d.days * 86_400 + d.seconds) * 1_000_000 + d.microseconds
+                if self._max_gap is None or gap > self._max_gap:
+                    self._max_gap = gap
+            self._last = ts
+            self._n += 1
+
+        def terminate(self):
+            if self._user is not None:
+                yield self._user, self._n, self._max_gap
+
+    spark.udtf.register("ud12_gap_stats", GapStats)
+    return spark.sql(
+        """
+        SELECT * FROM ud12_gap_stats(
+          TABLE(SELECT user_id, ts, event_id FROM events)
+          PARTITION BY user_id ORDER BY (ts, event_id))
+        ORDER BY user_id
+        """
+    )
