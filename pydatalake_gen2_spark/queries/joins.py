@@ -790,3 +790,37 @@ def j27_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("n_nationkey").alias("n_nation"),
         )
     )
+
+
+sql_pair(
+    "j28_lateral_subquery",
+    """
+    SELECT n.n_name, t.o_orderkey, t.o_totalprice
+    FROM nation n,
+    LATERAL (
+      SELECT o.o_orderkey,
+             CAST(o.o_totalprice AS DECIMAL(18,4)) AS o_totalprice
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 2
+    ) t
+    """,
+    """
+    SELECT n.n_name, t.o_orderkey, t.o_totalprice
+    FROM nation n,
+    LATERAL (
+      SELECT o.o_orderkey,
+             CAST(o.o_totalprice AS DECIMAL(18,4)) AS o_totalprice
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 2
+    ) t
+    """,
+    doc="J28: correlated LATERAL subquery with ORDER BY ... LIMIT — the "
+        "declarative top-k-per-group join (each nation's 2 priciest "
+        "orders). Catalyst decorrelates the correlated limit into a "
+        "rank-over-partition under the hood rather than re-running the "
+        "subquery per outer row — the per-row-rescan formulation would "
+        "be the 100 TB killer; deterministic tie-break on orderkey "
+        "keeps the pair hashable.",
+)

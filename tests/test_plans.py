@@ -450,3 +450,13 @@ def test_recursive_cte_is_bounded_union_loop(spark, sf_dir):
     unrolled/exploded join tree."""
     plan = _plan(spark, sf_dir, "c28_recursive_cte")
     assert "UnionLoop" in plan or "Recursion" in plan, plan
+
+
+def test_lateral_limit_decorrelates_to_window(spark, sf_dir):
+    """j28: the correlated LATERAL ... ORDER BY ... LIMIT must plan as a
+    rank-over-partition (Window + filter), never a per-outer-row rescan
+    (no nested loop / cartesian)."""
+    plan = _plan(spark, sf_dir, "j28_lateral_subquery")
+    assert "Window" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
