@@ -512,11 +512,15 @@ sql_pair(
 
 # Recursive CTE (Spark 4 WITH RECURSIVE): hierarchical ancestor-chain
 # roll-up — the BOM/org-chart recursion shape. Suppliers form an implicit
-# binary tree (parent(k) = floor(k/2)); each supplier's chain walks to the
-# root accumulating DECIMAL-exact account balances. Both engines run the
-# IDENTICAL text; Spark executes the recursion as an iterative union —
-# one equi-join per level, so the 100 TB cost is depth(hierarchy) shuffles
-# of the frontier, not an unbounded loop (depth here = log2(n_suppliers)).
+# binary tree (parent(k) = floor(k/2)); each supplier's chain walks to its
+# terminal node accumulating DECIMAL-exact account balances. The fixture's
+# keys start at 0, and floor(0/2) = 0 would self-join forever, so the
+# recursion stops at node <= 1 and the terminal filter accepts both fixed
+# points (node 1 for every key >= 1, node 0 for key 0) — one output row
+# per supplier. Both engines run the IDENTICAL text; Spark executes the
+# recursion as an iterative union — one equi-join per level, so the
+# 100 TB cost is depth(hierarchy) shuffles of the frontier, not an
+# unbounded loop (depth here = log2(n_suppliers)).
 sql_pair(
     "c28_recursive_cte",
     """
@@ -535,6 +539,6 @@ sql_pair(
     )
     SELECT root AS s_suppkey, CAST(depth AS BIGINT) AS depth,
            CAST(bal AS DOUBLE) AS chain_bal
-    FROM chain WHERE node = 1 ORDER BY s_suppkey
+    FROM chain WHERE node <= 1 ORDER BY s_suppkey
     """,
 )

@@ -380,12 +380,14 @@ def ud10_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ud11_grouped_agg_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UD11: GROUPED_AGG pandas UDF (Series... -> scalar) — the custom
     vectorized AGGREGATE flavor of the UDF ladder (ud02 scalar, ud03/ud10
-    grouped map, ud05 stateful, ud08 iterator). Each group's columns
-    arrive as whole pandas Series per partition chunk and Spark combines
-    the partial results, so it composes with hash aggregation like a
-    built-in; quantity-weighted cents keep it integer-exact. The same
-    UDAF also works as a window function — the only pandas UDF kind that
-    does."""
+    grouped map, ud05 stateful, ud08 iterator). Unlike built-in
+    aggregates there is NO partial/final split: Spark shuffles the raw
+    (projected) rows and each whole group's columns arrive as pandas
+    Series at the single ArrowAggregatePython stage — the honest cost of
+    arbitrary Python aggregation logic, and why the input is pruned to
+    the two needed columns before the exchange. Quantity-weighted cents
+    keep it integer-exact. The same UDAF also works as a window function
+    — the only pandas UDF kind that does."""
 
     @F.pandas_udf("bigint")
     def wsum_cents(price: pd.Series, qty: pd.Series) -> int:
@@ -399,8 +401,10 @@ def ud11_grouped_agg_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (INVALID_PANDAS_UDF_PLACEMENT) — run it alone and join the plain
     # aggregate on the (3-value) group key; both sides are one shuffle on
     # the same key, which AQE coalesces
-    udaf = li.groupBy("l_returnflag").agg(
-        wsum_cents("l_extendedprice", "l_quantity").alias("wtotal_cents")
+    udaf = (
+        li.select("l_returnflag", "l_extendedprice", "l_quantity")
+        .groupBy("l_returnflag")
+        .agg(wsum_cents("l_extendedprice", "l_quantity").alias("wtotal_cents"))
     )
     plain = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),

@@ -17,6 +17,7 @@ registered as an H-tier pair in queries/streaming_batch.py on the count
 
 from __future__ import annotations
 
+import contextlib
 from collections.abc import Iterable
 
 import pandas as pd
@@ -252,6 +253,27 @@ def _make_user_stats_processor():
     return UserStatsProcessor()
 
 
+@contextlib.contextmanager
+def rocksdb_state_store(spark: SparkSession):
+    """Set the RocksDB state-store provider for the duration of one
+    streaming query; restores the prior session value (or unsets) on
+    exit so the shared session's other stateful queries are unaffected."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
 def tws_available() -> bool:
     """transformWithState's state-server protocol needs ``google.protobuf``
     in the Python workers (pyspark's StateMessage proto). This container
@@ -317,14 +339,16 @@ def run_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = replay.read_stream(spark, sf_dir)
     use_tws = tws_available()
     build = transform_with_state_stats if use_tws else transform_with_state_stats_fallback
-    if use_tws:
-        # TWS requires the RocksDB state store provider
-        spark.conf.set(
-            "spark.sql.streaming.stateStore.providerClass",
-            "org.apache.spark.sql.execution.streaming.state."
-            "RocksDBStateStoreProvider",
-        )
-    with replay.stream_shuffle_partitions(spark):
+    with contextlib.ExitStack() as stack:
+        if use_tws:
+            # TWS requires the RocksDB state store provider — scope it to
+            # this query and restore the session conf afterwards (same
+            # discipline as stream_shuffle_partitions; other stateful
+            # queries in the session keep their configured provider)
+            stack.enter_context(
+                rocksdb_state_store(spark)
+            )
+        stack.enter_context(replay.stream_shuffle_partitions(spark))
         q = (
             build(src)
             .writeStream.outputMode("update")

@@ -76,7 +76,7 @@ SHOW = [
     # round 6
     ("c28_recursive_cte", "WITH RECURSIVE as iterative UnionLoop frontier joins"),
     ("j27_null_safe_join", "EqualNullSafe stays on the hash-join path"),
-    ("ud11_grouped_agg_pandas", "pandas UDAF composes with partial aggregation"),
+    ("ud11_grouped_agg_pandas", "pandas UDAF: whole-group Arrow agg, pruned input"),
     ("l41_knn_label_propagation", "kNN voting: broadcast queries + partial-agg argmax"),
 ]
 
