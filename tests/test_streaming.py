@@ -220,3 +220,21 @@ def test_transform_with_state_tws_path(spark, sf_dir):
         )
         q.awaitTermination()
     assert spark.table("st20_tws_test").count() > 0
+
+
+def test_rocksdb_state_store_restores_conf(spark, sf_dir):
+    """The provider override must be scoped: prior value (or unset state)
+    comes back after the context exits, even on error."""
+    import pytest
+
+    from pydatalake_gen2_spark.streaming import stateful
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    before = spark.conf.get(key, None)
+    with stateful.rocksdb_state_store(spark):
+        assert "RocksDBStateStoreProvider" in spark.conf.get(key)
+    assert spark.conf.get(key, None) == before
+    with pytest.raises(RuntimeError):
+        with stateful.rocksdb_state_store(spark):
+            raise RuntimeError("boom")
+    assert spark.conf.get(key, None) == before
