@@ -490,3 +490,60 @@ def st20_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pydatalake_gen2_spark.streaming import stateful
 
     return stateful.run_transform_with_state(spark, sf_dir)
+
+
+sql_pair(
+    "st21_dynamic_session_batch",
+    """
+    SELECT user_id,
+           date_format(session_window(ts,
+               CASE WHEN event_type = 'view' THEN '10 minutes'
+                    ELSE '5 minutes' END).start,
+               'yyyy-MM-dd HH:mm:ss') AS s_start,
+           date_format(session_window(ts,
+               CASE WHEN event_type = 'view' THEN '10 minutes'
+                    ELSE '5 minutes' END).end,
+               'yyyy-MM-dd HH:mm:ss') AS s_end,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY session_window(ts,
+               CASE WHEN event_type = 'view' THEN '10 minutes'
+                    ELSE '5 minutes' END), user_id
+    """,
+    duck_sql="""
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             ts + CASE WHEN event_type = 'view' THEN INTERVAL 10 MINUTE
+                       ELSE INTERVAL 5 MINUTE END AS ev_end
+      FROM events),
+    flagged AS (
+      SELECT user_id, ts, ev_end,
+             CASE WHEN max(ev_end) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING) IS NULL
+                    OR ts >= max(ev_end) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id
+                                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM g),
+    sess AS (
+      SELECT user_id, ts, ev_end,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged)
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
+           strftime(MAX(ev_end), '%Y-%m-%d %H:%M:%S') AS s_end,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM sess GROUP BY user_id, sid
+    """,
+    doc="ST21: session_window with a DYNAMIC per-event gap (Spark's gap "
+        "expression: 'view' events hold sessions open 10 min, everything "
+        "else 5) — the engagement-dependent sessionization shape a fixed "
+        "gap can't express. An event merges into the session while it "
+        "starts before the running max of prior (ts + own-gap) ends; the "
+        "oracle replicates exactly that recurrence with a running-max "
+        "frame. Same one-shuffle groupBy plan as ST03's fixed-gap form.",
+)
