@@ -91,6 +91,11 @@ BENCH_QUERIES = [
     "l36_minhash_sql",
     "j25_merge_upsert",
     "gr03_kcore",
+    # round-6 widening: iterative recursion, vectorized Python UDAF,
+    # kNN weak labeling
+    "c28_recursive_cte",
+    "ud11_grouped_agg_pandas",
+    "l41_knn_label_propagation",
 ]
 
 N_RUNS = 3

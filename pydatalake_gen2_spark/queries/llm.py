@@ -1802,3 +1802,105 @@ def l41_knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+@register(
+    "l42_ensemble_dedup",
+    duck_sql="""
+    WITH RECURSIVE base AS (SELECT doc_id AS id, text, lower(text) AS lt FROM documents),
+    -- leg 1: exact duplicates (same bytes -> same md5)
+    ex AS (SELECT id, md5(text) AS h FROM base),
+    exm AS (SELECT h, min(id) AS root FROM ex GROUP BY h),
+    ex_edges AS (
+      SELECT e.root AS s, x.id AS d FROM ex x JOIN exm e USING (h)
+      WHERE x.id <> e.root),
+    -- leg 2: 3-gram-shingle Jaccard >= 0.3 (l02b's exact inverted index)
+    sets AS (
+      SELECT id, list_distinct(list_transform(generate_series(1, len(t) - 2),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS toks
+      FROM (SELECT id, string_split(lt, ' ') AS t FROM base)
+      WHERE len(t) >= 3),
+    inv AS (SELECT id, len(toks) AS n_toks, unnest(toks) AS tok FROM sets),
+    shared AS (
+      SELECT a.id AS id_a, b.id AS id_b, a.n_toks AS na, b.n_toks AS nb,
+             COUNT(*) AS n_shared
+      FROM inv a JOIN inv b ON a.tok = b.tok AND a.id < b.id
+      GROUP BY 1, 2, 3, 4),
+    jac_edges AS (
+      SELECT id_a AS s, id_b AS d FROM shared
+      WHERE n_shared / (na + nb - n_shared) >= 0.3),
+    -- leg 3: 48-bit md5 SimHash within Hamming distance 4 (brute force;
+    -- the Spark side's banded join has recall exactly 1.0 by pigeonhole,
+    -- so the pair sets agree)
+    wtok AS (
+      SELECT id, unnest(list_distinct(string_split(lt, ' '))) AS tok
+      FROM base),
+    th AS (
+      SELECT id,
+             list_sum(list_transform(generate_series(1, 15), j ->
+               CAST(strpos('0123456789abcdef',
+                           substring(md5(tok), j, 1)) - 1 AS BIGINT)
+               << (4 * (15 - j)))) AS th
+      FROM wtok),
+    tallies AS (
+      SELECT id, i,
+             sum(CASE WHEN (th >> i) & 1 = 1 THEN 1 ELSE -1 END) AS tally
+      FROM th, unnest(generate_series(0, 47)) u(i) GROUP BY id, i),
+    fp AS (
+      SELECT id, sum(CASE WHEN tally > 0 THEN 1::BIGINT << i ELSE 0 END) AS sh
+      FROM tallies GROUP BY id),
+    sim_edges AS (
+      SELECT a.id AS s, b.id AS d FROM fp a JOIN fp b ON a.id < b.id
+      WHERE bit_count(xor(a.sh, b.sh)) <= 4),
+    -- union of evidence, both directions
+    edges AS (
+      SELECT s, d FROM ex_edges UNION SELECT d, s FROM ex_edges
+      UNION SELECT s, d FROM jac_edges UNION SELECT d, s FROM jac_edges
+      UNION SELECT s, d FROM sim_edges UNION SELECT d, s FROM sim_edges),
+    reach(id, r) AS (
+      SELECT s, s FROM edges
+      UNION SELECT s, d FROM edges
+      UNION SELECT reach.id, edges.d FROM reach JOIN edges ON reach.r = edges.s),
+    lab AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+    SELECT b.id AS doc_id,
+           COALESCE(l.component, b.id) AS component,
+           b.id = COALESCE(l.component, b.id) AS keep
+    FROM base b LEFT JOIN lab l ON l.id = b.id
+    ORDER BY doc_id
+    """,
+)
+def l42_ensemble_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L42: ENSEMBLE dedup — the production shape where multiple dup
+    signals vote: exact-hash edges ∪ 3-gram Jaccard ≥ 0.3 edges ∪
+    SimHash-Hamming ≤ 4 edges, resolved TOGETHER by one connected-
+    components pass so transitive evidence across different detectors
+    merges clusters a single method would split. Every doc gets a row
+    (singletons keep themselves). Each leg is the already-bucketed scale
+    path (sha256 groupBy / shingle inverted index / banded Hamming
+    join); the union adds no new shuffle class. This pair also gives the
+    SimHash leg its first full cross-engine oracle: the md5-based
+    fingerprint recurrence is replicated bit-for-bit in DuckDB and the
+    banded join must agree with the oracle's brute-force Hamming scan
+    (recall 1.0 by pigeonhole, precision exact by verify)."""
+    docs = spark.table("documents")
+    ex = docs.select(F.col("doc_id").alias("id"), F.sha2("text", 256).alias("h"))
+    exm = ex.groupBy("h").agg(F.min("id").alias("root"))
+    ex_edges = (
+        ex.join(exm, "h")
+        .filter(F.col("id") != F.col("root"))
+        .select(F.col("root").alias("id_a"), F.col("id").alias("id_b"))
+    )
+    jac_edges = dedup.exact_jaccard_pairs(docs, tau=0.3).select("id_a", "id_b")
+    sim_edges = dedup.simhash_neardup_pairs(docs, r=4).select("id_a", "id_b")
+    edges = ex_edges.unionByName(jac_edges).unionByName(sim_edges).distinct()
+    comp = dedup.connected_components(edges, "id_a", "id_b")
+    out = (
+        docs.select("doc_id")
+        .join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("component"),
+        )
+        .withColumn("keep", F.col("doc_id") == F.col("component"))
+    )
+    return out.orderBy("doc_id")
