@@ -1105,3 +1105,34 @@ def test_merge_upsert_whole_row_and_flag_collision(spark):
     assert rows[1]["_t_present"] == "keepme" and rows[1]["_s_present"] is False
     assert rows[1]["action"] == "carry"
     assert rows[2]["_t_present"] == "ins" and rows[2]["action"] == "insert"
+
+
+def test_ensemble_dedup_coarsens_each_leg(spark, sf_dir):
+    """l42: the ensemble components must be a COARSENING of every single
+    detector's components — two docs the Jaccard-only resolution puts in
+    one cluster can never be split by adding more evidence (edges are
+    only ever added), and every keep=false doc must point at a keeper
+    with a smaller id that exists."""
+    from pydatalake_gen2_spark.registry import ensure_views, load_all
+
+    ensure_views(spark, sf_dir)
+    ens = {
+        r["doc_id"]: r["component"]
+        for r in load_all()["l42_ensemble_dedup"].spark_fn(spark, sf_dir).collect()
+    }
+    from pydatalake_gen2_spark.operators import dedup
+
+    jac = {
+        r["doc_id"]: r["component"]
+        for r in dedup.dedup_clusters(spark.table("documents"), tau=0.3).collect()
+    }
+    # same jaccard-cluster -> same ensemble-cluster
+    by_jac: dict = {}
+    for doc, comp in jac.items():
+        by_jac.setdefault(comp, set()).add(doc)
+    for members in by_jac.values():
+        assert len({ens[d] for d in members}) == 1, members
+    # canonical keeper invariants
+    for doc, comp in ens.items():
+        assert comp <= doc
+        assert ens[comp] == comp  # keeper is its own component root

@@ -78,6 +78,8 @@ SHOW = [
     ("j27_null_safe_join", "EqualNullSafe stays on the hash-join path"),
     ("ud11_grouped_agg_pandas", "pandas UDAF: whole-group Arrow agg, pruned input"),
     ("l41_knn_label_propagation", "kNN voting: broadcast queries + partial-agg argmax"),
+    ("l42_ensemble_dedup", "evidence-union edges -> one components resolution"),
+    ("st21_dynamic_session_batch", "dynamic-gap session window: one shuffle groupBy"),
 ]
 
 
