@@ -804,3 +804,76 @@ sql_pair(
         "Row-local, codegen'd; at 100 TB masking rides the scan like any "
         "projection.",
 )
+
+
+@register(
+    "f54_utf8_validation",
+    duck_sql="""
+    WITH b AS (
+      SELECT doc_id,
+             (strpos('0123456789abcdef', substring(md5(text), 1, 1)) - 1) * 16
+               + strpos('0123456789abcdef', substring(md5(text), 2, 1)) - 1 AS b1,
+             128 | ((
+               (strpos('0123456789abcdef', substring(md5(text), 3, 1)) - 1) * 16
+               + strpos('0123456789abcdef', substring(md5(text), 4, 1)) - 1) & 63)
+               AS b2
+      FROM documents),
+    v AS (
+      SELECT doc_id, b1, b2,
+             -- b2 is always a continuation byte (0x80-0xBF), so the pair
+             -- is valid UTF-8 iff b1 is a 2-byte lead (0xC2-0xDF)
+             (b1 >= 194 AND b1 <= 223) AS valid,
+             -- U+FFFD substitution: one replacement per MAXIMAL invalid
+             -- subpart (Unicode TR on best practice); chars after repair:
+             CASE
+               WHEN b1 >= 194 AND b1 <= 223 THEN 1  -- valid 2-byte char
+               WHEN b1 = 224 THEN CASE WHEN b2 >= 160 THEN 1 ELSE 2 END
+               WHEN b1 >= 225 AND b1 <= 236 THEN 1  -- truncated 3-byte
+               WHEN b1 = 237 THEN CASE WHEN b2 < 160 THEN 1 ELSE 2 END
+               WHEN b1 >= 238 AND b1 <= 239 THEN 1
+               WHEN b1 = 240 THEN CASE WHEN b2 >= 144 THEN 1 ELSE 2 END
+               WHEN b1 >= 241 AND b1 <= 243 THEN 1  -- truncated 4-byte
+               WHEN b1 = 244 THEN CASE WHEN b2 < 144 THEN 1 ELSE 2 END
+               ELSE 2  -- ascii+stray, stray+stray, or invalid byte + stray
+             END AS repaired_chars
+      FROM b)
+    SELECT doc_id, CAST(b1 AS BIGINT) AS b1, CAST(b2 AS BIGINT) AS b2,
+           valid, NOT valid AS try_null,
+           CAST(repaired_chars AS INT) AS repaired_chars
+    FROM v ORDER BY doc_id
+    """,
+    doc="F54: UTF-8 validation surface (Spark 4 is_valid_utf8 / "
+        "try_validate_utf8 / make_valid_utf8) over deterministic 2-byte "
+        "sequences built from md5(text) with the second byte forced into "
+        "the continuation range — the byte-level ingest guard a corpus "
+        "pipeline runs before text ops. The oracle computes validity and "
+        "the U+FFFD repair length from the UTF-8 state machine "
+        "arithmetically (one replacement per maximal invalid subpart), "
+        "so a divergence in Spark's substitution granularity would break "
+        "the hash. Row-local expressions, no shuffle.",
+)
+def f54_utf8_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(
+        """
+        WITH b AS (
+          SELECT doc_id,
+                 conv(substring(md5(text), 1, 2), 16, 10) AS h1,
+                 conv(substring(md5(text), 3, 2), 16, 10) AS h2
+          FROM documents),
+        raw AS (
+          SELECT doc_id,
+                 CAST(h1 AS BIGINT) AS b1,
+                 CAST(128 + (CAST(h2 AS BIGINT) % 64) AS BIGINT) AS b2
+          FROM b),
+        s AS (
+          SELECT doc_id, b1, b2,
+                 CAST(unhex(concat(lpad(hex(b1), 2, '0'),
+                                   lpad(hex(b2), 2, '0'))) AS STRING) AS txt
+          FROM raw)
+        SELECT doc_id, b1, b2,
+               is_valid_utf8(txt) AS valid,
+               try_validate_utf8(txt) IS NULL AS try_null,
+               length(make_valid_utf8(txt)) AS repaired_chars
+        FROM s ORDER BY doc_id
+        """
+    )
