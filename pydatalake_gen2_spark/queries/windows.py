@@ -575,3 +575,57 @@ sql_pair(
         "rounding. Two window passes + one join, all partitioned by the "
         "series key — nothing global.",
 )
+
+
+sql_pair(
+    "w22_lorenz_curve",
+    """
+    WITH rev AS (
+      SELECT o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS r
+      FROM orders GROUP BY o_custkey),
+    ranked AS (
+      SELECT o_custkey, r,
+             ROW_NUMBER() OVER (ORDER BY r DESC, o_custkey) AS rk,
+             SUM(r) OVER (ORDER BY r DESC, o_custkey
+                          ROWS UNBOUNDED PRECEDING) AS cum_r,
+             SUM(r) OVER () AS total_r,
+             COUNT(*) OVER () AS n
+      FROM rev)
+    SELECT CAST(rk AS BIGINT) AS rk, o_custkey,
+           CAST(r AS DOUBLE) AS revenue,
+           CAST(CAST(cum_r AS DOUBLE) / CAST(total_r AS DOUBLE) AS DOUBLE)
+             AS cum_share,
+           CAST(ceil(rk * 10.0 / n) AS BIGINT) AS decile
+    FROM ranked
+    """,
+    """
+    WITH rev AS (
+      SELECT o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS r
+      FROM orders GROUP BY o_custkey),
+    ranked AS (
+      SELECT o_custkey, r,
+             ROW_NUMBER() OVER (ORDER BY r DESC, o_custkey) AS rk,
+             SUM(r) OVER (ORDER BY r DESC, o_custkey
+                          ROWS UNBOUNDED PRECEDING) AS cum_r,
+             SUM(r) OVER () AS total_r,
+             COUNT(*) OVER () AS n
+      FROM rev)
+    SELECT CAST(rk AS BIGINT) AS rk, o_custkey,
+           CAST(r AS DOUBLE) AS revenue,
+           CAST(CAST(cum_r AS DOUBLE) / CAST(total_r AS DOUBLE) AS DOUBLE)
+             AS cum_share,
+           CAST(ceil(rk * 10.0 / n) AS BIGINT) AS decile
+    FROM ranked
+    """,
+    doc="W22: Lorenz/Pareto concentration curve — per-customer revenue "
+        "ranked descending with DECIMAL-exact cumulative share and decile "
+        "buckets (the 'top 10% of customers drive X% of revenue' table, "
+        "and the data-mix concentration diagnostic for corpus sources). "
+        "All sums stay DECIMAL until one final IEEE division per row. The "
+        "global rank/cumsum window is a single-partition sort of the "
+        "CUSTOMER-level aggregate (already reduced by the partial-agg "
+        "groupBy), not of the fact table — the same defense G32 uses "
+        "against the global-ntile trap.",
+)
