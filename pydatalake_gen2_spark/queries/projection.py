@@ -371,3 +371,44 @@ def p14_variant_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ',"', e.event_type, '"]'))) p
         """
     )
+
+
+@register(
+    "p15_sql_variables",
+    duck_sql="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+             AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_quantity < 30.0
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="P15: SQL session variables (Spark 4 DECLARE VARIABLE / SET VAR) "
+        "— procedural parameterization INSIDE the SQL dialect, the "
+        "scripting-style sibling of P13's client-side parameter markers. "
+        "Variables resolve to typed literals at analysis time, so they "
+        "constant-fold and push into the scan exactly like inline "
+        "constants (same PushedFilters); the oracle is the literal form. "
+        "Re-declared idempotently (DECLARE OR REPLACE) so repeated runs "
+        "in one session are safe.",
+)
+def p15_sql_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE ship_cutoff TIMESTAMP "
+        "DEFAULT TIMESTAMP '1995-01-01'"
+    )
+    spark.sql("DECLARE OR REPLACE VARIABLE qty_cap DOUBLE DEFAULT 25.0")
+    spark.sql("SET VAR ship_cutoff = TIMESTAMP '1996-01-01'")
+    spark.sql("SET VAR qty_cap = 30.0")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               count(*) AS n,
+               SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                 AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= ship_cutoff AND l_quantity < qty_cap
+        GROUP BY l_returnflag ORDER BY l_returnflag
+        """
+    )
