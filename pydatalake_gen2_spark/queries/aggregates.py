@@ -822,3 +822,35 @@ def g34_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM s LATERAL VIEW inline(tk) x AS item, count
         """
     )
+
+
+@register(
+    "g35_bitmap_distinct",
+    duck_sql="""
+    SELECT o_orderpriority,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="G35: bitmap-index distinct counting (bitmap_bit_position → "
+        "bitmap_construct_agg → bitmap_count, Spark 3.5+) — the "
+        "roaring-bitmap-style exact-distinct path: per-bucket bitmaps "
+        "are fixed-size, mergeable partials, so the shuffle carries "
+        "bitmap bytes instead of raw key sets, and rollups across "
+        "groups re-merge bitmaps with bitmap_or_agg instead of "
+        "re-scanning. The hash match against count(DISTINCT) certifies "
+        "exactness; the scale story is G25/G26's (HLL) with exactness "
+        "kept and memory bounded by keyspace/8 bits per bucket.",
+)
+def g35_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(
+        """
+        WITH buckets AS (
+          SELECT o_orderpriority,
+                 bitmap_bucket_number(o_custkey) AS bkt,
+                 bitmap_construct_agg(bitmap_bit_position(o_custkey)) AS bm
+          FROM orders GROUP BY o_orderpriority, bitmap_bucket_number(o_custkey))
+        SELECT o_orderpriority,
+               CAST(sum(bitmap_count(bm)) AS BIGINT) AS n_cust
+        FROM buckets GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """
+    )
