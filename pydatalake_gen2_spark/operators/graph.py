@@ -179,3 +179,67 @@ def bfs_distances(
         raise RuntimeError(f"bfs_distances did not converge within {max_iter} rounds")
     track(dist)
     return dist.select("node", F.col("dist").cast("bigint").alias("dist"))
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et al.
+    2007), run for a FIXED number of rounds: every node starts labeled
+    with its own id; each round it adopts the most frequent label among
+    its neighbours (ties → smallest label), all nodes updating from the
+    SAME previous-round snapshot.
+
+    Fixed rounds — not run-to-convergence — because synchronous LPA can
+    oscillate on bipartite structures; a fixed budget makes the result a
+    deterministic pure function of the graph, which is what a
+    cross-engine oracle can certify (production runs add a stop-when-
+    stable check on top of the same recurrence). Each round is one
+    join + one partial-agg count + one per-node argmax — the same
+    shuffle class as a PageRank round; state is one (node, label) row
+    per node, checkpoint-truncated per round (see module docstring).
+
+    Output: (node BIGINT, label BIGINT) — label = community id.
+    """
+    from pydatalake_gen2_spark.operators.util import (
+        checkpoint_truncate,
+        release_checkpoint,
+        track,
+    )
+
+    e = edges.select(
+        F.col(src_col).cast("bigint").alias("s"),
+        F.col(dst_col).cast("bigint").alias("d"),
+    )
+    und = checkpoint_truncate(
+        e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
+    )
+    labels = checkpoint_truncate(
+        und.select(F.col("s").alias("node")).distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    try:
+        for _ in range(rounds):
+            votes = (
+                und.join(labels, und.d == labels.node)
+                .select(F.col("s").alias("n"), "label")
+                .groupBy("n", "label")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+            )
+            # argmax by (cnt DESC, label ASC): min of (-cnt, label) struct
+            new_labels = checkpoint_truncate(
+                votes.groupBy("n")
+                .agg(F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("label"))).alias("m"))
+                .select(F.col("n").alias("node"), F.col("m.label").alias("label"))
+            )
+            release_checkpoint(labels)
+            labels = new_labels
+    except Exception:
+        release_checkpoint(und)
+        release_checkpoint(labels)
+        raise
+    release_checkpoint(und)
+    return track(labels)

@@ -327,3 +327,60 @@ def gr04_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return bfs_distances(ed, seeds, src_col="u", dst_col="v").orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# gr05: label-propagation communities over the co-supply backbone
+# ---------------------------------------------------------------------------
+
+_GR05_ROUNDS = 4
+
+
+def _gr05_duck() -> str:
+    sql = """
+    WITH ps AS (
+      SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+    w AS (
+      SELECT a.s AS u, b.s AS v, count(*) AS cnt
+      FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+      GROUP BY a.s, b.s),
+    thr AS (SELECT quantile_disc(cnt, 0.95) AS t FROM w),
+    ed AS (SELECT u, v FROM w, thr WHERE cnt >= t),
+    e0 AS MATERIALIZED (SELECT u AS s, v AS d FROM ed UNION SELECT v, u FROM ed),
+    l0 AS MATERIALIZED (SELECT DISTINCT s AS node, s AS label FROM e0)"""
+    for i in range(_GR05_ROUNDS):
+        sql += f""",
+    v{i} AS (
+      SELECT e.s AS n, x.label, count(*) AS cnt
+      FROM e0 e JOIN l{i} x ON e.d = x.node
+      GROUP BY e.s, x.label),
+    l{i + 1} AS MATERIALIZED (
+      SELECT n AS node, label FROM (
+        SELECT n, label,
+               row_number() OVER (PARTITION BY n
+                                  ORDER BY cnt DESC, label) AS rn
+        FROM v{i}) WHERE rn = 1)"""
+    sql += f"""
+    SELECT node, CAST(label AS BIGINT) AS label
+    FROM l{_GR05_ROUNDS} ORDER BY node
+    """
+    return sql
+
+
+@register("gr05_lpa_communities", duck_sql=_gr05_duck())
+def gr05_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GR05: label-propagation communities
+    (operators/graph.label_propagation) — every supplier adopts its
+    neighbourhood's majority label each synchronous round (ties →
+    smallest label), 4 fixed rounds: the near-linear community detector
+    (Raghavan et al. 2007) that finds DENSE groups, where components
+    (l11) only find connectivity. Fixed-round form is a deterministic
+    pure function of the graph, so the oracle unrolls the identical
+    recurrence; rounds are PageRank-class shuffles (join + partial-agg
+    + per-node argmax)."""
+    from pydatalake_gen2_spark.operators.graph import label_propagation
+
+    ed = spark.sql(_GR03_BACKBONE)
+    return label_propagation(
+        ed, rounds=_GR05_ROUNDS, src_col="u", dst_col="v"
+    ).orderBy("node")
