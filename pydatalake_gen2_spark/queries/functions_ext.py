@@ -877,3 +877,39 @@ def f54_utf8_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM s ORDER BY doc_id
         """
     )
+
+
+@register(
+    "f55_aes_roundtrip",
+    duck_sql="""
+    SELECT doc_id,
+           TRUE AS roundtrip_ok,
+           CAST(16 * (length(text) // 16 + 1) AS BIGINT) AS ct_len,
+           CAST(length(text) AS BIGINT) AS pt_len
+    FROM documents ORDER BY doc_id
+    """,
+    doc="F55: column-level encryption surface (aes_encrypt/aes_decrypt, "
+        "ECB for determinism — GCM's random IV is the production mode "
+        "but can't hash cross-engine): the at-rest field-protection "
+        "primitive for PII columns (t07/f52's masking siblings when the "
+        "value must be RECOVERABLE). The oracle states the PKCS#7 "
+        "ciphertext length law (16·⌊len/16+1⌋ — padding always added) "
+        "and the decrypt∘encrypt identity; a wrong key, mode, or "
+        "padding breaks the hash. Row-local codegen expressions, no "
+        "shuffle. ASCII fixture text makes byte length = char length.",
+)
+def f55_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(
+        """
+        WITH e AS (
+          SELECT doc_id, text,
+                 aes_encrypt(text, '0123456789abcdef', 'ECB') AS ct
+          FROM documents)
+        SELECT doc_id,
+               CAST(aes_decrypt(ct, '0123456789abcdef', 'ECB') AS STRING)
+                 = text AS roundtrip_ok,
+               CAST(length(ct) AS BIGINT) AS ct_len,
+               CAST(length(text) AS BIGINT) AS pt_len
+        FROM e ORDER BY doc_id
+        """
+    )
