@@ -214,14 +214,20 @@ def label_propagation(
         F.col(src_col).cast("bigint").alias("s"),
         F.col(dst_col).cast("bigint").alias("d"),
     )
-    und = checkpoint_truncate(
-        e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
+    # persist (not checkpoint): a static recomputable plan — executor loss
+    # mid-loop recomputes it instead of failing the job (same choice as
+    # bfs_distances' `sym`)
+    und = (
+        e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .distinct()
+        .persist()
     )
-    labels = checkpoint_truncate(
-        und.select(F.col("s").alias("node")).distinct()
-        .select("node", F.col("node").alias("label"))
-    )
+    labels = None
     try:
+        labels = checkpoint_truncate(
+            und.select(F.col("s").alias("node")).distinct()
+            .select("node", F.col("node").alias("label"))
+        )
         for _ in range(rounds):
             votes = (
                 und.join(labels, und.d == labels.node)
@@ -238,8 +244,9 @@ def label_propagation(
             release_checkpoint(labels)
             labels = new_labels
     except Exception:
-        release_checkpoint(und)
-        release_checkpoint(labels)
+        if labels is not None:
+            release_checkpoint(labels)
         raise
-    release_checkpoint(und)
+    finally:
+        und.unpersist()
     return track(labels)

@@ -227,8 +227,10 @@ _GR03_BACKBONE = """
 """
 
 
-def _gr03_duck() -> str:
-    sql = """
+# Shared DuckDB prefix: co-supply backbone + symmetrized edge list e0 —
+# the oracle-side mirror of _GR03_BACKBONE, shared by gr03/gr04/gr05 so
+# the three unrolled oracles can never drift onto different graphs.
+_DUCK_BACKBONE_PREFIX = """
     WITH ps AS (
       SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
     w AS (
@@ -238,6 +240,10 @@ def _gr03_duck() -> str:
     thr AS (SELECT quantile_disc(cnt, 0.95) AS t FROM w),
     ed AS (SELECT u, v FROM w, thr WHERE cnt >= t),
     e0 AS MATERIALIZED (SELECT u AS s, v AS d FROM ed UNION SELECT v, u FROM ed)"""
+
+
+def _gr03_duck() -> str:
+    sql = _DUCK_BACKBONE_PREFIX
     # AS MATERIALIZED is load-bearing: every e{i} is referenced twice
     # (k{i} and e{i+1}), and an inlining planner would otherwise double
     # the pair-weight join per round — 2^ROUNDS copies.
@@ -279,16 +285,7 @@ _GR04_ROUNDS = 6  # fixpoint reached in <=4 rounds at sf0.001/0.01/0.1
 
 
 def _gr04_duck() -> str:
-    sql = """
-    WITH ps AS (
-      SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
-    w AS (
-      SELECT a.s AS u, b.s AS v, count(*) AS cnt
-      FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
-      GROUP BY a.s, b.s),
-    thr AS (SELECT quantile_disc(cnt, 0.95) AS t FROM w),
-    ed AS (SELECT u, v FROM w, thr WHERE cnt >= t),
-    e0 AS MATERIALIZED (SELECT u AS s, v AS d FROM ed UNION SELECT v, u FROM ed),
+    sql = _DUCK_BACKBONE_PREFIX + """,
     d0 AS MATERIALIZED (
       SELECT DISTINCT s AS node, 0 AS dist FROM e0 WHERE s % 10 = 0)"""
     for i in range(_GR04_ROUNDS):
@@ -337,16 +334,7 @@ _GR05_ROUNDS = 4
 
 
 def _gr05_duck() -> str:
-    sql = """
-    WITH ps AS (
-      SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
-    w AS (
-      SELECT a.s AS u, b.s AS v, count(*) AS cnt
-      FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
-      GROUP BY a.s, b.s),
-    thr AS (SELECT quantile_disc(cnt, 0.95) AS t FROM w),
-    ed AS (SELECT u, v FROM w, thr WHERE cnt >= t),
-    e0 AS MATERIALIZED (SELECT u AS s, v AS d FROM ed UNION SELECT v, u FROM ed),
+    sql = _DUCK_BACKBONE_PREFIX + """,
     l0 AS MATERIALIZED (SELECT DISTINCT s AS node, s AS label FROM e0)"""
     for i in range(_GR05_ROUNDS):
         sql += f""",

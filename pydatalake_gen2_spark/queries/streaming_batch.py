@@ -517,7 +517,7 @@ sql_pair(
                        ELSE INTERVAL 5 MINUTE END AS ev_end
       FROM events),
     flagged AS (
-      SELECT user_id, ts, ev_end,
+      SELECT user_id, ts, event_id, ev_end,
              CASE WHEN max(ev_end) OVER (PARTITION BY user_id
                                          ORDER BY ts, event_id
                                          ROWS BETWEEN UNBOUNDED PRECEDING
@@ -529,8 +529,10 @@ sql_pair(
                   THEN 1 ELSE 0 END AS new_sess
       FROM g),
     sess AS (
+      -- (ts, event_id) ordering must match flagged's, or tied timestamps
+      -- would make the running sum nondeterministic
       SELECT user_id, ts, ev_end,
-             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS UNBOUNDED PRECEDING) AS sid
       FROM flagged)
     SELECT user_id,

@@ -599,26 +599,6 @@ sql_pair(
            CAST(ceil(rk * 10.0 / n) AS BIGINT) AS decile
     FROM ranked
     """,
-    """
-    WITH rev AS (
-      SELECT o_custkey,
-             SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS r
-      FROM orders GROUP BY o_custkey),
-    ranked AS (
-      SELECT o_custkey, r,
-             ROW_NUMBER() OVER (ORDER BY r DESC, o_custkey) AS rk,
-             SUM(r) OVER (ORDER BY r DESC, o_custkey
-                          ROWS UNBOUNDED PRECEDING) AS cum_r,
-             SUM(r) OVER () AS total_r,
-             COUNT(*) OVER () AS n
-      FROM rev)
-    SELECT CAST(rk AS BIGINT) AS rk, o_custkey,
-           CAST(r AS DOUBLE) AS revenue,
-           CAST(CAST(cum_r AS DOUBLE) / CAST(total_r AS DOUBLE) AS DOUBLE)
-             AS cum_share,
-           CAST(ceil(rk * 10.0 / n) AS BIGINT) AS decile
-    FROM ranked
-    """,
     doc="W22: Lorenz/Pareto concentration curve — per-customer revenue "
         "ranked descending with DECIMAL-exact cumulative share and decile "
         "buckets (the 'top 10% of customers drive X% of revenue' table, "

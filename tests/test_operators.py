@@ -1136,3 +1136,6 @@ def test_ensemble_dedup_coarsens_each_leg(spark, sf_dir):
     for doc, comp in ens.items():
         assert comp <= doc
         assert ens[comp] == comp  # keeper is its own component root
+    from pydatalake_gen2_spark.operators.util import release_persisted
+
+    release_persisted()  # both pipelines end in tracked checkpoints
