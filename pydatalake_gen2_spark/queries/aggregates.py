@@ -854,3 +854,36 @@ def g35_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM buckets GROUP BY o_orderpriority ORDER BY o_orderpriority
         """
     )
+
+
+sql_pair(
+    "g36_join_cardinality_preflight",
+    """
+    WITH a AS (SELECT o_custkey AS k, count(*) AS ca FROM orders GROUP BY o_custkey),
+         b AS (SELECT c_custkey AS k, count(*) AS cb FROM customer GROUP BY c_custkey)
+    SELECT CAST(sum(a.ca * b.cb) AS BIGINT)            AS join_rows,
+           CAST(count(*) AS BIGINT)                    AS matched_keys,
+           CAST((SELECT count(*) FROM a) AS BIGINT)    AS keys_left,
+           CAST((SELECT count(*) FROM b) AS BIGINT)    AS keys_right,
+           CAST(max(a.ca * b.cb) AS BIGINT)            AS hottest_key_rows
+    FROM a JOIN b ON a.k = b.k
+    """,
+    """
+    WITH a AS (SELECT o_custkey AS k, count(*) AS ca FROM orders GROUP BY o_custkey),
+         b AS (SELECT c_custkey AS k, count(*) AS cb FROM customer GROUP BY c_custkey)
+    SELECT CAST(sum(a.ca * b.cb) AS BIGINT)            AS join_rows,
+           CAST(count(*) AS BIGINT)                    AS matched_keys,
+           CAST((SELECT count(*) FROM a) AS BIGINT)    AS keys_left,
+           CAST((SELECT count(*) FROM b) AS BIGINT)    AS keys_right,
+           CAST(max(a.ca * b.cb) AS BIGINT)            AS hottest_key_rows
+    FROM a JOIN b ON a.k = b.k
+    """,
+    doc="G36: join-cardinality pre-flight — the EXACT output size of "
+        "orders⋈customer computed from per-key tallies (Σ cntA·cntB) "
+        "before the join is ever launched, plus the hottest key's "
+        "contribution. G33's skew report answers 'is one key hot'; this "
+        "answers 'how many rows will the join emit and who dominates' — "
+        "the two numbers a planner (or an engineer sizing shuffle "
+        "partitions for a 100 TB join) wants first. Cost: two partial-agg "
+        "tally shuffles + a key-level join — tallies, never rows.",
+)
