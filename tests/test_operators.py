@@ -1139,3 +1139,46 @@ def test_ensemble_dedup_coarsens_each_leg(spark, sf_dir):
     from pydatalake_gen2_spark.operators.util import release_persisted
 
     release_persisted()  # both pipelines end in tracked checkpoints
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=25,
+    ),
+    st.integers(1, 4),
+)
+@settings(
+    deadline=None,
+    max_examples=8,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_label_propagation_matches_python(spark, edges, rounds):
+    """gr05's operator vs a literal Python transcription of the same
+    synchronous fixed-round majority-label recurrence (ties -> smallest
+    label) on random small graphs."""
+    from pydatalake_gen2_spark.operators.graph import label_propagation
+    from pydatalake_gen2_spark.operators.util import release_persisted
+
+    df = spark.createDataFrame(edges, "id_a BIGINT, id_b BIGINT")
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(df, rounds=rounds).collect()
+    }
+    release_persisted()
+
+    und: dict[int, set] = {}
+    for a, b in edges:
+        und.setdefault(a, set()).add(b)
+        und.setdefault(b, set()).add(a)
+    labels = {n: n for n in und}
+    for _ in range(rounds):
+        new = {}
+        for n, nbrs in und.items():
+            counts: dict[int, int] = {}
+            for m in nbrs:
+                counts[labels[m]] = counts.get(labels[m], 0) + 1
+            new[n] = min(counts, key=lambda l: (-counts[l], l))
+        labels = new
+    assert got == labels

@@ -238,3 +238,68 @@ def test_rocksdb_state_store_restores_conf(spark, sf_dir):
         with stateful.rocksdb_state_store(spark):
             raise RuntimeError("boom")
     assert spark.conf.get(key, None) == before
+
+
+def test_dynamic_session_merge_rule_with_tied_timestamps(spark, sf_dir):
+    """st21's merge rule on constructed data WITH tied timestamps (the
+    case the fixtures never produce): Spark's session_window with a
+    dynamic gap vs a literal Python transcription of the recurrence —
+    an event joins the open session while it starts strictly before the
+    running max of prior (ts + own-gap) ends."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    # user 1: tie at t=0 (view + click), then a gap-crossing event
+    rows += [
+        (1, base, "view"), (1, base, "click"),
+        (1, base + dt.timedelta(minutes=7), "click"),
+        (1, base + dt.timedelta(minutes=30), "view"),
+    ]
+    # user 2: three-way tie, all one session
+    rows += [(2, base, "click"), (2, base, "click"), (2, base, "view")]
+    df = spark.createDataFrame(rows, "user_id BIGINT, ts TIMESTAMP, event_type STRING")
+    df.createOrReplaceTempView("st21_tie_events")
+    got = {
+        (r["user_id"], r["s_start"], r["s_end"], r["n"])
+        for r in spark.sql(
+            """
+            SELECT user_id,
+                   date_format(session_window(ts,
+                       CASE WHEN event_type = 'view' THEN '10 minutes'
+                            ELSE '5 minutes' END).start,
+                       'yyyy-MM-dd HH:mm:ss') AS s_start,
+                   date_format(session_window(ts,
+                       CASE WHEN event_type = 'view' THEN '10 minutes'
+                            ELSE '5 minutes' END).end,
+                       'yyyy-MM-dd HH:mm:ss') AS s_end,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM st21_tie_events
+            GROUP BY session_window(ts,
+                       CASE WHEN event_type = 'view' THEN '10 minutes'
+                            ELSE '5 minutes' END), user_id
+            """
+        ).collect()
+    }
+
+    def gap(t):
+        return dt.timedelta(minutes=10 if t == "view" else 5)
+
+    want = set()
+    by_user: dict = {}
+    for u, ts, t in sorted(rows, key=lambda r: (r[0], r[1])):
+        by_user.setdefault(u, []).append((ts, t))
+    for u, evs in by_user.items():
+        sess = None  # [start, end, n]
+        for ts, t in evs:
+            if sess is not None and ts < sess[1]:
+                sess[1] = max(sess[1], ts + gap(t))
+                sess[2] += 1
+            else:
+                if sess is not None:
+                    want.add((u, sess[0].strftime("%Y-%m-%d %H:%M:%S"),
+                              sess[1].strftime("%Y-%m-%d %H:%M:%S"), sess[2]))
+                sess = [ts, ts + gap(t), 1]
+        want.add((u, sess[0].strftime("%Y-%m-%d %H:%M:%S"),
+                  sess[1].strftime("%Y-%m-%d %H:%M:%S"), sess[2]))
+    assert got == want
