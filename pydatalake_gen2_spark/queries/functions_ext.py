@@ -913,3 +913,41 @@ def f55_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM e ORDER BY doc_id
         """
     )
+
+
+@register(
+    "f56_xpath_extract",
+    duck_sql="""
+    SELECT o_orderkey,
+           o_orderpriority AS prio,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+           CAST(2 AS BIGINT) AS n_tags
+    FROM orders ORDER BY o_orderkey
+    """,
+    doc="F56: XPath extraction (xpath_string / xpath_long / xpath) over "
+        "XML documents CONSTRUCTED from table columns — the query-side "
+        "complement of S25's XML source round-trip (read whole docs "
+        "there, extract fields here). Because the XML is built from the "
+        "same row, the oracle states each extracted field as the origin "
+        "column: any escaping, path, or type-coercion error in the "
+        "extraction breaks the hash. Row-local; at 100 TB this is the "
+        "shred step for XML feeds, with the same pushdown profile as "
+        "f23's JSON path extraction.",
+)
+def f56_xpath_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(
+        """
+        WITH x AS (
+          SELECT o_orderkey,
+                 concat('<order><prio>', o_orderpriority,
+                        '</prio><cents>',
+                        CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING),
+                        '</cents></order>') AS xml
+          FROM orders)
+        SELECT o_orderkey,
+               xpath_string(xml, '/order/prio') AS prio,
+               xpath_long(xml, '/order/cents') AS cents,
+               CAST(size(xpath(xml, '/order/*')) AS BIGINT) AS n_tags
+        FROM x ORDER BY o_orderkey
+        """
+    )
