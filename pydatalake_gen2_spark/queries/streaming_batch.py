@@ -549,3 +549,11 @@ sql_pair(
         "oracle replicates exactly that recurrence with a running-max "
         "frame. Same one-shuffle groupBy plan as ST03's fixed-gap form.",
 )
+
+
+@register("st21_dynamic_session_stream", duck_sql=None, tier="S")
+def st21_dynamic_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real streaming run of ST21's dynamic-gap session windows; equality
+    with st21_dynamic_session_batch asserted in tests (the batch form is
+    itself hash-matched vs the DuckDB merge-rule recurrence)."""
+    return replay.run_dynamic_session_stream(spark, sf_dir)

@@ -167,6 +167,37 @@ def run_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("st03_out")
 
 
+def dynamic_session_agg(src: DataFrame) -> DataFrame:
+    """ST21 shape: dynamic-gap session windows per user — 'view' events
+    hold the session open 10 minutes, everything else 5 (the gap is a
+    per-EVENT expression evaluated row-locally before the merge)."""
+    # gap strings (not INTERVAL literals): session_window wants
+    # CalendarIntervalType and parses duration strings to it, while typed
+    # INTERVAL literals are DayTimeIntervalType and are rejected
+    gap = F.when(F.col("event_type") == "view", F.lit("10 minutes")).otherwise(
+        F.lit("5 minutes")
+    )
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.date_format(F.col("sw.start"), "yyyy-MM-dd HH:mm:ss").alias("s_start"),
+            F.date_format(F.col("sw.end"), "yyyy-MM-dd HH:mm:ss").alias("s_end"),
+            "n",
+        )
+    )
+
+
+def run_dynamic_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST21 streaming run: the same dynamic-gap sessionization as the
+    batch form, over the file-source replay (state merges open sessions
+    across micro-batches exactly as the batch GROUP BY merges rows)."""
+    src = read_stream(spark, sf_dir).withWatermark("ts", "30 days")
+    _run_to_memory(dynamic_session_agg(src), "st21_out", "complete")
+    return spark.table("st21_out")
+
+
 def run_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST05: streaming dropDuplicates on event_id with watermark state."""
     src = read_stream(spark, sf_dir).withWatermark("ts", "30 days")

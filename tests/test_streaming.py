@@ -303,3 +303,9 @@ def test_dynamic_session_merge_rule_with_tied_timestamps(spark, sf_dir):
         want.add((u, sess[0].strftime("%Y-%m-%d %H:%M:%S"),
                   sess[1].strftime("%Y-%m-%d %H:%M:%S"), sess[2]))
     assert got == want
+
+
+def test_dynamic_session_stream_equals_batch(spark, sf_dir):
+    _pair_equal(
+        spark, sf_dir, "st21_dynamic_session_stream", "st21_dynamic_session_batch"
+    )
