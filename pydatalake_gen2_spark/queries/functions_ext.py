@@ -951,3 +951,40 @@ def f56_xpath_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM x ORDER BY o_orderkey
         """
     )
+
+
+@register(
+    "f57_convert_timezone",
+    duck_sql="""
+    SELECT event_id,
+           strftime(timezone('America/New_York', timezone('UTC', ts)),
+                    '%Y-%m-%d %H:%M:%S') AS ny_local,
+           strftime(timezone('Asia/Kolkata', timezone('UTC', ts)),
+                    '%Y-%m-%d %H:%M:%S') AS kolkata_local,
+           CAST((epoch_us(timezone('America/New_York', timezone('UTC', ts)))
+                 - epoch_us(ts)) / 3600000000.0 AS DOUBLE) AS ny_offset_h
+    FROM events ORDER BY event_id
+    """,
+    doc="F57: IANA timezone conversion (convert_timezone, Spark 3.4+/4) — "
+        "UTC event times rendered as New York (DST-observing) and "
+        "Kolkata (half-hour offset) wall-clock, plus the derived UTC "
+        "offset. Both engines resolve the SAME tz database rules, so the "
+        "hash certifies agreement on historical DST transitions; the "
+        "oracle pins the interpretation explicitly (naive→UTC→zone) so "
+        "neither session's default timezone participates. Row-local "
+        "expressions; the multi-region-serving normalization step.",
+)
+def f57_convert_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(
+        """
+        SELECT event_id,
+               date_format(convert_timezone('UTC', 'America/New_York', ts),
+                           'yyyy-MM-dd HH:mm:ss') AS ny_local,
+               date_format(convert_timezone('UTC', 'Asia/Kolkata', ts),
+                           'yyyy-MM-dd HH:mm:ss') AS kolkata_local,
+               CAST((unix_micros(CAST(convert_timezone('UTC', 'America/New_York', ts)
+                          AS TIMESTAMP))
+                     - unix_micros(ts)) / 3600000000.0 AS DOUBLE) AS ny_offset_h
+        FROM events ORDER BY event_id
+        """
+    )
