@@ -1904,3 +1904,171 @@ def l42_ensemble_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("keep", F.col("doc_id") == F.col("component"))
     )
     return out.orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# l44-l48: the ML-preprocessing wave — imputation, robust outlier gating,
+# feature scaling, one-hot encoding, leakage-safe grouped splitting.
+# --------------------------------------------------------------------------
+
+_sql_pair(
+    "l44_impute_missing",
+    """
+    WITH holed AS (
+      SELECT event_id, event_type,
+             CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+      FROM events),
+    med AS (
+      SELECT event_type, MEDIAN(v) AS m FROM holed GROUP BY event_type)
+    SELECT h.event_id, h.event_type,
+           CAST(COALESCE(h.v, m.m) AS DOUBLE) AS v_imputed,
+           h.v IS NULL AS was_imputed
+    FROM holed h JOIN med m ON h.event_type = m.event_type
+    """,
+    """
+    WITH holed AS (
+      SELECT event_id, event_type,
+             CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+      FROM events),
+    med AS (
+      SELECT event_type, MEDIAN(v) AS m FROM holed GROUP BY event_type)
+    SELECT h.event_id, h.event_type,
+           CAST(COALESCE(h.v, m.m) AS DOUBLE) AS v_imputed,
+           h.v IS NULL AS was_imputed
+    FROM holed h JOIN med m ON h.event_type = m.event_type
+    """,
+    doc="L44: missing-value imputation with the per-group exact median "
+        "(nulls planted deterministically on every 7th event) — the "
+        "standard numeric-feature repair step before training. The "
+        "group-median frame is group-count-sized (broadcast at any "
+        "scale); the fill is a row-local COALESCE after the tiny join. "
+        "MEDIAN aggregates ignore NULLs in both engines, so the fences "
+        "come from observed values only.",
+)
+
+_sql_pair(
+    "l45_outlier_filter",
+    """
+    WITH med AS (
+      SELECT event_type, MEDIAN(value) AS m FROM events GROUP BY event_type),
+    dev AS (
+      SELECT e.event_id, e.event_type, e.value, m.m,
+             ABS(e.value - m.m) AS absdev
+      FROM events e JOIN med m ON e.event_type = m.event_type),
+    mad AS (
+      SELECT event_type, MEDIAN(absdev) AS mad FROM dev GROUP BY event_type)
+    SELECT d.event_id, d.event_type, d.value
+    FROM dev d JOIN mad x ON d.event_type = x.event_type
+    WHERE ABS(d.value - d.m) <= 3 * x.mad
+    """,
+    """
+    WITH med AS (
+      SELECT event_type, MEDIAN(value) AS m FROM events GROUP BY event_type),
+    dev AS (
+      SELECT e.event_id, e.event_type, e.value, m.m,
+             ABS(e.value - m.m) AS absdev
+      FROM events e JOIN med m ON e.event_type = m.event_type),
+    mad AS (
+      SELECT event_type, MEDIAN(absdev) AS mad FROM dev GROUP BY event_type)
+    SELECT d.event_id, d.event_type, d.value
+    FROM dev d JOIN mad x ON d.event_type = x.event_type
+    WHERE ABS(d.value - d.m) <= 3 * x.mad
+    """,
+    doc="L45: robust outlier gating — keep rows within 3 MADs of the "
+        "per-group median (G29's statistic applied as the curation "
+        "FILTER): the heavy-tail-safe alternative to z-score clipping "
+        "for corpus metrics like doc length or loss. Two exact-median "
+        "tally passes over low-cardinality groups + broadcast-sized "
+        "fence joins; the filter itself is row-local.",
+)
+
+_sql_pair(
+    "l46_feature_scale",
+    """
+    WITH fences AS (
+      SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
+      FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type,
+           CAST(CASE WHEN f.hi = f.lo THEN 0.5
+                     ELSE (e.value - f.lo) / (f.hi - f.lo) END AS DOUBLE)
+             AS v_scaled
+    FROM events e JOIN fences f ON e.event_type = f.event_type
+    """,
+    """
+    WITH fences AS (
+      SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
+      FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type,
+           CAST(CASE WHEN f.hi = f.lo THEN 0.5
+                     ELSE (e.value - f.lo) / (f.hi - f.lo) END AS DOUBLE)
+             AS v_scaled
+    FROM events e JOIN fences f ON e.event_type = f.event_type
+    """,
+    doc="L46: per-group min-max feature scaling to [0,1] (degenerate "
+        "groups pin to 0.5) — normalization before mixing features of "
+        "different magnitudes. Fences are exact min/max partial aggs "
+        "(group-count-sized, broadcast); the scale expression is one "
+        "row-local IEEE subtract/divide on identical inputs in both "
+        "engines, so the pair hashes with no rounding at all.",
+)
+
+_sql_pair(
+    "l47_one_hot",
+    """
+    SELECT event_id,
+           CAST(event_type = 'click'    AS INT) AS is_click,
+           CAST(event_type = 'view'     AS INT) AS is_view,
+           CAST(event_type = 'purchase' AS INT) AS is_purchase,
+           CAST(event_type = 'signup'   AS INT) AS is_signup,
+           CAST(event_type = 'error'    AS INT) AS is_error
+    FROM events
+    """,
+    """
+    SELECT event_id,
+           CAST(event_type = 'click'    AS INT) AS is_click,
+           CAST(event_type = 'view'     AS INT) AS is_view,
+           CAST(event_type = 'purchase' AS INT) AS is_purchase,
+           CAST(event_type = 'signup'   AS INT) AS is_signup,
+           CAST(event_type = 'error'    AS INT) AS is_error
+    FROM events
+    """,
+    doc="L47: one-hot encoding of the event-type categorical — the "
+        "expansion every tabular feature pipeline needs; row-local "
+        "indicator expressions (columns from the known vocabulary; L32's "
+        "dictionary-encode covers the open-vocabulary integer-id form). "
+        "At 100 TB prefer the dictionary id + at-model-time expansion "
+        "over materializing wide indicator columns.",
+)
+
+_sql_pair(
+    "l48_grouped_split",
+    """
+    WITH g AS (
+      SELECT source,
+             CASE WHEN substring(md5(source), 1, 2) < 'cc' THEN 'train'
+                  WHEN substring(md5(source), 1, 2) < 'e6' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT DISTINCT source FROM documents))
+    SELECT d.doc_id, d.source, g.split
+    FROM documents d JOIN g ON d.source = g.source
+    ORDER BY d.doc_id
+    """,
+    """
+    WITH g AS (
+      SELECT source,
+             CASE WHEN substring(md5(source), 1, 2) < 'cc' THEN 'train'
+                  WHEN substring(md5(source), 1, 2) < 'e6' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT DISTINCT source FROM documents))
+    SELECT d.doc_id, d.source, g.split
+    FROM documents d JOIN g ON d.source = g.source
+    ORDER BY d.doc_id
+    """,
+    doc="L48: GROUP-AWARE train/val/test split — the assignment hashes "
+        "the SOURCE, not the doc, so every document from one origin "
+        "lands in the same split: the leakage guard L34's per-doc split "
+        "cannot give (near-dup docs from one source straddling train "
+        "and test inflate eval). Same md5-fence reproducibility and "
+        "incremental-ingest stability as L34; the distinct-source frame "
+        "is tiny and broadcasts.",
+)
