@@ -775,20 +775,6 @@ sql_pair(
            CAST(s.max_n AS DOUBLE) * s.n_keys / s.total AS skew_factor
     FROM top t CROSS JOIN s ORDER BY n DESC, key
     """,
-    """
-    WITH c AS (
-      SELECT l_suppkey AS key, count(*) AS n FROM lineitem GROUP BY l_suppkey),
-    s AS (
-      SELECT CAST(count(*) AS BIGINT) AS n_keys,
-             CAST(sum(n) AS BIGINT) AS total,
-             CAST(max(n) AS BIGINT) AS max_n
-      FROM c),
-    top AS (SELECT key, n FROM c ORDER BY n DESC, key LIMIT 5)
-    SELECT t.key, CAST(t.n AS BIGINT) AS n, s.n_keys, s.total,
-           CAST(t.n AS DOUBLE) / s.total AS share,
-           CAST(s.max_n AS DOUBLE) * s.n_keys / s.total AS skew_factor
-    FROM top t CROSS JOIN s ORDER BY n DESC, key
-    """,
     doc="G33: join-key skew diagnostic — per-key tallies (partial agg; "
         "the shuffle carries key counts, not rows), hottest keys, each "
         "hot key's share of all rows, and skew_factor = max/mean (the "
@@ -858,16 +844,6 @@ def g35_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 sql_pair(
     "g36_join_cardinality_preflight",
-    """
-    WITH a AS (SELECT o_custkey AS k, count(*) AS ca FROM orders GROUP BY o_custkey),
-         b AS (SELECT c_custkey AS k, count(*) AS cb FROM customer GROUP BY c_custkey)
-    SELECT CAST(sum(a.ca * b.cb) AS BIGINT)            AS join_rows,
-           CAST(count(*) AS BIGINT)                    AS matched_keys,
-           CAST((SELECT count(*) FROM a) AS BIGINT)    AS keys_left,
-           CAST((SELECT count(*) FROM b) AS BIGINT)    AS keys_right,
-           CAST(max(a.ca * b.cb) AS BIGINT)            AS hottest_key_rows
-    FROM a JOIN b ON a.k = b.k
-    """,
     """
     WITH a AS (SELECT o_custkey AS k, count(*) AS ca FROM orders GROUP BY o_custkey),
          b AS (SELECT c_custkey AS k, count(*) AS cb FROM customer GROUP BY c_custkey)

@@ -1921,19 +1921,7 @@ _sql_pair(
     med AS (
       SELECT event_type, MEDIAN(v) AS m FROM holed GROUP BY event_type)
     SELECT h.event_id, h.event_type,
-           CAST(COALESCE(h.v, m.m) AS DOUBLE) AS v_imputed,
-           h.v IS NULL AS was_imputed
-    FROM holed h JOIN med m ON h.event_type = m.event_type
-    """,
-    """
-    WITH holed AS (
-      SELECT event_id, event_type,
-             CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
-      FROM events),
-    med AS (
-      SELECT event_type, MEDIAN(v) AS m FROM holed GROUP BY event_type)
-    SELECT h.event_id, h.event_type,
-           CAST(COALESCE(h.v, m.m) AS DOUBLE) AS v_imputed,
+           ROUND(CAST(COALESCE(h.v, m.m) AS DOUBLE), 4) AS v_imputed,
            h.v IS NULL AS was_imputed
     FROM holed h JOIN med m ON h.event_type = m.event_type
     """,
@@ -1952,27 +1940,14 @@ _sql_pair(
     WITH med AS (
       SELECT event_type, MEDIAN(value) AS m FROM events GROUP BY event_type),
     dev AS (
-      SELECT e.event_id, e.event_type, e.value, m.m,
+      SELECT e.event_id, e.event_type, e.value,
              ABS(e.value - m.m) AS absdev
       FROM events e JOIN med m ON e.event_type = m.event_type),
     mad AS (
       SELECT event_type, MEDIAN(absdev) AS mad FROM dev GROUP BY event_type)
     SELECT d.event_id, d.event_type, d.value
     FROM dev d JOIN mad x ON d.event_type = x.event_type
-    WHERE ABS(d.value - d.m) <= 3 * x.mad
-    """,
-    """
-    WITH med AS (
-      SELECT event_type, MEDIAN(value) AS m FROM events GROUP BY event_type),
-    dev AS (
-      SELECT e.event_id, e.event_type, e.value, m.m,
-             ABS(e.value - m.m) AS absdev
-      FROM events e JOIN med m ON e.event_type = m.event_type),
-    mad AS (
-      SELECT event_type, MEDIAN(absdev) AS mad FROM dev GROUP BY event_type)
-    SELECT d.event_id, d.event_type, d.value
-    FROM dev d JOIN mad x ON d.event_type = x.event_type
-    WHERE ABS(d.value - d.m) <= 3 * x.mad
+    WHERE ROUND(d.absdev, 4) <= ROUND(3 * x.mad, 4)
     """,
     doc="L45: robust outlier gating — keep rows within 3 MADs of the "
         "per-group median (G29's statistic applied as the curation "
@@ -1984,16 +1959,6 @@ _sql_pair(
 
 _sql_pair(
     "l46_feature_scale",
-    """
-    WITH fences AS (
-      SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
-      FROM events GROUP BY event_type)
-    SELECT e.event_id, e.event_type,
-           CAST(CASE WHEN f.hi = f.lo THEN 0.5
-                     ELSE (e.value - f.lo) / (f.hi - f.lo) END AS DOUBLE)
-             AS v_scaled
-    FROM events e JOIN fences f ON e.event_type = f.event_type
-    """,
     """
     WITH fences AS (
       SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
@@ -2023,15 +1988,6 @@ _sql_pair(
            CAST(event_type = 'error'    AS INT) AS is_error
     FROM events
     """,
-    """
-    SELECT event_id,
-           CAST(event_type = 'click'    AS INT) AS is_click,
-           CAST(event_type = 'view'     AS INT) AS is_view,
-           CAST(event_type = 'purchase' AS INT) AS is_purchase,
-           CAST(event_type = 'signup'   AS INT) AS is_signup,
-           CAST(event_type = 'error'    AS INT) AS is_error
-    FROM events
-    """,
     doc="L47: one-hot encoding of the event-type categorical — the "
         "expansion every tabular feature pipeline needs; row-local "
         "indicator expressions (columns from the known vocabulary; L32's "
@@ -2042,17 +1998,6 @@ _sql_pair(
 
 _sql_pair(
     "l48_grouped_split",
-    """
-    WITH g AS (
-      SELECT source,
-             CASE WHEN substring(md5(source), 1, 2) < 'cc' THEN 'train'
-                  WHEN substring(md5(source), 1, 2) < 'e6' THEN 'val'
-                  ELSE 'test' END AS split
-      FROM (SELECT DISTINCT source FROM documents))
-    SELECT d.doc_id, d.source, g.split
-    FROM documents d JOIN g ON d.source = g.source
-    ORDER BY d.doc_id
-    """,
     """
     WITH g AS (
       SELECT source,
