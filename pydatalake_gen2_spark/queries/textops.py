@@ -332,3 +332,46 @@ sql_pair(
         "shuffle, scans only doc_id+text; the division order is fixed "
         "so both engines emit bit-identical doubles before ROUND.",
 )
+
+
+sql_pair(
+    "t11_readability_score",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+               AS n_words,
+             CAST(length(regexp_replace(lower(text), '[^.!?]', '')) AS BIGINT)
+               AS n_sentences,
+             CAST(length(regexp_replace(lower(text), '[^aeiou]', '')) AS BIGINT)
+               AS n_vowels
+      FROM documents)
+    SELECT doc_id, n_words, GREATEST(n_sentences, 1) AS n_sentences, n_vowels,
+           ROUND(206.835
+                 - 1.015 * (CAST(n_words AS DOUBLE) / GREATEST(n_sentences, 1))
+                 - 84.6 * (CAST(n_vowels AS DOUBLE) / n_words), 4) AS flesch_proxy
+    FROM m WHERE n_words > 0
+    """,
+    """
+    WITH m AS (
+      SELECT doc_id,
+             CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+               AS n_words,
+             CAST(length(regexp_replace(lower(text), '[^.!?]', '', 'g')) AS BIGINT)
+               AS n_sentences,
+             CAST(length(regexp_replace(lower(text), '[^aeiou]', '', 'g')) AS BIGINT)
+               AS n_vowels
+      FROM documents)
+    SELECT doc_id, n_words, GREATEST(n_sentences, 1) AS n_sentences, n_vowels,
+           ROUND(206.835
+                 - 1.015 * (CAST(n_words AS DOUBLE) / GREATEST(n_sentences, 1))
+                 - 84.6 * (CAST(n_vowels AS DOUBLE) / n_words), 4) AS flesch_proxy
+    FROM m WHERE n_words > 0
+    """,
+    doc="T11: readability scoring (Flesch reading-ease with a vowel-run "
+        "syllable proxy — the classic no-dictionary approximation): the "
+        "document-difficulty signal curation pipelines bucket corpora "
+        "by. Counts are exact integers from regexp strips; the final "
+        "formula is one ROUND(4)ed row-local double expression. "
+        "Complements t02/t05 (quality gates) and t10 (lexical density).",
+)

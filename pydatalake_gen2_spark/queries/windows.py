@@ -609,3 +609,27 @@ sql_pair(
         "groupBy), not of the fact table — the same defense G32 uses "
         "against the global-ntile trap.",
 )
+
+
+sql_pair(
+    "w23_peak_detection",
+    """
+    WITH s AS (
+      SELECT user_id, event_id, ts, value,
+             LAG(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_v,
+             LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_v
+      FROM events)
+    SELECT user_id, event_id, CAST(value AS DOUBLE) AS value,
+           (prev_v IS NOT NULL AND next_v IS NOT NULL
+            AND value > prev_v AND value > next_v) AS is_peak,
+           (prev_v IS NOT NULL AND next_v IS NOT NULL
+            AND value < prev_v AND value < next_v) AS is_trough
+    FROM s
+    """,
+    doc="W23: local peak/trough detection — an event is a peak when it "
+        "strictly exceeds both time-ordered neighbours in its user's "
+        "series (sequence endpoints are neither): the change-point "
+        "primitive under alerting and trend segmentation. One window "
+        "shuffle on the series key; strict inequalities + deterministic "
+        "(ts, event_id) ordering keep the booleans exact.",
+)
