@@ -333,7 +333,10 @@ def gr04_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GR05_ROUNDS = 4
 
 
-def _gr05_duck() -> str:
+def _duck_lpa_chain() -> str:
+    """Backbone + unrolled LPA rounds, ending with CTE l{_GR05_ROUNDS}
+    (node, label) — shared by the gr05 oracle and gr06's modularity
+    oracle so both always score the SAME communities."""
     sql = _DUCK_BACKBONE_PREFIX + """,
     l0 AS MATERIALIZED (SELECT DISTINCT s AS node, s AS label FROM e0)"""
     for i in range(_GR05_ROUNDS):
@@ -348,11 +351,14 @@ def _gr05_duck() -> str:
                row_number() OVER (PARTITION BY n
                                   ORDER BY cnt DESC, label) AS rn
         FROM v{i}) WHERE rn = 1)"""
-    sql += f"""
+    return sql
+
+
+def _gr05_duck() -> str:
+    return _duck_lpa_chain() + f"""
     SELECT node, CAST(label AS BIGINT) AS label
     FROM l{_GR05_ROUNDS} ORDER BY node
     """
-    return sql
 
 
 @register("gr05_lpa_communities", duck_sql=_gr05_duck())
@@ -372,3 +378,84 @@ def gr05_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(
         ed, rounds=_GR05_ROUNDS, src_col="u", dst_col="v"
     ).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# gr06: modularity score of the LPA communities
+# ---------------------------------------------------------------------------
+
+
+def _gr06_duck() -> str:
+    return _duck_lpa_chain() + f""",
+    lab AS (SELECT node, label FROM l{_GR05_ROUNDS}),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ed),
+    within AS (
+      SELECT la.label, CAST(count(*) AS BIGINT) AS e_within
+      FROM ed JOIN lab la ON ed.u = la.node
+              JOIN lab lb ON ed.v = lb.node
+      WHERE la.label = lb.label GROUP BY la.label),
+    deg AS (
+      SELECT la.label, CAST(count(*) AS BIGINT) AS deg_sum
+      FROM e0 JOIN lab la ON e0.s = la.node GROUP BY la.label),
+    comm AS (
+      SELECT d.label,
+             COALESCE(w.e_within, 0) AS e_within, d.deg_sum, m.m
+      FROM deg d LEFT JOIN within w ON d.label = w.label CROSS JOIN m)
+    SELECT label, e_within, deg_sum,
+           ROUND(CAST(e_within AS DOUBLE) / m
+                 - (CAST(deg_sum AS DOUBLE) / (2 * m))
+                   * (CAST(deg_sum AS DOUBLE) / (2 * m)), 6) AS q_contrib
+    FROM comm ORDER BY label
+    """
+
+
+@register("gr06_modularity", duck_sql=_gr06_duck())
+def gr06_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GR06: Newman modularity per community over GR05's labels — the
+    'did the detector find real structure' score (Q_c = e_c/m −
+    (deg_c/2m)²; positive means denser-than-chance). All inputs are
+    integer tallies (within-community edges, degree sums, |E|), so the
+    only float math is one ROUND(6)ed row-local expression per
+    community; everything before it is partial-agg joins of the edge
+    list against the (tiny, broadcastable) label table."""
+    from pydatalake_gen2_spark.operators.graph import label_propagation
+
+    ed = spark.sql(_GR03_BACKBONE)
+    lab = label_propagation(ed, rounds=_GR05_ROUNDS, src_col="u", dst_col="v")
+    m = ed.count()
+    la = lab.withColumnRenamed("node", "u").withColumnRenamed("label", "lu")
+    lb = lab.withColumnRenamed("node", "v").withColumnRenamed("label", "lv")
+    within = (
+        ed.join(F.broadcast(la), "u").join(F.broadcast(lb), "v")
+        .filter(F.col("lu") == F.col("lv"))
+        .groupBy(F.col("lu").alias("label"))
+        .agg(F.count(F.lit(1)).alias("e_within"))
+    )
+    sym = ed.select(F.col("u").alias("node")).union(ed.select(F.col("v").alias("node")))
+    deg = (
+        sym.join(F.broadcast(lab), "node")
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("deg_sum"))
+    )
+    out = (
+        deg.join(within, "label", "left")
+        .select(
+            "label",
+            F.coalesce("e_within", F.lit(0)).cast("bigint").alias("e_within"),
+            F.col("deg_sum").cast("bigint").alias("deg_sum"),
+        )
+        .withColumn(
+            "q_contrib",
+            F.round(
+                F.col("e_within").cast("double") / m
+                - (F.col("deg_sum").cast("double") / (2 * m))
+                * (F.col("deg_sum").cast("double") / (2 * m)),
+                6,
+            ),
+        )
+        .orderBy("label")
+    )
+    # the tracked labels checkpoint is released by the caller AFTER
+    # consuming (harness/bench call release_persisted between pairs) —
+    # releasing here would free blocks the returned lazy frame still needs
+    return out.select("label", "e_within", "deg_sum", "q_contrib")
