@@ -2017,3 +2017,128 @@ _sql_pair(
         "incremental-ingest stability as L34; the distinct-source frame "
         "is tiny and broadcasts.",
 )
+
+
+def _l49_duck() -> str:
+    mh_sigs = ", ".join(
+        f"min(md5('{i}:' || tok)) AS h{i}" for i in range(_L36_K)
+    )
+    mh_bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(h{2*b} || h{2*b+1}) AS bh FROM msigs"
+        for b in range(_L36_BANDS)
+    )
+    return f"""
+    WITH lt AS (SELECT doc_id AS id, lower(text) AS lt, text FROM documents),
+    -- leg 1: exact 3-gram Jaccard >= 0.3 (l02b tokenization: lowered)
+    jsets AS (
+      SELECT id, list_distinct(list_transform(generate_series(1, len(t) - 2),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS toks
+      FROM (SELECT id, string_split(lt, ' ') AS t FROM lt)
+      WHERE len(t) >= 3),
+    jinv AS (SELECT id, len(toks) AS n_toks, unnest(toks) AS tok FROM jsets),
+    jshared AS (
+      SELECT a.id AS id_a, b.id AS id_b, a.n_toks AS na, b.n_toks AS nb,
+             COUNT(*) AS n_shared
+      FROM jinv a JOIN jinv b ON a.tok = b.tok AND a.id < b.id
+      GROUP BY 1, 2, 3, 4),
+    jc AS (
+      SELECT id_a, id_b FROM jshared
+      WHERE n_shared / (na + nb - n_shared) >= 0.3),
+    -- leg 2: 48-bit md5 SimHash within Hamming 4 (l42's recurrence)
+    wtok AS (
+      SELECT id, unnest(list_distinct(string_split(lt, ' '))) AS tok FROM lt),
+    th AS (
+      SELECT id,
+             list_sum(list_transform(generate_series(1, 15), j ->
+               CAST(strpos('0123456789abcdef',
+                           substring(md5(tok), j, 1)) - 1 AS BIGINT)
+               << (4 * (15 - j)))) AS th
+      FROM wtok),
+    tallies AS (
+      SELECT id, i,
+             sum(CASE WHEN (th >> i) & 1 = 1 THEN 1 ELSE -1 END) AS tally
+      FROM th, unnest(generate_series(0, 47)) u(i) GROUP BY id, i),
+    fp AS (
+      SELECT id, sum(CASE WHEN tally > 0 THEN 1::BIGINT << i ELSE 0 END) AS sh
+      FROM tallies GROUP BY id),
+    shp AS (
+      SELECT a.id AS id_a, b.id AS id_b FROM fp a JOIN fp b ON a.id < b.id
+      WHERE bit_count(xor(a.sh, b.sh)) <= 4),
+    -- leg 3: banded MinHash -> exact-Jaccard verify (l36: unlowered)
+    mtoks AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ') AS tok
+      FROM documents,
+           unnest(generate_series(1, len(string_split(text, ' ')) - 2)) AS g(i)),
+    msigs AS (
+      SELECT doc_id, {mh_sigs}
+      FROM mtoks GROUP BY doc_id),
+    mbands AS ({mh_bands}),
+    mcand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM mbands a
+      JOIN mbands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+    msizes AS (SELECT doc_id, count(*) AS n FROM mtoks GROUP BY doc_id),
+    minter AS (
+      SELECT c.id_a, c.id_b, count(*) AS ninter
+      FROM mcand c
+      JOIN mtoks ta ON ta.doc_id = c.id_a
+      JOIN mtoks tb ON tb.doc_id = c.id_b AND tb.tok = ta.tok
+      GROUP BY c.id_a, c.id_b),
+    mh AS (
+      SELECT i.id_a, i.id_b
+      FROM minter i
+      JOIN msizes sa ON sa.doc_id = i.id_a
+      JOIN msizes sb ON sb.doc_id = i.id_b
+      WHERE i.ninter * 1.0 / (sa.n + sb.n - i.ninter) >= {_L36_TAU})
+    SELECT
+      CAST((SELECT count(*) FROM jc)  AS BIGINT) AS n_jaccard,
+      CAST((SELECT count(*) FROM shp) AS BIGINT) AS n_simhash,
+      CAST((SELECT count(*) FROM mh)  AS BIGINT) AS n_minhash,
+      CAST((SELECT count(*) FROM jc JOIN shp USING (id_a, id_b)) AS BIGINT)
+        AS n_jac_sim,
+      CAST((SELECT count(*) FROM jc JOIN mh USING (id_a, id_b)) AS BIGINT)
+        AS n_jac_mh,
+      CAST((SELECT count(*) FROM shp JOIN mh USING (id_a, id_b)) AS BIGINT)
+        AS n_sim_mh,
+      CAST((SELECT count(*) FROM jc JOIN shp USING (id_a, id_b)
+            JOIN mh USING (id_a, id_b)) AS BIGINT) AS n_all3
+    """
+
+
+@register("l49_detector_agreement", duck_sql=_l49_duck())
+def l49_detector_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L49: near-dup DETECTOR-AGREEMENT audit — pair counts and pairwise/
+    three-way overlaps of the three engine-independent detectors (exact
+    3-gram Jaccard, SimHash-Hamming, banded MinHash+verify) in one row:
+    the report that tells a curation owner whether detectors corroborate
+    or silently diverge (a sudden overlap drop means a tokenization or
+    threshold drift). Each leg keeps its own bucketed plan; overlaps are
+    joins of tiny id-pair sets. All three legs are md5-deterministic, so
+    the WHOLE audit hash-matches the oracle running the identical three
+    algorithms."""
+    docs = spark.table("documents")
+    jc = dedup.exact_jaccard_pairs(docs, tau=0.3).select("id_a", "id_b")
+    sh = dedup.simhash_neardup_pairs(docs, r=4).select("id_a", "id_b")
+    mh = l36_minhash_sql(spark, sf_dir).select(
+        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+    )
+    jc.createOrReplaceTempView("_l49_jc")
+    sh.createOrReplaceTempView("_l49_sh")
+    mh.createOrReplaceTempView("_l49_mh")
+    return spark.sql(
+        """
+        SELECT
+          CAST((SELECT count(*) FROM _l49_jc) AS BIGINT) AS n_jaccard,
+          CAST((SELECT count(*) FROM _l49_sh) AS BIGINT) AS n_simhash,
+          CAST((SELECT count(*) FROM _l49_mh) AS BIGINT) AS n_minhash,
+          CAST((SELECT count(*) FROM _l49_jc JOIN _l49_sh USING (id_a, id_b))
+               AS BIGINT) AS n_jac_sim,
+          CAST((SELECT count(*) FROM _l49_jc JOIN _l49_mh USING (id_a, id_b))
+               AS BIGINT) AS n_jac_mh,
+          CAST((SELECT count(*) FROM _l49_sh JOIN _l49_mh USING (id_a, id_b))
+               AS BIGINT) AS n_sim_mh,
+          CAST((SELECT count(*) FROM _l49_jc JOIN _l49_sh USING (id_a, id_b)
+                JOIN _l49_mh USING (id_a, id_b)) AS BIGINT) AS n_all3
+        """
+    )

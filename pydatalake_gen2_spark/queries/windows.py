@@ -633,3 +633,27 @@ sql_pair(
         "shuffle on the series key; strict inequalities + deterministic "
         "(ts, event_id) ordering keep the booleans exact.",
 )
+
+
+sql_pair(
+    "w24_drawdown",
+    """
+    WITH r AS (
+      SELECT user_id, event_id, ts, value,
+             MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS run_peak
+      FROM events)
+    SELECT user_id,
+           CAST(MAX(run_peak - value) AS DOUBLE) AS max_drawdown,
+           CAST(MAX(value) AS DOUBLE) AS peak,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM r GROUP BY user_id
+    """,
+    doc="W24: maximum drawdown — the largest peak-to-trough decline of "
+        "each user's value series (running max via an unbounded "
+        "preceding frame, then the max gap below it): the risk metric "
+        "for any cumulative series (portfolio value, quality score over "
+        "a pipeline's history). One window shuffle on the series key + "
+        "one partial-agg pass; values are raw column doubles, so "
+        "subtraction/max are exact cross-engine with no rounding.",
+)
