@@ -863,3 +863,22 @@ sql_pair(
         "partitions for a 100 TB join) wants first. Cost: two partial-agg "
         "tally shuffles + a key-level join — tallies, never rows.",
 )
+
+
+sql_pair(
+    "g37_grouping_id",
+    """
+    SELECT COALESCE(l_returnflag, '(all)') AS flag,
+           COALESCE(l_linestatus, '(all)') AS status,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="G37: GROUPING() metadata under ROLLUP — the bit that "
+        "distinguishes 'NULL because the data is NULL' from 'NULL "
+        "because this row is a subtotal', without which rollup outputs "
+        "are ambiguous to consumers. Same partial-agg rollup plan as "
+        "G05; the grouping bits ride the aggregation for free.",
+)

@@ -863,3 +863,38 @@ def j29_incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFr
     # "old view" materialized once (in production: read back from the
     # stored view); here the leg is computed to certify the union rule
     return leg(old_fact, False).unionByName(leg(delta_fact, True))
+
+
+sql_pair(
+    "j30_sequence_gap_detection",
+    """
+    WITH bounds AS (
+      SELECT CAST(min(event_id) AS BIGINT) AS lo, CAST(max(event_id) AS BIGINT) AS hi
+      FROM events),
+    expected AS (
+      SELECT CAST(id AS BIGINT) AS id
+      FROM bounds LATERAL VIEW explode(sequence(lo, hi)) u AS id)
+    SELECT e.id AS missing_id
+    FROM expected e LEFT ANTI JOIN events ev ON ev.event_id = e.id
+    ORDER BY missing_id
+    """,
+    """
+    WITH bounds AS (
+      SELECT CAST(min(event_id) AS BIGINT) AS lo, CAST(max(event_id) AS BIGINT) AS hi
+      FROM events),
+    expected AS (
+      SELECT CAST(u.id AS BIGINT) AS id
+      FROM bounds, UNNEST(generate_series(bounds.lo, bounds.hi)) AS u(id))
+    SELECT e.id AS missing_id
+    FROM expected e
+    WHERE NOT EXISTS (SELECT 1 FROM events ev WHERE ev.event_id = e.id)
+    ORDER BY missing_id
+    """,
+    doc="J30: sequence-gap detection — generate the expected dense id "
+        "range and anti-join the observed ids: the completeness audit "
+        "for ingestion (missing Kafka offsets, dropped batches). The "
+        "dense spine is a generator (no table scan); the anti join is "
+        "the same hash join class as J07. On the complete fixture the "
+        "result is EMPTY — equally strong as a hash match (a single "
+        "spurious or missing id breaks it).",
+)

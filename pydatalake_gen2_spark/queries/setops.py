@@ -85,3 +85,23 @@ def u07_union_by_name_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderpriority"
     )
     return a.unionByName(b, allowMissingColumns=True).orderBy("o_orderkey")
+
+
+sql_pair(
+    "u08_union_type_widening",
+    """
+    SELECT k, CAST(v AS DOUBLE) AS v FROM (
+      SELECT 'int' AS k, CAST(l_linenumber AS INT) AS v FROM lineitem WHERE l_orderkey < 50
+      UNION ALL
+      SELECT 'big' AS k, CAST(l_orderkey AS BIGINT) AS v FROM lineitem WHERE l_orderkey < 50
+      UNION ALL
+      SELECT 'dbl' AS k, l_quantity AS v FROM lineitem WHERE l_orderkey < 50
+    )
+    """,
+    doc="U08: implicit type widening across UNION branches (INT ∪ BIGINT "
+        "∪ DOUBLE → DOUBLE): both engines must agree on the promoted "
+        "common type and the exact widened values — the silent-coercion "
+        "corner that corrupts ids when a union partner is floating "
+        "(BIGINTs above 2^53 would round; the explicit final CAST makes "
+        "the promotion auditable).",
+)
