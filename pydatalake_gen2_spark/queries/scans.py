@@ -864,3 +864,71 @@ def s29_parquet_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey")
     )
+
+
+@register(
+    "s30_vacuum_orphans",
+    duck_sql="""
+    SELECT CAST(step AS INT) AS step, op, ok
+    FROM (VALUES
+        (0, 'two_commits_live', TRUE),
+        (1, 'orphans_detected', TRUE),
+        (2, 'dry_run_kept_orphans', TRUE),
+        (3, 'vacuum_removed_only_orphans', TRUE),
+        (4, 'data_survives_vacuum', TRUE)
+    ) t(step, op, ok)
+    ORDER BY step
+    """,
+)
+def s30_vacuum_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S30: VACUUM — delete files no manifest references (the leftovers
+    of crashed commits), never committed data: the maintenance half of
+    the S16 versioned table (commit publishes manifest-last, expire
+    deletes manifest-first, vacuum reclaims everything in between).
+    Scenario: 2 real commits + a planted half-written ``_v99999999``
+    data dir and a stray temp file; dry-run must only REPORT them,
+    vacuum must remove EXACTLY them, and both committed versions must
+    read back intact afterwards. Each postcondition is one
+    deterministic (step, op, ok) row."""
+    import shutil
+    import tempfile
+
+    from pydatalake_gen2_spark.sources.versioned import VersionedTable
+
+    root = tempfile.mkdtemp(prefix="s30_vt_")
+    try:
+        vt = VersionedTable(spark, f"file://{root}")
+        nat = spark.table("nation").select("n_nationkey", "n_name")
+        vt.commit(nat.limit(5))
+        vt.commit(nat.limit(10))
+        checks: list[tuple[str, bool]] = []
+        checks.append(("two_commits_live", vt.versions() == [1, 2]))
+        # plant a crashed-commit data dir and a stray temp file
+        nat.limit(2).write.mode("overwrite").parquet(f"file://{root}/_v99999999")
+        vt._cat.upload_bytes("tmp_junk.partial", b"leftover")
+        found = vt.vacuum_orphans(dry_run=True)
+        checks.append(
+            ("orphans_detected", found == ["_v99999999", "tmp_junk.partial"])
+        )
+        checks.append(
+            ("dry_run_kept_orphans",
+             vt.vacuum_orphans(dry_run=True) == found)
+        )
+        removed = vt.vacuum_orphans()
+        names = sorted(p.name for p in vt._cat.list_paths(""))
+        checks.append(
+            ("vacuum_removed_only_orphans",
+             removed == found
+             and names == sorted(
+                 ["_manifest.00000001.json", "_manifest.00000002.json",
+                  "_v00000001", "_v00000002"])
+             )
+        )
+        checks.append(
+            ("data_survives_vacuum",
+             vt.read(1).count() == 5 and vt.read(2).count() == 10)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    rows = [(i, op, bool(ok)) for i, (op, ok) in enumerate(checks)]
+    return spark.createDataFrame(rows, "step INT, op STRING, ok BOOLEAN").orderBy("step")

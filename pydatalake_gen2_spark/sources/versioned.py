@@ -98,3 +98,26 @@ class VersionedTable:
             self._cat.delete_path(self._manifest_name(v))
             self._cat.delete_path(f"_v{v:08d}", recursive=True)
         return drop
+
+    def vacuum_orphans(self, dry_run: bool = False) -> list[str]:
+        """VACUUM: delete top-level entries no live manifest references —
+        leftovers of crashed commits (a written ``_v*`` dir whose manifest
+        never published) or stray temp files. Mirrors lakehouse VACUUM
+        semantics: the MANIFEST SET is the source of truth, so anything
+        unreferenced is garbage by definition; committed data is never
+        touched because commit() publishes the manifest only after its
+        data dir is complete (and expire() deletes manifests first).
+        Returns the orphan names (sorted), deleting them unless
+        ``dry_run``."""
+        live = set()
+        for v in self.versions():
+            live.add(self._manifest_name(v))
+            m = json.loads(self._cat.read_bytes(self._manifest_name(v)).decode())
+            live.add(m["dir"])
+        orphans = sorted(
+            p.name for p in self._cat.list_paths("") if p.name not in live
+        )
+        if not dry_run:
+            for name in orphans:
+                self._cat.delete_path(name, recursive=True)
+        return orphans
