@@ -419,8 +419,13 @@ def gr06_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     community; everything before it is partial-agg joins of the edge
     list against the (tiny, broadcastable) label table."""
     from pydatalake_gen2_spark.operators.graph import label_propagation
+    from pydatalake_gen2_spark.operators.util import track_persist
 
-    ed = spark.sql(_GR03_BACKBONE)
+    # persist the backbone: it feeds label_propagation, the count, and
+    # three scans of the modularity tallies — unpersisted it recomputes
+    # the lineitem pair-weight join ~5x (caller releases via
+    # release_persisted)
+    ed = track_persist(spark.sql(_GR03_BACKBONE))
     lab = label_propagation(ed, rounds=_GR05_ROUNDS, src_col="u", dst_col="v")
     m = ed.count()
     la = lab.withColumnRenamed("node", "u").withColumnRenamed("label", "lu")

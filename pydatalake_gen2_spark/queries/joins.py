@@ -868,33 +868,27 @@ def j29_incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFr
 sql_pair(
     "j30_sequence_gap_detection",
     """
-    WITH bounds AS (
-      SELECT CAST(min(event_id) AS BIGINT) AS lo, CAST(max(event_id) AS BIGINT) AS hi
-      FROM events),
-    expected AS (
-      SELECT CAST(id AS BIGINT) AS id
-      FROM bounds LATERAL VIEW explode(sequence(lo, hi)) u AS id)
-    SELECT e.id AS missing_id
-    FROM expected e LEFT ANTI JOIN events ev ON ev.event_id = e.id
-    ORDER BY missing_id
+    WITH ids AS (SELECT DISTINCT event_id FROM events),
+    s AS (
+      SELECT event_id,
+             LAG(event_id) OVER (ORDER BY event_id) AS prev_id
+      FROM ids)
+    SELECT CAST(prev_id + 1 AS BIGINT) AS gap_start,
+           CAST(event_id - 1 AS BIGINT) AS gap_end,
+           CAST(event_id - prev_id - 1 AS BIGINT) AS n_missing
+    FROM s
+    WHERE prev_id IS NOT NULL AND event_id - prev_id > 1
+    ORDER BY gap_start
     """,
-    """
-    WITH bounds AS (
-      SELECT CAST(min(event_id) AS BIGINT) AS lo, CAST(max(event_id) AS BIGINT) AS hi
-      FROM events),
-    expected AS (
-      SELECT CAST(u.id AS BIGINT) AS id
-      FROM bounds, UNNEST(generate_series(bounds.lo, bounds.hi)) AS u(id))
-    SELECT e.id AS missing_id
-    FROM expected e
-    WHERE NOT EXISTS (SELECT 1 FROM events ev WHERE ev.event_id = e.id)
-    ORDER BY missing_id
-    """,
-    doc="J30: sequence-gap detection — generate the expected dense id "
-        "range and anti-join the observed ids: the completeness audit "
-        "for ingestion (missing Kafka offsets, dropped batches). The "
-        "dense spine is a generator (no table scan); the anti join is "
-        "the same hash join class as J07. On the complete fixture the "
-        "result is EMPTY — equally strong as a hash match (a single "
-        "spurious or missing id breaks it).",
+    doc="J30: sequence-gap detection via islands-and-gaps — LAG over the "
+        "observed ids emits one (gap_start, gap_end, n_missing) row per "
+        "hole: the ingestion-completeness audit (missing Kafka offsets, "
+        "dropped batches). O(observed) and robust to wild outlier ids, "
+        "unlike the naive generate-the-dense-spine formulation, which "
+        "materializes max-min rows and explodes on the very anomaly it "
+        "audits for (one corrupt 10^12 id). The window sorts only the "
+        "deduped 8-byte id projection; at extreme scale the same "
+        "recurrence runs on o06's range-partitioned sort with boundary "
+        "exchange. On the complete fixture the result is EMPTY — equally "
+        "strong as a hash match (any missing id breaks it).",
 )

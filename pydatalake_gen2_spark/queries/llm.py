@@ -1807,7 +1807,11 @@ def l41_knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "l42_ensemble_dedup",
     duck_sql="""
-    WITH RECURSIVE base AS (SELECT doc_id AS id, text, lower(text) AS lt FROM documents),
+    WITH RECURSIVE base AS (
+      -- coalesce mirrors tokens_col (NULL text -> ''): the Spark side
+      -- fingerprints NULL-text docs, so the oracle must too
+      SELECT doc_id AS id, text, lower(coalesce(text, '')) AS lt
+      FROM documents),
     -- leg 1: exact duplicates (same bytes -> same md5)
     ex AS (SELECT id, md5(text) AS h FROM base),
     exm AS (SELECT h, min(id) AS root FROM ex GROUP BY h),
@@ -2028,7 +2032,12 @@ def _l49_duck() -> str:
         for b in range(_L36_BANDS)
     )
     return f"""
-    WITH lt AS (SELECT doc_id AS id, lower(text) AS lt, text FROM documents),
+    WITH lt AS (
+      -- coalesce mirrors tokens_col (NULL text -> '') for the jaccard
+      -- and simhash legs; the minhash leg intentionally matches l36's
+      -- split(text) which drops NULL docs on both engines
+      SELECT doc_id AS id, lower(coalesce(text, '')) AS lt, text
+      FROM documents),
     -- leg 1: exact 3-gram Jaccard >= 0.3 (l02b tokenization: lowered)
     jsets AS (
       SELECT id, list_distinct(list_transform(generate_series(1, len(t) - 2),
@@ -2117,11 +2126,23 @@ def l49_detector_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins of tiny id-pair sets. All three legs are md5-deterministic, so
     the WHOLE audit hash-matches the oracle running the identical three
     algorithms."""
+    from pydatalake_gen2_spark.operators.util import track_persist
+
     docs = spark.table("documents")
-    jc = dedup.exact_jaccard_pairs(docs, tau=0.3).select("id_a", "id_b")
-    sh = dedup.simhash_neardup_pairs(docs, r=4).select("id_a", "id_b")
-    mh = l36_minhash_sql(spark, sf_dir).select(
-        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+    # persist the three tiny id-pair frames: the final SQL references
+    # each through 4 distinct scalar subqueries, and without caching each
+    # detector pipeline would execute 4x (released by the caller via
+    # release_persisted, like every tracked frame)
+    jc = track_persist(
+        dedup.exact_jaccard_pairs(docs, tau=0.3).select("id_a", "id_b")
+    )
+    sh = track_persist(
+        dedup.simhash_neardup_pairs(docs, r=4).select("id_a", "id_b")
+    )
+    mh = track_persist(
+        l36_minhash_sql(spark, sf_dir).select(
+            F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+        )
     )
     jc.createOrReplaceTempView("_l49_jc")
     sh.createOrReplaceTempView("_l49_sh")

@@ -906,15 +906,16 @@ def s30_vacuum_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
         # plant a crashed-commit data dir and a stray temp file
         nat.limit(2).write.mode("overwrite").parquet(f"file://{root}/_v99999999")
         vt._cat.upload_bytes("tmp_junk.partial", b"leftover")
-        found = vt.vacuum_orphans(dry_run=True)
+        # min_age_s=0: single-process test, no concurrent writer to protect
+        found = vt.vacuum_orphans(dry_run=True, min_age_s=0)
         checks.append(
             ("orphans_detected", found == ["_v99999999", "tmp_junk.partial"])
         )
         checks.append(
             ("dry_run_kept_orphans",
-             vt.vacuum_orphans(dry_run=True) == found)
+             vt.vacuum_orphans(dry_run=True, min_age_s=0) == found)
         )
-        removed = vt.vacuum_orphans()
+        removed = vt.vacuum_orphans(min_age_s=0)
         names = sorted(p.name for p in vt._cat.list_paths(""))
         checks.append(
             ("vacuum_removed_only_orphans",

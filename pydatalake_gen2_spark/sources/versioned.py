@@ -99,7 +99,9 @@ class VersionedTable:
             self._cat.delete_path(f"_v{v:08d}", recursive=True)
         return drop
 
-    def vacuum_orphans(self, dry_run: bool = False) -> list[str]:
+    def vacuum_orphans(
+        self, dry_run: bool = False, min_age_s: float = 3600.0
+    ) -> list[str]:
         """VACUUM: delete top-level entries no live manifest references —
         leftovers of crashed commits (a written ``_v*`` dir whose manifest
         never published) or stray temp files. Mirrors lakehouse VACUUM
@@ -107,15 +109,31 @@ class VersionedTable:
         unreferenced is garbage by definition; committed data is never
         touched because commit() publishes the manifest only after its
         data dir is complete (and expire() deletes manifests first).
-        Returns the orphan names (sorted), deleting them unless
-        ``dry_run``."""
+
+        Concurrency contract: everything derives from ONE directory
+        snapshot (a commit landing after the snapshot is simply invisible
+        — it can never be classified an orphan), and entries modified
+        within ``min_age_s`` are retained, so an IN-FLIGHT commit's data
+        dir (written before its manifest publishes — step 1 of the
+        protocol) is never reaped. That retention window is the same
+        defense real lakehouse VACUUMs require; pass 0 only when no
+        writer can be active (e.g. single-process tests). Returns the
+        orphan names (sorted), deleting them unless ``dry_run``."""
+        import time
+
+        entries = self._cat.list_paths("")
         live = set()
-        for v in self.versions():
-            live.add(self._manifest_name(v))
-            m = json.loads(self._cat.read_bytes(self._manifest_name(v)).decode())
-            live.add(m["dir"])
+        for p in entries:
+            m = _MANIFEST_RE.match(p.name)
+            if m:
+                live.add(p.name)
+                ref = json.loads(self._cat.read_bytes(p.name).decode())
+                live.add(ref["dir"])
+        cutoff_ms = (time.time() - min_age_s) * 1000.0
         orphans = sorted(
-            p.name for p in self._cat.list_paths("") if p.name not in live
+            p.name
+            for p in entries
+            if p.name not in live and p.modification_time <= cutoff_ms
         )
         if not dry_run:
             for name in orphans:

@@ -1182,3 +1182,29 @@ def test_label_propagation_matches_python(spark, edges, rounds):
             new[n] = min(counts, key=lambda l: (-counts[l], l))
         labels = new
     assert got == labels
+
+
+def test_sequence_gap_detection_finds_planted_gaps(spark):
+    """j30's recurrence on data WITH holes (the fixture has none): ids
+    {1,2,3, 7, 10,11} must yield gaps [4..6] and [8..9] — and a wild
+    outlier id must produce one huge-gap ROW, not an error (the failure
+    mode of the dense-spine formulation)."""
+    spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 7, 10, 11]], "event_id BIGINT"
+    ).createOrReplaceTempView("g30_ids")
+    sql = """
+    WITH ids AS (SELECT DISTINCT event_id FROM g30_ids),
+    s AS (SELECT event_id, LAG(event_id) OVER (ORDER BY event_id) AS prev_id
+          FROM ids)
+    SELECT prev_id + 1 AS gap_start, event_id - 1 AS gap_end,
+           event_id - prev_id - 1 AS n_missing
+    FROM s WHERE prev_id IS NOT NULL AND event_id - prev_id > 1
+    ORDER BY gap_start
+    """
+    got = [tuple(r) for r in spark.sql(sql).collect()]
+    assert got == [(4, 6, 3), (8, 9, 2)]
+    spark.createDataFrame(
+        [(1,), (2,), (10**12,)], "event_id BIGINT"
+    ).createOrReplaceTempView("g30_ids")
+    got = [tuple(r) for r in spark.sql(sql).collect()]
+    assert got == [(3, 10**12 - 1, 10**12 - 3)]
