@@ -80,6 +80,10 @@ SHOW = [
     ("l41_knn_label_propagation", "kNN voting: broadcast queries + partial-agg argmax"),
     ("l42_ensemble_dedup", "evidence-union edges -> one components resolution"),
     ("st21_dynamic_session_batch", "dynamic-gap session window: one shuffle groupBy"),
+    ("j30_sequence_gap_detection", "islands-and-gaps: LAG over deduped id projection"),
+    ("l45_outlier_filter", "MAD gate: tally medians + broadcast fences, row-local filter"),
+    ("g35_bitmap_distinct", "bitmap partials in the shuffle, not raw key sets"),
+    ("w24_drawdown", "running-max frame + partial agg, no self-join"),
 ]
 
 
