@@ -157,8 +157,17 @@ def merge_upsert(
     mutation.
     """
     if validate_source_keys:
+        # collision-proofed tally name: a key column literally named
+        # "count" would make groupBy().count()'s output ambiguous
+        nname = "_n"
+        while nname in key_cols:
+            nname += "_"
         dupes = (
-            source.groupBy(*key_cols).count().filter(F.col("count") > 1).limit(1).count()
+            source.groupBy(*key_cols)
+            .agg(F.count(F.lit(1)).alias(nname))
+            .filter(F.col(nname) > 1)
+            .limit(1)
+            .count()
         )
         if dupes:
             raise ValueError(

@@ -55,6 +55,14 @@ def global_row_ids(
     ROW_NUMBER. The ranked intermediate is persisted so the offset pass and
     the output pass see the same sampled range boundaries — call
     ``operators.util.release_persisted()`` after consuming the result.
+
+    ``df`` must also be DETERMINISTIC under recompute (a re-evaluated
+    lineage yields the same rows): the two passes share the persisted frame,
+    but if a cached block is evicted/lost between them Spark recomputes it
+    from lineage, and a nondeterministic upstream (unseeded sample, shuffled
+    input without a stable order) could then disagree with the collected
+    offsets — duplicate or missing ids. Feed nondeterministic inputs through
+    ``df.localCheckpoint()`` first to sever the lineage.
     """
     cols = list(order_cols)
     n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism

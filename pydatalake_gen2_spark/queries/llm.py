@@ -2144,22 +2144,22 @@ def l49_detector_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
         )
     )
-    jc.createOrReplaceTempView("_l49_jc")
-    sh.createOrReplaceTempView("_l49_sh")
-    mh.createOrReplaceTempView("_l49_mh")
-    return spark.sql(
-        """
-        SELECT
-          CAST((SELECT count(*) FROM _l49_jc) AS BIGINT) AS n_jaccard,
-          CAST((SELECT count(*) FROM _l49_sh) AS BIGINT) AS n_simhash,
-          CAST((SELECT count(*) FROM _l49_mh) AS BIGINT) AS n_minhash,
-          CAST((SELECT count(*) FROM _l49_jc JOIN _l49_sh USING (id_a, id_b))
-               AS BIGINT) AS n_jac_sim,
-          CAST((SELECT count(*) FROM _l49_jc JOIN _l49_mh USING (id_a, id_b))
-               AS BIGINT) AS n_jac_mh,
-          CAST((SELECT count(*) FROM _l49_sh JOIN _l49_mh USING (id_a, id_b))
-               AS BIGINT) AS n_sim_mh,
-          CAST((SELECT count(*) FROM _l49_jc JOIN _l49_sh USING (id_a, id_b)
-                JOIN _l49_mh USING (id_a, id_b)) AS BIGINT) AS n_all3
-        """
-    )
+    # DataFrame joins/aggs, NOT session-global temp views: fixed
+    # createOrReplaceTempView names would let two interleaved invocations
+    # in one session silently read each other's pair sets.
+    keys = ["id_a", "id_b"]
+
+    def n(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("bigint").alias(name))
+
+    out = n(jc, "n_jaccard")
+    for frame in (
+        n(sh, "n_simhash"),
+        n(mh, "n_minhash"),
+        n(jc.join(sh, keys), "n_jac_sim"),
+        n(jc.join(mh, keys), "n_jac_mh"),
+        n(sh.join(mh, keys), "n_sim_mh"),
+        n(jc.join(sh, keys).join(mh, keys), "n_all3"),
+    ):
+        out = out.crossJoin(frame)
+    return out

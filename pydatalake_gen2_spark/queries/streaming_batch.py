@@ -9,6 +9,8 @@ file-source replay; tests assert stream-result == batch-form equality.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -435,9 +437,14 @@ def st18_union_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_type", "n", "sum_value").orderBy("event_type")
 
 
-# keyed by (session id, sf_dir): a VersionedTable is bound to the session
-# that created it — serving one from a stopped/other session is a bug.
-_ST19_VT: dict[tuple[int, str], object] = {}
+# keyed by (session, sf_dir): a VersionedTable is bound to the session that
+# created it — serving one from a stopped/other session is a bug. The session
+# key is a WEAK reference: a raw id() could be reused by a NEW session after
+# the old one is garbage-collected, silently serving a table bound to a dead
+# session. Entries die with their session instead.
+_ST19_VT: "weakref.WeakKeyDictionary[SparkSession, dict[str, object]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 @register(
@@ -459,10 +466,10 @@ def st19_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     must equal the batch latest-per-key over the whole table. The
     version chain additionally records every intermediate dimension
     state, time-travelable via S16."""
-    key = (id(spark), sf_dir)
-    if key not in _ST19_VT:
-        _ST19_VT[key] = replay.run_streaming_upsert(spark, sf_dir)
-    vt = _ST19_VT[key]
+    per_session = _ST19_VT.setdefault(spark, {})
+    if sf_dir not in per_session:
+        per_session[sf_dir] = replay.run_streaming_upsert(spark, sf_dir)
+    vt = per_session[sf_dir]
     return vt.read().select(
         "user_id", "last_event_id", "last_type", "last_value"
     ).orderBy("user_id")

@@ -265,7 +265,8 @@ def ud08_pandas_iter_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     def bucket(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         modulus = 97  # stand-in for expensive per-task init (model load)
         for s in it:
-            yield (s.mul(100).round(0).astype("int64")) % modulus
+            # half-up, not pandas .round() (half-even): matches SQL round()
+            yield (s.mul(100) + 0.5).astype("int64") % modulus
 
     return (
         spark.table("orders")
@@ -344,7 +345,11 @@ def ud10_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyarrow.compute as pc
 
     def stats(table: pa.Table) -> pa.Table:
-        cents = pc.cast(pc.round(pc.multiply(table.column("o_totalprice"), 100)), pa.int64())
+        cents = pc.cast(
+            # half-up on positives, not Arrow's default half-to-even
+            pc.round(pc.multiply(table.column("o_totalprice"), 100), round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
         return pa.table(
             {
                 "o_orderpriority": [table.column("o_orderpriority")[0].as_py()],
