@@ -2,6 +2,7 @@
 
 from pydatalake_gen2_spark.queries import (  # noqa: F401
     aggregates,
+    analytics,
     composite,
     functions,
     functions_ext,

@@ -1,0 +1,319 @@
+"""Statistical-audit / analytics operators — SURVEY.md §2B.19.
+
+Data-profiling and statistics queries a warehouse owner runs ON the engine:
+independence tests, autocorrelation, Benford digit audits, referential-
+integrity sweeps, seasonal baselines, record detection, keyset pagination.
+All are partial-agg / window shapes that hold at 100 TB (rationale per
+query); float discipline follows the repo rules — exact DECIMAL moments,
+ONE final IEEE expression, ROUND only on row-local scalar math.
+
+Reference parity note: the reference client (client.py) has no analytics
+surface; these extend the declared engine layer (SURVEY §0 consequence 2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pydatalake_gen2_spark.registry import register, sql_pair
+
+# ---------------------------------------------------------------------------
+# g38: chi-square test of independence (event_type x user-bucket)
+# ---------------------------------------------------------------------------
+
+sql_pair(
+    "g38_chi_square",
+    """
+    WITH obs AS (
+      SELECT event_type, CAST(user_id % 4 AS INT) AS ub,
+             CAST(count(*) AS BIGINT) AS o
+      FROM events GROUP BY event_type, CAST(user_id % 4 AS INT)),
+    rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r FROM obs GROUP BY event_type),
+    ct AS (SELECT ub, CAST(sum(o) AS BIGINT) AS c FROM obs GROUP BY ub),
+    tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs)
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           CAST((count(DISTINCT obs.event_type) - 1)
+                * (count(DISTINCT obs.ub) - 1) AS BIGINT) AS dof,
+           CAST(SUM(CAST(ROUND(
+                 ((o - (CAST(r AS DOUBLE) * c / n))
+                  * (o - (CAST(r AS DOUBLE) * c / n)))
+                 / (CAST(r AS DOUBLE) * c / n), 6) AS DECIMAL(18,6)))
+             AS DOUBLE) AS chi2
+    FROM obs
+    JOIN rt ON obs.event_type = rt.event_type
+    JOIN ct ON obs.ub = ct.ub
+    CROSS JOIN tot
+    """,
+    doc="G38: chi-square independence statistic between event_type and a "
+        "deterministic user bucket — the drift/association test a feature "
+        "owner runs before trusting a categorical split. Contingency, row, "
+        "and column totals are integer partial aggs (tallies cross the "
+        "shuffle, never rows); each cell's (o-e)^2/e is one IEEE "
+        "expression ROUND(6)ed row-locally, then summed EXACTLY as "
+        "DECIMAL(18,6) so the 20-cell sum is order-independent across "
+        "engines. At 100 TB: cost = one groupBy over the fact table; "
+        "everything after is O(cells).",
+)
+
+
+# ---------------------------------------------------------------------------
+# g39: lag-k autocorrelation of the daily revenue series
+# ---------------------------------------------------------------------------
+
+def _autocorr_sql() -> str:
+    """Lag-1 and lag-7 Pearson autocorrelation from EXACT integer moments.
+
+    corr = (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2) * (n*Syy - Sy^2)) with
+    every S a DECIMAL sum of integer cents (order-independent, exact in
+    both engines); the final expression is ONE IEEE divide/sqrt,
+    ROUND(6)ed because DuckDB's int128-decimal -> DOUBLE cast is not
+    correctly rounded (observed 1-ulp drift on 70-bit moments).
+    Precisions are sized so no product exceeds width 38 in either engine
+    (DuckDB errors past 38; Spark silently reduces scale).
+    """
+    legs = []
+    for lag in (1, 7):
+        legs.append(f"""
+    SELECT CAST({lag} AS INT) AS lag_days,
+           CAST(n AS BIGINT) AS n_pairs,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS autocorr
+    FROM (
+      SELECT CAST(count(*) AS DECIMAL(6,0)) AS n,
+             CAST(SUM(x) AS DECIMAL(19,0)) AS sx,
+             CAST(SUM(y) AS DECIMAL(19,0)) AS sy,
+             CAST(SUM(x * y) AS DECIMAL(30,0)) AS sxy,
+             CAST(SUM(x * x) AS DECIMAL(30,0)) AS sxx,
+             CAST(SUM(y * y) AS DECIMAL(30,0)) AS syy
+      FROM (
+        -- width 19 (not 18): DuckDB runs width<=18 decimal multiplies in
+        -- int64, which overflows on cents*cents; 19 forces hugeint
+        SELECT CAST(cents AS DECIMAL(19,0)) AS x,
+               CAST(lag(cents, {lag}) OVER (ORDER BY day) AS DECIMAL(19,0)) AS y
+        FROM (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+                 CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+          FROM orders GROUP BY CAST(o_orderdate AS DATE)) daily) lagged
+      WHERE y IS NOT NULL) m""")
+    return " UNION ALL ".join(legs) + " ORDER BY lag_days"
+
+
+sql_pair(
+    "g39_autocorrelation",
+    _autocorr_sql(),
+    doc="G39: lag-1 / lag-7 autocorrelation of the daily revenue series — "
+        "the seasonality detector behind forecast-model choice. The fact "
+        "table reduces to one row per day (partial agg), the lag window "
+        "runs on the day-count-sized series, and the correlation is "
+        "assembled from exact DECIMAL moments with a single final IEEE "
+        "expression, so an inherently float statistic still hash-matches. "
+        "At 100 TB the only data-sized cost is the daily rollup scan.",
+)
+
+
+# ---------------------------------------------------------------------------
+# g40: Benford first-digit audit
+# ---------------------------------------------------------------------------
+
+sql_pair(
+    "g40_benford_audit",
+    """
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS STRING),
+                         1, 1) AS INT) AS d
+      FROM orders WHERE o_totalprice >= 1),
+    counts AS (
+      SELECT d, CAST(count(*) AS BIGINT) AS cnt FROM digits GROUP BY d),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM counts)
+    SELECT d AS first_digit, cnt,
+           ROUND(CAST(cnt AS DOUBLE) / n, 6) AS observed_share,
+           ROUND(LOG10(1.0 + 1.0 / d), 6) AS benford_share,
+           ROUND(ABS(ROUND(CAST(cnt AS DOUBLE) / n, 6)
+                     - ROUND(LOG10(1.0 + 1.0 / d), 6)), 6) AS abs_dev
+    FROM counts CROSS JOIN tot
+    ORDER BY first_digit
+    """,
+    doc="G40: Benford's-law first-significant-digit audit of order totals "
+        "— the classic fabricated-data / unit-mixing smell test for a "
+        "financial column. One scan + a 9-row aggregate; shares and the "
+        "log-law expectation are row-local ROUND(6) scalars. At 100 TB "
+        "the digit extraction rides the scan (substr of an integer "
+        "render) and only 9 tallies cross the wire.",
+)
+
+
+# ---------------------------------------------------------------------------
+# j31: referential-integrity orphan audit over every FK edge
+# ---------------------------------------------------------------------------
+
+_FK_EDGES = [
+    # (edge label, child table, child key, parent table, parent key)
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+]
+
+
+def _j31_duck() -> str:
+    legs = []
+    for label, child, ck, parent, pk in _FK_EDGES:
+        legs.append(f"""
+    SELECT '{label}' AS edge,
+           (SELECT CAST(count(*) AS BIGINT) FROM {child}) AS n_child,
+           (SELECT CAST(count(*) AS BIGINT) FROM {child} c
+            WHERE NOT EXISTS (SELECT 1 FROM {parent} p
+                              WHERE p.{pk} = c.{ck})) AS n_orphans""")
+    return (
+        "SELECT edge, n_child, n_orphans, n_orphans = 0 AS ok FROM ("
+        + " UNION ALL ".join(legs)
+        + ") t ORDER BY edge"
+    )
+
+
+@register("j31_referential_integrity", duck_sql=_j31_duck())
+def j31_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J31: referential-integrity audit — orphan counts for every declared
+    FK edge (FIXTURES.md §keys) in ONE report: the ingestion-trust sweep
+    run before joins are believed (J30 audits id continuity; this audits
+    cross-table reachability). Each edge is a LEFT ANTI join; parents are
+    dims that broadcast, so at 100 TB only the child scans are data-sized
+    and no fact table ever shuffles. A single dangling key flips its
+    edge's ok flag and breaks the hash."""
+    out = None
+    for label, child, ck, parent, pk in _FK_EDGES:
+        c = spark.table(child)
+        p = spark.table(parent)
+        orphans = c.join(p, c[ck] == p[pk], "left_anti").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orphans")
+        )
+        leg = (
+            c.agg(F.count(F.lit(1)).cast("bigint").alias("n_child"))
+            .crossJoin(orphans)
+            .select(
+                F.lit(label).alias("edge"),
+                "n_child",
+                "n_orphans",
+                (F.col("n_orphans") == 0).alias("ok"),
+            )
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out.orderBy("edge")
+
+
+# ---------------------------------------------------------------------------
+# o07: keyset (seek) pagination
+# ---------------------------------------------------------------------------
+
+_O07_PAGE = 100
+_O07_SKIP = 200  # two pages of 100
+
+
+@register(
+    "o07_keyset_pagination",
+    duck_sql=f"""
+    SELECT o_orderkey, o_custkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE) AS o_totalprice
+    FROM orders ORDER BY o_orderkey
+    LIMIT {_O07_PAGE} OFFSET {_O07_SKIP}
+    """,
+)
+def o07_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O07: keyset (seek) pagination — page 3 fetched as WHERE key >
+    last-seen-key ORDER BY key LIMIT k, certified identical to the
+    OFFSET form the oracle runs. OFFSET pagination is the 100 TB
+    anti-pattern (every page re-sorts and discards `offset` rows, page n
+    costs O(n)); the keyset predicate pushes to the parquet scan
+    (PushedFilters: GreaterThan) and each page is a constant-cost
+    TakeOrderedAndProject. The boundary key is the only driver-side
+    value — one scalar, O05 holds the OFFSET form's registry row."""
+    boundary = (
+        spark.table("orders")
+        .select("o_orderkey")
+        .orderBy("o_orderkey")
+        .limit(_O07_SKIP)
+        .agg(F.max("o_orderkey"))
+        .collect()[0][0]
+    )
+    return (
+        spark.table("orders")
+        .filter(F.col("o_orderkey") > F.lit(boundary))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_totalprice").cast("decimal(18,4)").cast("double").alias("o_totalprice"),
+        )
+        .orderBy("o_orderkey")
+        .limit(_O07_PAGE)
+    )
+
+
+# ---------------------------------------------------------------------------
+# w25: record-breaking events (running-max novelty detection)
+# ---------------------------------------------------------------------------
+
+sql_pair(
+    "w25_record_breaks",
+    """
+    SELECT user_id, event_id, value
+    FROM (
+      SELECT user_id, event_id, value,
+             max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS prior_max
+      FROM events) t
+    WHERE prior_max IS NULL OR value > prior_max
+    ORDER BY user_id, event_id
+    """,
+    doc="W25: record-breaking events — rows whose value STRICTLY exceeds "
+        "every prior value for the user (first event is a record by "
+        "convention: empty frame -> NULL prior_max). The running-max-"
+        "excluding-current frame is the change-point/novelty primitive "
+        "under 'new high' alerting (W23 finds local peaks; this finds "
+        "all-time highs). One window shuffle on user_id, O(1) frame "
+        "state per row; raw-column doubles, comparisons only.",
+)
+
+
+# ---------------------------------------------------------------------------
+# w26: weekday-seasonal baseline + residuals
+# ---------------------------------------------------------------------------
+
+def _w26_sql(weekday_expr: str, fmt_expr: str) -> str:
+    return f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY CAST(o_orderdate AS DATE)),
+    wd AS (SELECT day, cents, {weekday_expr} AS weekday FROM daily),
+    fences AS (
+      SELECT weekday, CAST(SUM(CAST(cents AS DECIMAL(18,0))) AS DECIMAL(18,0)) AS s,
+             CAST(count(*) AS BIGINT) AS n
+      FROM wd GROUP BY weekday)
+    SELECT {fmt_expr} AS day, wd.weekday, cents,
+           ROUND(CAST(s AS DOUBLE) / n, 4) AS weekday_mean,
+           ROUND(cents - ROUND(CAST(s AS DOUBLE) / n, 4), 4) AS residual
+    FROM wd JOIN fences ON wd.weekday = fences.weekday
+    ORDER BY wd.day
+    """
+
+
+sql_pair(
+    "w26_seasonal_baseline",
+    _w26_sql("dayofweek(day)", "date_format(day, 'yyyy-MM-dd')"),
+    _w26_sql("dayofweek(day) + 1", "strftime(day, '%Y-%m-%d')"),
+    doc="W26: weekday-seasonal baseline — per-day revenue vs the mean of "
+        "its weekday cohort, residual = actual - baseline: the de-"
+        "seasonalized series anomaly triage reads (G39 DETECTS the weekly "
+        "cycle; this REMOVES it). Daily rollup is the only fact-sized "
+        "pass; the 7-row fence table broadcast-joins back. Means are "
+        "exact-DECIMAL sums with one IEEE divide (repo discipline); "
+        "weekday numbering is a dialect pair (Spark dayofweek 1=Sun, "
+        "DuckDB 0=Sun, F13 precedent).",
+)
