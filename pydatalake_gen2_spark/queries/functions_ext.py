@@ -988,3 +988,34 @@ def f57_convert_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events ORDER BY event_id
         """
     )
+
+
+sql_pair(
+    "f58_array_sort_comparator",
+    """
+    SELECT l_orderkey,
+           concat_ws(',', transform(
+             array_sort(
+               collect_list(named_struct('q', l_quantity, 'ln', l_linenumber)),
+               (l, r) -> CASE WHEN l.q > r.q THEN -1 WHEN l.q < r.q THEN 1
+                              WHEN l.ln < r.ln THEN -1 WHEN l.ln > r.ln THEN 1
+                              ELSE 0 END),
+             s -> CAST(s.ln AS STRING))) AS lines_by_qty_desc
+    FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey
+    """,
+    """
+    SELECT l_orderkey,
+           array_to_string(list(CAST(l_linenumber AS STRING)
+                                ORDER BY l_quantity DESC, l_linenumber), ',')
+             AS lines_by_qty_desc
+    FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey
+    """,
+    doc="F58: array_sort with a CUSTOM COMPARATOR lambda — each order's "
+        "lines reordered by (quantity DESC, linenumber ASC) inside the "
+        "array, then projected to a string. The comparator is a TOTAL "
+        "order over a unique key set, which is exactly what makes the "
+        "result independent of collect_list's nondeterministic arrival "
+        "order — the sorted-list-agg rule (§2B rule 4) generalized to "
+        "arbitrary orderings. DuckDB states the same thing declaratively "
+        "(list(... ORDER BY ...)); row-local, rides G10's agg shape.",
+)

@@ -464,3 +464,86 @@ def gr06_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # consuming (harness/bench call release_persisted between pairs) —
     # releasing here would free blocks the returned lazy frame still needs
     return out.select("label", "e_within", "deg_sum", "q_contrib")
+
+
+# ---------------------------------------------------------------------------
+# gr07: link prediction over the co-supply backbone
+# ---------------------------------------------------------------------------
+
+_GR07_TOPN = 20
+
+
+def _gr07_duck() -> str:
+    return _DUCK_BACKBONE_PREFIX + f""",
+    deg AS (SELECT s AS n, CAST(count(*) AS BIGINT) AS deg FROM e0 GROUP BY s),
+    cand AS (
+      SELECT a.s AS u, b.s AS v,
+             CAST(count(*) AS BIGINT) AS cn,
+             CAST(SUM(CAST(ROUND(1.0 / LN(dz.deg), 6) AS DECIMAL(18,6)))
+               AS DOUBLE) AS adamic_adar
+      FROM e0 a JOIN e0 b ON a.d = b.d AND a.s < b.s
+      JOIN deg dz ON dz.n = a.d
+      WHERE NOT EXISTS (SELECT 1 FROM ed e WHERE e.u = a.s AND e.v = b.s)
+      GROUP BY a.s, b.s)
+    SELECT u, v, cn,
+           ROUND(CAST(cn AS DOUBLE) / (da.deg + db.deg - cn), 6) AS jaccard,
+           adamic_adar
+    FROM cand JOIN deg da ON da.n = u JOIN deg db ON db.n = v
+    ORDER BY cn DESC, u, v LIMIT {_GR07_TOPN}
+    """
+
+
+@register("gr07_link_prediction", duck_sql=_gr07_duck())
+def gr07_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GR07: link prediction over the co-supply backbone — for every
+    NON-edge supplier pair with shared neighbours, score common-neighbour
+    count, Jaccard coefficient, and Adamic-Adar (1/ln deg of each shared
+    neighbour — rare hubs weigh more); top-20 candidates. The
+    'recommend a supplier pairing' / missing-edge-triage primitive; the
+    open-triad enumeration is gr02's wedge join with the closing edge
+    ANTI-joined away, so it stays equi-join-shaped at scale (backbone
+    thresholding already defused the dense-projection blowup). A common
+    neighbour has degree >= 2 by construction, so ln(deg) > 0; each AA
+    term is ROUND(6)ed row-locally then summed EXACTLY as DECIMAL so the
+    float sum is order-independent across engines."""
+    from pydatalake_gen2_spark.operators.util import track_persist
+
+    ed = track_persist(spark.sql(_GR03_BACKBONE))  # (u, v) with u < v
+    e0 = ed.select(F.col("u").alias("s"), F.col("v").alias("d")).union(
+        ed.select(F.col("v"), F.col("u"))
+    )
+    deg = e0.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    a = e0.alias("a")
+    b = e0.alias("b")
+    wedges = a.join(b, (F.col("a.d") == F.col("b.d")) & (F.col("a.s") < F.col("b.s"))).select(
+        F.col("a.s").alias("u"), F.col("b.s").alias("v"), F.col("a.d").alias("z")
+    )
+    open_wedges = wedges.join(ed, ["u", "v"], "left_anti")
+    cand = (
+        open_wedges.join(deg.select(F.col("s").alias("z"), F.col("deg").alias("deg_z")), "z")
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cn"),
+            F.sum(
+                F.round(F.lit(1.0) / F.log(F.col("deg_z")), 6).cast("decimal(18,6)")
+            )
+            .cast("double")
+            .alias("adamic_adar"),
+        )
+    )
+    return (
+        cand.join(deg.select(F.col("s").alias("u"), F.col("deg").alias("deg_u")), "u")
+        .join(deg.select(F.col("s").alias("v"), F.col("deg").alias("deg_v")), "v")
+        .select(
+            "u",
+            "v",
+            "cn",
+            F.round(
+                F.col("cn").cast("double") / (F.col("deg_u") + F.col("deg_v") - F.col("cn")),
+                6,
+            ).alias("jaccard"),
+            "adamic_adar",
+        )
+        .orderBy(F.col("cn").desc(), "u", "v")
+        .limit(_GR07_TOPN)
+    )

@@ -2163,3 +2163,300 @@ def l49_detector_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         out = out.crossJoin(frame)
     return out
+
+
+# ---------------------------------------------------------------------------
+# l50: per-line boilerplate stripping (jusText-lite quality gate)
+# ---------------------------------------------------------------------------
+
+_L50_BLOCK = 8
+_L50_STOPS = ["the", "a", "and", "or", "of", "to", "in", "is", "on", "for"]
+
+
+def _l50_duck() -> str:
+    stops = ", ".join(f"'{w}'" for w in _L50_STOPS)
+    return f"""
+    WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+    ix AS (SELECT doc_id, toks,
+                  unnest(generate_series(1, CAST(ceil(len(toks) / {_L50_BLOCK}.0) AS BIGINT))) AS i
+           FROM t),
+    lines AS (
+      SELECT doc_id, i - 1 AS pos,
+             array_to_string(toks[((i-1)*{_L50_BLOCK}+1):((i-1)*{_L50_BLOCK}+{_L50_BLOCK})], ' ') AS line
+      FROM ix),
+    gated AS (
+      SELECT doc_id, pos, line,
+             len(list_filter(string_split(line, ' '),
+                             t -> list_contains([{stops}], t))) >= 1 AS keep
+      FROM lines),
+    agg AS (SELECT doc_id,
+                   string_agg(line, ' ' ORDER BY pos) FILTER (WHERE keep) AS text_clean,
+                   CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM gated GROUP BY doc_id)
+    SELECT doc_id, coalesce(text_clean, '') AS text_clean,
+           n_kept, CAST(n_lines - n_kept AS BIGINT) AS n_dropped
+    FROM agg ORDER BY doc_id
+    """
+
+
+@register("l50_boilerplate_strip", duck_sql=_l50_duck())
+def l50_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L50: per-line boilerplate stripping (jusText-lite): a line survives
+    only if it contains at least one function word (boilerplate — nav
+    menus, footers, code dumps — is stopword-free), docs reassembled from
+    surviving lines in order. The quality sibling of L20 (which dedups
+    lines CORPUS-wide; this gates each line LOCALLY — zero shuffle, the
+    whole gate is row-local higher-order functions on the scan). Fixture
+    docs have no newlines, so pseudo-lines are 8-word blocks, the l20
+    convention."""
+    stops = F.array(*[F.lit(w) for w in _L50_STOPS])
+    b = _L50_BLOCK
+    toks = F.split(F.lower(F.col("text")), " ")
+    lines = F.transform(
+        F.sequence(F.lit(1), F.ceil(F.size(toks) / b).cast("int")),
+        lambda i: F.concat_ws(" ", F.slice(toks, (i - F.lit(1)) * b + 1, b)),
+    )
+    keep = lambda line: F.size(  # noqa: E731
+        F.filter(F.split(line, " "), lambda t: F.array_contains(stops, t))
+    ) >= 1
+    per_line = (
+        spark.table("documents")
+        .select("doc_id", F.posexplode(lines).alias("pos", "line"))
+        .withColumn("keep", keep(F.col("line")))
+    )
+    return (
+        per_line.groupBy("doc_id")
+        .agg(
+            F.coalesce(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(F.col("keep"), F.struct("pos", "line"))
+                            )
+                        ),
+                        lambda s: s["line"],
+                    ),
+                ),
+                F.lit(""),
+            ).alias("text_clean"),
+            F.sum(F.col("keep").cast("long")).cast("bigint").alias("n_kept"),
+            F.sum((~F.col("keep")).cast("long")).cast("bigint").alias("n_dropped"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# l53: tokenizer vocabulary coverage / OOV-rate audit
+# ---------------------------------------------------------------------------
+
+_L53_VOCAB_K = 16
+
+
+@register(
+    "l53_vocab_coverage",
+    duck_sql=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, count(*) AS c FROM toks GROUP BY tok
+        ORDER BY c DESC, tok LIMIT {_L53_VOCAB_K}) v),
+    flagged AS (
+      SELECT t.doc_id, v.tok IS NOT NULL AS in_vocab
+      FROM toks t LEFT JOIN vocab v ON t.tok = v.tok)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(*) FILTER (WHERE NOT in_vocab) AS BIGINT) AS n_oov,
+           ROUND(CAST(count(*) FILTER (WHERE NOT in_vocab) AS DOUBLE)
+                 / count(*), 4) AS oov_rate
+    FROM flagged GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def l53_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L53: tokenizer-vocabulary coverage audit — rank the corpus vocabulary
+    by frequency (ties alphabetic), keep the top-K as the 'tokenizer
+    vocab', report each doc's OOV token count and rate: the fertility /
+    coverage check run before committing a tokenizer to a corpus mix.
+    Scale shape: one token-tally shuffle builds the vocab (bounded by
+    Heaps' law, L32's argument), the vocab broadcast-joins back onto the
+    exploded stream, per-doc rates are one partial agg."""
+    toks = (
+        spark.table("documents")
+        .select("doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"))
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("tok"))
+        .limit(_L53_VOCAB_K)
+        .select("tok", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.col("in_vocab").isNull().cast("long")).cast("bigint").alias("n_oov"),
+        )
+        .withColumn(
+            "oov_rate",
+            F.round(F.col("n_oov").cast("double") / F.col("n_tokens"), 4),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# l54: PII detection + redaction report
+# ---------------------------------------------------------------------------
+
+_L54_EMAIL = "[a-z0-9._]+@[a-z0-9-]+\\.[a-z]+"
+_L54_PHONE = "555-[0-9]{4}"
+_L54_IP = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+
+def _l54_duck() -> str:
+    return f"""
+    WITH pii AS (
+      SELECT doc_id,
+             concat(text,
+                    CASE WHEN doc_id % 3 <> 0
+                         THEN concat(' contact user', CAST(doc_id AS STRING),
+                                     '@example.com')
+                         ELSE '' END,
+                    CASE WHEN doc_id % 2 = 0
+                         THEN concat(' call 555-',
+                                     lpad(CAST(doc_id % 10000 AS STRING), 4, '0'))
+                         ELSE '' END,
+                    ' from 10.0.', CAST(doc_id % 256 AS STRING), '.7') AS t
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_L54_EMAIL}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(t, '{_L54_PHONE}')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(t, '{_L54_IP}')) AS BIGINT) AS n_ip,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+                 '{_L54_EMAIL}', '<EMAIL>', 'g'),
+                 '{_L54_PHONE}', '<PHONE>', 'g'),
+                 '{_L54_IP}', '<IP>', 'g')) AS redacted_md5
+    FROM pii ORDER BY doc_id
+    """
+
+
+@register("l54_pii_scan", duck_sql=_l54_duck())
+def l54_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L54: PII detection + redaction report — regex scans for emails /
+    phone numbers / IPv4 addresses with per-doc match counts and the
+    md5 of the fully redacted text (certifying the REDACTION itself, not
+    just the counts — F52 masks a known column; this finds PII inside
+    free text). The fixture corpus is synthetic word-salad, so
+    deterministic PII is planted from doc_id arithmetic IN BOTH dialects
+    (the F56 build-from-columns pattern) — a drifted regex, replacement
+    order, or missed occurrence breaks the hash. Row-local scan work,
+    zero shuffle; DuckDB needs the 'g' flag (first-match default, the
+    T11 gotcha)."""
+    d = F.col("doc_id")
+    t = F.concat(
+        F.col("text"),
+        F.when(
+            d % 3 != 0,
+            F.concat(F.lit(" contact user"), d.cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 2 == 0,
+            F.concat(F.lit(" call 555-"), F.lpad((d % 10000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+        F.lit(" from 10.0."),
+        (d % 256).cast("string"),
+        F.lit(".7"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, _L54_EMAIL, "<EMAIL>"), _L54_PHONE, "<PHONE>"
+        ),
+        _L54_IP,
+        "<IP>",
+    )
+    return (
+        spark.table("documents")
+        .select(
+            "doc_id",
+            F.size(F.regexp_extract_all(t, F.lit(_L54_EMAIL), 0)).cast("bigint").alias("n_email"),
+            F.size(F.regexp_extract_all(t, F.lit(_L54_PHONE), 0)).cast("bigint").alias("n_phone"),
+            F.size(F.regexp_extract_all(t, F.lit(_L54_IP), 0)).cast("bigint").alias("n_ip"),
+            F.md5(redacted).alias("redacted_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# lx_mrl_recall: Matryoshka truncated-dimension retrieval audit
+# ---------------------------------------------------------------------------
+
+_MRL_DIM = 16
+_MRL_K = 10
+
+
+@register(
+    "lx_mrl_recall",
+    duck_sql=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id % 100 = 0),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    fullk AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+                 list_dot_product(qv, cv) /
+                   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+                 DESC, vec_id) AS rn
+        FROM c CROSS JOIN q WHERE vec_id <> query_id) t WHERE rn <= {_MRL_K}),
+    trunck AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+                 list_dot_product(qv[1:{_MRL_DIM}], cv[1:{_MRL_DIM}]) /
+                   (sqrt(list_dot_product(qv[1:{_MRL_DIM}], qv[1:{_MRL_DIM}]))
+                    * sqrt(list_dot_product(cv[1:{_MRL_DIM}], cv[1:{_MRL_DIM}])))
+                 DESC, vec_id) AS rn
+        FROM c CROSS JOIN q WHERE vec_id <> query_id) t WHERE rn <= {_MRL_K})
+    SELECT f.query_id,
+           CAST(count(t.vec_id) AS BIGINT) AS n_common,
+           ROUND(CAST(count(t.vec_id) AS DOUBLE) / {_MRL_K}, 4) AS recall
+    FROM fullk f LEFT JOIN trunck t
+      ON f.query_id = t.query_id AND f.vec_id = t.vec_id
+    GROUP BY f.query_id ORDER BY f.query_id
+    """,
+)
+def lx_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LX-MRL: Matryoshka-truncation retrieval audit — top-k recall of
+    16-of-64-dim cosine search vs the full-dimension exact top-k, per
+    query. THE go/no-go measurement before shipping truncated embeddings
+    (MRL-style 4x index shrink + 4x dot-product speedup): cosine over a
+    prefix slice needs no re-embedding, and recall quantifies what the
+    truncation costs. Both legs ride L03's broadcast-queries /
+    streaming-corpus shape; at 100 TB the truncated leg is the cheap
+    first pass and this audit bounds its miss rate."""
+    emb = spark.table("embeddings")
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    fullk = similarity.cosine_topk(emb, q, k=_MRL_K).select("query_id", "vec_id")
+    emb16 = emb.select("vec_id", F.slice("embedding", 1, _MRL_DIM).alias("embedding"))
+    q16 = emb16.filter(F.col("vec_id") % 100 == 0)
+    trunck = similarity.cosine_topk(emb16, q16, k=_MRL_K).select(
+        F.col("query_id").alias("tq"), F.col("vec_id").alias("tv")
+    )
+    return (
+        fullk.join(
+            trunck,
+            (F.col("query_id") == F.col("tq")) & (F.col("vec_id") == F.col("tv")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("tv").cast("bigint").alias("n_common"))
+        .withColumn("recall", F.round(F.col("n_common").cast("double") / _MRL_K, 4))
+        .orderBy("query_id")
+    )

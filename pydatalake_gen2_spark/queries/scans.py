@@ -933,3 +933,47 @@ def s30_vacuum_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
     rows = [(i, op, bool(ok)) for i, (op, ok) in enumerate(checks)]
     return spark.createDataFrame(rows, "step INT, op STRING, ok BOOLEAN").orderBy("step")
+
+
+@register(
+    "s31_csv_dialect",
+    duck_sql="""
+    SELECT n_nationkey AS k,
+           concat('he said "', n_name, '" ok') AS quoted,
+           concat(n_name, ',', CAST(n_nationkey AS STRING), ',tail') AS commas,
+           concat('l1 ', n_name, chr(10), 'l2') AS multiline,
+           concat('back', chr(92), 'slash ', n_name) AS withbs
+    FROM nation ORDER BY k
+    """,
+)
+def s31_csv_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S31: CSV dialect hardening — fields containing embedded double
+    quotes, delimiters, NEWLINES, and backslashes written through the CSV
+    sink and read back (multiLine + matching quote/escape), certified
+    against the oracle recomputing the same values from the source
+    columns: any quoting/escaping asymmetry between Spark's writer and
+    reader, or any silent row split on the embedded newline, breaks the
+    hash. s02/s07 prove the happy path; real-lake CSV is this path.
+    Backslash is built via chr(92) in BOTH dialects — Spark SQL string
+    literals process backslash escapes, DuckDB's don't (dialect trap)."""
+    path = _tmp("s31_csv_dialect", sf_dir)
+    src = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("k"),
+        F.concat(F.lit('he said "'), F.col("n_name"), F.lit('" ok')).alias("quoted"),
+        F.concat(
+            F.col("n_name"), F.lit(","), F.col("n_nationkey").cast("string"), F.lit(",tail")
+        ).alias("commas"),
+        F.concat(F.lit("l1 "), F.col("n_name"), F.lit("\n"), F.lit("l2")).alias("multiline"),
+        F.concat(F.lit("back\\slash "), F.col("n_name")).alias("withbs"),
+    )
+    _write_once(
+        path,
+        lambda: src.write.mode("overwrite").option("header", True).csv(path),
+    )
+    return (
+        spark.read.schema("k INT, quoted STRING, commas STRING, multiline STRING, withbs STRING")
+        .option("header", True)
+        .option("multiLine", True)
+        .csv(path)
+        .orderBy("k")
+    )

@@ -481,3 +481,50 @@ def ud12_table_arg_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY user_id
         """
     )
+
+
+@register(
+    "ud13_sql_udf",
+    duck_sql="""
+    WITH rev AS (
+      SELECT l_returnflag,
+             CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 4)
+                           AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, revenue, CAST(tile AS INT) AS tile,
+           ROUND(revenue * tile / 4, 4) AS fence
+    FROM rev CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS tile) t
+    ORDER BY l_returnflag, tile
+    """,
+)
+def ud13_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UD13: SQL-defined UDFs (Spark 4 CREATE FUNCTION ... RETURN) — the
+    declarative end of the UDF ladder: a scalar SQL UDF (discounted
+    price) and a TABLE-valued SQL UDF (tile generator) composed in one
+    query. Unlike every Python rung (ud01-ud12), SQL UDF bodies INLINE
+    into the Catalyst plan — the scalar folds into the scan projection
+    and whole-stage codegen, zero serialization boundary: at 100 TB this
+    is the flavor to reach for first. Definitions are idempotent
+    (CREATE OR REPLACE, deterministic bodies), so re-registration in a
+    shared session is safe; the oracle states both bodies inline."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION ud13_disc(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN ROUND(p * (1 - d), 4)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION ud13_tiles(n INT) "
+        "RETURNS TABLE (tile INT) RETURN SELECT explode(sequence(1, n))"
+    )
+    return spark.sql(
+        """
+        WITH rev AS (
+          SELECT l_returnflag,
+                 CAST(SUM(CAST(ud13_disc(l_extendedprice, l_discount)
+                               AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, revenue, tile,
+               ROUND(revenue * tile / 4, 4) AS fence
+        FROM rev CROSS JOIN ud13_tiles(4)
+        ORDER BY l_returnflag, tile
+        """
+    )
