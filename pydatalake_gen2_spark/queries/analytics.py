@@ -317,3 +317,40 @@ sql_pair(
         "weekday numbering is a dialect pair (Spark dayofweek 1=Sun, "
         "DuckDB 0=Sun, F13 precedent).",
 )
+
+
+# ---------------------------------------------------------------------------
+# g41: two-sample Kolmogorov-Smirnov statistic (distribution-shift test)
+# ---------------------------------------------------------------------------
+
+sql_pair(
+    "g41_ks_test",
+    """
+    WITH s AS (
+      SELECT o_totalprice AS x,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS g1,
+             CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS g2
+      FROM orders WHERE o_orderstatus IN ('F', 'O')),
+    tot AS (SELECT CAST(sum(g1) AS BIGINT) AS n1, CAST(sum(g2) AS BIGINT) AS n2 FROM s),
+    ecdf AS (
+      SELECT x,
+             CAST(sum(sum(g1)) OVER (ORDER BY x) AS BIGINT) AS c1,
+             CAST(sum(sum(g2)) OVER (ORDER BY x) AS BIGINT) AS c2
+      FROM s GROUP BY x)
+    SELECT n1, n2,
+           CAST(max(abs(c1 * n2 - c2 * n1)) AS BIGINT) AS d_numerator,
+           ROUND(CAST(max(abs(c1 * n2 - c2 * n1)) AS DOUBLE) / (n1 * n2), 6) AS d_stat
+    FROM ecdf CROSS JOIN tot GROUP BY n1, n2
+    """,
+    doc="G41: two-sample Kolmogorov-Smirnov statistic between the finished "
+        "('F') and open ('O') order-price distributions — THE "
+        "distribution-shift test run between corpus generations / data "
+        "drops before trusting a retrain. D = max |F1(x) - F2(x)| is "
+        "computed over the deduplicated value spine with PURE INTEGER "
+        "arithmetic (|c1*n2 - c2*n1| — the max of exact integers), so an "
+        "inherently order-statistic test hash-matches bit-exactly; the "
+        "only float op is the final single divide. The cumulative window "
+        "runs on the distinct-value spine, not raw rows; at 100 TB "
+        "evaluate on percentile fences (G32's ladder) instead of the "
+        "full spine — same integer form.",
+)

@@ -564,3 +564,34 @@ def st21_dynamic_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     with st21_dynamic_session_batch asserted in tests (the batch form is
     itself hash-matched vs the DuckDB merge-rule recurrence)."""
     return replay.run_dynamic_session_stream(spark, sf_dir)
+
+
+_ST22_SQL = """
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           c.user_id AS c_user, p.user_id AS p_user
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+    ORDER BY click_id NULLS FIRST, purchase_id NULLS FIRST
+"""
+
+sql_pair(
+    "st22_full_outer_batch",
+    _ST22_SQL,
+    _ST22_SQL,
+    doc="ST22 batch form: clicks FULL-OUTER-joined to purchases within "
+        "the following 10 minutes — unmatched rows on BOTH sides emit "
+        "with nulls. The reference semantics the watermarked full-outer "
+        "stream-stream run (st22_full_outer_stream) must reproduce: the "
+        "stream's extra obligation over ST13 is the right side's "
+        "give-up-waiting decision (a purchase with no preceding click "
+        "emits once the watermark proves no click can still arrive).",
+)
+
+
+@register("st22_full_outer_stream", duck_sql=None, tier="S")
+def st22_full_outer_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real watermarked stream-stream FULL OUTER join run (ST22);
+    stream == batch asserted in tests/test_streaming.py."""
+    return replay.run_full_outer_join_stream(spark, sf_dir)

@@ -740,3 +740,53 @@ def run_streaming_upsert(spark: SparkSession, sf_dir: str):
     )
     q.awaitTermination()
     return vt
+
+
+def run_full_outer_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST22: stream-stream FULL OUTER interval join — ST13's completion:
+    unmatched CLICKS emit null purchases (left-outer semantics) AND
+    unmatched PURCHASES emit null clicks (the right side's watermark
+    eviction makes that give-up decision too). Both sides hold state
+    until the global watermark passes their join window; the sentinel-
+    tailed replay advances it past the corpus tail so trailing no-data
+    batches flush BOTH eviction queues. All of ST13's pushdown-trap
+    rules apply doubly: sentinels ride both branches, and sentinel rows
+    are dropped only AFTER the sink — a full-outer join additionally
+    emits the sentinels themselves as unmatched rows on each side, so
+    the post-sink filter keys on coalesce(c_user, p_user) >= 0 (either
+    side may be NULL now)."""
+    flat = session_replay_dir(spark, sf_dir)
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    clicks = (
+        src.filter(F.col("event_type").isin("click", "_flush"))
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        src.filter(F.col("event_type").isin("purchase", "_flush"))
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "full_outer",
+    ).select("click_id", "purchase_id", "c_user", "p_user")
+    _run_to_memory(joined, "st22_out", "append")
+    return spark.table("st22_out").filter(
+        F.coalesce(F.col("c_user"), F.col("p_user")) >= 0
+    )

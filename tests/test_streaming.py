@@ -309,3 +309,34 @@ def test_dynamic_session_stream_equals_batch(spark, sf_dir):
     _pair_equal(
         spark, sf_dir, "st21_dynamic_session_stream", "st21_dynamic_session_batch"
     )
+
+
+def test_full_outer_join_stream_equals_batch(spark, sf_dir):
+    """ST22: the watermarked stream-stream FULL OUTER join must emit
+    exactly the batch full-join result — matched rows, null-enriched
+    unmatched clicks, AND null-click unmatched purchases (the right
+    side's watermark-eviction decision ST13 never exercises)."""
+    from pydatalake_gen2_spark.registry import load_all
+
+    reg = load_all()
+
+    def key(t):
+        # None sorts below ints (tuples may hold NULL ids on either side)
+        return tuple((x is not None, x if x is not None else 0) for x in t)
+
+    streamed = sorted(
+        map(tuple, reg["st22_full_outer_stream"].spark_fn(spark, sf_dir).collect()),
+        key=key,
+    )
+    batch = sorted(
+        map(
+            tuple,
+            reg["st22_full_outer_batch"].spark_fn(spark, sf_dir)
+            .select("click_id", "purchase_id", "c_user", "p_user")
+            .collect(),
+        ),
+        key=key,
+    )
+    assert streamed == batch
+    assert any(p is None for _, p, _, _ in streamed)  # unmatched clicks
+    assert any(c is None for c, _, _, _ in streamed)  # unmatched purchases
