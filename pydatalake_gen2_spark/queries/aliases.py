@@ -111,9 +111,15 @@ _ALIASES: dict[str, str] = {
     # in the local mirror like every out-of-window pair.
     "a11_l41_knn_label": "l41_knn_label_propagation",
     "a12_g12_median": "g12_median",
-    "a13_g16_pivot": "g16_pivot",
+    # r7 repurpose: g16 holds a green r3 driver row, so its slot goes to
+    # the new statistical-test class (chi-square independence — first
+    # driver evidence for hypothesis-test operators).
+    "a13_g38_chi_square": "g38_chi_square",
     "a14_g18_approx_percentile": "g18_approx_percentile",
-    "a15_g19_percentile_exact": "g19_percentile_exact",
+    # r7 repurpose: g19 holds a green r3 driver row and the percentile
+    # family keeps a12/a14; the slot goes to the lx/ANN family's FIRST
+    # window representative (Matryoshka truncated-dim retrieval audit).
+    "a15_lx_mrl_recall": "lx_mrl_recall",
     "a16_g20_regression_aggs": "g20_regression_aggs",
     # windows
     "a17_w01_row_number": "w01_row_number",
@@ -156,7 +162,10 @@ _ALIASES: dict[str, str] = {
     "a34_l01_dedup_exact": "l01_dedup_exact",
     "a35_l02b_ngram_jaccard": "l02b_ngram_jaccard",
     "a36_l03_cosine_topk": "l03_cosine_topk",
-    "a37_l04_vector_ops": "l04_vector_ops",
+    # r7 repurpose: l04's vector primitives are exercised transitively by
+    # a36 (cosine top-k is built on them) and l04 holds a green r3 row;
+    # the slot goes to the new privacy class (PII scan + redaction).
+    "a37_l54_pii_scan": "l54_pii_scan",
     "a38_l07_tfidf": "l07_tfidf",
     "a39_l11_dedup_clusters": "l11_dedup_clusters",
     "a40_l12_deterministic_sample": "l12_deterministic_sample",
