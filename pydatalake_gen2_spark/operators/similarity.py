@@ -36,12 +36,23 @@ def cosine_topk(
     Output: (query_id, vec_id, cos, rn) with rn 1..k ranked by
     (cos DESC, vec_id) — unique corpus ids make the result deterministic.
     """
+    # Norms are materialized ONCE PER ROW on each side before the join:
+    # inlining cosine() would re-fold sqrt(dot(v,v)) for every PAIR —
+    # 3x the higher-order-function work of the dot product alone. The
+    # value is the identical IEEE expression (same fold, same sqrt, same
+    # multiply), so results stay bit-identical to the inline form and to
+    # the oracle's sqrt(list_dot_product(...)) * sqrt(...).
     q = queries.select(
-        F.col(id_col).alias(query_id_col), as_double(vec_col).alias("_qv")
-    )
-    c = corpus.select(F.col(id_col).alias(id_col), as_double(vec_col).alias("_cv"))
+        F.col(id_col).alias(query_id_col),
+        as_double(vec_col).alias("_qv"),
+    ).withColumn("_qn", l2_norm(F.col("_qv")))
+    c = corpus.select(
+        F.col(id_col).alias(id_col), as_double(vec_col).alias("_cv")
+    ).withColumn("_cn", l2_norm(F.col("_cv")))
     pairs = c.join(F.broadcast(q), F.col(query_id_col) != F.col(id_col)).select(
-        query_id_col, id_col, cosine(F.col("_qv"), F.col("_cv")).alias("cos")
+        query_id_col,
+        id_col,
+        (dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias("cos"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col(id_col))
     return (

@@ -152,7 +152,7 @@ def test_streaming_upsert_version_history(spark, sf_dir):
     from pydatalake_gen2_spark.registry import load_all
 
     load_all()["st19_streaming_upsert"].spark_fn(spark, sf_dir).collect()
-    vt = _ST19_VT[(id(spark), sf_dir)]
+    vt = _ST19_VT[spark][sf_dir]
     versions = vt.versions()
     assert len(versions) == 4, versions
     seen: set[int] = set()

@@ -84,6 +84,15 @@ SHOW = [
     ("l45_outlier_filter", "MAD gate: tally medians + broadcast fences, row-local filter"),
     ("g35_bitmap_distinct", "bitmap partials in the shuffle, not raw key sets"),
     ("w24_drawdown", "running-max frame + partial agg, no self-join"),
+    # round 7
+    ("g38_chi_square", "contingency tallies -> O(cells) statistic, one fact scan"),
+    ("g41_ks_test", "integer ECDF max-gap over the distinct-value spine"),
+    ("j31_referential_integrity", "7 FK anti-joins, parents broadcast"),
+    ("o07_keyset_pagination", "seek predicate pushed to scan + TakeOrdered"),
+    ("l53_vocab_coverage", "top-K vocab tally broadcast onto token stream"),
+    ("lx_mrl_recall", "truncated-dim leg reuses the broadcast-query shape"),
+    ("gr07_link_prediction", "anti-joined wedge enumeration on the backbone"),
+    ("ud13_sql_udf", "SQL UDF bodies inline into the scan projection"),
 ]
 
 
