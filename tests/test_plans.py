@@ -460,3 +460,54 @@ def test_lateral_limit_decorrelates_to_window(spark, sf_dir):
     assert "Window" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoop" not in plan, plan
+
+
+def test_keyset_pagination_pushes_seek_predicate(spark, sf_dir):
+    """o07: the keyset predicate must reach the parquet scan (the whole
+    point vs OFFSET), and the page fetch must be top-k, not a total sort."""
+    plan = _plan(spark, sf_dir, "o07_keyset_pagination")
+    assert "TakeOrderedAndProject" in plan, plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "GreaterThan(o_orderkey" in pushed, pushed
+
+
+def test_vocab_coverage_broadcasts_vocab(spark, sf_dir):
+    """l53: the top-K vocabulary joins back onto the exploded token stream
+    as a broadcast — the token stream itself must never shuffle for the
+    join."""
+    plan = _plan(spark, sf_dir, "l53_vocab_coverage")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_referential_integrity_broadcasts_parents(spark, sf_dir):
+    """j31: every FK anti-join must stay a broadcast (parents are dims) —
+    no fact-table shuffle and no nested loop anywhere in the audit."""
+    plan = _plan(spark, sf_dir, "j31_referential_integrity")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_link_prediction_stays_equi_join(spark, sf_dir):
+    """gr07: wedge enumeration + closing-edge anti join must all be
+    hash/merge equi-joins — a nested loop over the edge list is the
+    dense-projection blowup the backbone exists to prevent. The one
+    permitted BroadcastNestedLoopJoin is the backbone's own 1-row
+    percentile-threshold attach (same node in gr02/gr03's plans): a
+    single-row build side is a constant, not a pair explosion —
+    formatted explain re-prints that shared node per reuse, so count
+    DISTINCT node ids, not textual occurrences."""
+    import re
+
+    plan = _plan(spark, sf_dir, "gr07_link_prediction")
+    assert "CartesianProduct" not in plan, plan
+    bnlj_ids = set(re.findall(r"BroadcastNestedLoopJoin [^(]*\((\d+)\)", plan))
+    assert len(bnlj_ids) <= 1, plan
+    assert "SortMergeJoin LeftAnti" in plan or "BroadcastHashJoin LeftAnti" in plan, plan
+
+
+def test_sql_udf_inlines_into_plan(spark, sf_dir):
+    """ud13: SQL UDF bodies must inline — no Python evaluator node may
+    appear anywhere in the plan (that's the whole point of the flavor)."""
+    plan = _plan(spark, sf_dir, "ud13_sql_udf")
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert marker not in plan, marker
