@@ -354,3 +354,44 @@ sql_pair(
         "evaluate on percentile fences (G32's ladder) instead of the "
         "full spine — same integer form.",
 )
+
+
+# ---------------------------------------------------------------------------
+# g42: cohort retention matrix
+# ---------------------------------------------------------------------------
+
+sql_pair(
+    "g42_cohort_retention",
+    """
+    WITH firsts AS (
+      SELECT o_custkey,
+             CAST(MIN(year(o_orderdate) * 12 + month(o_orderdate) - 1) AS INT)
+               AS cohort_month
+      FROM orders GROUP BY o_custkey),
+    acts AS (
+      SELECT DISTINCT o.o_custkey, f.cohort_month,
+             CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) - 1
+                  - f.cohort_month AS INT) AS month_offset
+      FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey),
+    cells AS (
+      SELECT cohort_month, month_offset,
+             CAST(count(*) AS BIGINT) AS n_customers
+      FROM acts GROUP BY cohort_month, month_offset),
+    base AS (
+      SELECT cohort_month, n_customers AS cohort_size
+      FROM cells WHERE month_offset = 0)
+    SELECT c.cohort_month, c.month_offset, c.n_customers,
+           ROUND(CAST(c.n_customers AS DOUBLE) / b.cohort_size, 4) AS retention
+    FROM cells c JOIN base b ON c.cohort_month = b.cohort_month
+    ORDER BY c.cohort_month, c.month_offset
+    """,
+    doc="G42: cohort retention matrix — customers grouped by first-order "
+        "month, each later month's active share reported against the "
+        "cohort's size (the warehouse-classic engagement decay table; for "
+        "a corpus it answers 'do sources keep contributing after "
+        "onboarding'). Month keys are pure integer arithmetic "
+        "(y*12+m-1, portable), activity is a DISTINCT per (customer, "
+        "month) — two partial-agg shuffles on the fact table, the "
+        "offset-0 diagonal broadcast back for the rate. Retention is one "
+        "IEEE divide ROUND(4).",
+)

@@ -542,3 +542,42 @@ sql_pair(
     FROM chain WHERE node <= 1 ORDER BY s_suppkey
     """,
 )
+
+
+def _c29_sql(datediff_expr: str) -> str:
+    return f"""
+    WITH anchor AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS maxd FROM orders),
+    cust AS (
+      SELECT o_custkey,
+             CAST({datediff_expr} AS INT) AS recency_days,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+      FROM orders CROSS JOIN anchor GROUP BY o_custkey, maxd)
+    SELECT o_custkey, recency_days, frequency, monetary_cents,
+           CAST(ntile(5) OVER (ORDER BY recency_days DESC, o_custkey) AS INT)
+             AS r_score,
+           CAST(ntile(5) OVER (ORDER BY frequency ASC, o_custkey) AS INT)
+             AS f_score,
+           CAST(ntile(5) OVER (ORDER BY monetary_cents ASC, o_custkey) AS INT)
+             AS m_score
+    FROM cust ORDER BY o_custkey
+    """
+
+
+sql_pair(
+    "c29_rfm_scoring",
+    _c29_sql("datediff(maxd, MAX(CAST(o_orderdate AS DATE)))"),
+    _c29_sql("date_diff('day', MAX(CAST(o_orderdate AS DATE)), maxd)"),
+    doc="C29: RFM customer scoring — recency (days since last order, "
+        "anchored at the corpus max date so the pair is reproducible), "
+        "frequency, exact-cents monetary, each quintiled into a 1-5 "
+        "score (5 = most recent / most frequent / highest spend; ntile "
+        "ordering carries the custkey tie-break so equal metrics score "
+        "deterministically). The segmentation table behind lifecycle "
+        "campaigns and, for corpora, source-freshness triage. The fact "
+        "table reduces to one row per customer in a partial agg; the "
+        "three ntile windows run on that REDUCED table (W19/W22 "
+        "discipline) — at 100 TB swap exact ntile for G32's percentile "
+        "fences if even the customer dimension outgrows one partition.",
+)

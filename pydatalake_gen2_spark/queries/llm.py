@@ -2460,3 +2460,59 @@ def lx_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("recall", F.round(F.col("n_common").cast("double") / _MRL_K, 4))
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# l58: per-source KL divergence vs the corpus unigram distribution
+# ---------------------------------------------------------------------------
+
+_sql_pair(
+    "l58_kl_divergence",
+    """
+    WITH toks AS (
+      SELECT source, explode(split(lower(text), ' ')) AS tok FROM documents),
+    st AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+           FROM toks GROUP BY source, tok),
+    stot AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM st GROUP BY source),
+    ct AS (SELECT tok, CAST(sum(c) AS BIGINT) AS ctot FROM st GROUP BY tok),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM st)
+    SELECT st.source, ns AS n_tokens,
+           CAST(SUM(CAST(ROUND(
+                 (CAST(c AS DOUBLE) / ns)
+                 * LN((CAST(c AS DOUBLE) * n) / (CAST(ns AS DOUBLE) * ctot)),
+                 8) AS DECIMAL(20,8))) AS DOUBLE) AS kl_vs_corpus
+    FROM st JOIN stot ON st.source = stot.source
+    JOIN ct ON st.tok = ct.tok
+    CROSS JOIN tot
+    GROUP BY st.source, ns ORDER BY st.source
+    """,
+    """
+    WITH toks AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+    st AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+           FROM toks GROUP BY source, tok),
+    stot AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM st GROUP BY source),
+    ct AS (SELECT tok, CAST(sum(c) AS BIGINT) AS ctot FROM st GROUP BY tok),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM st)
+    SELECT st.source, ns AS n_tokens,
+           CAST(SUM(CAST(ROUND(
+                 (CAST(c AS DOUBLE) / ns)
+                 * LN((CAST(c AS DOUBLE) * n) / (CAST(ns AS DOUBLE) * ctot)),
+                 8) AS DECIMAL(20,8))) AS DOUBLE) AS kl_vs_corpus
+    FROM st JOIN stot ON st.source = stot.source
+    JOIN ct ON st.tok = ct.tok
+    CROSS JOIN tot
+    GROUP BY st.source, ns ORDER BY st.source
+    """,
+    doc="L58: per-source KL divergence KL(p_source || p_corpus) over "
+        "unigram distributions — the corpus-drift / source-novelty "
+        "measurement behind mixing decisions (a source whose KL jumps "
+        "between ingests changed its character; one near zero adds "
+        "nothing the mix lacks). Every count is an exact integer tally "
+        "(two partial-agg shuffles: per-source-token and per-token); "
+        "each term's p*ln(p/q) is one IEEE expression ROUND(8)ed "
+        "row-locally then summed EXACTLY as DECIMAL(20,8) — "
+        "order-independent across engines (gr07's Adamic-Adar "
+        "discipline). Zero-q is impossible: every source token is in "
+        "the corpus by construction.",
+)

@@ -412,3 +412,24 @@ def p15_sql_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag ORDER BY l_returnflag
         """
     )
+
+
+@register(
+    "p17_identifier_clause",
+    duck_sql="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def p17_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P17: IDENTIFIER(:param) table templating (Spark 4) — the table name
+    arrives as a BOUND PARAMETER, not string concatenation: the analyzer
+    resolves it as an identifier (injection-safe, P13's sibling for
+    names, not values). The templated query must plan and optimize
+    exactly like the literal form — same scan, same pushdown — which the
+    hash certifies against the oracle running the literal table name."""
+    return spark.sql(
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n "
+        "FROM IDENTIFIER(:tab) GROUP BY event_type ORDER BY event_type",
+        args={"tab": "events"},
+    )

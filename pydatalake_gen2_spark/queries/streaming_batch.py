@@ -595,3 +595,26 @@ def st22_full_outer_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real watermarked stream-stream FULL OUTER join run (ST22);
     stream == batch asserted in tests/test_streaming.py."""
     return replay.run_full_outer_join_stream(spark, sf_dir)
+
+
+@register(
+    "st23_available_now",
+    duck_sql="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def st23_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST23: Trigger.AvailableNow drain (streaming/replay.run_available_now)
+    — a REAL streaming query that processes the full backlog in
+    rate-limited micro-batches and terminates; its final complete-mode
+    state hash-matches the batch aggregate over the whole table. The
+    engine-native nightly-incremental pattern (vs ST15's crash-recovery
+    and ST12's continuous ingest)."""
+    out = replay.run_available_now(spark, sf_dir)
+    return out.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("sum_value").cast("double").alias("sum_value"),
+    ).orderBy("event_type")

@@ -790,3 +790,34 @@ def run_full_outer_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("st22_out").filter(
         F.coalesce(F.col("c_user"), F.col("p_user")) >= 0
     )
+
+
+def run_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST23: Trigger.AvailableNow — the incremental-batch execution mode:
+    process EVERYTHING available at start (in rate-limited micro-batches,
+    maxFilesPerTrigger still honored), then stop. The canonical nightly
+    'catch up on the backlog, then exit' pattern: same checkpointed
+    offsets as a continuous query, so alternating availableNow runs and
+    continuous runs share one position in the stream. The drained
+    complete-mode result must equal the whole-table batch aggregate —
+    hash-matched directly (st08 discipline: the final state IS the batch
+    answer)."""
+    flat = replay_dir(spark, sf_dir)
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    agg = src.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_value"),
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("st23_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("st23_out")
