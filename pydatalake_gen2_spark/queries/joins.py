@@ -892,3 +892,156 @@ sql_pair(
         "exchange. On the complete fixture the result is EMPTY — equally "
         "strong as a hash match (any missing id breaks it).",
 )
+
+
+# ---------------------------------------------------------------------------
+# j32: grid-bucketed spatial nearest-neighbour join (haversine)
+# ---------------------------------------------------------------------------
+
+# Synthetic deterministic placements (fixtures carry no coordinates): lat in
+# [-60, 60) so cos(lat) >= 0.5 bounds the lon cell size. Same integer
+# arithmetic in both dialects (the l54/f56 build-from-columns pattern).
+_J32_R_KM = 200.0
+_J32_HAVERSINE = (
+    "2 * 6371.0 * ASIN(SQRT(POWER(SIN(RADIANS(s_lat - c_lat) / 2), 2) "
+    "+ COS(RADIANS(c_lat)) * COS(RADIANS(s_lat)) "
+    "* POWER(SIN(RADIANS(s_lon - c_lon) / 2), 2)))"
+)
+
+
+def _j32_duck() -> str:
+    return f"""
+    WITH c AS (
+      SELECT c_custkey,
+             ((c_custkey * 37) % 12000) / 100.0 - 60.0 AS c_lat,
+             ((c_custkey * 73) % 36000) / 100.0 - 180.0 AS c_lon
+      FROM customer),
+    s AS (
+      SELECT s_suppkey,
+             ((s_suppkey * 41) % 12000) / 100.0 - 60.0 AS s_lat,
+             ((s_suppkey * 79) % 36000) / 100.0 - 180.0 AS s_lon
+      FROM supplier),
+    d AS (
+      SELECT c_custkey, s_suppkey, {_J32_HAVERSINE} AS km
+      FROM c CROSS JOIN s),
+    r AS (
+      SELECT c_custkey, s_suppkey, km,
+             ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                ORDER BY ROUND(km, 6), s_suppkey) AS rn
+      FROM d WHERE ROUND(km, 6) <= {_J32_R_KM})
+    SELECT c_custkey, s_suppkey, ROUND(km, 4) AS dist_km
+    FROM r WHERE rn = 1 ORDER BY c_custkey
+    """
+
+
+@register("j32_geo_grid_join", duck_sql=_j32_duck())
+def j32_geo_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J32: spatial nearest-neighbour join — nearest supplier within 200 km
+    of each customer by exact haversine, found via GRID-CELL BUCKETING:
+    each supplier lands in one (floor(lat/2°), floor(lon/4°)) cell, each
+    customer probes its own cell plus the 8 neighbours, and candidates
+    meet in a plain equi-join on the cell key — never a cross product.
+    Recall is exact by pigeonhole: lats are confined to ±60° (cos >= 0.5),
+    so any pair within 200 km differs by < 2° lat and < 200/(111·0.5) =
+    3.6° < 4° lon — it cannot escape the 3x3 neighbourhood. The oracle
+    brute-forces all pairs; argmin ties break on (ROUND(km,6), suppkey)
+    and the radius fence is rounded in BOTH dialects (libm-drift
+    discipline). At 100 TB this is the standard geo join: cell tallies
+    shuffle, the 9x probe explode is on the smaller probe side, and the
+    haversine verify is row-local."""
+    cust = spark.table("customer").selectExpr(
+        "c_custkey",
+        "((c_custkey * 37) % 12000) / 100.0 - 60.0 AS c_lat",
+        "((c_custkey * 73) % 36000) / 100.0 - 180.0 AS c_lon",
+    )
+    supp = spark.table("supplier").selectExpr(
+        "s_suppkey",
+        "((s_suppkey * 41) % 12000) / 100.0 - 60.0 AS s_lat",
+        "((s_suppkey * 79) % 36000) / 100.0 - 180.0 AS s_lon",
+    ).withColumn("cell_lat", F.floor(F.col("s_lat") / 2).cast("int")) \
+     .withColumn("cell_lon", F.floor(F.col("s_lon") / 4).cast("int"))
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dlat).alias("dlat"), F.lit(dlon).alias("dlon"))
+            for dlat in (-1, 0, 1)
+            for dlon in (-1, 0, 1)
+        ]
+    )
+    probes = (
+        cust.withColumn("o", F.explode(offsets))
+        .withColumn("cell_lat", (F.floor(F.col("c_lat") / 2) + F.col("o.dlat")).cast("int"))
+        .withColumn("cell_lon", (F.floor(F.col("c_lon") / 4) + F.col("o.dlon")).cast("int"))
+        .drop("o")
+    )
+    cand = probes.join(supp, ["cell_lat", "cell_lon"]).withColumn(
+        "km", F.expr(_J32_HAVERSINE)
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("c_custkey").orderBy(F.round("km", 6), "s_suppkey")
+    return (
+        cand.filter(F.round("km", 6) <= _J32_R_KM)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_custkey", "s_suppkey", F.round("km", 4).alias("dist_km"))
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# j33: last-touch marketing attribution (as-of + credit rollup)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j33_last_touch_attribution",
+    duck_sql="""
+    WITH att AS (
+      SELECT p.event_id, p.value,
+             CASE WHEN c.ts >= p.ts - INTERVAL 1 DAY THEN c.event_type END
+               AS channel
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type <> 'purchase') c
+        ON p.user_id = c.user_id AND p.ts >= c.ts)
+    SELECT coalesce(channel, 'direct') AS channel,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM att GROUP BY coalesce(channel, 'direct') ORDER BY channel
+    """,
+)
+def j33_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J33: last-touch attribution — each purchase credits the user's most
+    recent non-purchase event within a 1-day lookback (else 'direct'),
+    rolled up to per-channel purchase counts and exact-cents revenue:
+    the marketing-analytics composite built on the engine's as-of
+    operator (J11's single-shuffle union-sort plan, J14's tolerance
+    fence), certified against DuckDB's NATIVE ASOF JOIN + the same
+    rollup. At scale nothing new shuffles beyond the as-of's one
+    sort-shuffle; the credit rollup is a tiny partial agg."""
+    ev = spark.table("events")
+    att = asof_join(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") != "purchase"),
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_order="event_id",
+        carry=["event_type"],
+        how="left",
+        tolerance="1 day",
+    )
+    return (
+        att.select(
+            F.coalesce(F.col("asof_event_type"), F.lit("direct")).alias("channel"),
+            F.col("value"),
+        )
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+        .orderBy("channel")
+    )

@@ -657,3 +657,31 @@ sql_pair(
         "one partial-agg pass; values are raw column doubles, so "
         "subtraction/max are exact cross-engine with no rounding.",
 )
+
+
+sql_pair(
+    "w27_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM events),
+    pairs AS (
+      SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE dst IS NOT NULL GROUP BY src, dst),
+    tot AS (SELECT src, CAST(sum(n) AS BIGINT) AS ns FROM pairs GROUP BY src)
+    SELECT p.src, p.dst, p.n,
+           ROUND(CAST(p.n AS DOUBLE) / t.ns, 6) AS p_transition
+    FROM pairs p JOIN tot t ON p.src = t.src
+    ORDER BY p.src, p.dst
+    """,
+    doc="W27: event-type Markov transition matrix — per user, each event's "
+        "successor (LEAD over the session timeline) tallied into "
+        "(src, dst) counts and row-normalized transition probabilities: "
+        "the path-analysis primitive behind next-action prediction and "
+        "funnel-leak triage (W12 counts a FIXED funnel; this measures "
+        "every observed transition). One window shuffle on user_id, then "
+        "tallies only — at 100 TB the matrix is |types|^2 rows regardless "
+        "of data size. Probabilities are one IEEE divide ROUND(6).",
+)
