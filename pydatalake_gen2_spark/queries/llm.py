@@ -2516,3 +2516,150 @@ _sql_pair(
         "discipline). Zero-q is impossible: every source token is in "
         "the corpus by construction.",
 )
+
+
+# ---------------------------------------------------------------------------
+# l59: incremental NEAR-dup ingest vs the persisted signature index
+# ---------------------------------------------------------------------------
+
+_L59_K = _L36_K
+_L59_BANDS = _L36_BANDS
+_L59_TAU = _L36_TAU
+
+
+def _l59_duck() -> str:
+    sig_cols = ", ".join(f"min(md5('{i}:' || tok)) AS h{i}" for i in range(_L59_K))
+    band_legs = " UNION ALL ".join(
+        f"SELECT doc_id, is_batch, {b} AS band, md5(h{2*b} || h{2*b+1}) AS bh FROM sigs"
+        for b in range(_L59_BANDS)
+    )
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, text,
+             substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= 'c' AS is_batch
+      FROM documents),
+    toks AS (
+      SELECT DISTINCT doc_id, is_batch,
+             array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ') AS tok
+      FROM docs,
+           unnest(generate_series(1, len(string_split(text, ' ')) - 2)) AS g(i)),
+    sigs AS (
+      SELECT doc_id, is_batch, {sig_cols}
+      FROM toks GROUP BY doc_id, is_batch),
+    bands AS ({band_legs}),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+      FROM (SELECT * FROM bands WHERE is_batch) n
+      JOIN (SELECT * FROM bands WHERE NOT is_batch) o
+        ON n.band = o.band AND n.bh = o.bh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+    inter AS (
+      SELECT c.new_id, c.old_id, count(*) AS ninter
+      FROM cand c
+      JOIN toks ta ON ta.doc_id = c.new_id
+      JOIN toks tb ON tb.doc_id = c.old_id AND tb.tok = ta.tok
+      GROUP BY c.new_id, c.old_id),
+    verified AS (
+      SELECT i.new_id, i.old_id,
+             i.ninter * 1.0 / (sa.n + sb.n - i.ninter) AS jaccard
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.new_id
+      JOIN sizes sb ON sb.doc_id = i.old_id
+      WHERE i.ninter * 1.0 / (sa.n + sb.n - i.ninter) >= {_L59_TAU}),
+    best AS (
+      SELECT new_id, old_id, jaccard,
+             ROW_NUMBER() OVER (PARTITION BY new_id
+                                ORDER BY jaccard DESC, old_id) AS rn
+      FROM verified)
+    SELECT new_id AS doc_id, old_id AS dup_of, jaccard
+    FROM best WHERE rn = 1 ORDER BY doc_id
+    """
+
+
+@register("l59_incremental_neardup", duck_sql=_l59_duck())
+def l59_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L59: incremental NEAR-dup ingest — the new batch (l24's
+    deterministic md5 slice) is checked against the EXISTING corpus's
+    MinHash band-signature index only: batch docs never pair with each
+    other (l01/l36 own within-batch), the corpus never re-pairs with
+    itself — the property that makes nightly near-dedup O(batch), not
+    O(corpus²). Signatures/bands/verify are l36's md5-deterministic
+    pipeline, so the whole incremental run hash-matches the oracle
+    running the identical algorithm. In production the band index is
+    exactly what persists between ingests (l24's argument), written
+    bucketed by (band, bh) so future ingests probe it shuffle-free.
+    Output: each new doc's best corpus match at Jaccard >= tau."""
+    from pydatalake_gen2_spark.operators.util import spread
+    from pyspark.sql.window import Window
+
+    docs = spread(spark.table("documents")).select(
+        "doc_id",
+        "text",
+        (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) >= "c").alias(
+            "is_batch"
+        ),
+    )
+    toks = (
+        docs.select(
+            "doc_id",
+            "is_batch",
+            F.explode(text.ngrams(F.split(F.col("text"), " "), 3)).alias("tok"),
+        )
+        .distinct()
+    )
+    sigs = toks.groupBy("doc_id", "is_batch").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("tok")))).alias(f"h{i}")
+            for i in range(_L59_K)
+        ]
+    )
+    bands = None
+    for b in range(_L59_BANDS):
+        part = sigs.select(
+            "doc_id",
+            "is_batch",
+            F.lit(b).alias("band"),
+            F.md5(F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}"))).alias("bh"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    cand = (
+        bands.filter("is_batch")
+        .select(F.col("doc_id").alias("new_id"), "band", "bh")
+        .join(
+            bands.filter(~F.col("is_batch")).select(
+                F.col("doc_id").alias("old_id"), "band", "bh"
+            ),
+            ["band", "bh"],
+        )
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ta = toks.alias("ta")
+    tb = toks.alias("tb")
+    inter = (
+        cand.join(ta, F.col("ta.doc_id") == F.col("new_id"))
+        .join(
+            tb,
+            (F.col("tb.doc_id") == F.col("old_id"))
+            & (F.col("tb.tok") == F.col("ta.tok")),
+        )
+        .groupBy("new_id", "old_id")
+        .agg(F.count("*").alias("ninter"))
+    )
+    jacc = (
+        F.col("ninter") * F.lit(1.0) / (F.col("sa.n") + F.col("sb.n") - F.col("ninter"))
+    )
+    verified = (
+        inter.join(sizes.alias("sa"), F.col("sa.doc_id") == F.col("new_id"))
+        .join(sizes.alias("sb"), F.col("sb.doc_id") == F.col("old_id"))
+        .select("new_id", "old_id", jacc.alias("jaccard"))
+        .filter(F.col("jaccard") >= _L59_TAU)
+    )
+    w = Window.partitionBy("new_id").orderBy(F.col("jaccard").desc(), F.col("old_id"))
+    return (
+        verified.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("new_id").alias("doc_id"), F.col("old_id").alias("dup_of"), "jaccard")
+        .orderBy("doc_id")
+    )
