@@ -547,3 +547,127 @@ def gr07_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cn").desc(), "u", "v")
         .limit(_GR07_TOPN)
     )
+
+
+# ---------------------------------------------------------------------------
+# gr08: personalized PageRank (seed-biased teleport)
+# ---------------------------------------------------------------------------
+
+
+def _duck_ppr() -> str:
+    """gr01's integer-exact recurrence with the teleport mass restricted
+    to a deterministic seed set (node % 50 = 0): rank flows FROM the
+    seeds, so scores read as 'relevance to the seed segment' instead of
+    global importance. Same hash-stability design as _duck_pagerank —
+    the recurrence contains no floating point at all."""
+    sql = """
+    WITH edges AS (
+      SELECT DISTINCT o.o_custkey AS src, l.l_suppkey AS dst
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    nodes AS (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    outdeg AS (
+      SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+    r0 AS (SELECT node,
+                  CAST(CASE WHEN node % 50 = 0 THEN 1.0 ELSE 0.0 END
+                       AS DECIMAL(18,10)) AS rank
+           FROM nodes)
+    """
+    prev = "r0"
+    for i in range(1, _N_ITER + 1):
+        sql += f""",
+    r{i} AS (
+      SELECT n.node,
+             CAST(CASE WHEN n.node % 50 = 0 THEN 0.15 ELSE 0.00 END
+                  AS DECIMAL(3,2))
+               + CAST({_DAMP} AS DECIMAL(3,2))
+               * COALESCE(c.contrib, CAST(0 AS DECIMAL(20,10))) AS rank
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node,
+               CAST(SUM(CAST((CAST(CAST(r.rank AS DECIMAL(26,12))
+                                   * 1000000000000 AS BIGINT)
+                              + d.deg * 50) {_IDIV} (d.deg * 100)
+                             AS DECIMAL(18,0))
+                        * CAST(0.0000000001 AS DECIMAL(10,10)))
+                    AS DECIMAL(20,10)) AS contrib
+        FROM edges e
+        JOIN {prev} r ON e.src = r.node
+        JOIN outdeg d ON e.src = d.src
+        GROUP BY e.dst) c ON n.node = c.node)
+        """
+        prev = f"r{i}"
+    sql += f"""
+    SELECT node, CAST(rank AS STRING) AS ppr
+    FROM {prev} WHERE rank <> CAST(0 AS DECIMAL(20,10))
+    ORDER BY node
+    """
+    return sql
+
+
+@register(
+    "gr08_personalized_pagerank",
+    duck_sql=_duck_ppr(),
+    doc="GR08: personalized PageRank — gr01's integer-exact recurrence "
+        "with teleport mass restricted to a seed segment (node % 50 = 0): "
+        "ranks read as relevance TO THE SEEDS (the 'suppliers for this "
+        "customer segment' recommendation primitive) instead of global "
+        "importance. Identical join+agg round shape and decimal "
+        "discipline; zero-rank nodes are filtered so the output is the "
+        "reachable neighbourhood, which also keeps the result sparse at "
+        "scale (PPR mass concentrates near seeds).",
+)
+def gr08_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.table("orders")
+    l = spark.table("lineitem")
+    edges = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
+        .distinct()
+    )
+    nodes = edges.select(F.col("src").alias("node")).union(
+        edges.select(F.col("dst").alias("node"))
+    ).distinct()
+    outdeg = edges.groupBy("src").agg(F.count("*").cast("bigint").alias("deg"))
+    seed_term = (
+        F.when(F.col("node") % 50 == 0, F.lit("0.15"))
+        .otherwise(F.lit("0.00"))
+        .cast("decimal(3,2)")
+    )
+    ranks = nodes.select(
+        "node",
+        F.when(F.col("node") % 50 == 0, F.lit("1.0"))
+        .otherwise(F.lit("0.0"))
+        .cast("decimal(18,10)")
+        .alias("rank"),
+    )
+    for _ in range(_N_ITER):
+        c_int = F.expr(
+            "(CAST(CAST(rank AS DECIMAL(26,12)) * 1000000000000 AS BIGINT)"
+            " + deg * 50) div (deg * 100)"
+        )
+        contribs = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                (
+                    c_int.cast("decimal(18,0)")
+                    * F.lit("0.0000000001").cast("decimal(10,10)")
+                ).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").cast("decimal(20,10)").alias("contrib"))
+        )
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (
+                seed_term
+                + F.lit(_DAMP).cast("decimal(3,2)")
+                * F.coalesce(F.col("contrib"), F.lit("0").cast("decimal(20,10)"))
+            ).alias("rank"),
+        )
+    return (
+        ranks.filter(F.col("rank") != F.lit("0").cast("decimal(20,10)"))
+        .select("node", F.col("rank").cast("string").alias("ppr"))
+        .orderBy("node")
+    )

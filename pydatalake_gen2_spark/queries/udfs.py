@@ -528,3 +528,63 @@ def ud13_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY l_returnflag, tile
         """
     )
+
+
+@register(
+    "ud14_secondary_sort",
+    duck_sql="""
+    SELECT user_id, event_id,
+           CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS session_id
+    FROM (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       > INTERVAL 5 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events) t
+    ORDER BY user_id, event_id
+    """,
+)
+def ud14_secondary_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UD14: the SECONDARY-SORT pattern — repartition by key +
+    sortWithinPartitions + one mapInPandas pass that carries sequential
+    state across rows AND Arrow batches: per-user 5-minute-gap session
+    ids computed by a running scan, no groupBy (the classic MapReduce
+    secondary sort, DataFrame-native). Correctness leans on two engine
+    guarantees the pair certifies: hash repartition puts each key wholly
+    in ONE partition, and mapInPandas streams that partition's batches
+    in its sorted order. vs ud05 (applyInPandas): no per-group
+    materialization — a user with a billion events streams through in
+    batches instead of one pandas frame, which is why sessionizing a
+    100 TB event log uses THIS shape. Oracle: the gaps-and-islands
+    window SQL (st03's form)."""
+    from collections.abc import Iterator
+
+    ev = spark.table("events").select("user_id", "event_id", "ts")
+    part = ev.repartition(32, "user_id").sortWithinPartitions(
+        "user_id", "ts", "event_id"
+    )
+    gap = pd.Timedelta(minutes=5)
+
+    def sessionize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        last_user, last_ts, sid = None, None, 0
+        for pdf in batches:
+            sids = []
+            for u, t in zip(pdf["user_id"], pdf["ts"]):
+                if u != last_user:
+                    sid = 1
+                elif t - last_ts > gap:
+                    sid += 1
+                sids.append(sid)
+                last_user, last_ts = u, t
+            out = pdf[["user_id", "event_id"]].copy()
+            out["session_id"] = sids
+            yield out
+
+    return part.mapInPandas(
+        sessionize, "user_id BIGINT, event_id BIGINT, session_id BIGINT"
+    ).orderBy("user_id", "event_id")
