@@ -96,6 +96,12 @@ BENCH_QUERIES = [
     "c28_recursive_cte",
     "ud11_grouped_agg_pandas",
     "l41_knn_label_propagation",
+    # round-7 widening: grid-bucketed spatial join, incremental near-dup
+    # ingest, link prediction, truncated-dim retrieval audit
+    "j32_geo_grid_join",
+    "l59_incremental_neardup",
+    "gr07_link_prediction",
+    "lx_mrl_recall",
 ]
 
 N_RUNS = 3

@@ -2663,3 +2663,93 @@ def l59_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("new_id").alias("doc_id"), F.col("old_id").alias("dup_of"), "jaccard")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# l60: train/test split-leakage audit (cross-split n-gram overlap)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "l60_split_leakage",
+    duck_sql="""
+    WITH split AS (
+      SELECT doc_id, text,
+             CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                    THEN 'train'
+                  WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, split,
+             array_to_string(list_slice(string_split(lower(text), ' '), i, i + 4),
+                             ' ') AS gram
+      FROM split,
+           unnest(generate_series(1, len(string_split(lower(text), ' ')) - 4))
+             AS g(i)),
+    train_grams AS (SELECT DISTINCT gram FROM grams WHERE split = 'train'),
+    leaks AS (
+      SELECT g.doc_id, g.split, CAST(count(*) AS BIGINT) AS n_leaked,
+             (SELECT count(*) FROM grams gg WHERE gg.doc_id = g.doc_id)
+               AS n_grams
+      FROM grams g JOIN train_grams t ON g.gram = t.gram
+      WHERE g.split <> 'train'
+      GROUP BY g.doc_id, g.split)
+    SELECT doc_id, split, n_leaked, CAST(n_grams AS BIGINT) AS n_grams,
+           ROUND(CAST(n_leaked AS DOUBLE) / n_grams, 4) AS leak_fraction
+    FROM leaks WHERE n_leaked >= 3 ORDER BY doc_id
+    """,
+)
+def l60_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L60: split-leakage audit — the held-out halves of l34's md5 split
+    are scanned for word-5-grams that also appear in ANY train doc;
+    val/test docs sharing >= 3 grams with train are flagged with their
+    leaked-gram fraction. This is l17's decontamination machinery turned
+    INWARD (l17 guards against an external benchmark; this catches the
+    subtler self-inflicted leak where near-copies straddle one's own
+    split fences — the failure l48's group-aware split exists to
+    prevent, here measured instead of assumed away). Scale shape:
+    train's distinct gram set is one partial-agg pass; the held-out gram
+    stream joins it on the gram key (at extreme cardinality swap in
+    l17b's bloom prefilter); per-doc tallies are one more partial agg."""
+    from pydatalake_gen2_spark.operators.util import spread
+
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = spread(spark.table("documents")).select(
+        "doc_id",
+        "text",
+        F.when(h < "cc", "train").when(h < "e6", "val").otherwise("test").alias("split"),
+    )
+    grams = (
+        split.select(
+            "doc_id",
+            "split",
+            F.explode(text.ngrams(F.split(F.lower(F.col("text")), " "), 5)).alias(
+                "gram"
+            ),
+        )
+        .distinct()
+    )
+    train_grams = grams.filter(F.col("split") == "train").select("gram").distinct()
+    held = grams.filter(F.col("split") != "train")
+    per_doc = held.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_grams"))
+    leaked = (
+        held.join(train_grams, "gram")
+        .groupBy("doc_id", "split")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_leaked"))
+    )
+    return (
+        leaked.join(per_doc, "doc_id")
+        .filter(F.col("n_leaked") >= 3)
+        .select(
+            "doc_id",
+            "split",
+            "n_leaked",
+            "n_grams",
+            F.round(F.col("n_leaked").cast("double") / F.col("n_grams"), 4).alias(
+                "leak_fraction"
+            ),
+        )
+        .orderBy("doc_id")
+    )
