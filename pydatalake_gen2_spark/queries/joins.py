@@ -937,53 +937,35 @@ def _j32_duck() -> str:
 @register("j32_geo_grid_join", duck_sql=_j32_duck())
 def j32_geo_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J32: spatial nearest-neighbour join — nearest supplier within 200 km
-    of each customer by exact haversine, found via GRID-CELL BUCKETING:
-    each supplier lands in one (floor(lat/2°), floor(lon/4°)) cell, each
-    customer probes its own cell plus the 8 neighbours, and candidates
-    meet in a plain equi-join on the cell key — never a cross product.
-    Recall is exact by pigeonhole: lats are confined to ±60° (cos >= 0.5),
-    so any pair within 200 km differs by < 2° lat and < 200/(111·0.5) =
-    3.6° < 4° lon — it cannot escape the 3x3 neighbourhood. The oracle
-    brute-forces all pairs; argmin ties break on (ROUND(km,6), suppkey)
-    and the radius fence is rounded in BOTH dialects (libm-drift
-    discipline). At 100 TB this is the standard geo join: cell tallies
-    shuffle, the 9x probe explode is on the smaller probe side, and the
+    of each customer by exact haversine, via operators/geo.grid_nearest:
+    suppliers land in one (2-deg, 4-deg) grid cell each, customers probe
+    their cell plus the 8 neighbours, candidates meet in a plain
+    equi-join on the cell key — never a cross product. Recall is exact
+    by pigeonhole (lats confined to +-60 deg, see geo.py); the oracle
+    brute-forces all pairs, so a single missed in-range pair breaks the
+    hash. Ties and the radius fence round per the libm discipline. At
+    100 TB this is the standard geo join: site cells are a partial agg
+    (persistable as an index), the 9x explode rides the probe side, the
     haversine verify is row-local."""
+    from pydatalake_gen2_spark.operators.geo import grid_nearest
+
     cust = spark.table("customer").selectExpr(
-        "c_custkey",
+        "c_custkey AS p_id",
         "((c_custkey * 37) % 12000) / 100.0 - 60.0 AS c_lat",
         "((c_custkey * 73) % 36000) / 100.0 - 180.0 AS c_lon",
     )
     supp = spark.table("supplier").selectExpr(
-        "s_suppkey",
+        "s_suppkey AS s_id",
         "((s_suppkey * 41) % 12000) / 100.0 - 60.0 AS s_lat",
         "((s_suppkey * 79) % 36000) / 100.0 - 180.0 AS s_lon",
-    ).withColumn("cell_lat", F.floor(F.col("s_lat") / 2).cast("int")) \
-     .withColumn("cell_lon", F.floor(F.col("s_lon") / 4).cast("int"))
-    offsets = F.array(
-        *[
-            F.struct(F.lit(dlat).alias("dlat"), F.lit(dlon).alias("dlon"))
-            for dlat in (-1, 0, 1)
-            for dlon in (-1, 0, 1)
-        ]
     )
-    probes = (
-        cust.withColumn("o", F.explode(offsets))
-        .withColumn("cell_lat", (F.floor(F.col("c_lat") / 2) + F.col("o.dlat")).cast("int"))
-        .withColumn("cell_lon", (F.floor(F.col("c_lon") / 4) + F.col("o.dlon")).cast("int"))
-        .drop("o")
-    )
-    cand = probes.join(supp, ["cell_lat", "cell_lon"]).withColumn(
-        "km", F.expr(_J32_HAVERSINE)
-    )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("c_custkey").orderBy(F.round("km", 6), "s_suppkey")
     return (
-        cand.filter(F.round("km", 6) <= _J32_R_KM)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("c_custkey", "s_suppkey", F.round("km", 4).alias("dist_km"))
+        grid_nearest(cust, supp, radius_km=_J32_R_KM)
+        .select(
+            F.col("p_id").alias("c_custkey"),
+            F.col("s_id").alias("s_suppkey"),
+            "dist_km",
+        )
         .orderBy("c_custkey")
     )
 

@@ -1208,3 +1208,61 @@ def test_sequence_gap_detection_finds_planted_gaps(spark):
     ).createOrReplaceTempView("g30_ids")
     got = [tuple(r) for r in spark.sql(sql).collect()]
     assert got == [(3, 10**12 - 1, 10**12 - 3)]
+
+
+# -- hypothesis: grid_nearest vs brute force on random coordinates --------
+
+
+@st.composite
+def _geo_case(draw):
+    n_pts = draw(st.integers(1, 12))
+    n_sites = draw(st.integers(0, 8))
+    def coord(i, salt):
+        lat = draw(st.integers(-5999, 5999)) / 100.0
+        lon = draw(st.integers(-17999, 17999)) / 100.0
+        return (i + salt, lat, lon)
+    return (
+        [coord(i, 0) for i in range(n_pts)],
+        [coord(i, 1000) for i in range(n_sites)],
+        draw(st.sampled_from([50.0, 200.0, 500.0])),
+    )
+
+
+@given(_geo_case())
+@settings(
+    deadline=None,
+    max_examples=10,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_grid_nearest_matches_brute_force(spark, case):
+    """J32's operator: the grid-bucketed candidate join must return the
+    SAME nearest-site answer as an exhaustive cross join for random
+    placements — the pigeonhole recall argument, tested instead of
+    trusted. Both sides evaluate the shared HAVERSINE_KM text, so the
+    comparison isolates the bucketing, not float noise."""
+    from pydatalake_gen2_spark.operators.geo import HAVERSINE_KM, grid_nearest
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    points, sites, radius = case
+    pdf = spark.createDataFrame(points, "p_id LONG, c_lat DOUBLE, c_lon DOUBLE")
+    sdf = (
+        spark.createDataFrame(sites, "s_id LONG, s_lat DOUBLE, s_lon DOUBLE")
+        if sites
+        else spark.createDataFrame([], "s_id LONG, s_lat DOUBLE, s_lon DOUBLE")
+    )
+    got = sorted(map(tuple, grid_nearest(pdf, sdf, radius).collect()))
+    w = Window.partitionBy("p_id").orderBy(F.round("km", 6), "s_id")
+    brute = sorted(
+        map(
+            tuple,
+            pdf.crossJoin(sdf)
+            .withColumn("km", F.expr(HAVERSINE_KM))
+            .filter(F.round("km", 6) <= radius)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("p_id", "s_id", F.round("km", 4).alias("dist_km"))
+            .collect(),
+        )
+    )
+    assert got == brute
