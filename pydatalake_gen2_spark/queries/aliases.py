@@ -94,7 +94,10 @@ _ALIASES: dict[str, str] = {
     "a01_j01_inner_equi": "j01_inner_equi",
     "a02_j02_broadcast_inner": "j02_broadcast_inner",
     "a03_j05_full_outer": "j05_full_outer",
-    "a04_j10_range_band": "j10_range_band",
+    # r7 repurpose: j10's band-join shape holds a green r3 driver row via
+    # a04 and stays covered by a05/j21's time-join reps; the slot goes to
+    # the new SQL-UDF class (Spark 4 CREATE FUNCTION, scalar + table).
+    "a04_ud13_sql_udf": "ud13_sql_udf",
     "a05_j11_asof": "j11_asof",
     "a06_j13_lateral": "j13_lateral",
     # r6 repurpose: a05 already covers the as-of family, so the tolerance
@@ -123,9 +126,14 @@ _ALIASES: dict[str, str] = {
     "a16_g20_regression_aggs": "g20_regression_aggs",
     # windows
     "a17_w01_row_number": "w01_row_number",
-    "a18_w05_lag_lead": "w05_lag_lead",
+    # r7 repurpose: lag/lead holds a green r3 row and the w family keeps
+    # a17/a19/a21; the slot goes to the new SPATIAL join class
+    # (grid-bucketed haversine nearest-neighbour).
+    "a18_j32_geo_grid_join": "j32_geo_grid_join",
     "a19_w07_running_total": "w07_running_total",
-    "a20_w12_funnel_steps": "w12_funnel_steps",
+    # r7 repurpose: w12 holds a green r3 row; the slot goes to the new
+    # incremental near-dup ingest class (batch vs persisted MinHash index).
+    "a20_l59_incremental_neardup": "l59_incremental_neardup",
     "a21_w13_gap_fill_ffill": "w13_gap_fill_ffill",
     # sorts / top-k
     "a22_o03_limit_topk": "o03_limit_topk",
