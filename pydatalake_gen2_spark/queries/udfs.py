@@ -588,3 +588,65 @@ def ud14_secondary_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     return part.mapInPandas(
         sessionize, "user_id BIGINT, event_id BIGINT, session_id BIGINT"
     ).orderBy("user_id", "event_id")
+
+
+@register(
+    "ud15_cogrouped_map",
+    duck_sql="""
+    WITH c AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_clicks,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS click_cents
+      FROM events WHERE event_type = 'click' GROUP BY user_id),
+    p AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS purch_cents
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+    SELECT coalesce(c.user_id, p.user_id) AS user_id,
+           coalesce(n_clicks, 0) AS n_clicks,
+           coalesce(click_cents, 0) AS click_cents,
+           coalesce(n_purchases, 0) AS n_purchases,
+           coalesce(purch_cents, 0) AS purch_cents
+    FROM c FULL JOIN p ON c.user_id = p.user_id
+    ORDER BY user_id
+    """,
+)
+def ud15_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UD15: COGROUPED applyInPandas — the two-input rung of the UDF
+    ladder: clicks and purchases are grouped by user INDEPENDENTLY and
+    each key's two pandas frames arrive together in one Python call
+    (df1.groupby(k).cogroup(df2.groupby(k)).applyInPandas), the shape
+    for custom per-key reconciliation/merge logic over two tables
+    (pandas merge_asof across sources, diff-and-patch, feature joins)
+    without materializing a joined row set first. Either side may be
+    empty for a key — full-outer semantics the oracle mirrors with a
+    FULL JOIN of the two aggregates. Cents use the half-up idiom."""
+    ev = spark.table("events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "value")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "value")
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        uid = int(left["user_id"].iloc[0]) if len(left) else int(right["user_id"].iloc[0])
+
+        def cents(s: pd.Series) -> int:
+            return int((s.mul(100) + 0.5).astype("int64").sum()) if len(s) else 0
+
+        return pd.DataFrame(
+            {
+                "user_id": [uid],
+                "n_clicks": [len(left)],
+                "click_cents": [cents(left["value"])],
+                "n_purchases": [len(right)],
+                "purch_cents": [cents(right["value"])],
+            }
+        )
+
+    out = (
+        clicks.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            "user_id BIGINT, n_clicks BIGINT, click_cents BIGINT, "
+            "n_purchases BIGINT, purch_cents BIGINT",
+        )
+    )
+    return out.orderBy("user_id")

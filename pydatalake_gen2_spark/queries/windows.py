@@ -685,3 +685,44 @@ sql_pair(
         "tallies only — at 100 TB the matrix is |types|^2 rows regardless "
         "of data size. Probabilities are one IEEE divide ROUND(6).",
 )
+
+
+def _w28_sql(epoch_us: str) -> str:
+    return f"""
+    WITH seq AS (
+      SELECT user_id,
+             CAST(round(value * 100) AS BIGINT) AS vc,
+             {epoch_us} AS t_us,
+             lead({epoch_us}) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_us
+      FROM events),
+    seg AS (
+      SELECT user_id, CAST(vc AS DECIMAL(19,0)) * (next_us - t_us) AS wv,
+             next_us - t_us AS dt_us
+      FROM seq WHERE next_us IS NOT NULL),
+    agg AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_segments,
+             CAST(SUM(wv) AS DECIMAL(28,0)) AS swv,
+             CAST(SUM(dt_us) AS BIGINT) AS span_us
+      FROM seg GROUP BY user_id)
+    SELECT user_id, n_segments, span_us,
+           ROUND(CAST(swv AS DOUBLE) / span_us, 4) AS twap_cents
+    FROM agg ORDER BY user_id
+    """
+
+
+sql_pair(
+    "w28_time_weighted_avg",
+    _w28_sql("unix_micros(ts)"),
+    _w28_sql("epoch_us(ts)"),
+    doc="W28: time-weighted average (TWAP) per user — each observation "
+        "weighted by how long it REMAINED the current value (until the "
+        "next event), the correct mean for irregularly-sampled series "
+        "where the plain AVG over-weights bursty periods. Weights are "
+        "exact integer microsecond gaps x integer cents summed as "
+        "DECIMAL (order-independent); the only float op is the final "
+        "divide, ROUND(4)ed for the wide-decimal cast (DuckDB int128 "
+        "cast caveat). One window shuffle on user_id; epoch extraction "
+        "is the unix_micros/epoch_us dialect pair.",
+)

@@ -449,3 +449,87 @@ def resample_wav_batch(df: DataFrame, factor: int = 2) -> DataFrame:
             )
 
     return df.select("path", "content").mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------------
+# "Video": a minimal multi-frame container over the PNG codec (MM-VIDEO)
+# ---------------------------------------------------------------------------
+
+VID_SIG = b"VID0"
+_VID_FRAMES = 12
+
+
+def encode_video(frames: list[bytes]) -> bytes:
+    """Minimal frame container: magic + uint32 count + uint32 lengths +
+    concatenated PNG payloads — the schema-level stand-in for MP4/AVI
+    (real containers swap a demuxer into the same decode contract)."""
+    head = VID_SIG + struct.pack(">I", len(frames))
+    head += b"".join(struct.pack(">I", len(f)) for f in frames)
+    return head + b"".join(frames)
+
+
+def decode_video(data: bytes) -> list[bytes]:
+    if data[:4] != VID_SIG:
+        raise ValueError("not a VID0 container")
+    (n,) = struct.unpack(">I", data[4:8])
+    lens = struct.unpack(f">{n}I", data[8 : 8 + 4 * n])
+    out, pos = [], 8 + 4 * n
+    for ln in lens:
+        out.append(data[pos : pos + ln])
+        pos += ln
+    return out
+
+
+def materialize_video_assets(spark: SparkSession, sf_dir: str, n: int = 16) -> str:
+    """Deterministic 12-frame 'videos', one per document: frame f of doc d
+    is an 8x8 PNG whose B channel is the constant (d*11 + f*17) % 256
+    (R/G the standard gradient) — every sampled frame's channel stats are
+    analytic functions of (doc_id, frame_idx)."""
+    out = tempfile.mkdtemp(prefix="mm_vid_")
+    ids = [
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id")
+        .orderBy("doc_id")
+        .limit(n)
+        .collect()
+    ]
+    for doc_id in ids:
+        frames = []
+        for f in range(_VID_FRAMES):
+            bch = (doc_id * 11 + f * 17) % 256
+            rgb = bytes(
+                c
+                for y in range(8)
+                for x in range(8)
+                for c in ((x * 32) % 256, (y * 32) % 256, bch)
+            )
+            frames.append(encode_png(8, 8, rgb))
+        with open(os.path.join(out, f"doc_{doc_id:06d}.vid"), "wb") as fh:
+            fh.write(encode_video(frames))
+    return out
+
+
+def sample_video_batch(df: DataFrame, every: int = 3) -> DataFrame:
+    """mapInPandas 1→N: demux the container, DECODE only every ``every``-th
+    frame (the frame-sampling point: skipped frames are never
+    decompressed), emit per-sampled-frame channel stats. The real video
+    shape at scale — decode cost proportional to sampled frames, Arrow
+    fan-out rows bounded by n_frames/every per asset."""
+    schema = "doc_id BIGINT, frame_idx INT, n_frames INT, b_mean DOUBLE"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for path, content in zip(b["path"], b["content"]):
+                doc_id = int(os.path.basename(path).split("_")[1].split(".")[0])
+                frames = decode_video(bytes(content))
+                for idx in range(0, len(frames), every):
+                    w, h, rgb = decode_png(frames[idx])
+                    bsum = sum(rgb[2::3])
+                    rows.append((doc_id, idx, len(frames), bsum / (w * h)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "n_frames", "b_mean"]
+            )
+
+    return df.select("path", "content").mapInPandas(run, schema)
