@@ -618,3 +618,21 @@ def st23_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         F.col("sum_value").cast("double").alias("sum_value"),
     ).orderBy("event_type")
+
+
+@register(
+    "st24_state_store_read",
+    duck_sql="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def st24_state_store_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST24: streaming state read back AS A TABLE (Spark 4 'statestore'
+    data source over the query's checkpoint) — the keyed state of a
+    drained windowless aggregation must equal the batch GROUP BY,
+    hash-certified. The ops half of the streaming surface: state
+    audits and offline inspection without touching the running query
+    (streaming/replay.run_state_store_read)."""
+    out = replay.run_state_store_read(spark, sf_dir)
+    return out.orderBy("event_type")

@@ -821,3 +821,37 @@ def run_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table("st23_out")
+
+
+def run_state_store_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST24: the STATE STORE as a table — run a checkpointed streaming
+    aggregation to completion (availableNow), then open its checkpoint
+    with the Spark 4 state data source (format 'statestore') and read
+    the operator's keyed state directly: the debugging/ops capability
+    behind 'what does my stream currently believe' (state audits,
+    corrupt-key surgery, offline state migrations). The state rows ARE
+    the answer — per-key counts that must equal the batch GROUP BY."""
+    import tempfile
+
+    flat = replay_dir(spark, sf_dir)
+    ckpt = tempfile.mkdtemp(prefix="st24_ckpt_")
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    agg = src.groupBy("event_type").count()
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("st24_out")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    state = spark.read.format("statestore").load(ckpt)
+    return state.select(
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").cast("bigint").alias("n"),
+    )
