@@ -671,3 +671,73 @@ def gr08_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", F.col("rank").cast("string").alias("ppr"))
         .orderBy("node")
     )
+
+
+# ---------------------------------------------------------------------------
+# gr09: item-item collaborative-filtering similarity (bipartite cosine)
+# ---------------------------------------------------------------------------
+
+_GR09_TOPN = 25
+_GR09_MIN_COOC = 2
+
+
+@register(
+    "gr09_item_similarity",
+    duck_sql=f"""
+    WITH e AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    deg AS (SELECT s, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY s),
+    cooc AS (
+      SELECT a.s AS s_a, b.s AS s_b, CAST(count(*) AS BIGINT) AS cooc
+      FROM e a JOIN e b ON a.c = b.c AND a.s < b.s
+      GROUP BY a.s, b.s HAVING count(*) >= {_GR09_MIN_COOC})
+    SELECT s_a, s_b, cooc,
+           ROUND(cooc / SQRT(CAST(da.d AS DOUBLE) * db.d), 6) AS cosine
+    FROM cooc JOIN deg da ON da.s = s_a JOIN deg db ON db.s = s_b
+    ORDER BY cosine DESC, s_a, s_b LIMIT {_GR09_TOPN}
+    """,
+)
+def gr09_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GR09: item-item collaborative filtering — supplier pairs scored by
+    cosine over their CUSTOMER neighbourhoods (cooc / sqrt(deg_a*deg_b)
+    on the binary bipartite matrix): the classic 'users who bought X
+    also bought Y' precompute. Distinct from gr02/gr07, which work on
+    the thresholded co-SUPPLY projection — this scores the raw bipartite
+    co-PURCHASE structure, with a min-cooccurrence floor standing in for
+    the backbone as the dense-customer defense (a customer touching
+    every supplier inflates every pair; the floor plus the DISTINCT
+    per-customer edge set bound the blowup, and at 100 TB the standard
+    extra guard caps per-customer fan-out before the self-join).
+    Integer co-occurrence tallies; one IEEE expression ROUND(6) per
+    surviving pair."""
+    o = spark.table("orders")
+    l = spark.table("lineitem")
+    e = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    a = e.alias("a")
+    b = e.alias("b")
+    cooc = (
+        a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("s_a"), F.col("b.s").alias("s_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cooc"))
+        .filter(F.col("cooc") >= _GR09_MIN_COOC)
+    )
+    return (
+        cooc.join(deg.select(F.col("s").alias("s_a"), F.col("d").alias("da")), "s_a")
+        .join(deg.select(F.col("s").alias("s_b"), F.col("d").alias("db")), "s_b")
+        .select(
+            "s_a",
+            "s_b",
+            "cooc",
+            F.round(
+                F.col("cooc") / F.sqrt(F.col("da").cast("double") * F.col("db")), 6
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "s_a", "s_b")
+        .limit(_GR09_TOPN)
+    )

@@ -433,3 +433,27 @@ def p17_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM IDENTIFIER(:tab) GROUP BY event_type ORDER BY event_type",
         args={"tab": "events"},
     )
+
+
+sql_pair(
+    "p19_lateral_column_alias",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+             AS disc_cents,
+           disc_cents + CAST(round(l_tax * disc_cents) AS BIGINT)
+             AS final_cents,
+           final_cents > 200000 AS is_big
+    FROM lineitem ORDER BY l_orderkey, l_linenumber
+    """,
+    doc="P19: LATERAL COLUMN ALIASES — a SELECT item referencing an alias "
+        "defined earlier in the SAME select list (disc_cents feeds "
+        "final_cents feeds is_big), the ergonomic layering that otherwise "
+        "forces nested subqueries; both engines resolve the chain "
+        "identically and Catalyst still inlines everything into one "
+        "projection (no extra plan node, codegen intact). The chain is "
+        "integer cents end-to-end: re-ROUNDing an already-rounded money "
+        "double lands on non-representable .5 ties that Spark "
+        "(shortest-repr HALF_UP) and DuckDB (binary) resolve differently "
+        "— found live on this very pair.",
+)

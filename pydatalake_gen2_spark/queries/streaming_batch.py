@@ -636,3 +636,20 @@ def st24_state_store_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     (streaming/replay.run_state_store_read)."""
     out = replay.run_state_store_read(spark, sf_dir)
     return out.orderBy("event_type")
+
+
+@register(
+    "st25_native_file_sink",
+    duck_sql="""
+    SELECT event_id, event_type, user_id
+    FROM events ORDER BY event_id
+    """,
+)
+def st25_native_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST25: native streaming parquet sink with the _spark_metadata
+    transaction log — exactly-once by construction (the log records each
+    batch's committed files; readers ignore orphans), in contrast to
+    ST07/ST15 where foreachBatch hand-rolls idempotence. The drained
+    sink's read-back hash-matches the source table."""
+    out = replay.run_file_sink(spark, sf_dir)
+    return out.orderBy("event_id")

@@ -855,3 +855,34 @@ def run_state_store_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key.event_type").alias("event_type"),
         F.col("value.count").cast("bigint").alias("n"),
     )
+
+
+def run_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST25/S34: the NATIVE streaming file sink — append-mode parquet with
+    the sink's _spark_metadata transaction log (vs ST07's foreachBatch,
+    where idempotence is hand-rolled): the log records exactly which
+    files each batch committed, readers consult it and ignore orphans,
+    so the sink is exactly-once BY CONSTRUCTION. Drained with
+    availableNow; the read-back must equal the source table."""
+    import tempfile
+
+    flat = replay_dir(spark, sf_dir)
+    out_dir = tempfile.mkdtemp(prefix="st25_sink_")
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    proj = src.select("event_id", "event_type", "user_id")
+    q = (
+        proj.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="st25_ckpt_"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.schema("event_id BIGINT, event_type STRING, user_id BIGINT").parquet(
+        out_dir
+    )
