@@ -977,3 +977,61 @@ def s31_csv_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .csv(path)
         .orderBy("k")
     )
+
+
+@register(
+    "s32_optimize_compaction",
+    duck_sql="""
+    WITH latest AS (
+      SELECT user_id, event_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+           value AS last_value,
+           TRUE AS optimized, TRUE AS data_identical, TRUE AS history_intact
+    FROM latest WHERE rn = 1 ORDER BY user_id
+    """,
+)
+def s32_optimize_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S32: OPTIMIZE on the snapshot-versioned table — the latest-per-key
+    dimension (W11's compaction) is committed, then optimize() rewrites
+    its layout into one file AS A NEW VERSION: the read-back must be
+    value-identical (hash), the file count must actually drop, and the
+    pre-optimize version must remain time-travelable — completing the
+    table-maintenance trio (S16 versioning, S30 vacuum, S32 optimize).
+    At 100 TB this is the nightly small-files job: pure rewrite, no
+    logical change, crash-safe because publication IS the manifest
+    write."""
+    import glob as _glob
+    import tempfile
+
+    from pydatalake_gen2_spark.sources.versioned import VersionedTable
+
+    latest = spark.sql(
+        """
+        SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+               value AS last_value
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                           ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events) t
+        WHERE rn = 1
+        """
+    )
+    root = tempfile.mkdtemp(prefix="s32_vt_")
+    vt = VersionedTable(spark, f"file://{root}")
+    v1 = vt.commit(latest.repartition(8))  # deliberately fragmented layout
+    v2 = vt.optimize(target_files=1)
+    n1 = len(_glob.glob(f"{root}/_v{v1:08d}/part-*"))
+    n2 = len(_glob.glob(f"{root}/_v{v2:08d}/part-*"))
+    old_rows = vt.read(v1).count()
+    new = vt.read(v2)
+    return new.select(
+        "user_id",
+        "last_event_id",
+        "last_type",
+        "last_value",
+        F.lit(n2 < n1).alias("optimized"),
+        F.lit(old_rows == new.count()).alias("data_identical"),
+        F.lit(vt.versions() == [v1, v2]).alias("history_intact"),
+    ).orderBy("user_id")

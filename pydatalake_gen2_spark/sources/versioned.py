@@ -139,3 +139,16 @@ class VersionedTable:
             for name in orphans:
                 self._cat.delete_path(name, recursive=True)
         return orphans
+
+    def optimize(self, target_files: int = 1) -> int:
+        """OPTIMIZE: rewrite the CURRENT snapshot's layout into
+        ``target_files`` files and commit it as a NEW version — data
+        identical, small files compacted, history untouched (time travel
+        to the pre-optimize version still reads the old layout; `expire`
+        reclaims it later). This is the Delta/Iceberg maintenance verb
+        composed from this engine's own parts: S12's compaction rewrite
+        landing as an S16 manifest commit instead of an in-place
+        mutation, so a crashed OPTIMIZE leaves only an orphan dir for
+        S30's vacuum — never a half-rewritten table."""
+        cur = self.read().coalesce(target_files)
+        return self.commit(cur)
