@@ -190,3 +190,40 @@ def mm_video_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         _VID_CACHE[sf_dir] = multimodal.materialize_video_assets(spark, sf_dir, n=16)
     raw = multimodal.read_binary(spark, _VID_CACHE[sf_dir], glob="*.vid")
     return multimodal.sample_video_batch(raw, every=3).orderBy("doc_id", "frame_idx")
+
+
+@register(
+    "mm_png_features",
+    duck_sql="""
+    SELECT doc_id,
+           array_to_string(list_transform(generate_series(0, 23), i ->
+             CAST(CAST(CASE
+               WHEN i < 16 THEN 8.0
+               WHEN i - 16 = ((doc_id * 7) % 256) // 32 THEN 64.0
+               ELSE 0.0 END AS DOUBLE) AS STRING)), ',') AS feature
+    FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 64)
+    ORDER BY doc_id
+    """,
+)
+def mm_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MM-FEATURES: image feature extraction, hash-matched — real PNG
+    decode → per-channel 8-bucket intensity histogram → a 24-dim
+    ARRAY<DOUBLE> feature column (sources/multimodal.feature_batch), the
+    step that wires the multimodal surface into the embedding/similarity
+    ops (L03/LX consume the column unchanged; a vision model swaps into
+    the same mapInPandas contract). The 8x8 gradient makes every
+    histogram analytic — R/G flat at 8/bucket, B a one-hot 64 at bucket
+    (doc_id*7 % 256)//32 — stated exactly in the oracle; the array is
+    stringified for the hash (F30-32 convention)."""
+    if sf_dir not in _PNG_CACHE:
+        _PNG_CACHE[sf_dir] = multimodal.materialize_png_assets(spark, sf_dir, n=64)
+    raw = multimodal.read_binary(spark, _PNG_CACHE[sf_dir], glob="*.png")
+    from pyspark.sql import functions as F
+
+    feats = multimodal.feature_batch(raw, buckets=8)
+    return feats.select(
+        "doc_id",
+        F.concat_ws(
+            ",", F.transform(F.col("feature"), lambda x: x.cast("string"))
+        ).alias("feature"),
+    ).orderBy("doc_id")

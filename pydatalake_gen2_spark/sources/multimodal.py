@@ -533,3 +533,28 @@ def sample_video_batch(df: DataFrame, every: int = 3) -> DataFrame:
             )
 
     return df.select("path", "content").mapInPandas(run, schema)
+
+
+def feature_batch(df: DataFrame, buckets: int = 8) -> DataFrame:
+    """Image FEATURE EXTRACTION (the pipeline step between decode and the
+    embedding/similarity ops): decode → per-channel intensity histogram →
+    one ARRAY<DOUBLE> feature vector per image, mapInPandas 1→1. The
+    histogram is the deterministic stand-in for a vision-model embedding;
+    a real model swaps into the same batch contract and the downstream
+    L03/LX similarity operators consume the column unchanged."""
+    width = 256 // buckets
+    schema = "doc_id BIGINT, feature ARRAY<DOUBLE>"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for path, content in zip(b["path"], b["content"]):
+                doc_id = int(os.path.basename(path).split("_")[1].split(".")[0])
+                w, h, rgb = decode_png(bytes(content))
+                feat = [0.0] * (3 * buckets)
+                for i, c in enumerate(rgb):
+                    feat[(i % 3) * buckets + c // width] += 1.0
+                rows.append((doc_id, feat))
+            yield pd.DataFrame(rows, columns=["doc_id", "feature"])
+
+    return df.select("path", "content").mapInPandas(run, schema)
