@@ -2753,3 +2753,103 @@ def l60_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# lx_rbo_audit: rank-biased overlap between two retrieval configurations
+# ---------------------------------------------------------------------------
+
+_RBO_P = "0.9"
+_RBO_K = 10
+
+
+@register(
+    "lx_rbo_audit",
+    duck_sql=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id % 100 = 0),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    fullk AS (
+      SELECT query_id, vec_id, rn FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+                 list_dot_product(qv, cv) /
+                   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+                 DESC, vec_id) AS rn
+        FROM c CROSS JOIN q WHERE vec_id <> query_id) t WHERE rn <= {_RBO_K}),
+    trunck AS (
+      SELECT query_id, vec_id, rn FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+                 list_dot_product(qv[1:16], cv[1:16]) /
+                   (sqrt(list_dot_product(qv[1:16], qv[1:16]))
+                    * sqrt(list_dot_product(cv[1:16], cv[1:16])))
+                 DESC, vec_id) AS rn
+        FROM c CROSS JOIN q WHERE vec_id <> query_id) t WHERE rn <= {_RBO_K}),
+    both_ranked AS (
+      SELECT f.query_id, greatest(f.rn, t.rn) AS mr
+      FROM fullk f JOIN trunck t
+        ON f.query_id = t.query_id AND f.vec_id = t.vec_id),
+    depths AS (SELECT unnest(generate_series(1, {_RBO_K})) AS d),
+    ovl AS (
+      SELECT q.query_id, d.d,
+             (SELECT count(*) FROM both_ranked b
+              WHERE b.query_id = q.query_id AND b.mr <= d.d) AS x_d
+      FROM (SELECT DISTINCT query_id FROM fullk) q CROSS JOIN depths d)
+    SELECT query_id,
+           CAST(SUM(CAST(ROUND(
+                 (1 - {_RBO_P}) * POWER({_RBO_P}, d - 1)
+                 * (CAST(x_d AS DOUBLE) / d), 8) AS DECIMAL(18,8)))
+             AS DOUBLE) AS rbo
+    FROM ovl GROUP BY query_id ORDER BY query_id
+    """,
+)
+def lx_rbo_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LX-RBO: rank-biased overlap (Webber et al.) between the full-dim
+    and truncated-dim retrieval RANKINGS — lx_mrl_recall asks 'did the
+    same ids survive'; RBO asks 'in the same ORDER, weighted toward the
+    top' (p=0.9: the metric a reranker consumer actually cares about).
+    Per query: overlap-at-depth X_d from exact integer rank
+    comparisons, each term (1-p)·p^(d-1)·X_d/d ROUND(8)ed then summed
+    EXACTLY as DECIMAL (gr07 discipline; POWER is the only libm call).
+    The evaluation-metric primitive for comparing ANY two retrieval
+    configs — ANN vs exact, two quantizations, two embedding
+    versions."""
+    from pyspark.sql.window import Window
+
+    emb = spark.table("embeddings")
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    fullk = similarity.cosine_topk(emb, q, k=_RBO_K).select(
+        "query_id", "vec_id", "rn"
+    )
+    emb16 = emb.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    q16 = emb16.filter(F.col("vec_id") % 100 == 0)
+    trunck = similarity.cosine_topk(emb16, q16, k=_RBO_K).select(
+        F.col("query_id").alias("tq"), F.col("vec_id").alias("tv"), F.col("rn").alias("trn")
+    )
+    both = fullk.join(
+        trunck,
+        (F.col("query_id") == F.col("tq")) & (F.col("vec_id") == F.col("tv")),
+    ).select("query_id", F.greatest("rn", "trn").alias("mr"))
+    depths = spark.range(1, _RBO_K + 1).select(F.col("id").cast("int").alias("d"))
+    queries = fullk.select("query_id").distinct()
+    overlaps = (
+        queries.crossJoin(depths)
+        .join(both, "query_id", "left")
+        .groupBy("query_id", "d")
+        .agg(
+            F.sum(F.when(F.col("mr") <= F.col("d"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("x_d")
+        )
+    )
+    p = float(_RBO_P)
+    term = F.round(
+        (1 - p) * F.pow(F.lit(p), F.col("d") - 1) * (F.col("x_d").cast("double") / F.col("d")),
+        8,
+    ).cast("decimal(18,8)")
+    return (
+        overlaps.groupBy("query_id")
+        .agg(F.sum(term).cast("double").alias("rbo"))
+        .orderBy("query_id")
+    )
