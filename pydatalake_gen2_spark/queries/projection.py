@@ -457,3 +457,40 @@ sql_pair(
         "(shortest-repr HALF_UP) and DuckDB (binary) resolve differently "
         "— found live on this very pair.",
 )
+
+
+@register(
+    "p20_sql_scripting",
+    duck_sql="""
+    SELECT CAST(count(DISTINCT o_orderstatus) AS INT) AS n_statuses,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders
+    """,
+)
+def p20_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P20: SQL SCRIPTING (Spark 4 BEGIN/DECLARE/FOR/SET blocks) — an
+    in-dialect procedural program: a FOR loop iterates a grouped query's
+    result rows, accumulating into declared variables, and the block's
+    final SELECT is the result. Completes the procedural ladder (P13
+    parameters → P15 session variables → P20 control flow); each
+    statement inside the block still plans through Catalyst, so the
+    loop body's aggregates keep their partial-agg shapes. The oracle
+    states the accumulated result closed-form."""
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE total BIGINT DEFAULT 0;
+          DECLARE n INT DEFAULT 0;
+          FOR r AS (SELECT o_orderstatus AS s,
+                           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                                AS BIGINT) AS c
+                    FROM orders GROUP BY o_orderstatus ORDER BY s) DO
+            SET total = total + r.c;
+            SET n = n + 1;
+          END FOR;
+          SELECT n AS n_statuses, total AS total_cents;
+        END
+        """
+    )

@@ -1035,3 +1035,36 @@ def s32_optimize_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(old_rows == new.count()).alias("data_identical"),
         F.lit(vt.versions() == [v1, v2]).alias("history_intact"),
     ).orderBy("user_id")
+
+
+@register(
+    "s33_alter_add_column",
+    duck_sql="""
+    SELECT n_nationkey, n_name,
+           CASE WHEN n_nationkey < 10 THEN NULL
+                ELSE concat('zone-', CAST(n_regionkey AS STRING)) END AS zone
+    FROM nation ORDER BY n_nationkey
+    """,
+)
+def s33_alter_add_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S33: in-place DDL schema evolution — a managed table gets rows,
+    then ALTER TABLE ADD COLUMNS, then new-schema rows: old rows read
+    back with NULL in the added column, new rows carry values, ONE
+    table throughout (S15 is the read-side merge of divergent files;
+    S28 the write-side defaults; this is the catalog-mediated ALTER the
+    reference's set-properties metadata verbs gesture at,
+    client.py:308-325). Idempotent per (session, sf) via DROP/CREATE."""
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    tbl = f"s33_nation_{tag}"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    spark.sql(f"CREATE TABLE {tbl} (n_nationkey INT, n_name STRING) USING parquet")
+    spark.sql(
+        f"INSERT INTO {tbl} SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 10"
+    )
+    spark.sql(f"ALTER TABLE {tbl} ADD COLUMNS (zone STRING)")
+    spark.sql(
+        f"""INSERT INTO {tbl}
+        SELECT n_nationkey, n_name, concat('zone-', CAST(n_regionkey AS STRING))
+        FROM nation WHERE n_nationkey >= 10"""
+    )
+    return spark.table(tbl).orderBy("n_nationkey")
