@@ -2853,3 +2853,81 @@ def lx_rbo_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(term).cast("double").alias("rbo"))
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# l61: per-label precision/recall/F1 for the kNN weak labeler
+# ---------------------------------------------------------------------------
+
+
+def _l61_duck() -> str:
+    from pydatalake_gen2_spark.registry import REGISTRY
+
+    l41 = REGISTRY["l41_knn_label_propagation"].duck_sql
+    return f"""
+    WITH res AS ({l41}),
+    t AS (SELECT true_label AS label, CAST(count(*) AS BIGINT) AS n_true,
+                 CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                      AS BIGINT) AS tp
+          FROM res GROUP BY true_label),
+    p AS (SELECT pred_label AS label, CAST(count(*) AS BIGINT) AS n_pred
+          FROM res GROUP BY pred_label)
+    SELECT coalesce(t.label, p.label) AS label,
+           coalesce(n_true, 0) AS n_true,
+           coalesce(n_pred, 0) AS n_pred,
+           coalesce(tp, 0) AS tp,
+           ROUND(CASE WHEN coalesce(n_pred, 0) = 0 THEN 0.0
+                      ELSE CAST(coalesce(tp, 0) AS DOUBLE) / n_pred END, 4) AS prec,
+           ROUND(CASE WHEN coalesce(n_true, 0) = 0 THEN 0.0
+                      ELSE CAST(coalesce(tp, 0) AS DOUBLE) / n_true END, 4) AS rec,
+           ROUND(CASE WHEN coalesce(n_true, 0) + coalesce(n_pred, 0) = 0 THEN 0.0
+                      ELSE 2.0 * coalesce(tp, 0)
+                           / (coalesce(n_true, 0) + coalesce(n_pred, 0)) END, 4) AS f1
+    FROM t FULL JOIN p ON t.label = p.label
+    ORDER BY label
+    """
+
+
+@register("l61_knn_eval", duck_sql=_l61_duck())
+def l61_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L61: per-label precision / recall / F1 of the kNN weak labeler —
+    the model-evaluation report card computed ON the engine (confusion
+    tallies from l41's predictions vs held-out true labels; the
+    annotate→evaluate→iterate loop's measurement half). Every metric is
+    a single IEEE divide of integer tallies ROUND(4)ed (F1 spelled
+    2·tp/(n_true+n_pred) so it's one expression, not a ratio of rounded
+    ratios); labels never predicted or never true survive via the full
+    outer join with zeroed counts. The oracle embeds l41's entire chain
+    so both engines always score the same predictions."""
+    res = l41_knn_label_propagation(spark, sf_dir)
+    t = res.groupBy(F.col("true_label").alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true"),
+        F.sum((F.col("pred_label") == F.col("true_label")).cast("long"))
+        .cast("bigint")
+        .alias("tp"),
+    )
+    p = res.groupBy(F.col("pred_label").alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pred")
+    )
+    j = t.join(p, "label", "full")
+    n_true = F.coalesce("n_true", F.lit(0))
+    n_pred = F.coalesce("n_pred", F.lit(0))
+    tp = F.coalesce("tp", F.lit(0))
+    return j.select(
+        "label",
+        n_true.alias("n_true"),
+        n_pred.alias("n_pred"),
+        tp.alias("tp"),
+        F.round(
+            F.when(n_pred == 0, 0.0).otherwise(tp.cast("double") / n_pred), 4
+        ).alias("prec"),
+        F.round(
+            F.when(n_true == 0, 0.0).otherwise(tp.cast("double") / n_true), 4
+        ).alias("rec"),
+        F.round(
+            F.when(n_true + n_pred == 0, 0.0).otherwise(
+                2.0 * tp / (n_true + n_pred)
+            ),
+            4,
+        ).alias("f1"),
+    ).orderBy("label")
