@@ -93,6 +93,13 @@ SHOW = [
     ("lx_mrl_recall", "truncated-dim leg reuses the broadcast-query shape"),
     ("gr07_link_prediction", "anti-joined wedge enumeration on the backbone"),
     ("ud13_sql_udf", "SQL UDF bodies inline into the scan projection"),
+    # round 7, second half
+    ("j32_geo_grid_join", "spatial candidates via cell equi-join, no cross product"),
+    ("l59_incremental_neardup", "batch bands probe the corpus index only"),
+    ("gr09_item_similarity", "bipartite co-occurrence tallies + row-local cosine"),
+    ("ud14_secondary_sort", "repartition + sortWithinPartitions -> mapInPandas"),
+    ("w28_time_weighted_avg", "one window shuffle, exact decimal weight sums"),
+    ("l60_split_leakage", "train gram set joined onto held-out gram stream"),
 ]
 
 
