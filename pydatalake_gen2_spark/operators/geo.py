@@ -39,11 +39,16 @@ HAVERSINE_KM = (
 
 
 def cell_sizes(radius_km: float, lat_bound: float = 60.0) -> tuple[int, int]:
-    """Smallest whole-degree cell sizes with the pigeonhole guarantee."""
+    """Smallest whole-degree cell sizes with the pigeonhole guarantee.
+
+    The longitude cell is rounded UP to a divisor of 360 so the cell ring
+    closes exactly at the antimeridian — the wrap-around probe below is
+    only correct when 360 % lon_cell == 0."""
     lat_cell = max(1, math.ceil(radius_km / 111.0))
-    lon_cell = max(
+    lon_need = max(
         1, math.ceil(radius_km / (111.0 * math.cos(math.radians(lat_bound))))
     )
+    lon_cell = next(d for d in range(lon_need, 361) if 360 % d == 0)
     return lat_cell, lon_cell
 
 
@@ -63,9 +68,18 @@ def grid_nearest(
     9x probe explode — put the smaller/reusable side in ``sites``.
     """
     lat_cell, lon_cell = cell_sizes(radius_km, lat_bound)
+    # Longitude cells are numbered 0..n_lon-1 from -180 and the probe
+    # offsets wrap MODULO n_lon: a point at lon 179.9 and a site at
+    # -179.9 are neighbours across the antimeridian (the haversine's
+    # half-angle sines already handle the wrapped distance; only the
+    # bucketing needs the ring topology). Latitude has no wrap — the
+    # lat_bound cap keeps the poles out entirely.
+    n_lon = 360 // lon_cell
     s = sites.withColumn(
         "cell_lat", F.floor(F.col("s_lat") / lat_cell).cast("int")
-    ).withColumn("cell_lon", F.floor(F.col("s_lon") / lon_cell).cast("int"))
+    ).withColumn(
+        "cell_lon", F.floor((F.col("s_lon") + 180.0) / lon_cell).cast("int") % n_lon
+    )
     offsets = F.array(
         *[
             F.struct(F.lit(dlat).alias("dlat"), F.lit(dlon).alias("dlon"))
@@ -79,7 +93,15 @@ def grid_nearest(
             "cell_lat", (F.floor(F.col("c_lat") / lat_cell) + F.col("o.dlat")).cast("int")
         )
         .withColumn(
-            "cell_lon", (F.floor(F.col("c_lon") / lon_cell) + F.col("o.dlon")).cast("int")
+            "cell_lon",
+            (
+                (
+                    F.floor((F.col("c_lon") + 180.0) / lon_cell).cast("int")
+                    + F.col("o.dlon")
+                    + F.lit(n_lon)
+                )
+                % n_lon
+            ),
         )
         .drop("o")
     )

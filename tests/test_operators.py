@@ -1266,3 +1266,21 @@ def test_grid_nearest_matches_brute_force(spark, case):
         )
     )
     assert got == brute
+
+
+def test_grid_nearest_wraps_antimeridian(spark):
+    """Regression: a point at lon 179.95 and a site at -179.95 on the same
+    latitude are ~11 km apart — the longitude cell ring must wrap at the
+    antimeridian or the pair never meets in a bucket (found by review;
+    the haversine itself was always wrap-correct)."""
+    from pydatalake_gen2_spark.operators.geo import grid_nearest
+
+    pdf = spark.createDataFrame(
+        [(1, 10.0, 179.95)], "p_id LONG, c_lat DOUBLE, c_lon DOUBLE"
+    )
+    sdf = spark.createDataFrame(
+        [(7, 10.0, -179.95)], "s_id LONG, s_lat DOUBLE, s_lon DOUBLE"
+    )
+    rows = grid_nearest(pdf, sdf, radius_km=200.0).collect()
+    assert len(rows) == 1 and rows[0]["s_id"] == 7, rows
+    assert rows[0]["dist_km"] < 15.0, rows
