@@ -1019,3 +1019,37 @@ sql_pair(
         "arbitrary orderings. DuckDB states the same thing declaratively "
         "(list(... ORDER BY ...)); row-local, rides G10's agg shape.",
 )
+
+
+@register(
+    "f59_schema_of_json",
+    duck_sql="""
+    SELECT 'STRUCT<k: BIGINT>' AS inferred_schema,
+           CAST(count(*) AS BIGINT) AS n_parsed,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k
+    FROM events
+    """,
+)
+def f59_schema_of_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F59: JSON SCHEMA INFERENCE — schema_of_json derives the DDL of the
+    props payload from a sample row at PLAN TIME, and that inferred
+    schema immediately drives a typed from_json extraction over the
+    whole column: the ingest-time workflow for undocumented JSON feeds
+    (F23 extracts known paths; F24 parses a declared schema; this
+    DISCOVERS the schema). The oracle states the expected inference
+    verbatim — a drifted inferred type breaks the hash — and re-derives
+    the typed sum through its own JSON reader."""
+    sample = spark.table("events").select("props").first()["props"]
+    inferred = (
+        spark.range(1).select(F.schema_of_json(F.lit(sample)).alias("s")).first()["s"]
+    )
+    return (
+        spark.table("events")
+        .select(F.from_json("props", inferred).alias("j"))
+        .agg(
+            F.lit(inferred).alias("inferred_schema"),
+            F.count(F.lit(1)).cast("bigint").alias("n_parsed"),
+            F.sum(F.col("j.k")).cast("bigint").alias("sum_k"),
+        )
+    )
