@@ -395,3 +395,48 @@ sql_pair(
         "offset-0 diagonal broadcast back for the rate. Retention is one "
         "IEEE divide ROUND(4).",
 )
+
+
+# ---------------------------------------------------------------------------
+# g43: time-to-convert distribution (first click -> first later purchase)
+# ---------------------------------------------------------------------------
+
+def _g43_sql(epoch_us: str) -> str:
+    return f"""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'click' THEN {epoch_us} END) AS c_us
+      FROM events GROUP BY user_id),
+    conv AS (
+      SELECT f.user_id,
+             MIN(CASE WHEN e.event_type = 'purchase'
+                       AND {epoch_us.replace('ts', 'e.ts')} > f.c_us
+                      THEN {epoch_us.replace('ts', 'e.ts')} END) - f.c_us AS gap_us
+      FROM firsts f JOIN events e ON e.user_id = f.user_id
+      WHERE f.c_us IS NOT NULL
+      GROUP BY f.user_id, f.c_us),
+    g AS (SELECT user_id, gap_us FROM conv)
+    SELECT CAST(count(*) AS BIGINT) AS n_clickers,
+           CAST(count(gap_us) AS BIGINT) AS n_converted,
+           ROUND(CAST(count(gap_us) AS DOUBLE) / count(*), 4) AS conversion_rate,
+           CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+           CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_us) AS BIGINT)
+             AS median_gap_us,
+           CAST(max(gap_us) AS BIGINT) AS max_gap_us
+    FROM g
+    """
+
+
+sql_pair(
+    "g43_time_to_convert",
+    _g43_sql("unix_micros(ts)"),
+    _g43_sql("epoch_us(ts)"),
+    doc="G43: time-to-convert distribution — per user, the gap from the "
+        "FIRST click to the first purchase strictly after it; corpus-level "
+        "conversion rate plus exact integer-microsecond min/median/max "
+        "(percentile_disc picks an actual observed gap, no interpolation "
+        "float). The funnel-latency report behind SLA and campaign "
+        "analysis (W12 counts step completion; this measures its speed). "
+        "Two partial-agg passes over events keyed by user; epoch "
+        "extraction is the unix_micros/epoch_us dialect pair.",
+)

@@ -726,3 +726,48 @@ sql_pair(
         "cast caveat). One window shuffle on user_id; epoch extraction "
         "is the unix_micros/epoch_us dialect pair.",
 )
+
+
+def _w30_sql(fmt: str) -> str:
+    return f"""
+    WITH monthly AS (
+      SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS INT) AS m,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS INT)),
+    seq AS (
+      SELECT m, cents,
+             lag(cents, 1) OVER (ORDER BY m) AS prev_m,
+             lag(cents, 12) OVER (ORDER BY m) AS prev_y,
+             lag(m, 1) OVER (ORDER BY m) AS m_minus_1,
+             lag(m, 12) OVER (ORDER BY m) AS m_minus_12
+      FROM monthly)
+    SELECT {fmt} AS month, cents,
+           CASE WHEN m_minus_1 = m - 1
+                THEN ROUND((cents - prev_m) * 100.0 / prev_m, 4) END AS mom_pct,
+           CASE WHEN m_minus_12 = m - 12
+                THEN ROUND((cents - prev_y) * 100.0 / prev_y, 4) END AS yoy_pct
+    FROM seq ORDER BY m
+    """
+
+
+_W30_RENDER = (
+    "concat(CAST(m // 12 AS STRING), '-', lpad(CAST(m % 12 + 1 AS STRING), 2, '0'))"
+)
+
+sql_pair(
+    "w30_growth_report",
+    _w30_sql(
+        "concat(CAST(m div 12 AS STRING), '-', lpad(CAST(m % 12 + 1 AS STRING), 2, '0'))"
+    ),
+    _w30_sql(_W30_RENDER),
+    doc="W30: month-over-month / year-over-year growth report — monthly "
+        "exact-cents rollup, LAG(1)/LAG(12) deltas as percentages, with "
+        "CALENDAR-GAP GUARDS: the lagged month id must actually be the "
+        "adjacent month (m-1) / same month last year (m-12), else the "
+        "delta is NULL rather than silently comparing across a gap — the "
+        "reporting-correctness detail naive lag-based growth queries get "
+        "wrong. Integer month keys (g42's arithmetic); the window runs "
+        "on the month-count-sized series; integer div is the div vs // "
+        "dialect pair.",
+)
