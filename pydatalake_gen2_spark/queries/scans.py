@@ -1057,6 +1057,14 @@ def s33_alter_add_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
     tbl = f"s33_nation_{tag}"
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    # DROP only clears the CATALOG entry; a managed-table location left on
+    # disk by a PREVIOUS process (this session's catalog never knew it)
+    # still blocks CREATE with LOCATION_ALREADY_EXISTS — clear it too.
+    import shutil as _shutil
+    from urllib.parse import urlparse as _urlparse
+
+    wh = _urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    _shutil.rmtree(os.path.join(wh, tbl), ignore_errors=True)
     spark.sql(f"CREATE TABLE {tbl} (n_nationkey INT, n_name STRING) USING parquet")
     spark.sql(
         f"INSERT INTO {tbl} SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 10"
