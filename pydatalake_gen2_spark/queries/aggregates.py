@@ -882,3 +882,166 @@ sql_pair(
         "are ambiguous to consumers. Same partial-agg rollup plan as "
         "G05; the grouping bits ride the aggregation for free.",
 )
+
+
+_G44_SQL = """
+    WITH g AS (
+      SELECT o_totalprice AS v,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS in1
+      FROM orders WHERE o_orderstatus IN ('F', 'O')),
+    spine AS (
+      SELECT v, CAST(SUM(in1) AS BIGINT) AS c1,
+             CAST(COUNT(*) - SUM(in1) AS BIGINT) AS c2
+      FROM g GROUP BY v),
+    ranked AS (
+      SELECT v, c1, c2, c1 + c2 AS c,
+             COALESCE(SUM(c1 + c2) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM spine),
+    s AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+             CAST(SUM(c2) AS BIGINT) AS n2,
+             SUM(CAST(c1 AS DECIMAL(19,0)) * (2 * cb + c + 1)) AS r1x2,
+             SUM(CAST(c AS DECIMAL(19,0)) * c * c - c) AS tie3
+      FROM ranked)
+    SELECT n1, n2,
+           CAST(r1x2 - CAST(n1 AS DECIMAL(19,0)) * (n1 + 1) AS DOUBLE) / 2 AS u1,
+           ROUND(CAST(r1x2 - CAST(n1 AS DECIMAL(19,0)) * (n1 + 1) AS DOUBLE) / 2
+                 / (CAST(n1 AS DOUBLE) * n2), 6) AS auc,
+           ROUND((CAST(r1x2 - CAST(n1 AS DECIMAL(19,0)) * (n1 + 1) AS DOUBLE) / 2
+                  - CAST(n1 AS DOUBLE) * n2 / 2)
+                 / SQRT(CAST(n1 AS DOUBLE) * n2 / 12
+                        * ((n1 + n2 + 1)
+                           - CAST(tie3 AS DOUBLE)
+                             / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1.0)))), 6) AS z
+    FROM s
+"""
+
+sql_pair(
+    "g44_mann_whitney",
+    _G44_SQL,
+    doc="G44: Mann-Whitney U rank-sum test between finished ('F') and open "
+        "('O') order price distributions — the nonparametric sibling of "
+        "G41's KS test (KS asks 'same distribution?'; U also yields "
+        "AUC = P(F-order price > O-order price), the effect size). Ranks "
+        "are never materialized per row: the distinct-value spine carries "
+        "per-value group tallies, midranks come from the cumulative count "
+        "(2*midrank = 2*cum_before + ties + 1, integer), and 2*R1 is an "
+        "exact DECIMAL(19+)-width sum (hugeint-safe in DuckDB, overflow-"
+        "safe at 1e10 rows). Tie-corrected normal z and AUC take one IEEE "
+        "expression each, ROUND(6). Cost: one partial-agg shuffle to the "
+        "spine + a bounded window over distinct prices.",
+)
+
+
+_G45_MOMENTS = """
+      SELECT CAST(SUM(CAST(q AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS s_q,
+             CAST(SUM(CAST(p AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS s_p,
+             CAST(SUM(CAST(d AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS s_d,
+             CAST(SUM(CAST(t AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS s_t,
+             CAST(SUM(CAST(q AS DECIMAL(19,0)) * q) AS DECIMAL(38,0)) AS s_qq,
+             CAST(SUM(CAST(p AS DECIMAL(19,0)) * p) AS DECIMAL(38,0)) AS s_pp,
+             CAST(SUM(CAST(d AS DECIMAL(19,0)) * d) AS DECIMAL(38,0)) AS s_dd,
+             CAST(SUM(CAST(t AS DECIMAL(19,0)) * t) AS DECIMAL(38,0)) AS s_tt,
+             CAST(SUM(CAST(q AS DECIMAL(19,0)) * p) AS DECIMAL(38,0)) AS s_qp,
+             CAST(SUM(CAST(q AS DECIMAL(19,0)) * d) AS DECIMAL(38,0)) AS s_qd,
+             CAST(SUM(CAST(q AS DECIMAL(19,0)) * t) AS DECIMAL(38,0)) AS s_qt,
+             CAST(SUM(CAST(p AS DECIMAL(19,0)) * d) AS DECIMAL(38,0)) AS s_pd,
+             CAST(SUM(CAST(p AS DECIMAL(19,0)) * t) AS DECIMAL(38,0)) AS s_pt,
+             CAST(SUM(CAST(d AS DECIMAL(19,0)) * t) AS DECIMAL(38,0)) AS s_dt,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM c
+"""
+
+_G45_CORR = (
+    "ROUND((CAST(n AS DOUBLE) * CAST(s_{xy} AS DOUBLE)"
+    " - CAST(s_{x} AS DOUBLE) * CAST(s_{y} AS DOUBLE))"
+    " / SQRT((CAST(n AS DOUBLE) * CAST(s_{xx} AS DOUBLE)"
+    "         - CAST(s_{x} AS DOUBLE) * CAST(s_{x} AS DOUBLE))"
+    "        * (CAST(n AS DOUBLE) * CAST(s_{yy} AS DOUBLE)"
+    "           - CAST(s_{y} AS DOUBLE) * CAST(s_{y} AS DOUBLE))), 6)"
+)
+
+_G45_SQL = (
+    """
+    WITH c AS (
+      SELECT CAST(round(l_quantity * 100) AS BIGINT) AS q,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
+             CAST(round(l_discount * 100) AS BIGINT) AS d,
+             CAST(round(l_tax * 100) AS BIGINT) AS t
+      FROM lineitem),
+    m AS ("""
+    + _G45_MOMENTS
+    + """)
+    SELECT pair, corr FROM (
+      SELECT 'quantity~extendedprice' AS pair, """
+    + _G45_CORR.format(x="q", y="p", xy="qp", xx="qq", yy="pp")
+    + """ AS corr FROM m
+      UNION ALL SELECT 'quantity~discount', """
+    + _G45_CORR.format(x="q", y="d", xy="qd", xx="qq", yy="dd")
+    + """ FROM m
+      UNION ALL SELECT 'quantity~tax', """
+    + _G45_CORR.format(x="q", y="t", xy="qt", xx="qq", yy="tt")
+    + """ FROM m
+      UNION ALL SELECT 'extendedprice~discount', """
+    + _G45_CORR.format(x="p", y="d", xy="pd", xx="pp", yy="dd")
+    + """ FROM m
+      UNION ALL SELECT 'extendedprice~tax', """
+    + _G45_CORR.format(x="p", y="t", xy="pt", xx="pp", yy="tt")
+    + """ FROM m
+      UNION ALL SELECT 'discount~tax', """
+    + _G45_CORR.format(x="d", y="t", xy="dt", xx="dd", yy="tt")
+    + """ FROM m
+    ) ORDER BY pair
+    """
+)
+
+sql_pair(
+    "g45_correlation_matrix",
+    _G45_SQL,
+    doc="G45: pairwise Pearson correlation matrix over the four lineitem "
+        "measures (quantity, extendedprice, discount, tax) from EXACT "
+        "integer-cents moments — one single-pass partial aggregate "
+        "computes all 14 sums (Σx, Σx², Σxy at DECIMAL(38,0); the "
+        "DECIMAL(19,0) operand casts force hugeint multiply in DuckDB "
+        "and overflow-safety at 1e10 rows in Spark), then each corr is "
+        "one IEEE expression ROUND(6) over the scalar moments — the "
+        "scale factors cancel. The feature-selection / drift pre-flight "
+        "for any numeric feature matrix: one scan, one 14-number shuffle, "
+        "zero per-pair passes.",
+)
+
+
+sql_pair(
+    "g46_categorical_entropy",
+    """
+    WITH t AS (
+      SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri,
+             CAST(count(*) AS BIGINT) AS c
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment, o.o_orderpriority),
+    s AS (SELECT seg, CAST(SUM(c) AS BIGINT) AS ns,
+                 CAST(COUNT(*) AS BIGINT) AS k
+          FROM t GROUP BY seg)
+    SELECT t.seg AS segment, s.ns AS n_orders, s.k AS n_priorities,
+           CAST(SUM(CAST(ROUND(
+                 -(CAST(t.c AS DOUBLE) / s.ns)
+                  * LN(CAST(t.c AS DOUBLE) / s.ns), 8)
+               AS DECIMAL(20,8))) AS DOUBLE) AS entropy_nats,
+           ROUND(CAST(SUM(CAST(ROUND(
+                 -(CAST(t.c AS DOUBLE) / s.ns)
+                  * LN(CAST(t.c AS DOUBLE) / s.ns), 8)
+               AS DECIMAL(20,8))) AS DOUBLE) / LN(CAST(s.k AS DOUBLE)), 6)
+             AS entropy_normalized
+    FROM t JOIN s ON t.seg = s.seg
+    GROUP BY t.seg, s.ns, s.k ORDER BY t.seg
+    """,
+    doc="G46: Shannon entropy (and normalized entropy) of the order-"
+        "priority mix per market segment — the concentration/diversity "
+        "audit next to L58's KL (KL measures drift BETWEEN distributions; "
+        "entropy measures flatness OF one). Integer contingency tallies "
+        "(one partial-agg shuffle, |seg|x|pri| cells cross the wire), "
+        "each -p*ln(p) term ROUND(8) then summed EXACTLY as "
+        "DECIMAL(20,8) — order-independent across engines (the L58/GR07 "
+        "discipline).",
+)

@@ -771,3 +771,50 @@ sql_pair(
         "on the month-count-sized series; integer div is the div vs // "
         "dialect pair.",
 )
+
+
+sql_pair(
+    "w31_cusum_changepoint",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY CAST(o_orderdate AS DATE)),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(cents) AS BIGINT) AS t
+            FROM daily),
+    cum AS (
+      SELECT d,
+             CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS k,
+             CAST(SUM(cents) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS run
+      FROM daily),
+    dev AS (
+      SELECT d, k, run, n, t,
+             ABS(CAST(n AS DECIMAL(19,0)) * run
+                 - CAST(k AS DECIMAL(19,0)) * t) AS a
+      FROM cum CROSS JOIN tot)
+    SELECT d AS changepoint_date, k AS day_idx, n AS n_days,
+           CAST(a AS DOUBLE) AS dev_scaled,
+           ROUND(CAST(a AS DOUBLE) / (CAST(n AS DOUBLE) * t), 8)
+             AS dev_normalized,
+           ROUND(CAST(run AS DOUBLE) / k / 100, 4) AS pre_mean,
+           CASE WHEN k < n
+                THEN ROUND(CAST(t - run AS DOUBLE) / (n - k) / 100, 4)
+           END AS post_mean
+    FROM dev ORDER BY a DESC, k LIMIT 1
+    """,
+    doc="W31: CUSUM changepoint detection on the daily-revenue series — "
+        "argmax_k |n*cumsum_k - k*total| locates the day where the mean "
+        "level shifts (the mean-centered cumulative sum scaled by n to "
+        "stay INTEGER: no float accumulates across the series, so the "
+        "argmax is exact and tie-broken by earliest day). Pre/post means "
+        "quantify the shift; dev_normalized in [0, ~0.25] is the "
+        "comparable magnitude. One partial-agg shuffle to days + a "
+        "window over the day-count-sized series; the monitoring "
+        "primitive behind 'did ingest volume/revenue change character "
+        "on a given day' (G39 finds cycles, W26 removes them, this "
+        "finds LEVEL SHIFTS).",
+)
