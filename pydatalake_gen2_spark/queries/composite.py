@@ -581,3 +581,44 @@ sql_pair(
         "discipline) — at 100 TB swap exact ntile for G32's percentile "
         "fences if even the customer dimension outgrows one partition.",
 )
+
+
+sql_pair(
+    "c30_market_basket",
+    """
+    WITH baskets AS (
+      SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    n_b AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n FROM baskets),
+    item AS (SELECT brand, CAST(COUNT(*) AS BIGINT) AS c FROM baskets
+             GROUP BY brand),
+    pair AS (
+      SELECT a.brand AS brand_a, b.brand AS brand_b,
+             CAST(COUNT(*) AS BIGINT) AS c_ab
+      FROM baskets a JOIN baskets b
+        ON a.ok = b.ok AND a.brand < b.brand
+      GROUP BY a.brand, b.brand)
+    SELECT brand_a, brand_b, c_ab,
+           ROUND(CAST(c_ab AS DOUBLE) / n_b.n, 6) AS support,
+           ROUND(CAST(c_ab AS DOUBLE) / ia.c, 6) AS confidence_a_to_b,
+           ROUND(CAST(c_ab AS DOUBLE) * n_b.n
+                 / (CAST(ia.c AS DOUBLE) * ib.c), 6) AS lift
+    FROM pair
+    JOIN item ia ON pair.brand_a = ia.brand
+    JOIN item ib ON pair.brand_b = ib.brand
+    CROSS JOIN n_b
+    ORDER BY lift DESC, brand_a, brand_b
+    LIMIT 20
+    """,
+    doc="C30: market-basket association rules over order baskets — "
+        "brand-pair co-occurrence tallies to support / confidence / "
+        "lift, top-20 by lift ('bought X, also bought Y' with the "
+        "base-rate correction GR09's cosine lacks; GR09 scores "
+        "customer-neighbourhood similarity, this scores in-basket "
+        "co-purchase). Baskets reduce to DISTINCT (order, brand) first "
+        "(dim join broadcasts), so the self-join fan-out per order is "
+        "bounded by the BRAND vocabulary (<=25 here), never by basket "
+        "line count, and the output is |brands|^2/2 tallies regardless "
+        "of data size — integer counts cross the shuffle, ratios are "
+        "one ROUND(6) expression each at the end.",
+)

@@ -2931,3 +2931,182 @@ def l61_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("f1"),
     ).orderBy("label")
+
+
+# ---------------------------------------------------------------------------
+# l64: MinHash-LSH parameter planner (b,r s-curve audit on observed pairs)
+# ---------------------------------------------------------------------------
+
+_L64_CONFIGS = [(6, 8), (8, 6), (12, 4), (16, 3), (24, 2)]
+_L64_TAU = 0.1
+
+
+def _l64_duck() -> str:
+    cfg_rows = ", ".join(f"({b}, {r})" for b, r in _L64_CONFIGS)
+    return f"""
+    WITH sets AS (
+      SELECT doc_id AS id,
+             list_distinct(list_transform(generate_series(1, len(t) - 2),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS toks
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+      WHERE len(t) >= 3),
+    inv AS (SELECT id, len(toks) AS n_toks, unnest(toks) AS tok FROM sets),
+    shared AS (
+      SELECT a.id AS id_a, b.id AS id_b, a.n_toks AS na, b.n_toks AS nb,
+             COUNT(*) AS n_shared
+      FROM inv a JOIN inv b ON a.tok = b.tok AND a.id < b.id
+      GROUP BY 1, 2, 3, 4),
+    pairs AS (
+      SELECT CAST(n_shared AS BIGINT) AS n_shared,
+             CAST(na + nb - n_shared AS BIGINT) AS n_union,
+             n_shared / (na + nb - n_shared) AS s
+      FROM shared
+      WHERE n_shared / (na + nb - n_shared) >= {_L64_TAU}),
+    cfg AS (SELECT * FROM (VALUES {cfg_rows}) AS v(b, r))
+    SELECT CAST(cfg.b AS INT) AS n_bands, CAST(cfg.r AS INT) AS rows_per_band,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CAST(ROUND(
+                 1 - POWER(1 - POWER(s, cfg.r), cfg.b), 8)
+               AS DECIMAL(20,8))) AS DOUBLE) AS exp_candidates,
+           CAST(SUM(CASE WHEN n_shared * 5 >= n_union * 4
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+           CAST(SUM(CASE WHEN n_shared * 5 >= n_union * 4
+                         THEN CAST(ROUND(
+                           1 - POWER(1 - POWER(s, cfg.r), cfg.b), 8)
+                         AS DECIMAL(20,8)) ELSE CAST(0 AS DECIMAL(20,8)) END)
+               AS DOUBLE) AS exp_caught_high,
+           ROUND(CAST(SUM(CASE WHEN n_shared * 5 >= n_union * 4
+                         THEN CAST(ROUND(
+                           1 - POWER(1 - POWER(s, cfg.r), cfg.b), 8)
+                         AS DECIMAL(20,8)) ELSE CAST(0 AS DECIMAL(20,8)) END)
+               AS DOUBLE)
+               / NULLIF(SUM(CASE WHEN n_shared * 5 >= n_union * 4
+                                 THEN 1 ELSE 0 END), 0), 6) AS exp_recall_high
+    FROM pairs CROSS JOIN cfg
+    GROUP BY cfg.b, cfg.r ORDER BY cfg.b, cfg.r
+    """
+
+
+@register("l64_lsh_param_plan", duck_sql=_l64_duck())
+def l64_lsh_param_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L64: MinHash-LSH parameter planner — for candidate (bands, rows)
+    configs with b*r = 48 hashes, evaluates the s-curve
+    p(s) = 1-(1-s^r)^b against the OBSERVED pair-similarity distribution
+    (exact 3-gram Jaccard pairs >= 0.1 from L02b's inverted-index
+    operator): expected candidate-pair volume (index cost) and expected
+    recall on true near-dups (Jaccard >= 0.8, an EXACT rational fence —
+    5*shared >= 4*union — so no float decides membership). G36 pre-sizes
+    a join; this pre-sizes the LSH index: pick the config whose recall
+    meets the bar at the lowest candidate volume BEFORE minhashing 100 TB.
+    Per-pair p is one IEEE expression ROUND(8) then summed exactly as
+    DECIMAL(20,8) (L58 discipline); the pair spine is the bounded
+    shingle-join output, configs broadcast (|configs| tiny)."""
+    pairs = dedup.exact_jaccard_pairs(spark.table("documents"), tau=_L64_TAU)
+    cfg = spark.createDataFrame(_L64_CONFIGS, "b INT, r INT")
+    p = F.round(
+        1 - F.pow(1 - F.pow(F.col("s"), F.col("r")), F.col("b")), 8
+    ).cast("decimal(20,8)")
+    high = (F.col("n_shared") * 5 >= F.col("n_union") * 4).cast("long")
+    terms = (
+        pairs.select(
+            "n_shared",
+            "n_union",
+            (F.col("n_shared").cast("double") / F.col("n_union")).alias("s"),
+        )
+        .crossJoin(F.broadcast(cfg))
+        .select(
+            "b",
+            "r",
+            p.alias("p"),
+            high.alias("high"),
+        )
+    )
+    zero = F.lit(0).cast("decimal(20,8)")
+    return (
+        terms.groupBy("b", "r")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("p").cast("double").alias("exp_candidates"),
+            F.sum("high").cast("bigint").alias("n_high"),
+            F.sum(F.when(F.col("high") == 1, F.col("p")).otherwise(zero))
+            .cast("double")
+            .alias("exp_caught_high"),
+        )
+        .select(
+            F.col("b").cast("int").alias("n_bands"),
+            F.col("r").cast("int").alias("rows_per_band"),
+            "n_pairs",
+            "exp_candidates",
+            "n_high",
+            "exp_caught_high",
+            F.round(
+                F.col("exp_caught_high") / F.nullif(F.col("n_high").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("exp_recall_high"),
+        )
+        .orderBy("n_bands", "rows_per_band")
+    )
+
+
+# ---------------------------------------------------------------------------
+# l65: encoding-anomaly / mojibake corpus audit
+# ---------------------------------------------------------------------------
+
+_L65_REPL = "\ufffd"   # U+FFFD REPLACEMENT CHARACTER (lossy-transcode scar)
+_L65_CTRL = "\x07"     # BEL, a C0 control that never belongs in clean text
+
+
+def _l65_sql() -> str:
+    # Both dialects plant the SAME anomalies from doc_id arithmetic
+    # (L54's planting pattern): every doc_id % 7 == 3 gets a replacement
+    # character, every doc_id % 11 == 5 a C0 control char. Detection then
+    # re-finds them with substring counting only (no regex dialects).
+    return f"""
+    WITH planted AS (
+      SELECT doc_id, source,
+             concat(text,
+                    CASE WHEN doc_id % 7 = 3
+                         THEN ' caf{_L65_REPL}' ELSE '' END,
+                    CASE WHEN doc_id % 11 = 5
+                         THEN '{_L65_CTRL}' ELSE '' END) AS t
+      FROM documents),
+    flags AS (
+      SELECT source,
+             CAST(length(t) - length(replace(t, '{_L65_REPL}', ''))
+               AS BIGINT) AS n_repl,
+             CAST(length(t) - length(replace(t, '{_L65_CTRL}', ''))
+               AS BIGINT) AS n_ctrl
+      FROM planted)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_repl > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_mojibake_docs,
+           CAST(SUM(CASE WHEN n_ctrl > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_ctrl_docs,
+           CAST(SUM(n_repl) AS BIGINT) AS n_repl_chars,
+           CAST(SUM(n_ctrl) AS BIGINT) AS n_ctrl_chars,
+           ROUND(CAST(SUM(CASE WHEN n_repl > 0 OR n_ctrl > 0
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS anomaly_rate
+    FROM flags GROUP BY source ORDER BY source
+    """
+
+
+_sql_pair(
+    "l65_encoding_audit",
+    _l65_sql(),
+    doc="L65: encoding-anomaly (mojibake) corpus audit — per-source rates "
+        "of U+FFFD replacement characters (the scar a lossy transcode "
+        "leaves) and C0 control characters (binary bleed-through). A "
+        "corpus whose anomaly_rate jumps between ingests changed its "
+        "upstream decoding, and replacement-heavy sources poison "
+        "tokenizers with junk codepoints — this is the ingest gate next "
+        "to T02's quality score (quality asks 'is it good prose'; this "
+        "asks 'did bytes survive decoding'). The fixture corpus is clean "
+        "ASCII, so anomalies are PLANTED from doc_id arithmetic in both "
+        "dialects (L54's pattern) — a drifted detector breaks the hash. "
+        "Detection is pure substring counting (length-after-replace), "
+        "row-local, zero shuffle beyond the per-source tally."
+        " F54 validates UTF-8 at the byte/function level; this audits "
+        "the decoded corpus at scale.",
+)
