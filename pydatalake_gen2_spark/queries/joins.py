@@ -1027,3 +1027,70 @@ def j33_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+@register(
+    "j34_temporal_dim_enrich",
+    duck_sql="""
+    WITH dim AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate AS valid_from,
+             LEAD(o_orderdate) OVER w AS valid_to,
+             CAST(ROW_NUMBER() OVER w AS BIGINT) AS version
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+    f AS (
+      SELECT l.l_orderkey, l.l_linenumber, o.o_custkey, l.l_shipdate
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+    SELECT f.l_orderkey, f.l_linenumber, f.o_custkey,
+           d.version AS dim_version, d.o_orderstatus AS status_at_ship
+    FROM f JOIN dim d
+      ON f.o_custkey = d.o_custkey
+     AND d.valid_from <= f.l_shipdate
+     AND (d.valid_to IS NULL OR f.l_shipdate < d.valid_to)
+    """,
+)
+def j34_temporal_dim_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J34: fact enrichment against a VERSIONED (SCD2) dimension at event
+    time — every lineitem picks up the customer-state version valid at
+    its ship date. The oracle states the textbook point-in-interval
+    predicate (valid_from <= t < valid_to over J15's rebuilt history);
+    the engine does NOT run that non-equi join — under the SCD2 chain
+    contract (valid_to = next valid_from) 'version valid at t' IS 'latest
+    version with valid_from <= t', so the plan is the J11 union-sort
+    AS-OF join: ONE shuffle on the business key, no interval blow-up, the
+    zero-length versions a same-timestamp burst leaves behind resolved
+    identically by the version-order tie-break. This is the
+    slowly-changing-dimension read path every warehouse fact pipeline
+    runs, in the shape that survives a 100 TB fact table."""
+    from pydatalake_gen2_spark.operators.merge import scd2_history
+
+    o = spark.table("orders")
+    facts = (
+        spark.table("lineitem")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("l_orderkey", "l_linenumber", "o_custkey", "l_shipdate")
+    )
+    dim = scd2_history(
+        o,
+        key_cols=["o_custkey"],
+        ts_col="o_orderdate",
+        attr_cols=["o_orderkey", "o_totalprice", "o_orderstatus"],
+        tiebreak_cols=["o_orderkey"],
+    ).select("o_custkey", "valid_from", "version", "o_orderstatus")
+    res = asof_join(
+        facts,
+        dim,
+        on="o_custkey",
+        left_ts="l_shipdate",
+        right_ts="valid_from",
+        right_order="version",
+        carry=["version", "o_orderstatus"],
+        how="inner",
+    )
+    return res.select(
+        "l_orderkey",
+        "l_linenumber",
+        "o_custkey",
+        F.col("asof_version").alias("dim_version"),
+        F.col("asof_o_orderstatus").alias("status_at_ship"),
+    )

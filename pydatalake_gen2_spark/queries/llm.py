@@ -3110,3 +3110,91 @@ _sql_pair(
         " F54 validates UTF-8 at the byte/function level; this audits "
         "the decoded corpus at scale.",
 )
+
+
+# ---------------------------------------------------------------------------
+# lx_rrf_fusion: reciprocal-rank fusion of two retrieval configurations
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_DEPTH = 10
+_RRF_TOP = 5
+
+
+@register(
+    "lx_rrf_fusion",
+    duck_sql=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id % 100 = 0),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    fullk AS (
+      SELECT query_id, vec_id, rn FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+                 list_dot_product(qv, cv) /
+                   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+                 DESC, vec_id) AS rn
+        FROM c CROSS JOIN q WHERE vec_id <> query_id) t WHERE rn <= {_RRF_DEPTH}),
+    trunck AS (
+      SELECT query_id, vec_id, rn FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+                 list_dot_product(qv[1:{_MRL_DIM}], cv[1:{_MRL_DIM}]) /
+                   (sqrt(list_dot_product(qv[1:{_MRL_DIM}], qv[1:{_MRL_DIM}]))
+                    * sqrt(list_dot_product(cv[1:{_MRL_DIM}], cv[1:{_MRL_DIM}])))
+                 DESC, vec_id) AS rn
+        FROM c CROSS JOIN q WHERE vec_id <> query_id) t WHERE rn <= {_RRF_DEPTH}),
+    unioned AS (
+      SELECT * FROM fullk UNION ALL SELECT * FROM trunck),
+    fused AS (
+      SELECT query_id, vec_id,
+             CAST(SUM(CAST(ROUND(1.0 / ({_RRF_K} + rn), 8)
+                   AS DECIMAL(20,8))) AS DOUBLE) AS rrf_score,
+             CAST(COUNT(*) AS BIGINT) AS n_lists
+      FROM unioned GROUP BY query_id, vec_id)
+    SELECT query_id, vec_id, rrf_score, n_lists
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY rrf_score DESC, vec_id) AS fr FROM fused) t
+    WHERE fr <= {_RRF_TOP}
+    ORDER BY query_id, rrf_score DESC, vec_id
+    """,
+)
+def lx_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LX-RRF: reciprocal-rank fusion (k=60) of two retrieval
+    configurations — full-dimension exact cosine top-10 and LX-MRL's
+    16-dim truncated top-10 — fused per (query, candidate) as
+    sum(1/(60+rank)) and re-ranked; top-5 fused results per query.
+    RRF is THE standard score-free fusion for hybrid retrieval (ranks
+    only, so incomparable score scales — BM25 vs cosine vs truncated
+    cosine — fuse without calibration); here its two legs are the cheap
+    truncated index and the exact ranker, the production shape where a
+    fast leg and a precise leg vote. Ranks are integers, so each RRF
+    term is ROUND(8)-then-DECIMAL-summed (L58 discipline) and the fused
+    order is engine-independent (vec_id tie-break). Both legs ride
+    L03's broadcast-queries/streaming-corpus shape; LX-RBO then
+    measures how much the fused order moved."""
+    emb = spark.table("embeddings")
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    fullk = similarity.cosine_topk(emb, q, k=_RRF_DEPTH).select(
+        "query_id", "vec_id", "rn"
+    )
+    emb16 = emb.select("vec_id", F.slice("embedding", 1, _MRL_DIM).alias("embedding"))
+    q16 = emb16.filter(F.col("vec_id") % 100 == 0)
+    trunck = similarity.cosine_topk(emb16, q16, k=_RRF_DEPTH).select(
+        "query_id", "vec_id", "rn"
+    )
+    both = fullk.unionAll(trunck)
+    term = F.round(F.lit(1.0) / (_RRF_K + F.col("rn")), 8).cast("decimal(20,8)")
+    fused = both.groupBy("query_id", "vec_id").agg(
+        F.sum(term).cast("double").alias("rrf_score"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lists"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf_score"), F.col("vec_id"))
+    return (
+        fused.withColumn("fr", F.row_number().over(w))
+        .filter(F.col("fr") <= _RRF_TOP)
+        .drop("fr")
+        .orderBy("query_id", F.desc("rrf_score"), "vec_id")
+    )
