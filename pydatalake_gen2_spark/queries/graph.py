@@ -741,3 +741,121 @@ def gr09_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), "s_a", "s_b")
         .limit(_GR09_TOPN)
     )
+
+
+# ---------------------------------------------------------------------------
+# gr10: HITS hubs & authorities over the customer->supplier fulfil graph
+# ---------------------------------------------------------------------------
+
+_GR10_TOPN = 15
+
+
+def _duck_hits() -> str:
+    """Unrolled HITS oracle. Exactness design: the power iteration runs
+    UNNORMALIZED — h0 = 1, a_i = E^T h_{i-1}, h_i = E a_i — so every
+    intermediate value is an exact integer (DECIMAL(38,0) sums: hugeint
+    in DuckDB, precision-38 decimal in Spark; no rounding EXISTS in the
+    recurrence, unlike GR01's quantized rank/deg division). Scale
+    normalization only happens once, in the final report (score/max,
+    ROUND(6)), and the exact raw magnitude ships as a string."""
+    return f"""
+    WITH edges AS (
+      SELECT DISTINCT o.o_custkey AS src, l.l_suppkey AS dst
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    a1 AS (SELECT dst, CAST(count(*) AS DECIMAL(38,0)) AS a
+           FROM edges GROUP BY dst),
+    h1 AS (SELECT e.src, CAST(SUM(a1.a) AS DECIMAL(38,0)) AS h
+           FROM edges e JOIN a1 ON e.dst = a1.dst GROUP BY e.src),
+    a2 AS (SELECT e.dst, CAST(SUM(h1.h) AS DECIMAL(38,0)) AS a
+           FROM edges e JOIN h1 ON e.src = h1.src GROUP BY e.dst),
+    h2 AS (SELECT e.src, CAST(SUM(a2.a) AS DECIMAL(38,0)) AS h
+           FROM edges e JOIN a2 ON e.dst = a2.dst GROUP BY e.src),
+    a3 AS (SELECT e.dst, CAST(SUM(h2.h) AS DECIMAL(38,0)) AS a
+           FROM edges e JOIN h2 ON e.src = h2.src GROUP BY e.dst),
+    amax AS (SELECT MAX(a) AS m FROM a3),
+    hmax AS (SELECT MAX(h) AS m FROM h2),
+    top_a AS (
+      SELECT 'authority' AS role, dst AS node, CAST(a AS STRING) AS score_raw,
+             ROUND(CAST(a AS DOUBLE) / CAST(m AS DOUBLE), 6) AS score_norm
+      FROM a3 CROSS JOIN amax ORDER BY a DESC, dst LIMIT {_GR10_TOPN}),
+    top_h AS (
+      SELECT 'hub' AS role, src AS node, CAST(h AS STRING) AS score_raw,
+             ROUND(CAST(h AS DOUBLE) / CAST(m AS DOUBLE), 6) AS score_norm
+      FROM h2 CROSS JOIN hmax ORDER BY h DESC, src LIMIT {_GR10_TOPN})
+    SELECT * FROM top_a UNION ALL SELECT * FROM top_h
+    """
+
+
+@register(
+    "gr10_hits",
+    duck_sql=_duck_hits(),
+    doc="GR10: HITS hubs & authorities (3 half-iterations) over the "
+        "customer->supplier fulfil graph — authorities are suppliers "
+        "endorsed by well-connected customers, hubs are customers whose "
+        "baskets span authoritative suppliers (the mutual-reinforcement "
+        "ranking PageRank's single score conflates). The recurrence runs "
+        "UNNORMALIZED so every intermediate is an EXACT integer "
+        "(DECIMAL(38,0) partial-agg sums — no float, no quantization, "
+        "nothing to round until the final score/max report; the "
+        "direction after k rounds is identical to normalized HITS). "
+        "Each half-step is one shuffle keyed on the receiving side; "
+        "state frames are node-sized. Top-15 per role, raw magnitude "
+        "as exact string + ROUND(6) normalized score.",
+)
+def gr10_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.table("orders")
+    l = spark.table("lineitem")
+    edges = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
+        .distinct()
+    )
+    dec = "decimal(38,0)"
+    a = edges.groupBy("dst").agg(F.count("*").cast(dec).alias("a"))
+    h = None
+    # two full (h, a) rounds after the seed authority pass: a1 -> h1 -> a2
+    # -> h2 -> a3; the final report reads (h2, a3).
+    for _ in range(2):
+        h = (
+            edges.join(a, "dst")
+            .groupBy("src")
+            .agg(F.sum("a").cast(dec).alias("h"))
+        )
+        a = (
+            edges.join(h, "src")
+            .groupBy("dst")
+            .agg(F.sum("h").cast(dec).alias("a"))
+        )
+    amax = a.agg(F.max("a").alias("m"))
+    hmax = h.agg(F.max("h").alias("m"))
+    top_a = (
+        a.crossJoin(F.broadcast(amax))
+        .select(
+            F.lit("authority").alias("role"),
+            F.col("dst").alias("node"),
+            F.col("a").cast("string").alias("score_raw"),
+            F.round(F.col("a").cast("double") / F.col("m").cast("double"), 6).alias(
+                "score_norm"
+            ),
+            F.col("a").alias("_s"),
+        )
+        .orderBy(F.col("_s").desc(), "node")
+        .limit(_GR10_TOPN)
+        .drop("_s")
+    )
+    top_h = (
+        h.crossJoin(F.broadcast(hmax))
+        .select(
+            F.lit("hub").alias("role"),
+            F.col("src").alias("node"),
+            F.col("h").cast("string").alias("score_raw"),
+            F.round(F.col("h").cast("double") / F.col("m").cast("double"), 6).alias(
+                "score_norm"
+            ),
+            F.col("h").alias("_s"),
+        )
+        .orderBy(F.col("_s").desc(), "node")
+        .limit(_GR10_TOPN)
+        .drop("_s")
+    )
+    return top_a.unionAll(top_h)

@@ -1076,3 +1076,77 @@ def s33_alter_add_column(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM nation WHERE n_nationkey >= 10"""
     )
     return spark.table(tbl).orderBy("n_nationkey")
+
+
+# ---------------------------------------------------------------------------
+# s34: metadata-only scan — count/min/max answered from parquet footers
+# ---------------------------------------------------------------------------
+
+_S34_KEYS = {
+    "region": "r_regionkey",
+    "nation": "n_nationkey",
+    "supplier": "s_suppkey",
+    "customer": "c_custkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "lineitem": "l_orderkey",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+
+def _s34_duck() -> str:
+    return " UNION ALL ".join(
+        f"SELECT '{t}' AS table_name, '{k}' AS key_col,"
+        f" CAST(count(*) AS BIGINT) AS n_rows,"
+        f" CAST(min({k}) AS BIGINT) AS min_key,"
+        f" CAST(max({k}) AS BIGINT) AS max_key FROM {t}"
+        for t, k in sorted(_S34_KEYS.items())
+    )
+
+
+@register("s34_footer_stats_scan", duck_sql=_s34_duck())
+def s34_footer_stats_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S34: metadata-only statistics scan — count(*) / min(key) / max(key)
+    for every table answered ENTIRELY from parquet footer row-group
+    statistics (pyarrow reads each footer inside a mapInPandas task; no
+    data page is ever decompressed), hash-matched against the oracle's
+    full-table scans. This is the short-circuit behind 'SELECT count(*)'
+    returning in milliseconds on a 100 TB table and the statistics
+    foundation row-group pruning (S29's bloom filters, Spark's own
+    min/max skipping) builds on: footers are ~KB per file, the work
+    distributes one-file-per-task, and the per-file partials reduce in
+    one tiny aggregate. A mismatch here means the footers LIE about the
+    data — the audit any lakehouse ingest should run after a writer
+    upgrade."""
+    import pandas as pd
+
+    files = [(t, f"{sf_dir}/{t}.parquet", k) for t, k in sorted(_S34_KEYS.items())]
+    fdf = spark.createDataFrame(files, "table_name STRING, path STRING, key_col STRING")
+
+    def read_footers(batches):
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out = []
+            for t, path, key in zip(pdf.table_name, pdf.path, pdf.key_col):
+                md = pq.ParquetFile(path).metadata
+                idx = md.schema.names.index(key)
+                mins, maxs, rows = [], [], 0
+                for i in range(md.num_row_groups):
+                    rg = md.row_group(i)
+                    rows += rg.num_rows
+                    st = rg.column(idx).statistics
+                    mins.append(st.min)
+                    maxs.append(st.max)
+                out.append((t, key, rows, min(mins), max(maxs)))
+            yield pd.DataFrame(
+                out, columns=["table_name", "key_col", "n_rows", "min_key", "max_key"]
+            )
+
+    return fdf.repartition(len(files), "table_name").mapInPandas(
+        read_footers,
+        "table_name STRING, key_col STRING, n_rows BIGINT, min_key BIGINT, "
+        "max_key BIGINT",
+    )
