@@ -227,3 +227,45 @@ def mm_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",", F.transform(F.col("feature"), lambda x: x.cast("string"))
         ).alias("feature"),
     ).orderBy("doc_id")
+
+
+_PHASH_CACHE: dict[str, str] = {}
+
+
+@register(
+    "mm_phash_neardup",
+    duck_sql="""
+    WITH ids AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 64)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM ids a JOIN ids b ON b.doc_id = a.doc_id + 1
+    WHERE b.doc_id % 8 = 2
+    ORDER BY id_a
+    """,
+)
+def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MM-PHASH: image near-duplicate detection end-to-end — real PNG
+    decode → 63-bit DCT perceptual hash (sources/multimodal.phash_batch)
+    → the SAME banded Hamming multi-index join SimHash text near-dup
+    uses (operators/dedup.simhash_neardup_pairs: pigeonhole bands, exact
+    bit_count verify, radius 4). The asset set plants near-dup image
+    pairs (3-pixel +6 nudge, measured <= 2 pHash bits) among independent
+    noise images (>= 16 bits apart), so the emitted PAIR SET is analytic
+    and the oracle states it exactly — certifying decode, DCT, median
+    threshold, banding and verify together. The scale shape is the
+    multimodal dedup pipeline's: hash in embarrassingly-parallel
+    mapInPandas tasks, join fingerprints (bigints, never pixels) in
+    banded buckets."""
+    from pyspark.sql import functions as F
+
+    from pydatalake_gen2_spark.operators.dedup import simhash_neardup_pairs
+
+    if sf_dir not in _PHASH_CACHE:
+        _PHASH_CACHE[sf_dir] = multimodal.materialize_phash_assets(spark, sf_dir, n=64)
+    raw = multimodal.read_binary(spark, _PHASH_CACHE[sf_dir], glob="*.png")
+    fp = multimodal.phash_batch(raw).select(
+        F.col("doc_id"), F.col("phash").alias("simhash")
+    )
+    pairs = simhash_neardup_pairs(
+        spark.table("documents"), r=4, bits=63, fingerprints=fp
+    )
+    return pairs.select("id_a", "id_b").orderBy("id_a")

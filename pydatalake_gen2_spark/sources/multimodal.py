@@ -13,6 +13,7 @@ testable end-to-end.
 from __future__ import annotations
 
 import hashlib
+import math
 import os
 import tempfile
 from collections.abc import Iterator
@@ -558,3 +559,97 @@ def feature_batch(df: DataFrame, buckets: int = 8) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "feature"])
 
     return df.select("path", "content").mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing (pHash): DCT fingerprints for image near-dup detection
+# ---------------------------------------------------------------------------
+
+_PHASH_SIZE = 16  # input images are 16x16 grayscale
+_PHASH_BITS = 63  # 8x8 low-frequency DCT block minus the DC coefficient
+
+
+def _lcg_pattern(doc_id: int) -> list[int]:
+    """Deterministic 16x16 grayscale noise pattern from a per-doc LCG."""
+    x = (doc_id * 2654435761 + 1) % (2**31)
+    px = []
+    for _ in range(_PHASH_SIZE * _PHASH_SIZE):
+        x = (1103515245 * x + 12345) % (2**31)
+        px.append((x >> 16) & 0xFF)
+    return px
+
+
+def materialize_phash_assets(spark: SparkSession, sf_dir: str, n: int = 64) -> str:
+    """Deterministic 16x16 grayscale PNGs with PLANTED near-duplicates:
+    every doc with doc_id % 8 == 2 reuses the PREVIOUS doc's noise
+    pattern with 3 pixels nudged by +6 — a perturbation measured to move
+    the 63-bit DCT pHash by <= 2 bits, while independent LCG patterns
+    sit >= 16 bits apart (wide margin both sides of the r=4 radius, so
+    the near-dup PAIR SET is analytic: exactly the planted pairs)."""
+    out = tempfile.mkdtemp(prefix="mm_phash_")
+    ids = [
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id")
+        .orderBy("doc_id")
+        .limit(n)
+        .collect()
+    ]
+    idset = set(ids)
+    for doc_id in ids:
+        if doc_id % 8 == 2 and (doc_id - 1) in idset:
+            px = _lcg_pattern(doc_id - 1)
+            for pos in (3 * _PHASH_SIZE + 5, 9 * _PHASH_SIZE + 2, 12 * _PHASH_SIZE + 12):
+                px[pos] = min(255, px[pos] + 6)
+        else:
+            px = _lcg_pattern(doc_id)
+        rgb = bytes(c for v in px for c in (v, v, v))
+        with open(os.path.join(out, f"doc_{doc_id:06d}.png"), "wb") as f:
+            f.write(encode_png(_PHASH_SIZE, _PHASH_SIZE, rgb))
+    return out
+
+
+def phash_batch(df: DataFrame) -> DataFrame:
+    """binaryFile rows → 63-bit DCT perceptual hash per image
+    (doc_id, phash BIGINT).
+
+    The canonical pHash recipe on the 16x16 grayscale plane: 2-D DCT-II
+    (explicit cosine-matrix multiply — numpy only, no scipy), keep the
+    8x8 low-frequency block, drop the DC coefficient, threshold the 63
+    remaining coefficients at their median → one bit each. Brightness
+    shifts move only DC (dropped) and uniform scaling cancels in the
+    median threshold — the invariances that make pHash a NEAR-dup
+    fingerprint where md5 is an exact-dup one. Arrow-batched mapInPandas;
+    each task hashes its files independently (embarrassingly parallel at
+    100 TB), and the BIGINT fingerprints feed the same banded Hamming
+    join SimHash uses (operators/dedup.simhash_neardup_pairs)."""
+    import numpy as np
+
+    n = _PHASH_SIZE
+    dct_rows = [
+        [math.cos(math.pi * (j + 0.5) * i / n) for j in range(n)] for i in range(n)
+    ]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C = np.array(dct_rows)
+        for b in batches:
+            rows = []
+            for path, content in zip(b["path"], b["content"]):
+                doc_id = int(os.path.basename(path).split("_")[1].split(".")[0])
+                w, h, rgb = decode_png(bytes(content))
+                gray = (
+                    np.frombuffer(rgb, dtype=np.uint8)[0::3]
+                    .astype(np.float64)
+                    .reshape(h, w)
+                )
+                d = C @ gray @ C.T
+                block = d[:8, :8].flatten()[1:]
+                med = float(np.median(block))
+                bits = 0
+                for i, v in enumerate(block):
+                    if v > med:
+                        bits |= 1 << i
+                rows.append((doc_id, bits))
+            yield pd.DataFrame(rows, columns=["doc_id", "phash"])
+
+    return df.select("path", "content").mapInPandas(run, "doc_id BIGINT, phash BIGINT")

@@ -98,3 +98,33 @@ def test_png_codec_roundtrip_and_filters():
             + _png_chunk(b"IDAT", zlib.compress(raw))
             + _png_chunk(b"IEND", b""))
     assert decode_png(data) == (2, 2, bytes(px))
+
+
+def test_phash_banded_join_matches_brute_force(spark, sf_dir):
+    """The banded Hamming join over pHash fingerprints must emit exactly
+    the brute-force pairwise-Hamming pair set at radius 4, and the
+    planted near-dups must separate cleanly from independent patterns."""
+    from pydatalake_gen2_spark.operators.dedup import simhash_neardup_pairs
+
+    assets = multimodal.materialize_phash_assets(spark, sf_dir, n=32)
+    fp_rows = multimodal.phash_batch(
+        multimodal.read_binary(spark, assets, glob="*.png")
+    ).collect()
+    fp = {r["doc_id"]: r["phash"] for r in fp_rows}
+    assert len(fp) == 32
+
+    brute = {
+        (a, b)
+        for a in fp
+        for b in fp
+        if a < b and bin(fp[a] ^ fp[b]).count("1") <= 4
+    }
+    planted = {(i - 1, i) for i in fp if i % 8 == 2 and (i - 1) in fp}
+    assert brute == planted  # wide margin: planted <=2 bits, others >=16
+
+    fdf = spark.createDataFrame(
+        [(k, v) for k, v in fp.items()], "doc_id BIGINT, simhash BIGINT"
+    )
+    pairs = simhash_neardup_pairs(fdf, r=4, bits=63, fingerprints=fdf).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == brute
+    assert all(r["hamming"] <= 4 for r in pairs)
