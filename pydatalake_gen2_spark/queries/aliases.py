@@ -113,19 +113,31 @@ _ALIASES: dict[str, str] = {
     # the semi-supervised annotation family); g09 stays oracle-verified
     # in the local mirror like every out-of-window pair.
     "a11_l41_knn_label": "l41_knn_label_propagation",
-    "a12_g12_median": "g12_median",
+    # r8 repurpose: g12 holds a green r3 driver row and the g-family keeps
+    # a09/a10/a13/a14/a16-adjacent reps; the slot goes to the new
+    # association-rules class (market-basket support/confidence/lift).
+    "a12_c30_market_basket": "c30_market_basket",
     # r7 repurpose: g16 holds a green r3 driver row, so its slot goes to
     # the new statistical-test class (chi-square independence — first
     # driver evidence for hypothesis-test operators).
     "a13_g38_chi_square": "g38_chi_square",
-    "a14_g18_approx_percentile": "g18_approx_percentile",
+    # r8 repurpose: g18 holds a green r3 driver row; the slot goes to the
+    # new metadata-only-scan class (count/min/max answered purely from
+    # parquet footer statistics).
+    "a14_s34_footer_stats": "s34_footer_stats_scan",
     # r7 repurpose: g19 holds a green r3 driver row and the percentile
     # family keeps a12/a14; the slot goes to the lx/ANN family's FIRST
     # window representative (Matryoshka truncated-dim retrieval audit).
     "a15_lx_mrl_recall": "lx_mrl_recall",
-    "a16_g20_regression_aggs": "g20_regression_aggs",
+    # r8 repurpose: g20 holds a green r3 driver row; the slot goes to the
+    # new image near-dup class (DCT perceptual hash through the banded
+    # Hamming join — a30 keeps the decode rep).
+    "a16_mm_phash_neardup": "mm_phash_neardup",
     # windows
-    "a17_w01_row_number": "w01_row_number",
+    # r8 repurpose: w01 holds a green r3 driver row and a19/a21 keep the
+    # window family covered; the slot goes to the new changepoint class
+    # (integer-exact CUSUM level-shift detection).
+    "a17_w31_cusum": "w31_cusum_changepoint",
     # r7 repurpose: lag/lead holds a green r3 row and the w family keeps
     # a17/a19/a21; the slot goes to the new SPATIAL join class
     # (grid-bucketed haversine nearest-neighbour).
@@ -136,7 +148,10 @@ _ALIASES: dict[str, str] = {
     "a20_l59_incremental_neardup": "l59_incremental_neardup",
     "a21_w13_gap_fill_ffill": "w13_gap_fill_ffill",
     # sorts / top-k
-    "a22_o03_limit_topk": "o03_limit_topk",
+    # r8 repurpose: o03 holds a green r3 driver row and a23 keeps the
+    # top-k rep; the slot goes to WITH-TIES semantics and its two-pass
+    # threshold plan (first driver evidence for rank-limit queries).
+    "a22_o08_topk_with_ties": "o08_topk_with_ties",
     "a23_o04_topk_per_group": "o04_topk_per_group",
     # set ops
     "a24_u01_union_all": "u01_union_all",
@@ -174,7 +189,10 @@ _ALIASES: dict[str, str] = {
     # a36 (cosine top-k is built on them) and l04 holds a green r3 row;
     # the slot goes to the new privacy class (PII scan + redaction).
     "a37_l54_pii_scan": "l54_pii_scan",
-    "a38_l07_tfidf": "l07_tfidf",
+    # r8 repurpose: l07 holds a green r3 driver row; the slot goes to the
+    # new index-planning class (MinHash-LSH (b,r) s-curve audit on the
+    # observed pair-similarity distribution).
+    "a38_l64_lsh_plan": "l64_lsh_param_plan",
     "a39_l11_dedup_clusters": "l11_dedup_clusters",
     "a40_l12_deterministic_sample": "l12_deterministic_sample",
     "a41_l15_sequence_packing": "l15_sequence_packing",

@@ -116,3 +116,42 @@ def o06_global_row_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ids = global_row_ids(spark.table("orders"), ["o_orderkey"])
     return ids.select("o_orderkey", "row_id")
+
+
+@register(
+    "o08_topk_with_ties",
+    duck_sql="""
+    WITH r AS (
+      SELECT o_orderkey, o_totalprice,
+             CAST(RANK() OVER (ORDER BY o_totalprice DESC) AS BIGINT) AS rnk
+      FROM orders)
+    SELECT o_orderkey, o_totalprice, rnk FROM r WHERE rnk <= 10
+    """,
+)
+def o08_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O08: top-k WITH TIES (FETCH FIRST 10 ROWS WITH TIES / rank() <= 10)
+    — every order tying the 10th price survives, the semantics a plain
+    LIMIT silently breaks. The oracle states the textbook global-rank
+    form; the engine does NOT run a global rank window (one partition
+    sorting the world): it takes the 10th value with a
+    TakeOrderedAndProject micro-pass (k rows to the driver plan, no full
+    sort), broadcasts it as a threshold predicate — which PUSHES TO THE
+    SCAN — and ranks only the tie-inflated survivor set (k + ties rows).
+    At 100 TB the full-sort form is a cluster-killer; threshold-then-rank
+    reads the same parquet twice but shuffles ~k rows total."""
+    o = spark.table("orders")
+    kth = o.select("o_totalprice").orderBy(F.desc("o_totalprice")).limit(10)
+    thresh = kth.agg(F.min("o_totalprice").alias("t"))
+    from pyspark.sql.window import Window
+
+    survivors = o.join(F.broadcast(thresh), F.col("o_totalprice") >= F.col("t")).select(
+        "o_orderkey", "o_totalprice"
+    )
+    return survivors.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.rank()
+        .over(Window.orderBy(F.desc("o_totalprice")))
+        .cast("bigint")
+        .alias("rnk"),
+    ).filter(F.col("rnk") <= 10)

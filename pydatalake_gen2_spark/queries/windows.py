@@ -818,3 +818,43 @@ sql_pair(
         "on a given day' (G39 finds cycles, W26 removes them, this "
         "finds LEVEL SHIFTS).",
 )
+
+
+sql_pair(
+    "w32_pareto_concentration",
+    """
+    WITH s AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM lineitem GROUP BY l_suppkey),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(cents) AS BIGINT) AS t FROM s),
+    r AS (
+      SELECT l_suppkey, cents,
+             CAST(ROW_NUMBER() OVER (ORDER BY cents DESC, l_suppkey) AS BIGINT)
+               AS k,
+             CAST(SUM(cents) OVER (ORDER BY cents DESC, l_suppkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum
+      FROM s)
+    SELECT tot.n AS n_suppliers,
+           MIN(CASE WHEN cum * 5 >= t * 4 THEN k END) AS k_for_80pct,
+           ROUND(CAST(MIN(CASE WHEN cum * 5 >= t * 4 THEN k END) AS DOUBLE)
+                 / tot.n, 6) AS frac_suppliers_for_80pct,
+           ROUND(CAST(MAX(CASE WHEN k <= CAST(CEIL(tot.n / 10.0) AS BIGINT)
+                              THEN cum END) AS DOUBLE) / tot.t, 6)
+             AS top_decile_revenue_share
+    FROM r CROSS JOIN tot GROUP BY tot.n, tot.t
+    """,
+    doc="W32: Pareto (80/20) concentration report over supplier revenue — "
+        "the smallest k suppliers covering 80% of revenue, that k as a "
+        "fraction of the supplier base, and the revenue share of the top "
+        "decile. W22 draws the whole Lorenz curve; this answers the two "
+        "numbers operators actually quote. The 80% fence is EXACT "
+        "rational arithmetic (cum*5 >= total*4 on integer cents — no "
+        "float decides a boundary row), the cumulative window runs on "
+        "the REDUCED per-supplier aggregate, and only ratios are "
+        "ROUND(6) floats. The skew triage for 'how few keys dominate "
+        "this table' before picking G33/JX mitigations.",
+)
