@@ -1045,3 +1045,41 @@ sql_pair(
         "DECIMAL(20,8) — order-independent across engines (the L58/GR07 "
         "discipline).",
 )
+
+
+sql_pair(
+    "g47_winsorized_mean",
+    """
+    WITH c AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+    q AS (
+      SELECT PERCENTILE_DISC(0.05) WITHIN GROUP (ORDER BY cents) AS lo,
+             PERCENTILE_DISC(0.95) WITHIN GROUP (ORDER BY cents) AS hi
+      FROM c)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           q.lo AS lo_cents, q.hi AS hi_cents,
+           CAST(SUM(CASE WHEN cents < q.lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clamped_low,
+           CAST(SUM(CASE WHEN cents > q.hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clamped_high,
+           ROUND(CAST(SUM(cents) AS DOUBLE) / COUNT(*) / 100, 4) AS mean_raw,
+           ROUND(CAST(SUM(CASE WHEN cents < q.lo THEN q.lo
+                               WHEN cents > q.hi THEN q.hi
+                               ELSE cents END) AS DOUBLE)
+                 / COUNT(*) / 100, 4) AS mean_winsorized,
+           ROUND(CAST(SUM(CASE WHEN cents BETWEEN q.lo AND q.hi
+                               THEN cents END) AS DOUBLE)
+                 / SUM(CASE WHEN cents BETWEEN q.lo AND q.hi
+                            THEN 1 ELSE 0 END) / 100, 4) AS mean_trimmed
+    FROM c CROSS JOIN q GROUP BY q.lo, q.hi
+    """,
+    doc="G47: winsorized + trimmed robust means of order totals — the "
+        "outlier-resistant center estimates G29's MAD is the spread "
+        "sibling of. The 5%/95% fences come from PERCENTILE_DISC, which "
+        "returns ACTUAL data values (discrete, no interpolation float — "
+        "the G43 discipline), so clamping and trimming are exact integer "
+        "comparisons on cents; every sum is an exact integer and only "
+        "the three final means divide, ROUND(4). One scan + one sort for "
+        "the discrete quantiles; at 100 TB swap PERCENTILE_DISC for "
+        "G18's approx_percentile fences, same downstream arithmetic.",
+)

@@ -3198,3 +3198,107 @@ def lx_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("fr")
         .orderBy("query_id", F.desc("rrf_score"), "vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# l62: hybrid retrieval — min-max score fusion of BM25 and embedding cosine
+# ---------------------------------------------------------------------------
+
+_L62_TERMS = ["vector", "stream", "merge", "window"]
+_L62_TOP = 15
+
+
+def _l62_duck() -> str:
+    terms = ", ".join(f"'{t}'" for t in _L62_TERMS)
+    return f"""
+    WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+    base AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf, MIN(dl) AS dl
+           FROM base WHERE term IN ({terms})
+           GROUP BY doc_id, term),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    stats AS (SELECT COUNT(*) AS n, AVG(len(toks)) AS avgdl FROM t),
+    scored AS (
+      SELECT tf.doc_id,
+             ROUND(ln(1.0 + (CAST(stats.n - dfreq.df AS DOUBLE) + 0.5) / (dfreq.df + 0.5))
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)), 4) AS s
+      FROM tf JOIN dfreq USING (term) CROSS JOIN stats),
+    bm AS (SELECT doc_id, ROUND(SUM(s), 4) AS bm25 FROM scored GROUP BY doc_id),
+    qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+    cos AS (
+      SELECT vec_id AS doc_id,
+             ROUND(list_dot_product(cv, qv.v) /
+                   (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv.v, qv.v))),
+                   4) AS cos
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
+            WHERE vec_id <> 0) e CROSS JOIN qv),
+    cand AS (
+      SELECT cos.doc_id, COALESCE(bm.bm25, 0.0) AS bm25, cos.cos
+      FROM cos LEFT JOIN bm ON cos.doc_id = bm.doc_id),
+    mm AS (SELECT MIN(bm25) AS bmin, MAX(bm25) AS bmax,
+                  MIN(cos) AS cmin, MAX(cos) AS cmax FROM cand)
+    SELECT doc_id, bm25, cos,
+           ROUND(0.5 * ((bm25 - mm.bmin) / (mm.bmax - mm.bmin))
+                 + 0.5 * ((cos - mm.cmin) / (mm.cmax - mm.cmin)), 6) AS fused
+    FROM cand CROSS JOIN mm
+    ORDER BY fused DESC, doc_id LIMIT {_L62_TOP}
+    """
+
+
+@register("l62_hybrid_retrieval", duck_sql=_l62_duck())
+def l62_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L62: hybrid retrieval — one query expressed BOTH ways (a lexical
+    term bag and a query embedding), the BM25 leg (L22's operator) and
+    the exact-cosine leg (L03's shape) min-max normalized onto [0,1] and
+    averaged 50/50. This is score-based fusion, the calibrated sibling
+    of LX-RRF's rank-based fusion (RRF ignores score GAPS; min-max
+    keeps them but needs the per-leg extremes this computes); docs
+    missing from the sparse BM25 leg enter at 0 before normalization.
+    Both leg scores are ROUND(4) BEFORE fusion (the L22/L03 discipline),
+    so normalization and the 50/50 average are IEEE expressions over
+    identical inputs in both engines, ROUND(6) at the end; ties break on
+    doc_id. Scale: each leg is its own proven shape (tiny term-filtered
+    shuffle; broadcast query vector), the fusion is a key-join of two
+    score frames + one broadcast 4-number extremes frame — at 100 TB
+    the legs run over candidate pools (LX-IVF / inverted index), fusion
+    cost unchanged."""
+    docs = spark.table("documents")
+    emb = spark.table("embeddings")
+    bm = text.bm25_scores(docs, _L62_TERMS).select("doc_id", "bm25")
+    qv = emb.filter(F.col("vec_id") == 0).select(as_double("embedding").alias("qv"))
+    cand_emb = emb.filter(F.col("vec_id") != 0).select(
+        F.col("vec_id").alias("doc_id"), as_double("embedding").alias("cv")
+    )
+    cos = cand_emb.crossJoin(F.broadcast(qv)).select(
+        "doc_id",
+        F.round(
+            dot(F.col("cv"), F.col("qv"))
+            / (l2_norm(F.col("cv")) * l2_norm(F.col("qv"))),
+            4,
+        ).alias("cos"),
+    )
+    cand = cos.join(bm, "doc_id", "left").select(
+        "doc_id", F.coalesce("bm25", F.lit(0.0)).alias("bm25"), "cos"
+    )
+    mm = cand.agg(
+        F.min("bm25").alias("bmin"),
+        F.max("bm25").alias("bmax"),
+        F.min("cos").alias("cmin"),
+        F.max("cos").alias("cmax"),
+    )
+    return (
+        cand.crossJoin(F.broadcast(mm))
+        .select(
+            "doc_id",
+            "bm25",
+            "cos",
+            F.round(
+                0.5 * ((F.col("bm25") - F.col("bmin")) / (F.col("bmax") - F.col("bmin")))
+                + 0.5 * ((F.col("cos") - F.col("cmin")) / (F.col("cmax") - F.col("cmin"))),
+                6,
+            ).alias("fused"),
+        )
+        .orderBy(F.desc("fused"), "doc_id")
+        .limit(_L62_TOP)
+    )
