@@ -962,7 +962,7 @@ _G45_CORR = (
     "           - CAST(s_{y} AS DOUBLE) * CAST(s_{y} AS DOUBLE))), 6)"
 )
 
-_G45_SQL = (
+_G45_PREFIX = (
     """
     WITH c AS (
       SELECT CAST(round(l_quantity * 100) AS BIGINT) AS q,
@@ -972,7 +972,15 @@ _G45_SQL = (
       FROM lineitem),
     m AS ("""
     + _G45_MOMENTS
-    + """)
+    + """)"""
+)
+
+# DuckDB re-evaluates the small scalar CTE per branch cheaply; Spark would
+# INLINE it into six full lineitem scans, so the Spark text unpivots the
+# single moments row with stack() instead (one scan, one aggregate).
+_G45_DUCK = (
+    _G45_PREFIX
+    + """
     SELECT pair, corr FROM (
       SELECT 'quantity~extendedprice' AS pair, """
     + _G45_CORR.format(x="q", y="p", xy="qp", xx="qq", yy="pp")
@@ -996,9 +1004,38 @@ _G45_SQL = (
     """
 )
 
+_G45_SPARK = (
+    _G45_PREFIX
+    + """
+    SELECT pair, corr FROM (
+      SELECT stack(6,
+        'quantity~extendedprice', """
+    + _G45_CORR.format(x="q", y="p", xy="qp", xx="qq", yy="pp")
+    + """,
+        'quantity~discount', """
+    + _G45_CORR.format(x="q", y="d", xy="qd", xx="qq", yy="dd")
+    + """,
+        'quantity~tax', """
+    + _G45_CORR.format(x="q", y="t", xy="qt", xx="qq", yy="tt")
+    + """,
+        'extendedprice~discount', """
+    + _G45_CORR.format(x="p", y="d", xy="pd", xx="pp", yy="dd")
+    + """,
+        'extendedprice~tax', """
+    + _G45_CORR.format(x="p", y="t", xy="pt", xx="pp", yy="tt")
+    + """,
+        'discount~tax', """
+    + _G45_CORR.format(x="d", y="t", xy="dt", xx="dd", yy="tt")
+    + """) AS (pair, corr)
+      FROM m)
+    ORDER BY pair
+    """
+)
+
 sql_pair(
     "g45_correlation_matrix",
-    _G45_SQL,
+    _G45_SPARK,
+    _G45_DUCK,
     doc="G45: pairwise Pearson correlation matrix over the four lineitem "
         "measures (quantity, extendedprice, discount, tax) from EXACT "
         "integer-cents moments — one single-pass partial aggregate "

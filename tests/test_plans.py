@@ -511,3 +511,53 @@ def test_sql_udf_inlines_into_plan(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ud13_sql_udf")
     for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
         assert marker not in plan, marker
+
+
+def test_market_basket_broadcasts_part_dim(spark, sf_dir):
+    """c30: the part dim join must broadcast, and the brand-pair self-join
+    must stay an equi-join on the order key (never a cross product)."""
+    plan = _plan(spark, sf_dir, "c30_market_basket")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_correlation_matrix_single_scan(spark, sf_dir):
+    """g45: all 14 moments must come from ONE lineitem scan feeding one
+    partial+final aggregate — no per-pair passes."""
+    plan = _plan(spark, sf_dir, "g45_correlation_matrix")
+    # formatted mode prints each node twice (tree + details): 2 == one scan
+    assert plan.count("Scan parquet") == 2, plan
+    assert "HashAggregate" in plan, plan
+
+
+def test_footer_stats_scan_reads_no_data(spark, sf_dir):
+    """s34: the statistics must come from footers inside the python stage —
+    the plan must contain NO parquet data scan at all."""
+    plan = _plan(spark, sf_dir, "s34_footer_stats_scan")
+    assert "Scan parquet" not in plan, plan
+    assert "MapInPandas" in plan, plan
+
+
+def test_topk_with_ties_never_total_sorts(spark, sf_dir):
+    """o08: the 10th-value micro-pass must be TakeOrderedAndProject and the
+    full table must never range-shuffle into a global sort."""
+    plan = _plan(spark, sf_dir, "o08_topk_with_ties")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_hits_rounds_stay_equi_joins(spark, sf_dir):
+    """gr10: every half-step is an equi-join + partial agg; the only
+    nested-loop allowed is the broadcast of the 1-row max frames."""
+    plan = _plan(spark, sf_dir, "gr10_hits")
+    assert "CartesianProduct" not in plan, plan
+    assert "HashAggregate" in plan, plan
+
+
+def test_temporal_dim_enrich_is_single_shuffle_asof(spark, sf_dir):
+    """j34: the SCD2 read path must run as the union-sort as-of join (one
+    Window over the key), never a point-in-interval theta join."""
+    plan = _plan(spark, sf_dir, "j34_temporal_dim_enrich")
+    assert "Window" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
