@@ -100,6 +100,19 @@ SHOW = [
     ("ud14_secondary_sort", "repartition + sortWithinPartitions -> mapInPandas"),
     ("w28_time_weighted_avg", "one window shuffle, exact decimal weight sums"),
     ("l60_split_leakage", "train gram set joined onto held-out gram stream"),
+    # round 8
+    ("g45_correlation_matrix", "14 exact moments in one scan, stack() unpivot"),
+    ("g44_mann_whitney", "rank-sum via distinct-value spine, no per-row ranks"),
+    ("c30_market_basket", "basket distinct + broadcast dim, vocabulary-bounded pairs"),
+    ("w31_cusum_changepoint", "integer CUSUM argmax over the day-reduced series"),
+    ("o08_topk_with_ties", "WITH TIES: top-k micro-pass + threshold, no global sort"),
+    ("s34_footer_stats_scan", "footer-only statistics: zero parquet data scans"),
+    ("gr10_hits", "HITS half-steps: equi-join + integer partial aggs"),
+    ("j34_temporal_dim_enrich", "SCD2 read path as the single-shuffle as-of join"),
+    ("l62_hybrid_retrieval", "BM25 + cosine legs joined, 4-number extremes broadcast"),
+    ("lx_rrf_fusion", "two rank legs union -> per-candidate decimal RRF sum"),
+    ("l64_lsh_param_plan", "pair spine x broadcast configs, decimal s-curve sums"),
+    ("mm_phash_neardup", "pHash mapInPandas -> banded Hamming candidate join"),
 ]
 
 
