@@ -102,6 +102,12 @@ BENCH_QUERIES = [
     "l59_incremental_neardup",
     "gr07_link_prediction",
     "lx_mrl_recall",
+    # round-8 widening: single-scan moment statistics, HITS power
+    # iteration, hybrid retrieval fusion, footer-only metadata scan
+    "g45_correlation_matrix",
+    "gr10_hits",
+    "l62_hybrid_retrieval",
+    "s34_footer_stats_scan",
 ]
 
 N_RUNS = 3

@@ -3302,3 +3302,156 @@ def l62_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("fused"), "doc_id")
         .limit(_L62_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# l66: BPE tokenizer training loop (3 merge rounds, distributed)
+# ---------------------------------------------------------------------------
+
+_L66_ROUNDS = 3
+_L66_SEP = "\x01"
+
+
+def _l66_duck() -> str:
+    sep = _L66_SEP
+    sql = """
+    WITH wf AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+      WHERE w <> '' GROUP BY w),
+    s0 AS MATERIALIZED (
+      SELECT w, c,
+             ' ' || array_to_string(
+               list_transform(generate_series(1, length(w)), i -> w[i]),
+               '  ') || '  _ ' AS s
+      FROM wf)"""
+    prev = "s0"
+    for k in range(1, _L66_ROUNDS + 1):
+        sql += f""",
+    sy{k} AS (
+      SELECT c, string_split(substr(s, 2, length(s) - 2), '  ') AS sy
+      FROM {prev}),
+    pc{k} AS (
+      SELECT pk, CAST(SUM(c) AS BIGINT) AS n
+      FROM (SELECT c,
+                   unnest(list_transform(generate_series(1, len(sy) - 1),
+                          i -> sy[i] || '{sep}' || sy[i+1])) AS pk
+            FROM sy{k})
+      GROUP BY pk),
+    b{k} AS (
+      SELECT pk, n, split_part(pk, '{sep}', 1) AS pa,
+             split_part(pk, '{sep}', 2) AS pb
+      FROM pc{k} ORDER BY n DESC, pk LIMIT 1),
+    m{k} AS MATERIALIZED (
+      SELECT w, c,
+             replace(s, ' ' || pa || '  ' || pb || ' ',
+                     ' ' || pa || pb || ' ') AS s
+      FROM {prev} CROSS JOIN b{k}),
+    st{k} AS (
+      SELECT CAST(SUM(c * len(string_split(substr(s, 2, length(s) - 2), '  ')))
+               AS BIGINT) AS n_sym
+      FROM m{k})"""
+        prev = f"m{k}"
+    parts = [
+        f"SELECT {k} AS round, pa AS pair_a, pb AS pair_b, n AS pair_count,"
+        f" st{k}.n_sym AS symbols_after FROM b{k} CROSS JOIN st{k}"
+        for k in range(1, _L66_ROUNDS + 1)
+    ]
+    sql += "\n    " + "\n    UNION ALL ".join(parts) + "\n    ORDER BY round"
+    return sql
+
+
+@register("l66_bpe_train", duck_sql=_l66_duck())
+def l66_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L66: an ACTUAL distributed BPE tokenizer training loop — L37 counts
+    one round's pair statistics; this runs 3 full rounds of
+    count -> argmax(count DESC, pair) -> merge-into-every-word ->
+    recount, the Sennrich et al. (2016) algorithm. Key scale insight:
+    BPE trains on the WORD-FREQUENCY table, not the corpus — the corpus
+    reduces once to (word, count) (vocabulary-sized), each round's pair
+    tally shuffles only (pair, partial_count) keys, and the chosen merge
+    broadcasts back as a 1-row frame applied with a pure string
+    replace() (left-to-right non-overlapping — exactly BPE's greedy
+    order; the double-space symbol encoding keeps boundaries unambiguous
+    so no regex lookaround is needed, which DuckDB's RE2 couldn't run
+    anyway). Every output is an integer (pair counts, post-merge symbol
+    totals) with a (count DESC, pair) tie-break, so 3 rounds of an
+    ITERATIVE training algorithm hash-match exactly. The DuckDB oracle
+    unrolls the identical recurrence with AS MATERIALIZED rounds. At
+    100 TB: same loop with the word table checkpointed every ~5 merges
+    (connected-components discipline)."""
+    docs = spark.table("documents")
+    wf = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    words = wf.withColumn(
+        "s",
+        F.expr(
+            "' ' || concat_ws('  ', transform(sequence(1, length(w)),"
+            " i -> substring(w, i, 1))) || '  _ '"
+        ),
+    )
+    sep = _L66_SEP
+    merges = None
+    for k in range(1, _L66_ROUNDS + 1):
+        sy = words.withColumn(
+            "sy", F.expr("split(substring(s, 2, length(s) - 2), '  ')")
+        )
+        pc = (
+            sy.select(
+                "c",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(sy) - 1),"
+                        f" i -> element_at(sy, i) || '{sep}' || element_at(sy, i + 1))"
+                    )
+                ).alias("pk"),
+            )
+            .groupBy("pk")
+            .agg(F.sum("c").cast("bigint").alias("n"))
+        )
+        best = (
+            pc.orderBy(F.desc("n"), "pk")
+            .limit(1)
+            .select(
+                F.split_part(F.col("pk"), F.lit(sep), F.lit(1)).alias("pa"),
+                F.split_part(F.col("pk"), F.lit(sep), F.lit(2)).alias("pb"),
+                "n",
+            )
+        )
+        from pydatalake_gen2_spark.operators.util import checkpoint_truncate
+
+        words = (
+            words.crossJoin(F.broadcast(best))
+            .withColumn(
+                "s",
+                F.expr(
+                    "replace(s, ' ' || pa || '  ' || pb || ' ',"
+                    " ' ' || pa || pb || ' ')"
+                ),
+            )
+            .select("w", "c", "s")
+        )
+        # checkpoint-truncate the per-round state so the unrolled lineage
+        # doesn't grow multiplicatively (iterative-operator discipline)
+        words = checkpoint_truncate(words)
+        stats = words.agg(
+            F.sum(
+                F.col("c")
+                * F.size(F.expr("split(substring(s, 2, length(s) - 2), '  ')"))
+            )
+            .cast("bigint")
+            .alias("n_sym")
+        )
+        row = best.crossJoin(stats).select(
+            F.lit(k).alias("round"),
+            F.col("pa").alias("pair_a"),
+            F.col("pb").alias("pair_b"),
+            F.col("n").alias("pair_count"),
+            F.col("n_sym").alias("symbols_after"),
+        )
+        merges = row if merges is None else merges.unionAll(row)
+    return merges.orderBy("round")

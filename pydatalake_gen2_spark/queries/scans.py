@@ -1150,3 +1150,75 @@ def s34_footer_stats_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "table_name STRING, key_col STRING, n_rows BIGINT, min_key BIGINT, "
         "max_key BIGINT",
     )
+
+
+@register(
+    "s36_erasure_audit",
+    duck_sql="""
+    WITH base AS (SELECT * FROM orders WHERE o_orderkey % 4 = 0),
+    subj AS (SELECT * FROM base WHERE o_custkey % 97 = 3)
+    SELECT CAST((SELECT count(*) FROM base) AS BIGINT) AS rows_before,
+           CAST((SELECT count(*) FROM base) -
+                (SELECT count(*) FROM subj) AS BIGINT) AS rows_after,
+           CAST((SELECT count(DISTINCT o_custkey) FROM subj) AS BIGINT)
+             AS n_subjects,
+           CAST((SELECT count(*) FROM subj) AS BIGINT) AS subj_rows_before,
+           CAST(0 AS BIGINT) AS subj_rows_after,
+           TRUE AS prior_version_retains,
+           TRUE AS survivors_unchanged
+    """,
+)
+def s36_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S36: GDPR right-to-be-forgotten DELETE as a versioned commit —
+    subject customers' rows are anti-joined out of the snapshot table
+    and published as a NEW version (S16's manifest-log protocol), then
+    the audit proves the four things an erasure review asks: (1) the
+    live version contains ZERO subject rows, (2) row accounting balances
+    exactly (after = before - subject rows), (3) non-subject rows are
+    byte-identical (checksum equality between versions), (4) the PRIOR
+    version still retains the data — the retention/backup window the
+    legal clock actually starts from, readable until expire() drops it.
+    The oracle recomputes every number from the raw table with the same
+    deterministic subject rule. Scale shape: the erasure write is one
+    anti-join (subject keys broadcast — erasure batches are tiny) and
+    rewrites only data files containing subjects in a real lakehouse;
+    the audit is two metadata-cheap counts + one checksum aggregate."""
+    from pydatalake_gen2_spark.sources.versioned import VersionedTable
+
+    vt = VersionedTable(spark, _tmp("s36_vt", sf_dir))
+    if vt.current_version() == 0:
+        base = spark.table("orders").filter(F.col("o_orderkey") % 4 == 0)
+        vt.commit(base)
+        vt.commit(base.filter(~(F.col("o_custkey") % 97 == 3)))
+    v1 = vt.read(1)
+    v2 = vt.read(2)
+    is_subj = F.col("o_custkey") % 97 == 3
+
+    # order-independent, overflow-free under ANSI (XOR, not SUM)
+    chk = F.expr("bit_xor(xxhash64(o_orderkey, o_custkey, o_totalprice))")
+
+    m1 = v1.agg(
+        F.count(F.lit(1)).cast("bigint").alias("rows_before"),
+        F.sum(is_subj.cast("long")).cast("bigint").alias("subj_rows_before"),
+        F.count_distinct(F.when(is_subj, F.col("o_custkey"))).cast("bigint").alias(
+            "n_subjects"
+        ),
+    )
+    surv = v1.filter(~is_subj).agg(chk.alias("_surv_chk_v1"))
+    m2 = v2.agg(
+        F.count(F.lit(1)).cast("bigint").alias("rows_after"),
+        F.sum(is_subj.cast("long")).cast("bigint").alias("subj_rows_after"),
+        chk.alias("_chk_v2"),
+    )
+    return (
+        m1.crossJoin(surv).crossJoin(m2)
+        .select(
+            "rows_before",
+            "rows_after",
+            "n_subjects",
+            "subj_rows_before",
+            "subj_rows_after",
+            (F.col("subj_rows_before") > 0).alias("prior_version_retains"),
+            (F.col("_surv_chk_v1") == F.col("_chk_v2")).alias("survivors_unchanged"),
+        )
+    )
