@@ -494,3 +494,23 @@ def p20_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
         END
         """
     )
+
+
+sql_pair(
+    "p22_star_except",
+    """
+    SELECT * EXCEPT (o_orderpriority, o_orderdate)
+    FROM orders WHERE o_orderkey < 100
+    """,
+    """
+    SELECT * EXCLUDE (o_orderpriority, o_orderdate)
+    FROM orders WHERE o_orderkey < 100
+    """,
+    doc="P22: star-except projection (Spark `* EXCEPT (...)` vs DuckDB "
+        "`* EXCLUDE (...)` — same feature, different keyword): 'all "
+        "columns but these', the ergonomic form wide-table pipelines "
+        "(drop the embedding, keep 200 metadata columns) actually write. "
+        "Resolves at ANALYSIS time to an explicit projection, so column "
+        "pruning and scan ReadSchema behave exactly as if each kept "
+        "column were listed — nothing dynamic survives into the plan.",
+)
