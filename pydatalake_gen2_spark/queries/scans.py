@@ -1222,3 +1222,66 @@ def s36_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("_surv_chk_v1") == F.col("_chk_v2")).alias("survivors_unchanged"),
         )
     )
+
+
+@register(
+    "s37_incremental_scan",
+    duck_sql="""
+    WITH base AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0),
+    b2 AS (SELECT * FROM orders WHERE o_orderkey % 3 = 1),
+    b3 AS (SELECT * FROM orders WHERE o_orderkey % 3 = 2)
+    SELECT 'v1_to_v2' AS change_set,
+           CAST((SELECT count(*) FROM b2) AS BIGINT) AS n_rows,
+           CAST((SELECT sum(o_orderkey) FROM b2) AS BIGINT) AS key_sum
+    UNION ALL
+    SELECT 'v2_to_v3',
+           CAST((SELECT count(*) FROM b3) AS BIGINT),
+           CAST((SELECT sum(o_orderkey) FROM b3) AS BIGINT)
+    UNION ALL
+    SELECT 'v1_to_v3',
+           CAST((SELECT count(*) FROM b2) + (SELECT count(*) FROM b3) AS BIGINT),
+           CAST((SELECT sum(o_orderkey) FROM b2)
+                + (SELECT sum(o_orderkey) FROM b3) AS BIGINT)
+    UNION ALL
+    SELECT 'full_v3',
+           CAST((SELECT count(*) FROM orders) AS BIGINT),
+           CAST((SELECT sum(o_orderkey) FROM orders) AS BIGINT)
+    ORDER BY change_set
+    """,
+)
+def s37_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S37: manifest-driven INCREMENTAL scan — append commits land each
+    batch in its own directory and the manifest carries the cumulative
+    directory set, so 'what changed between v_a and v_b' resolves from
+    the MANIFEST DELTA alone and the consumer reads O(new data), never
+    O(table). The audit reads every change window (1→2, 2→3, 1→3) plus
+    the full v3 table and hash-matches exact row counts and key sums
+    against the batch definitions — proving the incremental reads see
+    exactly the appended rows, no more, no less. J23 diffs ROWS between
+    rewritten snapshots (O(table) full-outer join); this is its
+    file-level sibling for append-only chains (the Delta/Iceberg CDF
+    fast path) at metadata cost. The three appended dirs also stay
+    independently time-travelable (S16's property)."""
+    from pydatalake_gen2_spark.sources.versioned import VersionedTable
+
+    vt = VersionedTable(spark, _tmp("s37_vt", sf_dir))
+    o = spark.table("orders")
+    if vt.current_version() == 0:
+        vt.append_commit(o.filter(F.col("o_orderkey") % 3 == 0))
+        vt.append_commit(o.filter(F.col("o_orderkey") % 3 == 1))
+        vt.append_commit(o.filter(F.col("o_orderkey") % 3 == 2))
+
+    def stat(df, label):
+        return df.agg(
+            F.lit(label).alias("change_set"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        )
+
+    return (
+        stat(vt.read_changes(1, 2), "v1_to_v2")
+        .unionAll(stat(vt.read_changes(2, 3), "v2_to_v3"))
+        .unionAll(stat(vt.read_changes(1, 3), "v1_to_v3"))
+        .unionAll(stat(vt.read(3), "full_v3"))
+        .orderBy("change_set")
+    )

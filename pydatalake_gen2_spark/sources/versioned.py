@@ -77,6 +77,27 @@ class VersionedTable:
         self._cat.upload_bytes(self._manifest_name(v), json.dumps(manifest).encode())
         return v
 
+    def append_commit(self, df: DataFrame) -> int:
+        """APPEND `df` as a new version WITHOUT rewriting prior data: the
+        delta lands in its own directory and the new manifest lists the
+        cumulative directory set (prior version's dirs + the new one).
+        This is the Delta/Iceberg append shape — a commit costs O(delta),
+        and the manifest DELTA between two versions identifies exactly
+        which files are new, which is what makes `read_changes` a
+        metadata-only operation. Full `commit` / `optimize` still publish
+        single-dir snapshots (a compaction naturally resets the chain)."""
+        vs = self.versions()
+        prior = self._manifest_dirs(vs[-1]) if vs else []
+        v = (vs[-1] if vs else 0) + 1
+        df.write.mode("overwrite").parquet(self._vdir(v))
+        manifest = {"version": v, "dirs": prior + [f"_v{v:08d}"]}
+        self._cat.upload_bytes(self._manifest_name(v), json.dumps(manifest).encode())
+        return v
+
+    def _manifest_dirs(self, version: int) -> list[str]:
+        m = json.loads(self._cat.read_bytes(self._manifest_name(version)).decode())
+        return m["dirs"] if "dirs" in m else [m["dir"]]
+
     def read(self, version: int | None = None) -> DataFrame:
         """Latest snapshot, or time-travel to `version`."""
         vs = self.versions()
@@ -85,8 +106,25 @@ class VersionedTable:
         v = vs[-1] if version is None else version
         if v not in vs:
             raise ValueError(f"version {v} not in retained versions {vs}")
-        m = json.loads(self._cat.read_bytes(self._manifest_name(v)).decode())
-        return self.spark.read.parquet(f"{self.root}/{m['dir']}")
+        dirs = self._manifest_dirs(v)
+        return self.spark.read.parquet(*[f"{self.root}/{d}" for d in dirs])
+
+    def read_changes(self, since: int, to: int | None = None) -> DataFrame:
+        """Rows added between version `since` (exclusive) and `to`
+        (inclusive, default latest) — resolved ENTIRELY from the manifest
+        delta: only directories in `to`'s dir set but not `since`'s are
+        read. File-level CDC for append-only chains (J23's snapshot diff
+        is the row-level sibling for rewrites): an incremental consumer
+        reads O(new data), never O(table)."""
+        vs = self.versions()
+        to_v = vs[-1] if to is None else to
+        if since not in vs or to_v not in vs:
+            raise ValueError(f"versions ({since}, {to_v}) not all in {vs}")
+        old = set(self._manifest_dirs(since))
+        new_dirs = [d for d in self._manifest_dirs(to_v) if d not in old]
+        if not new_dirs:
+            return self.read(to_v).limit(0)
+        return self.spark.read.parquet(*[f"{self.root}/{d}" for d in new_dirs])
 
     def expire(self, keep_last: int) -> list[int]:
         """Drop all but the newest `keep_last` snapshots. Manifests are
@@ -128,7 +166,7 @@ class VersionedTable:
             if m:
                 live.add(p.name)
                 ref = json.loads(self._cat.read_bytes(p.name).decode())
-                live.add(ref["dir"])
+                live.update(ref["dirs"] if "dirs" in ref else [ref["dir"]])
         cutoff_ms = (time.time() - min_age_s) * 1000.0
         orphans = sorted(
             p.name

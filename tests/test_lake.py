@@ -129,6 +129,38 @@ def test_versioned_table_commit_read_time_travel(spark):
     assert vt.read(2).count() == 8 and vt.read().count() == 2
 
 
+def test_versioned_table_append_and_read_changes(spark):
+    """append_commit: O(delta) commits, cumulative manifests, file-level
+    change reads; full commit/optimize resets the chain; expire keeps the
+    chain readable for retained versions; vacuum treats every dir in a
+    cumulative manifest as live."""
+    from pydatalake_gen2_spark.sources.versioned import VersionedTable
+
+    root = tempfile.mkdtemp(prefix="vt_appd_")
+    vt = VersionedTable(spark, f"file://{root}")
+    vt.append_commit(spark.range(0, 5).withColumnRenamed("id", "k"))
+    vt.append_commit(spark.range(5, 8).withColumnRenamed("id", "k"))
+    vt.append_commit(spark.range(8, 10).withColumnRenamed("id", "k"))
+    assert vt.read(1).count() == 5
+    assert vt.read(2).count() == 8           # cumulative
+    assert vt.read().count() == 10
+    ch = vt.read_changes(1, 3)
+    assert sorted(r["k"] for r in ch.collect()) == [5, 6, 7, 8, 9]
+    assert vt.read_changes(2).count() == 2   # default `to` = latest
+    assert vt.read_changes(3, 3).count() == 0
+
+    # a compaction (full snapshot) resets the chain: the next change read
+    # from the optimized version sees only post-optimize appends
+    v4 = vt.optimize(target_files=1)
+    assert vt.read(v4).count() == 10
+    vt.append_commit(spark.range(10, 12).withColumnRenamed("id", "k"))
+    assert sorted(r["k"] for r in vt.read_changes(v4).collect()) == [10, 11]
+
+    # vacuum must keep every dir referenced by cumulative manifests
+    assert vt.vacuum_orphans(dry_run=True, min_age_s=0) == []
+    assert vt.read(2).count() == 8
+
+
 # ------------------------------------------------- S17 python data source
 
 
