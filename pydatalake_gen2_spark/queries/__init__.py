@@ -4,6 +4,7 @@ from pydatalake_gen2_spark.queries import (  # noqa: F401
     aggregates,
     analytics,
     composite,
+    entity,
     functions,
     functions_ext,
     graph,

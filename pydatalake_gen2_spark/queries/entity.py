@@ -1,0 +1,355 @@
+"""Entity-resolution / record-linkage family (ER01-ER04) — SURVEY §2B.21.
+
+The classic MDM pipeline the reference's users run OUTSIDE the lake today,
+re-expressed as four auditable stages over a deterministic "dirty CRM"
+built by planting duplicate customer records from c_custkey arithmetic in
+BOTH dialects (the L54/F56 planting pattern — no fixture files, and any
+drift in blocking keys, edit-distance, clustering, or survivorship breaks
+the hash):
+
+    ER01  blocking audit       — candidate generation stats vs the n²/2
+                                 cross product (the scale argument itself)
+    ER02  fuzzy match          — blocked self-join + levenshtein verify
+    ER03  entity clusters      — match graph → connected components
+    ER04  golden record        — per-entity survivorship merge
+
+Scale shape: blocking is ONE equi-join on (nationkey, name-suffix) — the
+all-pairs O(n²) comparison never exists; candidate volume is sum of
+block-size² which the ER01 audit measures. Verification (levenshtein) is
+a JVM builtin on the tiny candidate set. Clustering is the same O(log d)
+min-label-propagation used for dedup clusters (operators/dedup.py). The
+golden-record merge is one partial-agg groupBy with arg-min/arg-max
+survivorship rules — all shapes that hold at 10⁹ records.
+
+Dirty-CRM construction (identical in both dialects):
+  - every customer row becomes a 'master' record (rec_id = custkey*10),
+  - custkey % 7 == 0 gains an 'import' variant with a 1-char REPLACEMENT
+    typo at position 10, a NULL segment and a +250-cent balance drift,
+  - custkey % 21 == 0 gains a second variant with a 1-char DELETION at
+    position 13 and a -125-cent drift.
+  Blocking on (nationkey, right(name, 4)) survives both typo positions
+  by construction; levenshtein ≤ 2 verifies candidates. Synthetic
+  customer names differing in one key digit can also legitimately block
+  together and match — deterministic in both engines, and exactly the
+  false-positive behavior a real ER threshold review would surface.
+
+Reference parity: the reference (client.py) has no relational surface;
+this family exceeds it per the LLM-pipeline mandate (training-data
+curation needs entity dedup for PII subject resolution — see S36).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from pydatalake_gen2_spark.operators import dedup
+from pydatalake_gen2_spark.registry import register
+
+_BIG = 10**12
+
+# -- shared dirty-CRM builders (dialect-parallel) ---------------------------
+
+_CRM_DUCK = """
+    crm AS (
+      SELECT c_custkey*10 AS rec_id, c_name AS name,
+             CAST(c_nationkey AS INT) AS nationkey,
+             CAST(round(c_acctbal*100) AS BIGINT) AS acct_cents,
+             c_mktsegment AS segment, 'master' AS src, 1 AS recency
+      FROM customer
+      UNION ALL
+      SELECT c_custkey*10+1,
+             substring(c_name, 1, 9) || 'X' || substring(c_name, 11),
+             CAST(c_nationkey AS INT),
+             CAST(round(c_acctbal*100) AS BIGINT) + 250,
+             NULL, 'import', 2
+      FROM customer WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey*10+2,
+             substring(c_name, 1, 12) || substring(c_name, 14),
+             CAST(c_nationkey AS INT),
+             CAST(round(c_acctbal*100) AS BIGINT) - 125,
+             c_mktsegment, 'import', 3
+      FROM customer WHERE c_custkey % 21 = 0
+    )"""
+
+_CAND_DUCK = (
+    _CRM_DUCK
+    + """,
+    blk AS (SELECT rec_id, name, nationkey, right(name, 4) AS sfx FROM crm),
+    cand AS (
+      SELECT a.rec_id AS rec_a, b.rec_id AS rec_b,
+             a.name AS name_a, b.name AS name_b, a.nationkey
+      FROM blk a JOIN blk b
+        ON a.nationkey = b.nationkey AND a.sfx = b.sfx
+       AND a.rec_id < b.rec_id)"""
+)
+
+_MATCH_DUCK = (
+    _CAND_DUCK
+    + """,
+    m AS (SELECT rec_a, rec_b FROM cand
+          WHERE levenshtein(name_a, name_b) <= 2),
+    e AS (SELECT rec_a AS s, rec_b AS d FROM m
+          UNION SELECT rec_b, rec_a FROM m),
+    reach(id, r) AS (
+      SELECT s, s FROM e
+      UNION SELECT s, d FROM e
+      UNION SELECT reach.id, e.d FROM reach JOIN e ON reach.r = e.s),
+    comp AS (SELECT id, MIN(r) AS ent FROM reach GROUP BY id),
+    asg AS (
+      SELECT crm.*, CAST(COALESCE(comp.ent, crm.rec_id) AS BIGINT) AS entity_id
+      FROM crm LEFT JOIN comp ON crm.rec_id = comp.id)"""
+)
+
+
+def _crm(spark: SparkSession) -> DataFrame:
+    c = spark.table("customer")
+    cents = F.round(F.col("c_acctbal") * 100, 0).cast("bigint")
+    nat = F.col("c_nationkey").cast("int").alias("nationkey")
+
+    master = c.select(
+        (F.col("c_custkey") * 10).alias("rec_id"),
+        F.col("c_name").alias("name"),
+        nat,
+        cents.alias("acct_cents"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("master").alias("src"),
+        F.lit(1).cast("int").alias("recency"),
+    )
+    v1 = c.filter(F.col("c_custkey") % 7 == 0).select(
+        (F.col("c_custkey") * 10 + 1).alias("rec_id"),
+        F.concat(
+            F.substring("c_name", 1, 9),
+            F.lit("X"),
+            F.expr("substring(c_name, 11)"),
+        ).alias("name"),
+        nat,
+        (cents + 250).alias("acct_cents"),
+        F.lit(None).cast("string").alias("segment"),
+        F.lit("import").alias("src"),
+        F.lit(2).cast("int").alias("recency"),
+    )
+    v2 = c.filter(F.col("c_custkey") % 21 == 0).select(
+        (F.col("c_custkey") * 10 + 2).alias("rec_id"),
+        F.concat(
+            F.substring("c_name", 1, 12), F.expr("substring(c_name, 14)")
+        ).alias("name"),
+        nat,
+        (cents - 125).alias("acct_cents"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("import").alias("src"),
+        F.lit(3).cast("int").alias("recency"),
+    )
+    return master.unionByName(v1).unionByName(v2)
+
+
+def _candidates(spark: SparkSession) -> DataFrame:
+    """Blocked candidate pairs: equi-join on (nationkey, right(name,4)),
+    rec_id-ordered so each unordered pair appears once. This join — not
+    an all-pairs comparison — is the entire candidate-generation cost."""
+    blk = _crm(spark).select(
+        "rec_id", "name", "nationkey", F.expr("right(name, 4)").alias("sfx")
+    )
+    a = blk.alias("a")
+    b = blk.alias("b")
+    return a.join(
+        b,
+        (F.col("a.nationkey") == F.col("b.nationkey"))
+        & (F.col("a.sfx") == F.col("b.sfx"))
+        & (F.col("a.rec_id") < F.col("b.rec_id")),
+    ).select(
+        F.col("a.rec_id").alias("rec_a"),
+        F.col("b.rec_id").alias("rec_b"),
+        F.col("a.name").alias("name_a"),
+        F.col("b.name").alias("name_b"),
+        F.col("a.nationkey").alias("nationkey"),
+    )
+
+
+def _matches(spark: SparkSession) -> DataFrame:
+    return _candidates(spark).filter(
+        F.levenshtein("name_a", "name_b") <= 2
+    )
+
+
+def _assignment(spark: SparkSession) -> DataFrame:
+    """(every CRM record) → entity_id: component min-label for matched
+    records, own rec_id for singletons."""
+    comp = dedup.connected_components(
+        _matches(spark).select("rec_a", "rec_b"), "rec_a", "rec_b"
+    )
+    return (
+        _crm(spark)
+        .join(comp, F.col("rec_id") == F.col("id"), "left")
+        .withColumn(
+            "entity_id",
+            F.coalesce(F.col("component"), F.col("rec_id")).cast("bigint"),
+        )
+        .drop("id", "component")
+    )
+
+
+# -- ER01 -------------------------------------------------------------------
+
+
+@register(
+    "er01_blocking_audit",
+    duck_sql="WITH "
+    + _CRM_DUCK
+    + """,
+    blk AS (SELECT nationkey, right(name, 4) AS sfx FROM crm),
+    g AS (SELECT nationkey, sfx, COUNT(*) AS k FROM blk GROUP BY 1, 2),
+    t AS (SELECT CAST(SUM(k) AS BIGINT) AS n_records,
+                 CAST(COUNT(*) AS BIGINT) AS n_blocks,
+                 CAST(MAX(k) AS BIGINT) AS max_block,
+                 CAST(SUM(k*(k-1)//2) AS BIGINT) AS n_candidates
+          FROM g)
+    SELECT n_records, n_blocks, max_block, n_candidates,
+           CAST(n_records*(n_records-1)//2 AS BIGINT) AS n_cross_pairs,
+           ROUND(CAST(n_candidates AS DOUBLE)
+                 / (n_records*(n_records-1)//2), 8) AS candidate_fraction
+    FROM t
+    """,
+)
+def er01_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ER01: blocking-quality audit — block count, max block size, and
+    candidate-pair volume vs the n(n-1)/2 cross product. THE pre-flight
+    number for record linkage at scale: candidate_fraction is the factor
+    by which blocking shrank the comparison space (and max_block is the
+    skew hazard — one giant block is the ER equivalent of a hot join
+    key). Pure integer tallies from one groupBy; k*(k-1)/2 stays exact
+    (consecutive integers, // division)."""
+    g = (
+        _crm(spark)
+        .select("nationkey", F.expr("right(name, 4)").alias("sfx"))
+        .groupBy("nationkey", "sfx")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    t = g.agg(
+        F.sum("k").cast("bigint").alias("n_records"),
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+        F.max("k").cast("bigint").alias("max_block"),
+        F.sum(F.expr("k * (k - 1) div 2")).cast("bigint").alias("n_candidates"),
+    )
+    cross = F.expr("n_records * (n_records - 1) div 2").cast("bigint")
+    return t.select(
+        "n_records",
+        "n_blocks",
+        "max_block",
+        "n_candidates",
+        cross.alias("n_cross_pairs"),
+        F.round(
+            F.col("n_candidates").cast("double") / cross.cast("double"), 8
+        ).alias("candidate_fraction"),
+    )
+
+
+# -- ER02 -------------------------------------------------------------------
+
+
+@register(
+    "er02_fuzzy_matches",
+    duck_sql="WITH "
+    + _CAND_DUCK
+    + """
+    SELECT rec_a, rec_b, CAST(levenshtein(name_a, name_b) AS INT) AS lev,
+           CAST(nationkey AS INT) AS nationkey
+    FROM cand WHERE levenshtein(name_a, name_b) <= 2
+    ORDER BY rec_a, rec_b
+    """,
+)
+def er02_fuzzy_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ER02: fuzzy record linkage — blocked candidates verified with
+    levenshtein(name) ≤ 2 (a JVM builtin: the verify step costs one
+    codegen'd expression per candidate, no Python). Output is the match
+    pair set with edit distances; the planted REPLACEMENT (pos 10) and
+    DELETION (pos 13) variants both land at distance 1. The blocking
+    equi-join is the only shuffle; at 10⁹ records the candidate set —
+    not n² — is what flows into verification (ER01 measures exactly how
+    much smaller it is)."""
+    return (
+        _matches(spark)
+        .select(
+            "rec_a",
+            "rec_b",
+            F.levenshtein("name_a", "name_b").cast("int").alias("lev"),
+            F.col("nationkey").cast("int").alias("nationkey"),
+        )
+        .orderBy("rec_a", "rec_b")
+    )
+
+
+# -- ER03 -------------------------------------------------------------------
+
+
+@register(
+    "er03_entity_clusters",
+    duck_sql="WITH RECURSIVE "
+    + _MATCH_DUCK
+    + """
+    SELECT rec_id, entity_id FROM asg ORDER BY rec_id
+    """,
+)
+def er03_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ER03: match graph → entity ids — connected components (the same
+    O(log diameter) min-label propagation as L11's dedup clusters:
+    operators/dedup.py:340) over the ER02 pair set, then every CRM
+    record gets its component label (singletons keep their own rec_id).
+    Transitivity is the point: A~B and B~C must merge into ONE entity
+    even when A!~C directly. Oracle: DuckDB recursive-CTE transitive
+    closure over the identical match edges."""
+    return _assignment(spark).select("rec_id", "entity_id").orderBy("rec_id")
+
+
+# -- ER04 -------------------------------------------------------------------
+
+
+@register(
+    "er04_golden_record",
+    duck_sql="WITH RECURSIVE "
+    + _MATCH_DUCK
+    + f"""
+    SELECT entity_id,
+           CAST(COUNT(*) AS BIGINT) AS n_records,
+           arg_min(name, CASE WHEN src = 'master' THEN rec_id
+                              ELSE rec_id + {_BIG} END) AS golden_name,
+           CAST(MIN(nationkey) AS INT) AS nationkey,
+           CAST(arg_max(acct_cents, recency*{_BIG} + rec_id) AS BIGINT)
+             AS acct_cents,
+           arg_max(segment, CASE WHEN segment IS NOT NULL
+                                 THEN recency*{_BIG} + rec_id END) AS segment
+    FROM asg
+    GROUP BY entity_id HAVING COUNT(*) > 1
+    ORDER BY entity_id
+    """,
+)
+def er04_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ER04: survivorship merge — one golden record per multi-record
+    entity: name from the master record (arg-min over a src-then-rec_id
+    key), balance from the NEWEST record (arg-max over recency), segment
+    from the newest NON-NULL record (null-guarded ordering key — both
+    engines skip null ordering keys, which is the portable idiom; DuckDB's
+    arg_max additionally skips null VALUES where Spark's max_by does not,
+    so nullable columns always go through the guarded-key form). One
+    partial-agg groupBy over the assignment — the merge costs one shuffle
+    on entity_id regardless of corpus size."""
+    ordk = F.col("recency").cast("bigint") * _BIG + F.col("rec_id")
+    golden_ord = F.when(F.col("src") == "master", F.col("rec_id")).otherwise(
+        F.col("rec_id") + _BIG
+    )
+    return (
+        _assignment(spark)
+        .groupBy("entity_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_records"),
+            F.min_by("name", golden_ord).alias("golden_name"),
+            F.min("nationkey").cast("int").alias("nationkey"),
+            F.max_by("acct_cents", ordk).cast("bigint").alias("acct_cents"),
+            F.max_by(
+                "segment", F.when(F.col("segment").isNotNull(), ordk)
+            ).alias("segment"),
+        )
+        .filter(F.col("n_records") > 1)
+        .orderBy("entity_id")
+    )
