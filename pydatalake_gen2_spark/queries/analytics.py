@@ -440,3 +440,216 @@ sql_pair(
         "Two partial-agg passes over events keyed by user; epoch "
         "extraction is the unix_micros/epoch_us dialect pair.",
 )
+
+
+# ---------------------------------------------------------------------------
+# dq01: data-quality expectation suite (Deequ-style) — SURVEY §2B.21
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq01_expectation_suite",
+    duck_sql="""
+    WITH j AS (
+      SELECT o.*, c.c_custkey AS ck
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS v_null_status,
+             CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+               AS v_dup_key,
+             CAST(SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0
+                           ELSE 1 END) AS BIGINT) AS v_status_domain,
+             CAST(SUM(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END)
+                  AS BIGINT) AS v_price_range,
+             CAST(SUM(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-')
+                           THEN 0 ELSE 1 END) AS BIGINT) AS v_priority_format,
+             CAST(SUM(CASE WHEN ck IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS v_orphan_fk,
+             CAST(CASE WHEN max(o_orderdate) >= TIMESTAMP '2000-01-01'
+                       THEN 0 ELSE 1 END AS BIGINT) AS v_freshness
+      FROM j)
+    SELECT check_name, checked, violations, violations = 0 AS passed
+    FROM (
+      SELECT 'not_null_status' AS check_name, n_rows AS checked,
+             v_null_status AS violations FROM m
+      UNION ALL SELECT 'unique_orderkey', n_rows, v_dup_key FROM m
+      UNION ALL SELECT 'domain_orderstatus', n_rows, v_status_domain FROM m
+      UNION ALL SELECT 'range_totalprice_pos', n_rows, v_price_range FROM m
+      UNION ALL SELECT 'format_orderpriority', n_rows, v_priority_format FROM m
+      UNION ALL SELECT 'fk_custkey_in_customer', n_rows, v_orphan_fk FROM m
+      UNION ALL SELECT 'freshness_orderdate', n_rows, v_freshness FROM m)
+    ORDER BY check_name
+    """,
+)
+def dq01_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ01: Deequ-style data-quality expectation suite — seven constraint
+    classes (completeness, uniqueness, value domain, numeric range, regex
+    format, cross-table referential integrity, freshness) evaluated in ONE
+    pass over the fact table and rendered as a (check, checked,
+    violations, passed) report. The scale argument IS the single pass:
+    every per-row predicate folds into one partial+final aggregate over
+    one scan of orders, the FK check rides a broadcast left join (parent
+    keys are the small side), and the report is a stack() unpivot of the
+    1-row metrics frame — adding a constraint adds a column to the agg,
+    never another scan. The plan gate (tests/test_plans.py) pins exactly
+    one orders scan + BroadcastHashJoin. At 100 TB this is the
+    write-audit-publish gate run before committing a snapshot version
+    (S16), same shape Deequ/Great-Expectations compile to on Spark."""
+    o = spark.table("orders")
+    ck = spark.table("customer").select(F.col("c_custkey").alias("ck"))
+    j = o.join(F.broadcast(ck), F.col("o_custkey") == F.col("ck"), "left")
+
+    def viol(cond):
+        return F.sum((~F.coalesce(cond, F.lit(False))).cast("long"))
+
+    m = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        viol(F.col("o_orderstatus").isNotNull()).alias("v_null_status"),
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey"))
+        .cast("bigint")
+        .alias("v_dup_key"),
+        viol(F.col("o_orderstatus").isin("O", "F", "P")).alias(
+            "v_status_domain"
+        ),
+        viol(F.col("o_totalprice") > 0).alias("v_price_range"),
+        viol(F.col("o_orderpriority").rlike("^[1-5]-")).alias(
+            "v_priority_format"
+        ),
+        viol(F.col("ck").isNotNull()).alias("v_orphan_fk"),
+        F.max("o_orderdate").alias("_newest"),
+    )
+    long = m.select(
+        F.expr(
+            """stack(7,
+            'not_null_status', v_null_status,
+            'unique_orderkey', v_dup_key,
+            'domain_orderstatus', v_status_domain,
+            'range_totalprice_pos', v_price_range,
+            'format_orderpriority', v_priority_format,
+            'fk_custkey_in_customer', v_orphan_fk,
+            'freshness_orderdate',
+            CAST(_newest < TIMESTAMP '2000-01-01' AS BIGINT)
+            ) AS (check_name, violations)"""
+        ),
+        F.col("n_rows").alias("checked"),
+    )
+    return long.select(
+        "check_name",
+        "checked",
+        F.col("violations").cast("bigint").alias("violations"),
+        (F.col("violations") == 0).alias("passed"),
+    ).orderBy("check_name")
+
+
+# ---------------------------------------------------------------------------
+# g48: Kaplan-Meier survival estimate of customer lifetime
+# ---------------------------------------------------------------------------
+
+_G48_BODY = """
+    WITH per AS (
+      SELECT o_custkey AS cust, min(o_orderdate) AS first_o,
+             max(o_orderdate) AS last_o
+      FROM orders GROUP BY o_custkey),
+    d AS (
+      SELECT {dur} AS t,
+             CAST(CASE WHEN last_o < TIMESTAMP '2001-02-01'
+                       THEN 1 ELSE 0 END AS INT) AS observed
+      FROM per),
+    g AS (
+      SELECT t, CAST(SUM(observed) AS BIGINT) AS d_t,
+             CAST(COUNT(*) AS BIGINT) AS all_t
+      FROM d GROUP BY t),
+    w AS (
+      SELECT t, d_t, all_t,
+             CAST((SELECT COUNT(*) FROM d) AS BIGINT)
+               - (SUM(all_t) OVER (ORDER BY t) - all_t) AS n_risk
+      FROM g)
+    SELECT CAST(t AS BIGINT) AS t_days, CAST(n_risk AS BIGINT) AS n_risk,
+           d_t AS n_deaths,
+           CASE WHEN SUM(CASE WHEN d_t >= n_risk THEN 1 ELSE 0 END)
+                     OVER (ORDER BY t) > 0
+                THEN CAST(0.0 AS DOUBLE)
+                ELSE ROUND(EXP(CAST(SUM(CAST(ROUND(
+                       LN((CAST(n_risk AS DOUBLE) - d_t) / n_risk), 8)
+                       AS DECIMAL(20,8))) OVER (ORDER BY t) AS DOUBLE)), 6)
+           END AS survival
+    FROM w WHERE d_t > 0 ORDER BY t
+"""
+
+sql_pair(
+    "g48_kaplan_meier",
+    _G48_BODY.format(dur="datediff(last_o, first_o)"),
+    _G48_BODY.format(dur="datediff('day', first_o, last_o)"),
+    doc="G48: Kaplan-Meier survival curve of customer LIFETIME (days from "
+        "first to last order), right-censored at the observation fence "
+        "(customers still ordering near corpus end are censored, not "
+        "deaths — the correctness detail a naive lifetime histogram "
+        "misses). Classic KM: at each death time t, factor "
+        "(n_risk-d)/n_risk; survival = cumulative product over death "
+        "times, computed as EXP of an exact DECIMAL(20,8) sum of ROUND(8) "
+        "log terms (the L58/G46 order-independence discipline), one "
+        "ROUND(6) at the end; the d=n_risk terminal case short-circuits "
+        "to exact 0. Shapes: one partial-agg groupBy per customer, one "
+        "tiny per-duration tally, windows over |distinct durations| rows "
+        "— the curve costs two shuffles regardless of order count. "
+        "Dialect pair: datediff argument orders differ.",
+)
+
+
+# ---------------------------------------------------------------------------
+# g49: mergeable HLL sketch rollup (partials union == direct sketch)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "g49_hll_mergeable",
+    duck_sql="""
+    SELECT CAST(count(DISTINCT date_trunc('month', o_orderdate)) AS BIGINT)
+             AS n_months,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_total,
+           TRUE AS merged_within_5pct,
+           TRUE AS direct_within_5pct
+    FROM orders
+    """,
+)
+def g49_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G49: MERGEABLE distinct-count sketches — per-month HyperLogLog
+    sketches of distinct customers (hll_sketch_agg), merged with
+    hll_union_agg and compared against (a) the sketch built directly over
+    the whole table and (b) the exact distinct count. Both estimates are
+    certified within 5% of exact via folded booleans (the G04 pattern —
+    approximate values never cross the hash, booleans do). The merged and
+    direct estimates are NOT asserted equal: DataSketches HLL keeps a HIP
+    (historical inverse probability) estimator on streamed sketches that
+    merging necessarily discards, so a union lands on the composite
+    estimator — slightly different, still within the error bound; the
+    audit certifies exactly what merging guarantees and no more. This is
+    the 100 TB distinct-count
+    architecture: daily partitions keep 1.5 KB sketches, any date-range
+    rollup is a register merge — no rescan, no shuffle of raw keys; the
+    exact leg here exists only to anchor the audit at test scale."""
+    o = spark.table("orders")
+    monthly = o.groupBy(F.date_trunc("month", "o_orderdate").alias("m")).agg(
+        F.hll_sketch_agg("o_custkey").alias("sk")
+    )
+    merged = monthly.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_months"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_est_merged"),
+    )
+    direct = o.agg(
+        F.count_distinct("o_custkey").cast("bigint").alias("exact_total"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias(
+            "_est_direct"
+        ),
+    )
+    def within(est):
+        return F.abs(est - F.col("exact_total")) <= 0.05 * F.col("exact_total")
+
+    return merged.crossJoin(direct).select(
+        "n_months",
+        "exact_total",
+        within(F.col("_est_merged")).alias("merged_within_5pct"),
+        within(F.col("_est_direct")).alias("direct_within_5pct"),
+    )
