@@ -3455,3 +3455,101 @@ def l66_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         merges = row if merges is None else merges.unionAll(row)
     return merges.orderBy("round")
+
+
+# ---------------------------------------------------------------------------
+# lx_sq8_recall: int8 scalar-quantization retrieval audit
+# ---------------------------------------------------------------------------
+
+_SQ8_K = 10
+
+
+@register(
+    "lx_sq8_recall",
+    duck_sql=f"""
+    WITH s AS (SELECT max(list_aggregate(
+                 list_transform(embedding::DOUBLE[], x -> abs(x)), 'max'))
+               AS mx FROM embeddings),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS cv,
+                 list_transform(embedding::DOUBLE[],
+                   x -> CAST(CAST(floor(127 * x / s.mx + 0.5)
+                             AS INT) AS DOUBLE)) AS qcv
+          FROM embeddings CROSS JOIN s),
+    q AS (SELECT vec_id AS query_id, cv AS qv, qcv AS qqv
+          FROM c WHERE vec_id % 100 = 0),
+    fullk AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+                 list_dot_product(qv, cv) /
+                   (sqrt(list_dot_product(qv, qv))
+                    * sqrt(list_dot_product(cv, cv)))
+                 DESC, vec_id) AS rn
+        FROM c CROSS JOIN q WHERE vec_id <> query_id) t
+      WHERE rn <= {_SQ8_K}),
+    sq8k AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+                 list_dot_product(qqv, qcv) /
+                   (sqrt(list_dot_product(qqv, qqv))
+                    * sqrt(list_dot_product(qcv, qcv)))
+                 DESC, vec_id) AS rn
+        FROM c CROSS JOIN q WHERE vec_id <> query_id) t
+      WHERE rn <= {_SQ8_K})
+    SELECT f.query_id,
+           CAST(count(t.vec_id) AS BIGINT) AS n_common,
+           ROUND(CAST(count(t.vec_id) AS DOUBLE) / {_SQ8_K}, 4) AS recall
+    FROM fullk f LEFT JOIN sq8k t
+      ON f.query_id = t.query_id AND f.vec_id = t.vec_id
+    GROUP BY f.query_id ORDER BY f.query_id
+    """,
+)
+def lx_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LX-SQ8: int8 SCALAR-quantization retrieval audit — top-k recall of
+    cosine search over symmetric int8-quantized vectors (q = floor(127·x/
+    max_abs + 0.5), one global scale) vs the exact full-precision top-k.
+    The 4x-smaller sibling of PQ (lx_pq_topk compresses via codebooks;
+    SQ8 keeps per-dimension fidelity): 8-bit dot products are exact
+    INTEGER arithmetic (|q|≤127, 64 dims → |dot| ≤ 64·127² ≪ 2^53), so
+    the quantized leg is bit-deterministic in both engines by
+    construction — the only floats are the final norm divide, the same
+    identical-IEEE-expression discipline as L03/LX-MRL. At 100 TB the
+    int8 index is the memory-resident first pass (4 GB per billion
+    64-dim vectors vs 16 GB float32) and this audit bounds its miss rate
+    before the float rerank (lx_pq_rerank's pattern)."""
+    emb = spark.table("embeddings")
+    s_df = emb.agg(
+        F.max(
+            F.expr(
+                "aggregate(embedding, cast(0.0 as double),"
+                " (acc, x) -> greatest(acc, abs(cast(x as double))))"
+            )
+        ).alias("mx")
+    )
+    qemb = emb.crossJoin(F.broadcast(s_df)).select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> cast(cast(floor("
+            "127 * cast(x as double) / mx + 0.5) as int) as double))"
+        ).alias("embedding"),
+    )
+    fullk = similarity.cosine_topk(
+        emb, emb.filter(F.col("vec_id") % 100 == 0), k=_SQ8_K
+    ).select("query_id", "vec_id")
+    sq8k = similarity.cosine_topk(
+        qemb, qemb.filter(F.col("vec_id") % 100 == 0), k=_SQ8_K
+    ).select(F.col("query_id").alias("tq"), F.col("vec_id").alias("tv"))
+    return (
+        fullk.join(
+            sq8k,
+            (F.col("query_id") == F.col("tq")) & (F.col("vec_id") == F.col("tv")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("tv").cast("bigint").alias("n_common"))
+        .withColumn(
+            "recall", F.round(F.col("n_common").cast("double") / _SQ8_K, 4)
+        )
+        .orderBy("query_id")
+    )

@@ -1285,3 +1285,68 @@ def s37_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(stat(vt.read(3), "full_v3"))
         .orderBy("change_set")
     )
+
+
+@register(
+    "s38_incremental_agg_refresh",
+    duck_sql="""
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders
+    GROUP BY CAST(o_orderdate AS DATE)
+    ORDER BY day
+    """,
+)
+def s38_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S38: incremental MATERIALIZED-AGGREGATE maintenance (IVM) — a daily
+    revenue rollup is kept as its own versioned table and refreshed after
+    an append by merging the DELTA's partial aggregate into the stored
+    aggregate: read_changes(v1) resolves the appended files from the
+    manifest delta (S37, metadata-only), the delta aggregates alone, and
+    a full-outer coalesce-sum merge on day produces rollup v2 — the base
+    table's history is NEVER rescanned. The oracle recomputes the rollup
+    from the FULL raw table, so the hash match proves merge-refresh ≡
+    recompute (count and sum are self-mergeable partials; min/max merge
+    too, avg carries (sum,count) — the textbook IVM algebra). At 100 TB:
+    refresh cost is O(delta) + a shuffle of |touched days| rows, vs
+    O(table) for the naive rebuild; both rollup versions stay
+    time-travelable (S16), so a bad batch rolls back by re-pointing."""
+    from pydatalake_gen2_spark.sources.versioned import VersionedTable
+
+    def day_agg(df):
+        return df.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+
+    base_vt = VersionedTable(spark, _tmp("s38_base", sf_dir))
+    agg_vt = VersionedTable(spark, _tmp("s38_agg", sf_dir))
+    if agg_vt.current_version() < 2:
+        o = spark.table("orders")
+        base_vt.append_commit(o.filter(F.col("o_orderkey") % 5 != 4))
+        agg_vt.commit(day_agg(base_vt.read()))
+        base_vt.append_commit(o.filter(F.col("o_orderkey") % 5 == 4))
+
+        delta = day_agg(base_vt.read_changes(since=1))  # appended files only
+        prior = agg_vt.read(1)
+        merged = (
+            prior.alias("p")
+            .join(delta.alias("d"), ["day"], "full_outer")
+            .select(
+                "day",
+                (
+                    F.coalesce(F.col("p.n_orders"), F.lit(0))
+                    + F.coalesce(F.col("d.n_orders"), F.lit(0))
+                ).cast("bigint").alias("n_orders"),
+                (
+                    F.coalesce(F.col("p.revenue_cents"), F.lit(0))
+                    + F.coalesce(F.col("d.revenue_cents"), F.lit(0))
+                ).cast("bigint").alias("revenue_cents"),
+            )
+        )
+        agg_vt.commit(merged)
+    return agg_vt.read(2).orderBy("day")
