@@ -93,7 +93,11 @@ _ALIASES: dict[str, str] = {
     # joins
     "a01_j01_inner_equi": "j01_inner_equi",
     "a02_j02_broadcast_inner": "j02_broadcast_inner",
-    "a03_j05_full_outer": "j05_full_outer",
+    # r9 repurpose: j05 holds a green r3 driver row and the join family
+    # keeps a01/a02/a05/a06/a07/a08/a18; the slot goes to the new
+    # entity-resolution class (blocked fuzzy record linkage — first
+    # driver evidence for the ER/MDM family, er01-er04).
+    "a03_er02_fuzzy_matches": "er02_fuzzy_matches",
     # r7 repurpose: j10's band-join shape holds a green r3 driver row via
     # a04 and stays covered by a05/j21's time-join reps; the slot goes to
     # the new SQL-UDF class (Spark 4 CREATE FUNCTION, scalar + table).
@@ -107,7 +111,10 @@ _ALIASES: dict[str, str] = {
     "a08_jx_salted_skew_join": "jx_salted_skew_join",
     # aggregate tail (g08+ never sorted into the window)
     "a09_g04_approx_count_distinct": "g04_approx_count_distinct",
-    "a10_g08_having": "g08_having",
+    # r9 repurpose: g08 holds a green r3 driver row and the g-family
+    # keeps a09 plus the statistical slots; the slot goes to the new
+    # data-quality class (Deequ-style one-pass expectation suite).
+    "a10_dq01_expectations": "dq01_expectation_suite",
     # r6 repurpose: the g-family holds 7 other window reps, so g09's slot
     # goes to the new k-NN weak-labeling capability (first driver row for
     # the semi-supervised annotation family); g09 stays oracle-verified
@@ -152,7 +159,10 @@ _ALIASES: dict[str, str] = {
     # top-k rep; the slot goes to WITH-TIES semantics and its two-pass
     # threshold plan (first driver evidence for rank-limit queries).
     "a22_o08_topk_with_ties": "o08_topk_with_ties",
-    "a23_o04_topk_per_group": "o04_topk_per_group",
+    # r9 repurpose: o04 holds a green r3 driver row (and runs in every
+    # bench round); the slot goes to the new survival-analysis class
+    # (right-censored Kaplan-Meier lifetime curve).
+    "a23_g48_kaplan_meier": "g48_kaplan_meier",
     # set ops
     "a24_u01_union_all": "u01_union_all",
     "a25_u05_intersect_except_all": "u05_intersect_except_all",
@@ -164,7 +174,10 @@ _ALIASES: dict[str, str] = {
     "a27_p07_cast_matrix": "p07_cast_matrix",
     # scans / sources / sinks
     "a28_s01_parquet_scan": "s01_parquet_scan",
-    "a29_s05_partitioned_pruned": "s05_partitioned_pruned",
+    # r9 repurpose: s05 holds a green r3 driver row and the scan family
+    # keeps a28/a14; the slot goes to the new incremental-view-
+    # maintenance class (O(delta) materialized-aggregate refresh).
+    "a29_s38_incremental_refresh": "s38_incremental_agg_refresh",
     # r5 repurpose: the s-family already held three window slots
     # (a28/a29/a30) while the multimodal family — now a REAL stdlib-PNG
     # decode pipeline with a full SQL oracle (mm_png_decode), no longer a
@@ -184,7 +197,11 @@ _ALIASES: dict[str, str] = {
     # LLM-pipeline operators
     "a34_l01_dedup_exact": "l01_dedup_exact",
     "a35_l02b_ngram_jaccard": "l02b_ngram_jaccard",
-    "a36_l03_cosine_topk": "l03_cosine_topk",
+    # r9 repurpose: l03 holds a green r3 driver row, runs in every bench
+    # round, and stays transitively exercised by a15 (MRL runs
+    # cosine_topk on both legs); the slot goes to the new mergeable-
+    # sketch class (HLL partial-union rollup with folded error bounds).
+    "a36_g49_hll_mergeable": "g49_hll_mergeable",
     # r7 repurpose: l04's vector primitives are exercised transitively by
     # a36 (cosine top-k is built on them) and l04 holds a green r3 row;
     # the slot goes to the new privacy class (PII scan + redaction).

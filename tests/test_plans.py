@@ -561,3 +561,29 @@ def test_temporal_dim_enrich_is_single_shuffle_asof(spark, sf_dir):
     assert "Window" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoop" not in plan, plan
+
+
+def test_dq01_single_scan_broadcast_fk(spark, sf_dir):
+    """DQ01's whole suite must cost ONE scan of orders: every constraint
+    folds into one partial+final aggregate over a broadcast FK join —
+    adding checks must never add scans."""
+    plan = _plan(spark, sf_dir, "dq01_expectation_suite")
+    assert plan.count("Scan parquet [") <= 2, plan  # orders + customer keys
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_er02_blocking_is_equi_join(spark, sf_dir):
+    """ER02's candidate generation must plan as an equi-join on the
+    blocking key — an all-pairs (cartesian / nested-loop) comparison is
+    exactly what blocking exists to prevent."""
+    plan = _plan(spark, sf_dir, "er02_fuzzy_matches")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_g49_hll_partial_final(spark, sf_dir):
+    """G49's sketch build must be a partial+final HashAggregate (sketches
+    are the partial state — that IS the mergeability being certified)."""
+    plan = _plan(spark, sf_dir, "g49_hll_mergeable")
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan, plan

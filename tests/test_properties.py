@@ -493,3 +493,87 @@ def test_semdedup_matches_bruteforce(spark, sf_dir):
                     int(cl), int(ids[mem[root]]), i == keeper
                 ), vid
     assert len(got) == len(ids)
+
+
+def test_er_planted_duplicates_resolved(spark, sf_dir):
+    """ER01-ER04: every planted dirty variant must block, match, and
+    cluster back to its master, and survivorship must follow the declared
+    rules (master name; newest balance; newest NON-NULL segment)."""
+    from pydatalake_gen2_spark.registry import ensure_views
+
+    ensure_views(spark, sf_dir)
+    reg = load_all()
+    n_cust = spark.table("customer").count()
+    k7 = [k for k in range(n_cust) if k % 7 == 0]
+    k21 = [k for k in range(n_cust) if k % 21 == 0]
+
+    pairs = {
+        (r["rec_a"], r["rec_b"])
+        for r in reg["er02_fuzzy_matches"].spark_fn(spark, sf_dir).collect()
+    }
+    for k in k7:
+        assert (k * 10, k * 10 + 1) in pairs  # master ~ replacement typo
+    for k in k21:
+        assert (k * 10, k * 10 + 2) in pairs  # master ~ deletion typo
+    # at this scale the name suffixes are collision-free: the match set is
+    # EXACTLY the planted pairs (plus the v1~v2 pair inside each triple)
+    assert len(pairs) == len(k7) + 2 * len(k21)
+
+    ent = {
+        r["rec_id"]: r["entity_id"]
+        for r in reg["er03_entity_clusters"].spark_fn(spark, sf_dir).collect()
+    }
+    for k in k21:  # transitivity: master, v1, v2 in ONE entity
+        assert ent[k * 10] == ent[k * 10 + 1] == ent[k * 10 + 2] == k * 10
+
+    golden = {
+        r["entity_id"]: r
+        for r in reg["er04_golden_record"].spark_fn(spark, sf_dir).collect()
+    }
+    cust = {
+        r["c_custkey"]: r for r in spark.table("customer").collect()
+    }
+    for k in k7:
+        g = golden[k * 10]
+        c = cust[k]
+        assert g["golden_name"] == c["c_name"]  # master name survives
+        base = round(c["c_acctbal"] * 100)
+        if k % 21 == 0:
+            assert g["n_records"] == 3
+            assert g["acct_cents"] == base - 125  # v2 (recency 3) wins
+        else:
+            assert g["n_records"] == 2
+            assert g["acct_cents"] == base + 250  # v1 (recency 2) wins
+        # v1's NULL segment never survives; master/v2 both carry the
+        # customer's segment, so the golden segment is always that value
+        assert g["segment"] == c["c_mktsegment"]
+
+
+def test_s38_rollup_versions_time_travelable(spark, sf_dir):
+    """S38: the materialized rollup keeps BOTH versions — v1 (pre-append)
+    must remain readable and smaller-or-equal in every day's tally."""
+    reg = load_all()
+    reg["s38_incremental_agg_refresh"].spark_fn(spark, sf_dir).collect()
+
+    from pydatalake_gen2_spark.queries.scans import _tmp
+    from pydatalake_gen2_spark.sources.versioned import VersionedTable
+
+    agg_vt = VersionedTable(spark, _tmp("s38_agg", sf_dir))
+    assert agg_vt.versions() == [1, 2]
+    v1 = {r["day"]: r["n_orders"] for r in agg_vt.read(1).collect()}
+    v2 = {r["day"]: r["n_orders"] for r in agg_vt.read(2).collect()}
+    assert set(v1) <= set(v2)
+    assert all(v1[d] <= v2[d] for d in v1)
+    assert sum(v2.values()) > sum(v1.values())
+
+
+def test_sq8_quantization_faithful(spark, sf_dir):
+    """LX-SQ8: at this scale int8 quantization of 64-dim unit-ish vectors
+    must be nearly lossless — every query's top-10 recall is 1.0 (the
+    audit's purpose is to MEASURE this; the property pins the expected
+    no-degradation regime so a broken quantizer can't silently pass)."""
+    from pydatalake_gen2_spark.registry import ensure_views
+
+    ensure_views(spark, sf_dir)
+    rows = load_all()["lx_sq8_recall"].spark_fn(spark, sf_dir).collect()
+    assert rows and all(r["recall"] == 1.0 for r in rows)
