@@ -113,6 +113,14 @@ SHOW = [
     ("lx_rrf_fusion", "two rank legs union -> per-candidate decimal RRF sum"),
     ("l64_lsh_param_plan", "pair spine x broadcast configs, decimal s-curve sums"),
     ("mm_phash_neardup", "pHash mapInPandas -> banded Hamming candidate join"),
+    # round 9
+    ("er02_fuzzy_matches", "ER blocking equi-join + codegen levenshtein verify"),
+    ("er04_golden_record", "survivorship: one partial-agg groupBy, arg-min/max keys"),
+    ("dq01_expectation_suite", "7 constraints, one scan + broadcast FK join"),
+    ("g48_kaplan_meier", "two partial-agg reduces + window over distinct durations"),
+    ("g49_hll_mergeable", "HLL sketch partials as aggregate state"),
+    ("s38_incremental_agg_refresh", "IVM: delta agg full-outer merged into rollup"),
+    ("lx_sq8_recall", "int8-quantized leg vs float leg, same broadcast topk shape"),
 ]
 
 
