@@ -108,6 +108,11 @@ BENCH_QUERIES = [
     "gr10_hits",
     "l62_hybrid_retrieval",
     "s34_footer_stats_scan",
+    # round-9 widening: blocked entity resolution end-to-end, single-scan
+    # data-quality gate, int8-quantized retrieval audit
+    "er03_entity_clusters",
+    "dq01_expectation_suite",
+    "lx_sq8_recall",
 ]
 
 N_RUNS = 3
