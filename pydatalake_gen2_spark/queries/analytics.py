@@ -653,3 +653,54 @@ def g49_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         within(F.col("_est_merged")).alias("merged_within_5pct"),
         within(F.col("_est_direct")).alias("direct_within_5pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dq02: k-anonymity / l-diversity privacy audit
+# ---------------------------------------------------------------------------
+
+sql_pair(
+    "dq02_k_anonymity",
+    """
+    WITH cls AS (
+      SELECT c.c_nationkey AS nationkey, c.c_mktsegment AS segment,
+             CAST(floor(CAST(round(c.c_acctbal * 100) AS BIGINT) / 200000.0)
+                  AS BIGINT) AS bal_band,
+             CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS k,
+             CAST(count(DISTINCT COALESCE(o.o_orderpriority, 'NONE'))
+                  AS BIGINT) AS l
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2, 3)
+    SELECT CAST(sum(k) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(min(k) AS BIGINT) AS min_k,
+           CAST(max(k) AS BIGINT) AS max_k,
+           CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+             AS rows_at_risk,
+           ROUND(CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS DOUBLE)
+                 / sum(k), 6) AS pct_at_risk,
+           CAST(min(l) AS BIGINT) AS min_l,
+           CAST(sum(CASE WHEN l = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS classes_l1
+    FROM cls
+    """,
+    doc="DQ02: k-anonymity / l-diversity audit over the quasi-identifier "
+        "(nation, market segment, $2000 balance band) with the customer's "
+        "order-priority mix as the sensitive attribute — the privacy "
+        "measurement a data owner runs BEFORE releasing or sharing a "
+        "table, and the quantitative counterpart to S36's "
+        "right-to-be-forgotten erasure: min_k is the re-identification "
+        "floor (a class of size 1 IS an identified person), rows_at_risk "
+        "counts records in classes under k=5, and min_l/classes_l1 "
+        "catch classes whose sensitive value is constant (k-anonymous "
+        "yet fully disclosed — the homogeneity attack l-diversity "
+        "exists to name). One join to attach the sensitive attribute, "
+        "then one partial+final aggregate; "
+        "the equivalence-class frame is |QI-combinations| regardless of "
+        "row count, so the audit costs a groupBy at 100 TB. Balance "
+        "bands floor over EXACT integer cents (round-to-cents first, "
+        "the house money idiom), and floor of a correctly-rounded "
+        "double division is engine-identical: band boundaries are "
+        "exact-integer ratios, everything else is far from a boundary. "
+        "Identical SQL text runs in both dialects.",
+)

@@ -155,3 +155,71 @@ def o08_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rnk"),
     ).filter(F.col("rnk") <= 10)
+
+
+@register(
+    "o09_skyline",
+    duck_sql="""
+    WITH pts AS (
+      SELECT DISTINCT q.qty, s.bal_cents
+      FROM (SELECT l_suppkey,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+            FROM lineitem GROUP BY l_suppkey) q
+      JOIN (SELECT s_suppkey,
+                   CAST(round(s_acctbal * 100) AS BIGINT) AS bal_cents
+            FROM supplier) s
+        ON q.l_suppkey = s.s_suppkey)
+    SELECT qty, bal_cents FROM pts p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts q
+      WHERE q.qty >= p.qty AND q.bal_cents >= p.bal_cents
+        AND (q.qty > p.qty OR q.bal_cents > p.bal_cents))
+    ORDER BY qty DESC, bal_cents
+    """,
+)
+def o09_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O09: SKYLINE (Pareto-frontier) query — the distinct per-supplier
+    (total shipped quantity, account balance) points not dominated by
+    any other point (dominated = another point >= in both coordinates,
+    > in at least one). The multi-objective shortlist primitive ("no
+    supplier is better on both axes") that single-key top-k cannot
+    express — W32's Pareto CONCENTRATION measures one cumulative axis;
+    this returns the frontier SET over two. The oracle states the
+    textbook O(n^2) NOT-EXISTS dominance test; the engine never runs
+    it: after deduping points, ONE window pass in (qty DESC, bal DESC)
+    order keeps exactly the points whose balance strictly exceeds the
+    running max of all preceding balances — the classic sort-scan
+    skyline, O(k log k) on the REDUCED per-supplier frame (suppliers,
+    not lineitems, so the single-partition window tail is bounded by
+    entity cardinality, the same reduction W32 rides; a 1e9-entity
+    frontier would first shrink candidates with per-bucket local
+    skylines, the same partial-then-global shape as any agg).
+    Equal-(qty,bal) duplicates collapse in the dedup so the strict
+    running-max test cannot drop a tied frontier point; integer cents
+    keep every comparison exact."""
+    li = spark.table("lineitem")
+    sup = spark.table("supplier")
+    qty = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("qty")
+    )
+    bal = sup.select(
+        "s_suppkey",
+        F.round(F.col("s_acctbal") * 100, 0).cast("bigint").alias("bal_cents"),
+    )
+    pts = (
+        qty.join(bal, qty.l_suppkey == bal.s_suppkey)
+        .select("qty", "bal_cents")
+        .distinct()
+    )
+    w = (
+        Window.orderBy(F.desc("qty"), F.desc("bal_cents"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        pts.withColumn("_runmax", F.max("bal_cents").over(w))
+        .filter(
+            F.col("_runmax").isNull() | (F.col("bal_cents") > F.col("_runmax"))
+        )
+        .select("qty", "bal_cents")
+        .orderBy(F.desc("qty"), "bal_cents")
+    )

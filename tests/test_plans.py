@@ -587,3 +587,23 @@ def test_g49_hll_partial_final(spark, sf_dir):
     are the partial state — that IS the mergeability being certified)."""
     plan = _plan(spark, sf_dir, "g49_hll_mergeable")
     assert "HashAggregate" in plan or "ObjectHashAggregate" in plan, plan
+
+
+def test_skyline_is_sort_scan_not_nested_loop(spark, sf_dir):
+    """o09: the dominance test must run as the single sort-scan window over
+    the reduced per-supplier frame — never the oracle's O(n^2) NOT-EXISTS
+    nested loop."""
+    plan = _plan(spark, sf_dir, "o09_skyline")
+    assert "Window" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_dq02_one_join_one_aggregate(spark, sf_dir):
+    """dq02: the privacy audit must cost one customer+orders equi-join and
+    one partial+final aggregate — two scans, no nested loop."""
+    plan = _plan(spark, sf_dir, "dq02_k_anonymity")
+    assert plan.count("Scan parquet [") <= 2, plan
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

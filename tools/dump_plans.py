@@ -121,6 +121,9 @@ SHOW = [
     ("g49_hll_mergeable", "HLL sketch partials as aggregate state"),
     ("s38_incremental_agg_refresh", "IVM: delta agg full-outer merged into rollup"),
     ("lx_sq8_recall", "int8-quantized leg vs float leg, same broadcast topk shape"),
+    # round 10
+    ("o09_skyline", "sort-scan skyline: one window over the per-supplier frame"),
+    ("dq02_k_anonymity", "k-anonymity audit: join + one partial+final aggregate"),
 ]
 
 
