@@ -704,3 +704,217 @@ sql_pair(
         "exact-integer ratios, everything else is far from a boundary. "
         "Identical SQL text runs in both dialects.",
 )
+
+
+# ---------------------------------------------------------------------------
+# dq03: PSI distribution-drift monitor (baseline vs current period)
+# ---------------------------------------------------------------------------
+
+sql_pair(
+    "dq03_psi_drift",
+    """
+    WITH b AS (
+      SELECT CAST(floor(CAST(round(o_totalprice * 100) AS BIGINT)
+                        / 5000000.0) AS BIGINT) AS band,
+             CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                  THEN 0 ELSE 1 END AS per
+      FROM orders),
+    t AS (
+      SELECT band,
+             CAST(sum(CASE WHEN per = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN per = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+      FROM b GROUP BY band),
+    tot AS (
+      SELECT CAST(sum(n0) AS BIGINT) AS t0, CAST(sum(n1) AS BIGINT) AS t1,
+             CAST(count(*) AS BIGINT) AS nb
+      FROM t),
+    terms AS (
+      SELECT band,
+             (n0 + 0.5) / (t0 + 0.5 * nb) AS p,
+             (n1 + 0.5) / (t1 + 0.5 * nb) AS q
+      FROM t, tot)
+    SELECT (SELECT nb FROM tot) AS n_bands,
+           (SELECT t0 FROM tot) AS n_baseline,
+           (SELECT t1 FROM tot) AS n_current,
+           ROUND(CAST(SUM(CAST(ROUND((p - q) * LN(p / q), 8)
+                 AS DECIMAL(20,8))) AS DOUBLE), 6) AS psi,
+           ROUND(CAST(MAX(CAST(ROUND((p - q) * LN(p / q), 8)
+                 AS DECIMAL(20,8))) AS DOUBLE), 6) AS max_band_term,
+           CAST(SUM(CAST(ROUND((p - q) * LN(p / q), 8)
+                 AS DECIMAL(20,8))) AS DOUBLE) > 0.2 AS drifted
+    FROM terms
+    """,
+    doc="DQ03: population-stability-index (PSI) drift monitor between a "
+        "baseline and a current period of the order-value distribution — "
+        "the production-ML monitoring audit (PSI > 0.2 = investigate, the "
+        "industry fence) that tells a feature owner the serving "
+        "distribution no longer matches training. Values band into fixed "
+        "$50k buckets over EXACT integer cents; shares are "
+        "Laplace-smoothed ((n+0.5)/(N+0.5B), exact rationals in IEEE "
+        "until one LN per band) so empty bands stay defined and the term "
+        "set is total; each (p-q)*ln(p/q) term is non-negative, "
+        "ROUND(8)-fenced and summed as DECIMAL(20,8) in any order (the "
+        "G48/L58 discipline). Scale: one scan + one |bands| tally — the "
+        "drift report costs a groupBy at 100 TB, and per-band partials "
+        "merge, so it runs per-partition then combines. One SQL text in "
+        "both dialects.",
+)
+
+
+# ---------------------------------------------------------------------------
+# dq04: ingest volume-anomaly audit (rolling z-score on daily row counts)
+# ---------------------------------------------------------------------------
+
+sql_pair(
+    "dq04_volume_anomaly",
+    """
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY CAST(o_orderdate AS DATE)),
+    w AS (
+      SELECT day, n,
+             CAST(sum(n) OVER (ORDER BY day
+               ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING) AS BIGINT) AS s1,
+             CAST(sum(n * n) OVER (ORDER BY day
+               ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING) AS BIGINT) AS s2,
+             CAST(count(*) OVER (ORDER BY day
+               ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING) AS BIGINT) AS m
+      FROM d)
+    SELECT day, n,
+           ROUND(CAST(s1 AS DOUBLE) / m, 4) AS mean14,
+           ROUND((n - CAST(s1 AS DOUBLE) / m)
+                 / sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / m)
+                        / (m - 1)), 4) AS z
+    FROM w
+    WHERE m >= 14
+      AND (s2 - CAST(s1 AS DOUBLE) * s1 / m) > 0
+      AND abs((n - CAST(s1 AS DOUBLE) / m)
+              / sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / m) / (m - 1))) > 2.5
+    ORDER BY day
+    """,
+    doc="DQ04: ingest-volume anomaly audit — daily row counts scored "
+        "against a trailing 14-day window (current day EXCLUDED from its "
+        "own baseline, the leakage detail naive monitors get wrong); "
+        "days with |z| > 2.5 surface as anomalies. The freshness/volume "
+        "leg of the DQ01 expectation suite as a time-series: a silent "
+        "upstream outage (missing partition) or a double-ingest both "
+        "jump the z. Numerics: window sums s1/s2 are EXACT integers "
+        "(counts and squared counts), the mean/variance/z is ONE final "
+        "IEEE expression per row — sqrt is correctly rounded, so both "
+        "engines see bit-identical doubles and the 2.5 fence cannot "
+        "disagree. Scale: the window runs over the DAY-reduced frame "
+        "(|days| rows regardless of table size) after one partial+final "
+        "count — 100 TB costs one groupBy plus a window over a few "
+        "thousand rows. One SQL text in both dialects.",
+)
+
+
+# ---------------------------------------------------------------------------
+# g50: Welch two-sample t-test (unequal variances)
+# ---------------------------------------------------------------------------
+
+sql_pair(
+    "g50_welch_ttest",
+    """
+    WITH s AS (
+      SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 0 ELSE 1 END AS grp,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+    m AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS DECIMAL(38,0)) AS s1,
+             CAST(sum(CAST(cents AS DECIMAL(19,0)) * cents)
+                  AS DECIMAL(38,0)) AS s2
+      FROM s GROUP BY grp),
+    sel AS (
+      SELECT
+        max(CASE WHEN grp = 0 THEN n END) AS n1,
+        max(CASE WHEN grp = 1 THEN n END) AS n2,
+        CAST(max(CASE WHEN grp = 0 THEN s1 END) AS DOUBLE) AS a1,
+        CAST(max(CASE WHEN grp = 1 THEN s1 END) AS DOUBLE) AS b1,
+        CAST(max(CASE WHEN grp = 0 THEN s2 END) AS DOUBLE) AS a2,
+        CAST(max(CASE WHEN grp = 1 THEN s2 END) AS DOUBLE) AS b2
+      FROM m),
+    v AS (
+      SELECT n1, n2,
+             a1 / n1 AS m1, b1 / n2 AS m2,
+             (a2 - a1 * a1 / n1) / (n1 - 1) AS v1,
+             (b2 - b1 * b1 / n2) / (n2 - 1) AS v2
+      FROM sel)
+    SELECT n1, n2,
+           ROUND(m1 / 100, 4) AS mean_urgent,
+           ROUND(m2 / 100, 4) AS mean_low,
+           ROUND((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS t_stat,
+           ROUND((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)
+                 / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                    + (v2 / n2) * (v2 / n2) / (n2 - 1)), 4) AS welch_df,
+           abs((m1 - m2) / sqrt(v1 / n1 + v2 / n2)) > 1.96 AS significant
+    FROM v
+    """,
+    doc="G50: Welch two-sample t-test (unequal variances) of order value "
+        "between URGENT and LOW priorities — the A/B-test readout "
+        "(Welch, not pooled Student: the robust default when group "
+        "variances differ) next to G44's rank-based Mann-Whitney; "
+        "welch_df is the Welch-Satterthwaite effective df. Group "
+        "moments (n, sum cents, sum cents^2) accumulate as EXACT "
+        "DECIMAL(38,0) — the cents^2 product is forced through "
+        "DECIMAL(19,0) so DuckDB runs it in hugeint, not overflowing "
+        "int64 — and the t/df are ONE final IEEE expression each with "
+        "a terminal ROUND (the DECIMAL->DOUBLE 1-ulp cast drift is "
+        "fenced by ROUND(6)/ROUND(4)). Scale: a partial+final "
+        "2-group aggregate over one scan; the test is O(1) memory at "
+        "any table size. One SQL text in both dialects.",
+)
+
+
+# ---------------------------------------------------------------------------
+# g51: one-way ANOVA F-test across order priorities
+# ---------------------------------------------------------------------------
+
+sql_pair(
+    "g51_anova_f",
+    """
+    WITH s AS (
+      SELECT o_orderpriority AS grp,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    m AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS DECIMAL(38,0)) AS s1,
+             CAST(sum(CAST(cents AS DECIMAL(19,0)) * cents)
+                  AS DECIMAL(38,0)) AS s2
+      FROM s GROUP BY grp),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS nn,
+             CAST(sum(s1) AS DOUBLE) AS g1
+      FROM m),
+    parts AS (
+      SELECT
+        CAST(SUM(CAST(ROUND(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n, 4)
+             AS DECIMAL(30,4))) AS DOUBLE) AS sum_sq_over_n,
+        CAST(SUM(s2) AS DOUBLE) AS g2
+      FROM m)
+    SELECT k, nn AS n_total,
+           ROUND((sum_sq_over_n - g1 * g1 / nn) / 10000, 2) AS ss_between,
+           ROUND((g2 - sum_sq_over_n) / 10000, 2) AS ss_within,
+           ROUND(((sum_sq_over_n - g1 * g1 / nn) / (k - 1))
+                 / ((g2 - sum_sq_over_n) / (nn - k)), 6) AS f_stat,
+           ((sum_sq_over_n - g1 * g1 / nn) / (k - 1))
+             / ((g2 - sum_sq_over_n) / (nn - k)) > 2.37 AS significant
+    FROM tot, parts
+    """,
+    doc="G51: one-way ANOVA F-test of order value across the five order "
+        "priorities — the k-group generalization of G50's two-sample "
+        "test (does ANY priority differ?), read against the F(4, inf) "
+        "5% critical value 2.37. Decomposition from per-group exact "
+        "moments: SSB = sum(s1_i^2/n_i) - G^2/N, SSW = sum(s2_i) - "
+        "sum(s1_i^2/n_i); the per-group s1^2/n_i terms are ROUND(4)-"
+        "fenced and summed as DECIMAL(30,4) so the 5-term sum is "
+        "order-independent, every other input is an exact decimal "
+        "moment, and the F is ONE final IEEE expression fenced by "
+        "ROUND(6). ss_* report in dollars^2 (/10000). Scale: "
+        "partial+final 5-group aggregate over one scan, O(1) state — "
+        "the same shape as G02 at 100 TB. One SQL text in both "
+        "dialects.",
+)

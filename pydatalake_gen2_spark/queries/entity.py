@@ -353,3 +353,168 @@ def er04_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_records") > 1)
         .orderBy("entity_id")
     )
+
+
+# -- ER05 -------------------------------------------------------------------
+
+_FEAT_DUCK = (
+    _CRM_DUCK
+    + """,
+    blk AS (SELECT rec_id, name, nationkey, right(name, 4) AS sfx,
+                   segment, acct_cents FROM crm),
+    cand AS (
+      SELECT a.rec_id AS rec_a, b.rec_id AS rec_b,
+             a.name AS name_a, b.name AS name_b,
+             a.segment AS seg_a, b.segment AS seg_b,
+             a.acct_cents AS cents_a, b.acct_cents AS cents_b
+      FROM blk a JOIN blk b
+        ON a.nationkey = b.nationkey AND a.sfx = b.sfx
+       AND a.rec_id < b.rec_id),
+    feat AS (
+      SELECT rec_a, rec_b,
+             CAST(CASE WHEN levenshtein(name_a, name_b) <= 2
+                       THEN 1 ELSE 0 END AS INT) AS f_name,
+             CAST(CASE WHEN seg_a IS NOT NULL AND seg_b IS NOT NULL
+                        AND seg_a = seg_b THEN 1 ELSE 0 END AS INT) AS f_seg,
+             CAST(CASE WHEN abs(cents_a - cents_b) <= 500
+                       THEN 1 ELSE 0 END AS INT) AS f_bal,
+             CAST(CASE WHEN CAST(floor(rec_a / 10.0) AS BIGINT)
+                          = CAST(floor(rec_b / 10.0) AS BIGINT)
+                       THEN 1 ELSE 0 END AS INT) AS truth
+      FROM cand),
+    est AS (
+      SELECT
+        (sum(CASE WHEN truth = 1 THEN f_name ELSE 0 END) + 0.5)
+          / (sum(truth) + 1.0) AS m_name,
+        (sum(CASE WHEN truth = 0 THEN f_name ELSE 0 END) + 0.5)
+          / (sum(1 - truth) + 1.0) AS u_name,
+        (sum(CASE WHEN truth = 1 THEN f_seg ELSE 0 END) + 0.5)
+          / (sum(truth) + 1.0) AS m_seg,
+        (sum(CASE WHEN truth = 0 THEN f_seg ELSE 0 END) + 0.5)
+          / (sum(1 - truth) + 1.0) AS u_seg,
+        (sum(CASE WHEN truth = 1 THEN f_bal ELSE 0 END) + 0.5)
+          / (sum(truth) + 1.0) AS m_bal,
+        (sum(CASE WHEN truth = 0 THEN f_bal ELSE 0 END) + 0.5)
+          / (sum(1 - truth) + 1.0) AS u_bal
+      FROM feat)"""
+)
+
+
+@register(
+    "er05_fs_scoring",
+    duck_sql="WITH "
+    + _FEAT_DUCK
+    + """
+    SELECT rec_a, rec_b, f_name, f_seg, f_bal,
+           CAST(truth AS BOOLEAN) AS same_entity_truth,
+           ROUND(
+             ROUND(CASE WHEN f_name = 1 THEN LN(m_name / u_name)
+                        ELSE LN((1 - m_name) / (1 - u_name)) END, 8)
+             + ROUND(CASE WHEN f_seg = 1 THEN LN(m_seg / u_seg)
+                          ELSE LN((1 - m_seg) / (1 - u_seg)) END, 8)
+             + ROUND(CASE WHEN f_bal = 1 THEN LN(m_bal / u_bal)
+                          ELSE LN((1 - m_bal) / (1 - u_bal)) END, 8),
+             6) AS fs_score,
+           ROUND(CASE WHEN f_name = 1 THEN LN(m_name / u_name)
+                      ELSE LN((1 - m_name) / (1 - u_name)) END, 8)
+             + ROUND(CASE WHEN f_seg = 1 THEN LN(m_seg / u_seg)
+                          ELSE LN((1 - m_seg) / (1 - u_seg)) END, 8)
+             + ROUND(CASE WHEN f_bal = 1 THEN LN(m_bal / u_bal)
+                          ELSE LN((1 - m_bal) / (1 - u_bal)) END, 8)
+             > 0 AS classified_match
+    FROM feat, est ORDER BY rec_a, rec_b
+    """,
+)
+def er05_fs_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ER05: Fellegi-Sunter probabilistic linkage scoring — the missing
+    step between ER02's hard levenshtein cutoff and ER03's clustering: a
+    log-likelihood-ratio score per candidate pair from per-field m/u
+    probabilities (m = P(field agrees | same entity), u = P(agrees |
+    different)), so a pair agreeing on a RARE field outweighs one
+    agreeing on a common one. Three comparison fields: name (edit
+    distance ≤ 2), segment (non-null equality), balance (within $5).
+    m/u are estimated from the construction-known truth labels
+    (floor(rec_id/10) collapses variants onto their master — the labeled
+    training pass a real deployment does on clerical-review data),
+    Laplace-smoothed ((x+0.5)/(n+1)) so no weight is ±inf. Numerics:
+    each field weight is one LN of a smoothed rational, ROUND(8)-fenced
+    (G48 discipline); the score is the 3-term sum of fenced doubles —
+    bit-identical across engines — with a final ROUND(6) for display and
+    the >0 classification fence on the unrounded-but-deterministic sum.
+    Scale: scoring decomposes per pair (map-side over the blocked
+    candidate set); the m/u estimate is ONE tiny aggregate broadcast
+    back — at 10^9 records the cost is the same blocking join ER02
+    already pays."""
+    blk = _crm(spark).select(
+        "rec_id", "name", "nationkey",
+        F.expr("right(name, 4)").alias("sfx"),
+        "segment", "acct_cents",
+    )
+    a, b = blk.alias("a"), blk.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.nationkey") == F.col("b.nationkey"))
+        & (F.col("a.sfx") == F.col("b.sfx"))
+        & (F.col("a.rec_id") < F.col("b.rec_id")),
+    ).select(
+        F.col("a.rec_id").alias("rec_a"),
+        F.col("b.rec_id").alias("rec_b"),
+        F.col("a.name").alias("name_a"),
+        F.col("b.name").alias("name_b"),
+        F.col("a.segment").alias("seg_a"),
+        F.col("b.segment").alias("seg_b"),
+        F.col("a.acct_cents").alias("cents_a"),
+        F.col("b.acct_cents").alias("cents_b"),
+    )
+    flag = lambda c: F.when(c, 1).otherwise(0).cast("int")  # noqa: E731
+    feat = cand.select(
+        "rec_a",
+        "rec_b",
+        flag(F.levenshtein("name_a", "name_b") <= 2).alias("f_name"),
+        flag(
+            F.col("seg_a").isNotNull()
+            & F.col("seg_b").isNotNull()
+            & (F.col("seg_a") == F.col("seg_b"))
+        ).alias("f_seg"),
+        flag(F.abs(F.col("cents_a") - F.col("cents_b")) <= 500).alias("f_bal"),
+        flag(
+            F.floor(F.col("rec_a") / 10.0).cast("bigint")
+            == F.floor(F.col("rec_b") / 10.0).cast("bigint")
+        ).alias("truth"),
+    )
+
+    def mu(f: str) -> list:
+        m = (
+            F.sum(F.when(F.col("truth") == 1, F.col(f)).otherwise(0)) + 0.5
+        ) / (F.sum("truth") + 1.0)
+        u = (
+            F.sum(F.when(F.col("truth") == 0, F.col(f)).otherwise(0)) + 0.5
+        ) / (F.sum(F.lit(1) - F.col("truth")) + 1.0)
+        return [m.alias("m_" + f[2:]), u.alias("u_" + f[2:])]
+
+    est = feat.agg(*(mu("f_name") + mu("f_seg") + mu("f_bal")))
+
+    def w(f: str, tag: str):
+        m, u = F.col("m_" + tag), F.col("u_" + tag)
+        return F.round(
+            F.when(F.col(f) == 1, F.log(m / u)).otherwise(
+                F.log((1 - m) / (1 - u))
+            ),
+            8,
+        )
+
+    score = w("f_name", "name") + w("f_seg", "seg") + w("f_bal", "bal")
+    return (
+        feat.crossJoin(F.broadcast(est))
+        .select(
+            "rec_a",
+            "rec_b",
+            "f_name",
+            "f_seg",
+            "f_bal",
+            (F.col("truth") == 1).alias("same_entity_truth"),
+            F.round(score, 6).alias("fs_score"),
+            (score > 0).alias("classified_match"),
+        )
+        .orderBy("rec_a", "rec_b")
+    )

@@ -858,3 +858,70 @@ sql_pair(
         "ROUND(6) floats. The skew triage for 'how few keys dominate "
         "this table' before picking G33/JX mitigations.",
 )
+
+
+# ---------------------------------------------------------------------------
+# w33: merge overlapping intervals (gaps-and-islands)
+# ---------------------------------------------------------------------------
+
+_W33_BODY = """
+    WITH iv AS (
+      SELECT l_suppkey AS supp,
+             CAST({startday} AS BIGINT) AS s,
+             CAST({startday} + (l_orderkey % 20) + 3 AS BIGINT) AS e
+      FROM lineitem),
+    flagged AS (
+      SELECT supp, s, e,
+             CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY supp
+                    ORDER BY s, e, l_rowno
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -9223372036854775808)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM (SELECT supp, s, e,
+                   ROW_NUMBER() OVER (PARTITION BY supp ORDER BY s, e)
+                     AS l_rowno
+            FROM iv) t),
+    islands AS (
+      SELECT supp, s, e,
+             CAST(SUM(new_island) OVER (PARTITION BY supp
+               ORDER BY s, e, new_island DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS island_id
+      FROM flagged),
+    merged AS (
+      SELECT supp, island_id,
+             CAST(MIN(s) AS BIGINT) AS island_start,
+             CAST(MAX(e) AS BIGINT) AS island_end,
+             CAST(COUNT(*) AS BIGINT) AS n_intervals
+      FROM islands GROUP BY supp, island_id)
+    SELECT supp AS l_suppkey,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(island_end - island_start) AS BIGINT) AS covered_days,
+           CAST(MAX(island_end - island_start) AS BIGINT) AS longest_island,
+           CAST(MAX(n_intervals) AS BIGINT) AS max_merged
+    FROM merged GROUP BY supp ORDER BY supp
+"""
+
+sql_pair(
+    "w33_interval_merge",
+    _W33_BODY.format(startday="datediff(l_shipdate, DATE '1995-01-01')"),
+    _W33_BODY.format(startday="datediff('day', DATE '1995-01-01', l_shipdate)"),
+    doc="W33: merge overlapping intervals (gaps-and-islands) — per "
+        "supplier, shipment activity windows [shipdate, shipdate+k] "
+        "coalesce into maximal disjoint islands; report island count, "
+        "covered days, longest island, and the deepest merge. THE "
+        "calendar primitive under SLA uptime, coverage, and utilization "
+        "reports that W16's value-streaks can't express (intervals "
+        "OVERLAP, they don't abut). Classic two-window shape: an island "
+        "opens exactly when a start exceeds the running MAX(end) of all "
+        "EARLIER intervals (sorted by start — one window), and a "
+        "running SUM of those flags numbers the islands (second window, "
+        "same sort, so ONE sort per partition serves both; the flag "
+        "joins its own cumulative sum via new_island DESC tie-break so "
+        "an opener counts itself). All arithmetic is integer epoch-days "
+        "(datediff from a fixed origin — the only dialect split), so "
+        "island boundaries are exact. Scale: both windows partition BY "
+        "SUPPLIER — the per-key series sorts locally after one hash "
+        "shuffle, no global sort, the same shape as W07 at 100 TB; "
+        "output is one row per supplier.",
+)
