@@ -730,8 +730,10 @@ sql_pair(
       FROM t),
     terms AS (
       SELECT band,
-             (n0 + 0.5) / (t0 + 0.5 * nb) AS p,
-             (n1 + 0.5) / (t1 + 0.5 * nb) AS q
+             (CAST(n0 AS DOUBLE) + 0.5)
+               / (CAST(t0 AS DOUBLE) + 0.5 * nb) AS p,
+             (CAST(n1 AS DOUBLE) + 0.5)
+               / (CAST(t1 AS DOUBLE) + 0.5 * nb) AS q
       FROM t, tot)
     SELECT (SELECT nb FROM tot) AS n_bands,
            (SELECT t0 FROM tot) AS n_baseline,

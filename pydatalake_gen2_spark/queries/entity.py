@@ -384,18 +384,18 @@ _FEAT_DUCK = (
       FROM cand),
     est AS (
       SELECT
-        (sum(CASE WHEN truth = 1 THEN f_name ELSE 0 END) + 0.5)
-          / (sum(truth) + 1.0) AS m_name,
-        (sum(CASE WHEN truth = 0 THEN f_name ELSE 0 END) + 0.5)
-          / (sum(1 - truth) + 1.0) AS u_name,
-        (sum(CASE WHEN truth = 1 THEN f_seg ELSE 0 END) + 0.5)
-          / (sum(truth) + 1.0) AS m_seg,
-        (sum(CASE WHEN truth = 0 THEN f_seg ELSE 0 END) + 0.5)
-          / (sum(1 - truth) + 1.0) AS u_seg,
-        (sum(CASE WHEN truth = 1 THEN f_bal ELSE 0 END) + 0.5)
-          / (sum(truth) + 1.0) AS m_bal,
-        (sum(CASE WHEN truth = 0 THEN f_bal ELSE 0 END) + 0.5)
-          / (sum(1 - truth) + 1.0) AS u_bal
+        (CAST(sum(CASE WHEN truth = 1 THEN f_name ELSE 0 END) AS DOUBLE)
+          + 0.5) / (CAST(sum(truth) AS DOUBLE) + 1.0) AS m_name,
+        (CAST(sum(CASE WHEN truth = 0 THEN f_name ELSE 0 END) AS DOUBLE)
+          + 0.5) / (CAST(sum(1 - truth) AS DOUBLE) + 1.0) AS u_name,
+        (CAST(sum(CASE WHEN truth = 1 THEN f_seg ELSE 0 END) AS DOUBLE)
+          + 0.5) / (CAST(sum(truth) AS DOUBLE) + 1.0) AS m_seg,
+        (CAST(sum(CASE WHEN truth = 0 THEN f_seg ELSE 0 END) AS DOUBLE)
+          + 0.5) / (CAST(sum(1 - truth) AS DOUBLE) + 1.0) AS u_seg,
+        (CAST(sum(CASE WHEN truth = 1 THEN f_bal ELSE 0 END) AS DOUBLE)
+          + 0.5) / (CAST(sum(truth) AS DOUBLE) + 1.0) AS m_bal,
+        (CAST(sum(CASE WHEN truth = 0 THEN f_bal ELSE 0 END) AS DOUBLE)
+          + 0.5) / (CAST(sum(1 - truth) AS DOUBLE) + 1.0) AS u_bal
       FROM feat)"""
 )
 

@@ -3553,3 +3553,85 @@ def lx_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# l70: DSIR-style hashed n-gram importance weighting
+# ---------------------------------------------------------------------------
+
+_L70_NB = 64  # hash buckets (feature dimension)
+
+_L70_BODY = """
+    WITH tok AS (
+      SELECT doc_id, lang, token
+      FROM (SELECT doc_id, lang,
+                   {unnest_expr} AS token
+            FROM documents) t
+      WHERE token <> ''),
+    btok AS (
+      SELECT doc_id, lang,
+             ((CASE WHEN ascii(substr(md5(token), 1, 1)) >= 97
+                    THEN ascii(substr(md5(token), 1, 1)) - 87
+                    ELSE ascii(substr(md5(token), 1, 1)) - 48 END) * 16
+              + CASE WHEN ascii(substr(md5(token), 2, 1)) >= 97
+                     THEN ascii(substr(md5(token), 2, 1)) - 87
+                     ELSE ascii(substr(md5(token), 2, 1)) - 48 END
+             ) % {nb} AS b
+      FROM tok),
+    counts AS (
+      SELECT b,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS nt,
+             CAST(count(*) AS BIGINT) AS ns
+      FROM btok GROUP BY b),
+    tots AS (
+      SELECT CAST(sum(nt) AS BIGINT) AS tt, CAST(sum(ns) AS BIGINT) AS ts
+      FROM counts),
+    lw AS (
+      SELECT b,
+             CAST(ROUND(LN(((CAST(nt AS DOUBLE) + 0.5)
+                            / (CAST(tt AS DOUBLE) + {nb} * 0.5))
+                           / ((CAST(ns AS DOUBLE) + 0.5)
+                              / (CAST(ts AS DOUBLE) + {nb} * 0.5))), 8)
+                  AS DECIMAL(20,8)) AS w
+      FROM counts, tots),
+    scored AS (
+      SELECT btok.doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(w) AS DECIMAL(30,8)) AS score
+      FROM btok JOIN lw ON btok.b = lw.b
+      GROUP BY btok.doc_id)
+    SELECT doc_id, n_tokens,
+           ROUND(CAST(score AS DOUBLE), 6) AS importance
+    FROM scored
+    ORDER BY score DESC, doc_id
+    LIMIT 50
+"""
+
+_sql_pair(
+    "l70_dsir_importance",
+    _L70_BODY.format(
+        unnest_expr="explode(split(lower(text), ' '))", nb=_L70_NB
+    ),
+    _L70_BODY.format(
+        unnest_expr="unnest(string_split(lower(text), ' '))", nb=_L70_NB
+    ),
+    doc="L70: DSIR-style importance weighting (Xie et al. 2023, 'Data "
+        "Selection for Language Models via Importance Resampling' — "
+        "public arXiv 2302.03169): documents scored by how target-like "
+        "their hashed-token distribution is. Tokens hash into 64 "
+        "buckets via md5 (first two hex nibbles decoded with "
+        "engine-portable ascii() arithmetic — no conv(), which the "
+        "oracle lacks); bucket log-ratios ln(p_target/p_source) use "
+        "Laplace-smoothed ((n+0.5)/(N+B/2)) shares with lang='en' docs "
+        "as the target and the full corpus as the source; a document's "
+        "importance is the SUM of its tokens' bucket weights — exact "
+        "DECIMAL(20,8) accumulation of ROUND(8)-fenced logs, so the "
+        "per-doc sum is partition-order-independent (G48 discipline) — "
+        "and the top 50 most-target-like docs surface. Scale: the "
+        "64-row weight table is a broadcast join onto the token stream "
+        "(map-side), per-doc sums are one partial+final agg, and the "
+        "top-50 is a TakeOrdered micro-pass — the resampling pass over "
+        "100 TB costs one scan + one shuffle on doc_id. Dialect split "
+        "is explode/split vs unnest/string_split only.",
+)
