@@ -1094,3 +1094,84 @@ def j34_temporal_dim_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof_version").alias("dim_version"),
         F.col("asof_o_orderstatus").alias("status_at_ship"),
     )
+
+
+# ---------------------------------------------------------------------------
+# j35: point-in-polygon spatial join (exact integer ray casting)
+# ---------------------------------------------------------------------------
+
+_J35_BODY = """
+    WITH quad AS (
+      SELECT n_nationkey,
+             CAST((n_nationkey % 5) * 200 + 100 AS BIGINT) AS cx,
+             CAST(CAST(floor(n_nationkey / 5.0) AS BIGINT) * 200 + 100
+                  AS BIGINT) AS cy,
+             CAST(40 + n_nationkey * 3 AS BIGINT) AS r
+      FROM nation),
+    verts AS (
+      SELECT n_nationkey, i,
+             CASE i WHEN 0 THEN cx + r WHEN 1 THEN cx
+                           WHEN 2 THEN cx - r ELSE cx END AS x,
+             CASE i WHEN 0 THEN cy WHEN 1 THEN cy + r
+                           WHEN 2 THEN cy ELSE cy - r END AS y
+      FROM quad CROSS JOIN {values_clause}),
+    edges AS (
+      SELECT a.n_nationkey, a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+      FROM verts a JOIN verts b
+        ON a.n_nationkey = b.n_nationkey AND b.i = (a.i + 1) % 4),
+    pts AS (
+      SELECT c_custkey,
+             CAST((c_custkey * 7919) % 1000 AS BIGINT) AS px,
+             CAST((c_custkey * 104729) % 1000 AS BIGINT) AS py
+      FROM customer),
+    crossings AS (
+      SELECT p.c_custkey, e.n_nationkey,
+             CAST(SUM(CASE WHEN ((e.y1 > p.py) <> (e.y2 > p.py))
+                            AND (CASE WHEN e.y2 > e.y1
+                                 THEN (p.px - e.x1) * (e.y2 - e.y1)
+                                      < (p.py - e.y1) * (e.x2 - e.x1)
+                                 ELSE (p.px - e.x1) * (e.y2 - e.y1)
+                                      > (p.py - e.y1) * (e.x2 - e.x1) END)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_cross
+      FROM pts p CROSS JOIN edges e
+      GROUP BY p.c_custkey, e.n_nationkey),
+    area AS (
+      SELECT n_nationkey,
+             CAST(abs(SUM(x1 * y2 - x2 * y1)) / 2 AS BIGINT) AS poly_area
+      FROM edges GROUP BY n_nationkey)
+    SELECT a.n_nationkey, a.poly_area,
+           CAST(COALESCE(SUM(CASE WHEN c.n_cross % 2 = 1 THEN 1 ELSE 0 END),
+                         0) AS BIGINT) AS n_points_inside
+    FROM area a
+    LEFT JOIN crossings c ON a.n_nationkey = c.n_nationkey
+    GROUP BY a.n_nationkey, a.poly_area
+    ORDER BY a.n_nationkey
+"""
+
+_J35_VALUES_SPARK = "(VALUES (0), (1), (2), (3) AS corner(i))"
+_J35_VALUES_DUCK = "(VALUES (0), (1), (2), (3)) corner(i)"
+
+sql_pair(
+    "j35_point_in_polygon",
+    _J35_BODY.format(values_clause=_J35_VALUES_SPARK),
+    _J35_BODY.format(values_clause=_J35_VALUES_DUCK),
+    doc="J35: point-in-polygon spatial join — customers at deterministic "
+        "integer coordinates tested against 25 per-nation quadrilaterals "
+        "with the GENERIC even-odd ray-casting rule over an edge table "
+        "(crossing-number parity), plus the shoelace polygon area. The "
+        "polygon-containment primitive behind geofencing / "
+        "region-assignment joins that J32's grid join (cell equality) "
+        "cannot decide — the grid narrows CANDIDATES, this edge test "
+        "decides membership, and together they are the standard scale "
+        "pipeline (grid prune -> exact test; the doc is explicit that "
+        "the all-polygons comparison here is the post-prune stage). "
+        "Every comparison is EXACT 64-bit integer arithmetic: the ray "
+        "intersection px < x1 + (py-y1)(x2-x1)/(y2-y1) is cross-"
+        "multiplied by the edge's dy with a sign-aware CASE, so no "
+        "division or float ever decides a boundary, and the shoelace "
+        "sum is integers throughout. Polygon edges are a ~100-row frame "
+        "built from VALUES x nation (broadcast at any scale); the "
+        "points side streams map-side against it, and the per-(point, "
+        "polygon) crossing tally is a partial+final aggregate. Dialect "
+        "split: inline-VALUES derived-table syntax only.",
+)
