@@ -3635,3 +3635,164 @@ _sql_pair(
         "100 TB costs one scan + one shuffle on doc_id. Dialect split "
         "is explode/split vs unnest/string_split only.",
 )
+
+
+# ---------------------------------------------------------------------------
+# lx_ndcg: graded-relevance NDCG@10 audit of the int8-quantized retriever
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lx_ndcg_audit",
+    duck_sql=f"""
+    WITH s AS (SELECT max(list_aggregate(
+                 list_transform(embedding::DOUBLE[], x -> abs(x)), 'max'))
+               AS mx FROM embeddings),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS cv,
+                 list_transform(embedding::DOUBLE[],
+                   x -> CAST(CAST(floor(127 * x / s.mx + 0.5)
+                             AS INT) AS DOUBLE)) AS qcv
+          FROM embeddings CROSS JOIN s),
+    q AS (SELECT vec_id AS query_id, cv AS qv, qcv AS qqv
+          FROM c WHERE vec_id % 100 = 0),
+    exact20 AS (
+      SELECT query_id, vec_id, rn,
+             CAST(4 - CAST(floor((rn - 1) / 5.0) AS INT) AS INT) AS rel
+      FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+                 list_dot_product(qv, cv) /
+                   (sqrt(list_dot_product(qv, qv))
+                    * sqrt(list_dot_product(cv, cv)))
+                 DESC, vec_id) AS rn
+        FROM c CROSS JOIN q WHERE vec_id <> query_id) t
+      WHERE rn <= 20),
+    sys10 AS (
+      SELECT query_id, vec_id, rn AS pos FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+                 list_dot_product(qqv, qcv) /
+                   (sqrt(list_dot_product(qqv, qqv))
+                    * sqrt(list_dot_product(qcv, qcv)))
+                 DESC, vec_id) AS rn
+        FROM c CROSS JOIN q WHERE vec_id <> query_id) t
+      WHERE rn <= 10),
+    dcg AS (
+      SELECT s10.query_id,
+             CAST(SUM(CAST(ROUND(
+               (power(2, COALESCE(e.rel, 0)) - 1)
+               / log2(s10.pos + 1), 8) AS DECIMAL(20,8))) AS DECIMAL(30,8))
+               AS dcg10,
+             CAST(SUM(CASE WHEN COALESCE(e.rel, 0) > 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_relevant_in_10
+      FROM sys10 s10 LEFT JOIN exact20 e
+        ON s10.query_id = e.query_id AND s10.vec_id = e.vec_id
+      GROUP BY s10.query_id),
+    idcg AS (
+      SELECT query_id,
+             CAST(SUM(CAST(ROUND(
+               (power(2, rel) - 1) / log2(rn + 1), 8)
+               AS DECIMAL(20,8))) AS DECIMAL(30,8)) AS idcg10
+      FROM exact20 WHERE rn <= 10 GROUP BY query_id)
+    SELECT d.query_id, d.n_relevant_in_10,
+           ROUND(CAST(d.dcg10 AS DOUBLE), 6) AS dcg10,
+           ROUND(CAST(d.dcg10 AS DOUBLE) / CAST(i.idcg10 AS DOUBLE), 6)
+             AS ndcg10
+    FROM dcg d JOIN idcg i ON d.query_id = i.query_id
+    ORDER BY d.query_id
+    """,
+)
+def lx_ndcg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LX-NDCG: graded-relevance NDCG@10 of the int8-quantized retriever
+    (LX-SQ8's index) against exact full-precision cosine ranking — the
+    standard ranking-quality metric (Järvelin & Kekäläinen 2002) that
+    recall@k cannot express: recall treats a hit at position 1 and
+    position 10 identically, NDCG discounts by log2(pos+1) and weights
+    by graded gain, so it catches a quantizer that KEEPS the right
+    candidates but SCRAMBLES their order. Relevance grades derive from
+    the exact ranking (positions 1-5 -> rel 4, 6-10 -> 3, 11-15 -> 2,
+    16-20 -> 1, else 0), gains (2^rel - 1) are exact small integers,
+    each gain/log2(pos+1) term is ROUND(8)-fenced and summed as
+    DECIMAL(20,8) (order-independent, the G48 discipline), and the
+    final NDCG division casts both decimal sums to DOUBLE first before
+    ONE ROUND(6). Scale: both legs are the same broadcast-queries
+    top-k shape as LX-SQ8 (the exact leg is the audit-time oracle, run
+    on a sampled query set — the production path serves only the int8
+    leg); the DCG join and per-query sums are |queries|x10 rows."""
+    emb = spark.table("embeddings")
+    s_df = emb.agg(
+        F.max(
+            F.expr(
+                "aggregate(embedding, cast(0.0 as double),"
+                " (acc, x) -> greatest(acc, abs(cast(x as double))))"
+            )
+        ).alias("mx")
+    )
+    qemb = emb.crossJoin(F.broadcast(s_df)).select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> cast(cast(floor("
+            "127 * cast(x as double) / mx + 0.5) as int) as double))"
+        ).alias("embedding"),
+    )
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    exact20 = (
+        similarity.cosine_topk(emb, queries, k=20)
+        .select(
+            "query_id",
+            "vec_id",
+            "rn",
+            (4 - F.floor((F.col("rn") - 1) / 5.0).cast("int"))
+            .cast("int")
+            .alias("rel"),
+        )
+    )
+    sys10 = similarity.cosine_topk(
+        qemb, qemb.filter(F.col("vec_id") % 100 == 0), k=10
+    ).select(
+        F.col("query_id").alias("sq"),
+        F.col("vec_id").alias("sv"),
+        F.col("rn").alias("pos"),
+    )
+    term = lambda rel, pos: F.round(  # noqa: E731
+        (F.pow(F.lit(2.0), rel) - 1) / F.log2(pos + 1), 8
+    ).cast("decimal(20,8)")
+    dcg = (
+        sys10.join(
+            exact20,
+            (F.col("sq") == F.col("query_id")) & (F.col("sv") == F.col("vec_id")),
+            "left",
+        )
+        .withColumn("rel0", F.coalesce(F.col("rel"), F.lit(0)))
+        .groupBy("sq")
+        .agg(
+            F.sum(term(F.col("rel0"), F.col("pos")))
+            .cast("decimal(30,8)")
+            .alias("dcg10"),
+            F.sum(F.when(F.col("rel0") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_relevant_in_10"),
+        )
+    )
+    idcg = (
+        exact20.filter(F.col("rn") <= 10)
+        .groupBy("query_id")
+        .agg(
+            F.sum(term(F.col("rel"), F.col("rn")))
+            .cast("decimal(30,8)")
+            .alias("idcg10")
+        )
+    )
+    return (
+        dcg.join(idcg, F.col("sq") == F.col("query_id"))
+        .select(
+            F.col("sq").alias("query_id"),
+            "n_relevant_in_10",
+            F.round(F.col("dcg10").cast("double"), 6).alias("dcg10"),
+            F.round(
+                F.col("dcg10").cast("double") / F.col("idcg10").cast("double"),
+                6,
+            ).alias("ndcg10"),
+        )
+        .orderBy("query_id")
+    )
