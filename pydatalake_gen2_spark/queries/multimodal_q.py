@@ -269,3 +269,44 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.table("documents"), r=4, bits=63, fingerprints=fp
     )
     return pairs.select("id_a", "id_b").orderBy("id_a")
+
+
+_SQWAV_CACHE: dict[str, str] = {}
+
+
+@register(
+    "mm_wav_spectral",
+    duck_sql="""
+    SELECT doc_id,
+           CAST(1000 AS BIGINT) AS n_frames,
+           CAST(1000 / p AS BIGINT) AS dominant_bin,
+           ROUND(2.0 * 8192 * 1000 / (p * SIN(PI() / p)), 4) AS dominant_mag,
+           1000 * CAST(8192 AS BIGINT) * 8192 AS total_power
+    FROM (
+      SELECT doc_id,
+             CASE doc_id % 6 WHEN 0 THEN 10 WHEN 1 THEN 20 WHEN 2 THEN 40
+                             WHEN 3 THEN 50 WHEN 4 THEN 100 ELSE 200 END AS p
+      FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 16)
+    )
+    ORDER BY doc_id
+    """,
+)
+def mm_wav_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MM-WAV-SPECTRAL: a REAL frequency-domain feature extractor,
+    hash-matched against closed-form DFT theory. Square-wave WAVs (period
+    P = [10,20,40,50,100,200][doc_id % 6], amplitude ±8192, 1000 frames)
+    go binaryFile → Arrow-batched mapInPandas → stdlib-wave decode →
+    numpy rFFT (sources/multimodal.spectral_wav_batch). The oracle states
+    the dominant bin k = N/P and its magnitude 2·A·N/(P·sin(π/P)) — the
+    geometric-series closed form of the square wave's fundamental — plus
+    the exact integer power N·A², so the FFT, bin selection, and power
+    accumulation are all certified, not just exercised. Scale shape: the
+    audio-featurizer slot of a multimodal training pipeline (decode +
+    transform embarrassingly parallel per asset; features, never
+    waveforms, flow onward)."""
+    if sf_dir not in _SQWAV_CACHE:
+        _SQWAV_CACHE[sf_dir] = multimodal.materialize_square_wav_assets(
+            spark, sf_dir, n=16
+        )
+    raw = multimodal.read_binary(spark, _SQWAV_CACHE[sf_dir], glob="*.wav")
+    return multimodal.spectral_wav_batch(raw).orderBy("doc_id")

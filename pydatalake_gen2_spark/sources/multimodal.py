@@ -653,3 +653,93 @@ def phash_batch(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "phash"])
 
     return df.select("path", "content").mapInPandas(run, "doc_id BIGINT, phash BIGINT")
+
+
+# --- Spectral analysis over audio (round-10 addendum) ---------------------
+# Square-wave fixtures make the FFT analytically certifiable: a ±A square
+# wave of period P over N samples (P | N, P even) has its dominant DFT bin
+# at k = N/P with |X_k| = 2·A·N / (P·sin(π/P)) exactly (geometric-series
+# closed form), and total power Σs² = N·A² as integer arithmetic.
+
+_SQWAV_PERIODS = [10, 20, 40, 50, 100, 200]  # even divisors of N=1000
+_SQWAV_N = 1000
+_SQWAV_AMP = 8192
+
+
+def materialize_square_wav_assets(spark: SparkSession, sf_dir: str, n: int = 16) -> str:
+    """Deterministic mono 16-bit PCM square-wave WAVs: doc d gets period
+    P = _SQWAV_PERIODS[d % 6], samples +A for (i mod P) < P/2 else -A.
+    Dominant FFT bin and its magnitude follow in closed form (the
+    mm_wav_spectral oracle)."""
+    import wave
+
+    out = tempfile.mkdtemp(prefix="mm_sqwav_")
+    ids = [
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id")
+        .orderBy("doc_id")
+        .limit(n)
+        .collect()
+    ]
+    for doc_id in ids:
+        p = _SQWAV_PERIODS[doc_id % len(_SQWAV_PERIODS)]
+        samples = [
+            _SQWAV_AMP if (i % p) < p // 2 else -_SQWAV_AMP
+            for i in range(_SQWAV_N)
+        ]
+        frames = struct.pack(f"<{_SQWAV_N}h", *samples)
+        with wave.open(os.path.join(out, f"doc_{doc_id:06d}.wav"), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(frames)
+    return out
+
+
+def spectral_wav_batch(df: DataFrame) -> DataFrame:
+    """REAL spectral feature extraction: stdlib-wave decode → numpy rFFT →
+    (dominant non-DC bin, its magnitude, integer total power). The batch
+    contract is the general audio-featurizer shape (binaryFile →
+    Arrow-batched mapInPandas → fixed-width feature row per asset); a
+    mel-filterbank or embedding model swaps into the same slot at scale."""
+    import io
+    import wave
+
+    import numpy as np
+
+    schema = (
+        "doc_id BIGINT, n_frames BIGINT, dominant_bin BIGINT, "
+        "dominant_mag DOUBLE, total_power BIGINT"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for path, content in zip(b["path"], b["content"]):
+                with wave.open(io.BytesIO(bytes(content)), "rb") as w:
+                    n = w.getnframes()
+                    samples = np.array(
+                        struct.unpack(f"<{n}h", w.readframes(n)), dtype=np.int64
+                    )
+                doc_id = int(os.path.basename(path).split("_")[1].split(".")[0])
+                mags = np.abs(np.fft.rfft(samples.astype(np.float64)))
+                k = int(np.argmax(mags[1:]) + 1)  # skip DC
+                rows.append(
+                    (
+                        doc_id,
+                        n,
+                        k,
+                        round(float(mags[k]), 4),
+                        int((samples * samples).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "dominant_bin", "dominant_mag",
+                    "total_power",
+                ],
+            )
+
+    return df.select("path", "content").mapInPandas(run, schema)
