@@ -316,3 +316,49 @@ def lsh_topk(
         .filter(F.col("rn") <= k)
         .withColumn("cos", F.round(F.col("cos"), 4))
     )
+
+
+def hard_negative_topk(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Contrastive hard-negative mining: for each anchor, the k corpus
+    vectors with the HIGHEST cosine similarity among those with a
+    DIFFERENT label — the negatives a triplet/InfoNCE trainer learns the
+    most from. Same broadcast-anchors / corpus-streams shape as
+    cosine_topk (norms hoisted once per row, identical IEEE fold), with
+    the label-mismatch predicate applied BEFORE ranking so the window
+    ranks only eligible negatives.
+
+    Output: (query_id, vec_id, neg_label, cos, rn), rn 1..k by
+    (cos DESC, vec_id).
+    """
+    q = anchors.select(
+        F.col(id_col).alias(query_id_col),
+        as_double(vec_col).alias("_qv"),
+        F.col(label_col).alias("_qlabel"),
+    ).withColumn("_qn", l2_norm(F.col("_qv")))
+    c = corpus.select(
+        F.col(id_col), as_double(vec_col).alias("_cv"), F.col(label_col)
+    ).withColumn("_cn", l2_norm(F.col("_cv")))
+    pairs = c.join(
+        F.broadcast(q),
+        (F.col(query_id_col) != F.col(id_col))
+        & (F.col("_qlabel") != F.col(label_col)),
+    ).select(
+        query_id_col,
+        id_col,
+        F.col(label_col).alias("neg_label"),
+        (dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias("cos"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col(id_col))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= k)
+        .withColumn("cos", F.round(F.col("cos"), 4))
+    )

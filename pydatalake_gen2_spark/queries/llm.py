@@ -3796,3 +3796,154 @@ def lx_ndcg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# lx_bq_recall: 1-bit binary-quantization retrieval audit
+# ---------------------------------------------------------------------------
+
+_BQ_K = 10
+
+
+@register(
+    "lx_bq_recall",
+    duck_sql=f"""
+    WITH w AS (
+      SELECT vec_id, embedding::DOUBLE[] AS cv,
+             list_reduce(list_prepend(0::BIGINT,
+               list_transform((embedding::DOUBLE[])[1:63],
+                 x -> CASE WHEN x > 0 THEN 1::BIGINT ELSE 0::BIGINT END)),
+               (acc, x) -> acc * 2 + x) AS bw
+      FROM embeddings),
+    q AS (SELECT vec_id AS query_id, cv AS qv, bw AS qw
+          FROM w WHERE vec_id % 100 = 0),
+    fullk AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+                 list_dot_product(qv, cv) /
+                   (sqrt(list_dot_product(qv, qv))
+                    * sqrt(list_dot_product(cv, cv)))
+                 DESC, vec_id) AS rn
+        FROM w CROSS JOIN q WHERE vec_id <> query_id) t
+      WHERE rn <= {_BQ_K}),
+    bqk AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+                 bit_count(xor(qw, bw)) ASC, vec_id) AS rn
+        FROM w CROSS JOIN q WHERE vec_id <> query_id) t
+      WHERE rn <= {_BQ_K})
+    SELECT f.query_id,
+           CAST(count(t.vec_id) AS BIGINT) AS n_common,
+           ROUND(CAST(count(t.vec_id) AS DOUBLE) / {_BQ_K}, 4) AS recall
+    FROM fullk f LEFT JOIN bqk t
+      ON f.query_id = t.query_id AND f.vec_id = t.vec_id
+    GROUP BY f.query_id ORDER BY f.query_id
+    """,
+)
+def lx_bq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LX-BQ: 1-bit BINARY-quantization retrieval audit — recall@10 of
+    Hamming-distance search over sign-bit fingerprints (bit i = 1 iff
+    embedding[i] > 0, 63 dims packed into ONE bigint word; 63 not 64 so
+    the MSB never overflows the signed fold, same convention as the
+    63-bit pHash) vs the exact full-precision cosine top-k. The extreme
+    end of the quantization ladder next to SQ8 (8 bit) and PQ (codebook):
+    32x smaller than float32, distance = ONE xor + popcount per pair —
+    at 100 TB the binary index for a billion 64-dim vectors is 8 GB,
+    fits in a single executor's memory, and the candidate stream feeds
+    the float rerank (lx_pq_rerank's pattern). Everything after the
+    sign() is INTEGER arithmetic, bit-deterministic in both engines;
+    Hamming's heavy ties resolve by the vec_id tiebreak."""
+    emb = spark.table("embeddings")
+    words = emb.select(
+        "vec_id",
+        F.expr(
+            "aggregate(slice(embedding, 1, 63), cast(0 as bigint),"
+            " (acc, x) -> acc * 2 +"
+            " IF(cast(x as double) > 0.0D, cast(1 as bigint), cast(0 as bigint)))"
+        ).alias("bw"),
+    )
+    qwords = words.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("bw").alias("qw")
+    )
+    from pyspark.sql import Window
+
+    bqk = (
+        words.crossJoin(F.broadcast(qwords))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("ham", F.bit_count(F.expr("bw ^ qw")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("ham").asc(), F.col("vec_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("rn") <= _BQ_K)
+        .select(F.col("query_id").alias("tq"), F.col("vec_id").alias("tv"))
+    )
+    fullk = similarity.cosine_topk(
+        emb, emb.filter(F.col("vec_id") % 100 == 0), k=_BQ_K
+    ).select("query_id", "vec_id")
+    return (
+        fullk.join(
+            bqk,
+            (F.col("query_id") == F.col("tq")) & (F.col("vec_id") == F.col("tv")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("tv").cast("bigint").alias("n_common"))
+        .withColumn(
+            "recall", F.round(F.col("n_common").cast("double") / _BQ_K, 4)
+        )
+        .orderBy("query_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# l71: contrastive hard-negative mining
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "l71_hard_negatives",
+    duck_sql="""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+                      label AS qlabel
+               FROM embeddings WHERE vec_id % 100 = 0),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS cv, label FROM embeddings),
+    pairs AS (
+      SELECT query_id, vec_id, label AS neg_label,
+             list_dot_product(qv, cv) /
+               (sqrt(list_dot_product(qv, qv))
+                * sqrt(list_dot_product(cv, cv))) AS cos
+      FROM c CROSS JOIN q
+      WHERE vec_id <> query_id AND label <> qlabel),
+    ranked AS (
+      SELECT query_id, vec_id, neg_label, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, vec_id) AS rn
+      FROM pairs)
+    SELECT query_id, vec_id, neg_label, ROUND(cos, 4) AS cos,
+           CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 5
+    ORDER BY query_id, rn
+    """,
+)
+def l71_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L71: contrastive hard-negative mining — per anchor embedding, the
+    5 highest-cosine vectors carrying a DIFFERENT label
+    (operators/similarity.hard_negative_topk). The training-data op that
+    turns a labeled corpus into triplet/InfoNCE batches: easy negatives
+    teach nothing, so the miner ranks only cross-label candidates and
+    keeps the hardest. Broadcast-anchors / corpus-streams, norms hoisted
+    once per row; at 100 TB the anchor set is the (small) training batch
+    stream while the corpus scan shards across executors — and the
+    approximate ladder (LSH/IVF/SQ8/BQ buckets) drops into the candidate
+    stage unchanged when the corpus outgrows brute force."""
+    emb = spark.table("embeddings")
+    return similarity.hard_negative_topk(
+        emb, emb.filter(F.col("vec_id") % 100 == 0), k=5
+    ).orderBy("query_id", "rn")
