@@ -250,3 +250,84 @@ def label_propagation(
     finally:
         und.unpersist()
     return track(labels)
+
+
+def landmark_distances(
+    edges: DataFrame,
+    landmarks: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    lm_col: str = "node",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Per-landmark BFS distances over an undirected graph: one
+    (node, lm, dist) row for every (reachable node, landmark) pair —
+    bfs_distances with SOURCE TRACKING, i.e. |landmarks| simultaneous
+    BFS waves sharing each round's single join + partial-agg min on the
+    compound (node, lm) key. The backbone of landmark-based centrality
+    and distance-oracle sketches (Potamias et al. 2009): exact APSP is
+    quadratic state, but a bounded landmark set (16-64 in practice)
+    keeps state at |V|·|L| rows while preserving distance structure.
+    Same fixpoint/convergence machinery as bfs_distances (monotone
+    (count, sum) certificate, per-round checkpoint truncation).
+    """
+    from pydatalake_gen2_spark.operators.util import (
+        checkpoint_truncate,
+        release_checkpoint,
+        track,
+    )
+
+    e = edges.select(
+        F.col(src_col).cast("bigint").alias("s"),
+        F.col(dst_col).cast("bigint").alias("d"),
+    )
+    sym = (
+        e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .distinct()
+        .persist()
+    )
+    dist = None
+    converged = False
+    try:
+        dist = checkpoint_truncate(
+            landmarks.select(F.col(lm_col).cast("bigint").alias("node"))
+            .distinct()
+            .select("node", F.col("node").alias("lm"), F.lit(0).alias("dist"))
+        )
+        prev = dist.agg(F.count(F.lit(1)), F.coalesce(F.sum("dist"), F.lit(0))).first()
+        for _ in range(max_iter):
+            relax = sym.join(dist, sym.s == dist.node).select(
+                F.col("d").alias("node"), "lm", (F.col("dist") + 1).alias("dist")
+            )
+            new_dist = checkpoint_truncate(
+                dist.select("node", "lm", "dist")
+                .union(relax)
+                .groupBy("node", "lm")
+                .agg(F.min("dist").alias("dist"))
+            )
+            try:
+                cur = new_dist.agg(
+                    F.count(F.lit(1)), F.coalesce(F.sum("dist"), F.lit(0))
+                ).first()
+            except Exception:
+                release_checkpoint(new_dist)
+                raise
+            release_checkpoint(dist)
+            dist = new_dist
+            if tuple(cur) == tuple(prev):
+                converged = True
+                break
+            prev = cur
+    except Exception:
+        if dist is not None:
+            release_checkpoint(dist)
+        raise
+    finally:
+        sym.unpersist()
+    if not converged:
+        release_checkpoint(dist)
+        raise RuntimeError(
+            f"landmark_distances did not converge within {max_iter} rounds"
+        )
+    track(dist)
+    return dist.select("node", "lm", F.col("dist").cast("bigint").alias("dist"))

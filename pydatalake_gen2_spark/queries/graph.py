@@ -859,3 +859,82 @@ def gr10_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_s")
     )
     return top_a.unionAll(top_h)
+
+
+# ---------------------------------------------------------------------------
+# gr11: landmark closeness / harmonic centrality over the co-supply backbone
+# ---------------------------------------------------------------------------
+
+_GR11_ROUNDS = 10  # fixpoint measured at <=6 rounds (sf0.001/0.01); slack 4
+
+
+def _gr11_duck() -> str:
+    sql = _DUCK_BACKBONE_PREFIX + """,
+    ld0 AS MATERIALIZED (
+      SELECT DISTINCT s AS node, s AS lm, 0 AS dist FROM e0 WHERE s % 3 = 0)"""
+    for i in range(_GR11_ROUNDS):
+        sql += f""",
+    ld{i + 1} AS MATERIALIZED (
+      SELECT node, lm, min(dist) AS dist FROM (
+        SELECT node, lm, dist FROM ld{i}
+        UNION ALL
+        SELECT e.d AS node, x.lm, x.dist + 1
+        FROM ld{i} x JOIN e0 e ON e.s = x.node
+      ) GROUP BY node, lm)"""
+    sql += f"""
+    SELECT node,
+           CAST(count(*) AS BIGINT) AS n_landmarks,
+           CAST(sum(dist) AS BIGINT) AS sum_dist,
+           ROUND(CAST(sum(CAST(ROUND(1.0 / dist, 8) AS DECIMAL(20,8)))
+                      AS DOUBLE), 6) AS harmonic,
+           ROUND(CAST(count(*) AS DOUBLE) / sum(dist), 6) AS closeness
+    FROM ld{_GR11_ROUNDS} WHERE dist > 0
+    GROUP BY node ORDER BY node
+    """
+    return sql
+
+
+@register("gr11_landmark_centrality", duck_sql=_gr11_duck())
+def gr11_landmark_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GR11: landmark-based closeness + harmonic centrality
+    (operators/graph.landmark_distances) — per node, over the landmark
+    set (supplier ids divisible by 3): closeness = |L|/Σdist and
+    harmonic = Σ 1/dist, the standard bounded-landmark approximation of
+    exact centrality (APSP is quadratic state; landmarks keep it at
+    |V|·|L| rows). Harmonic terms are exact DECIMAL sums of ROUND(8)
+    reciprocals (g48's order-free discipline — float Σ would drift by
+    add order across engines); closeness is a single float divide of two
+    exact integers. Oracle unrolls the identical relaxation for a round
+    budget that covers the measured fixpoint depth with slack
+    (relaxation is idempotent past the fixpoint). At 100 TB: rounds are
+    PageRank-class shuffles; the landmark dimension multiplies state,
+    not round count, and stays bounded by design."""
+    from pydatalake_gen2_spark.operators.graph import landmark_distances
+
+    ed = spark.sql(_GR03_BACKBONE)
+    lms = (
+        ed.select(F.col("u").alias("node"))
+        .union(ed.select(F.col("v").alias("node")))
+        .filter(F.col("node") % 3 == 0)
+        .distinct()
+    )
+    ld = landmark_distances(ed, lms, src_col="u", dst_col="v").filter(
+        F.col("dist") > 0
+    )
+    return (
+        ld.groupBy("node")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_landmarks"),
+            F.sum("dist").cast("bigint").alias("sum_dist"),
+            F.round(
+                F.sum(
+                    F.round(F.lit(1.0) / F.col("dist"), 8).cast("decimal(20,8)")
+                ).cast("double"),
+                6,
+            ).alias("harmonic"),
+            F.round(
+                F.count(F.lit(1)).cast("double") / F.sum("dist"), 6
+            ).alias("closeness"),
+        )
+        .orderBy("node")
+    )
