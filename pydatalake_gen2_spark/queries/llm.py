@@ -3947,3 +3947,157 @@ def l71_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.hard_negative_topk(
         emb, emb.filter(F.col("vec_id") % 100 == 0), k=5
     ).orderBy("query_id", "rn")
+
+
+# ---------------------------------------------------------------------------
+# l72: keyword-dictionary topic tagging
+# ---------------------------------------------------------------------------
+
+_L72_TOPICS = [
+    ("joins", "join"), ("joins", "merge"), ("joins", "hash"),
+    ("scans", "scan"), ("scans", "filter"), ("scans", "table"),
+    ("streaming", "stream"), ("streaming", "window"), ("streaming", "batch"),
+    ("vectors", "vector"), ("vectors", "column"), ("vectors", "value"),
+]
+_L72_MIN_HITS = 3
+
+
+def _l72_values() -> str:
+    return ", ".join(f"('{t}', '{k}')" for t, k in _L72_TOPICS)
+
+
+@register(
+    "l72_topic_tagging",
+    duck_sql=f"""
+    WITH kw(topic, token) AS (VALUES {_l72_values()}),
+    tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents),
+    hits AS (
+      SELECT doc_id, topic, CAST(count(*) AS BIGINT) AS n_hits
+      FROM tok JOIN kw USING (token)
+      GROUP BY doc_id, topic),
+    ranked AS (
+      SELECT doc_id, topic, n_hits,
+             CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                             ORDER BY n_hits DESC, topic) AS BIGINT) AS rnk
+      FROM hits WHERE n_hits >= {_L72_MIN_HITS})
+    SELECT doc_id, topic, n_hits, rnk
+    FROM ranked ORDER BY doc_id, rnk
+    """,
+)
+def l72_topic_tagging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L72: dictionary-driven topic tagging — the FlashText/Aho-Corasick
+    slot of a training-data pipeline (domain routing, corpus mixing by
+    topic, targeted filtering) expressed Spark-first: explode tokens →
+    BROADCAST join the (topic, keyword) dictionary → partial-agg hit
+    counts → per-doc rank. Multi-label by construction (a doc carrying
+    enough hits for two topics gets both rows); rank 1 is the dominant
+    topic with a deterministic (hits DESC, topic) tiebreak. At 100 TB
+    the dictionary (thousands of keywords) broadcasts everywhere, the
+    token explode is linear and map-side, and the only shuffle is the
+    (doc_id, topic) partial agg — no UDF, no per-row regex scan over
+    full text."""
+    kw = spark.createDataFrame(_L72_TOPICS, ["topic", "token"])
+    tok = spark.table("documents").select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"),
+    )
+    hits = (
+        tok.join(F.broadcast(kw), "token")
+        .groupBy("doc_id", "topic")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+        .filter(F.col("n_hits") >= _L72_MIN_HITS)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("n_hits").desc(), F.col("topic"))
+    return (
+        hits.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .select("doc_id", "topic", "n_hits", "rnk")
+        .orderBy("doc_id", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# l73: nucleus (top-p) vocabulary truncation
+# ---------------------------------------------------------------------------
+
+_L73_P = 0.95
+
+
+@register(
+    "l73_nucleus_vocab",
+    duck_sql=f"""
+    WITH tok AS (
+      SELECT lang, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents),
+    cnt AS (
+      SELECT lang, token, CAST(count(*) AS BIGINT) AS n
+      FROM tok WHERE token <> '' GROUP BY lang, token),
+    tot AS (
+      SELECT lang, CAST(sum(n) AS BIGINT) AS total FROM cnt GROUP BY lang),
+    cum AS (
+      SELECT lang, token, n,
+             CAST(sum(n) OVER (PARTITION BY lang
+                          ORDER BY n DESC, token
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c,
+             CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                               ORDER BY n DESC, token) AS BIGINT) AS rnk
+      FROM cnt),
+    kept AS (
+      SELECT c.lang, c.rnk, c.c, t.total
+      FROM cum c JOIN tot t ON c.lang = t.lang
+      WHERE CAST(c.c - c.n AS DOUBLE) / t.total < {_L73_P})
+    SELECT lang,
+           CAST(max(rnk) AS BIGINT) AS vocab_size,
+           CAST(max(c) AS BIGINT) AS covered_tokens,
+           CAST(max(total) AS BIGINT) AS total_tokens,
+           ROUND(CAST(max(c) AS DOUBLE) / max(total), 6) AS coverage
+    FROM kept GROUP BY lang ORDER BY lang
+    """,
+)
+def l73_nucleus_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L73: nucleus (top-p) vocabulary truncation per language — the
+    smallest frequency-ranked token prefix whose cumulative mass reaches
+    p=0.95: the vocab-building step of tokenizer training (keep the
+    nucleus, map the tail to <unk>) and the dual of L28's length
+    histogram. A token is kept iff the mass BEFORE it is < p (so the
+    boundary token that crosses p is included, and the set is minimal).
+    All mass arithmetic is exact integer counts; the only floats are
+    int/int divides, bit-identical in both engines. One token-count
+    shuffle + one per-lang window — the 100 TB shape is a partial-agg
+    vocabulary (bounded by vocab size, not corpus size) then a window
+    over vocab entries only."""
+    from pyspark.sql import Window
+
+    tok = spark.table("documents").select(
+        "lang", F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    cnt = tok.groupBy("lang", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("token"))
+    cum = cnt.select(
+        "lang",
+        "n",
+        F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint").alias("c"),
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+    )
+    tot = cnt.groupBy("lang").agg(F.sum("n").cast("bigint").alias("total"))
+    kept = cum.join(tot, "lang").filter(
+        (F.col("c") - F.col("n")).cast("double") / F.col("total") < _L73_P
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.max("rnk").cast("bigint").alias("vocab_size"),
+            F.max("c").cast("bigint").alias("covered_tokens"),
+            F.max("total").cast("bigint").alias("total_tokens"),
+            F.round(
+                F.max("c").cast("double") / F.max("total"), 6
+            ).alias("coverage"),
+        )
+        .orderBy("lang")
+    )
