@@ -920,3 +920,75 @@ sql_pair(
         "the same shape as G02 at 100 TB. One SQL text in both "
         "dialects.",
 )
+
+
+# ---------------------------------------------------------------------------
+# dq05: schema drift audit between table versions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq05_schema_drift",
+    duck_sql="""
+    SELECT * FROM (VALUES
+      ('o_orderdate',     'unchanged',    'timestamp',       'timestamp'),
+      ('o_orderkey',      'unchanged',    'bigint',          'bigint'),
+      ('o_orderpriority', 'added',        CAST(NULL AS VARCHAR), 'string'),
+      ('o_orderstatus',   'removed',      'string',          CAST(NULL AS VARCHAR)),
+      ('o_totalprice',    'type_changed', 'double',          'decimal(12,2)')
+    ) AS t(column_name, status, type_v1, type_v2)
+    ORDER BY column_name
+    """,
+)
+def dq05_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ05: schema-drift audit between two physical table generations —
+    the contract check a pipeline runs BEFORE reading a producer's new
+    drop: per column, added / removed / type_changed / unchanged, from
+    parquet FOOTERS only (spark.read schema inference touches metadata,
+    never data — the 100 TB cost is one footer fetch per file, and with
+    a manifest a single read). The fixture writes two real parquet
+    generations of orders (v2 adds o_orderpriority, drops o_orderstatus,
+    narrows o_totalprice double → decimal(12,2)); the oracle states the
+    expected report, certifying the footer read AND the diff logic.
+    Complements s15 (mergeSchema tolerates additive drift) and dq01
+    (row-level expectations): this is the column-level gate that
+    decides whether merge is safe at all."""
+    from pydatalake_gen2_spark.queries.scans import _tmp, _write_once
+
+    pa = _tmp("dq05_v1", sf_dir)
+    pb = _tmp("dq05_v2", sf_dir)
+    orders = spark.table("orders")
+    _write_once(
+        pa,
+        lambda: orders.select(
+            "o_orderkey", "o_orderdate", "o_orderstatus", "o_totalprice"
+        )
+        .write.mode("overwrite")
+        .parquet(pa),
+    )
+    _write_once(
+        pb,
+        lambda: orders.select(
+            "o_orderkey",
+            "o_orderdate",
+            "o_orderpriority",
+            F.col("o_totalprice").cast("decimal(12,2)").alias("o_totalprice"),
+        )
+        .write.mode("overwrite")
+        .parquet(pb),
+    )
+    sa = {f.name: f.dataType.simpleString() for f in spark.read.parquet(pa).schema}
+    sb = {f.name: f.dataType.simpleString() for f in spark.read.parquet(pb).schema}
+    rows = []
+    for col in sorted(set(sa) | set(sb)):
+        ta, tb = sa.get(col), sb.get(col)
+        status = (
+            "added" if ta is None
+            else "removed" if tb is None
+            else "unchanged" if ta == tb
+            else "type_changed"
+        )
+        rows.append((col, status, ta, tb))
+    return spark.createDataFrame(
+        rows, "column_name string, status string, type_v1 string, type_v2 string"
+    ).orderBy("column_name")
