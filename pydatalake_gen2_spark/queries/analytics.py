@@ -992,3 +992,59 @@ def dq05_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "column_name string, status string, type_v1 string, type_v2 string"
     ).orderBy("column_name")
+
+
+# ---------------------------------------------------------------------------
+# g52: mutual information / normalized MI between two categorical columns
+# ---------------------------------------------------------------------------
+
+sql_pair(
+    "g52_mutual_information",
+    """
+    WITH cell AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS nxy
+      FROM documents GROUP BY lang, source),
+    mx AS (SELECT lang, CAST(sum(nxy) AS BIGINT) AS nx FROM cell GROUP BY lang),
+    my AS (SELECT source, CAST(sum(nxy) AS BIGINT) AS ny
+           FROM cell GROUP BY source),
+    tot AS (SELECT CAST(sum(nxy) AS BIGINT) AS n FROM cell),
+    terms AS (
+      SELECT CAST(ROUND((CAST(c.nxy AS DOUBLE) / t.n)
+                 * LN((CAST(c.nxy AS DOUBLE) * t.n)
+                      / (CAST(m1.nx AS DOUBLE) * m2.ny)), 8)
+                  AS DECIMAL(20,8)) AS mi_term
+      FROM cell c
+      JOIN mx m1 ON c.lang = m1.lang
+      JOIN my m2 ON c.source = m2.source
+      CROSS JOIN tot t),
+    hx AS (SELECT sum(CAST(ROUND(-(CAST(nx AS DOUBLE) / t.n)
+                                 * LN(CAST(nx AS DOUBLE) / t.n), 8)
+                           AS DECIMAL(20,8))) AS h
+           FROM mx CROSS JOIN tot t),
+    hy AS (SELECT sum(CAST(ROUND(-(CAST(ny AS DOUBLE) / t.n)
+                                 * LN(CAST(ny AS DOUBLE) / t.n), 8)
+                           AS DECIMAL(20,8))) AS h
+           FROM my CROSS JOIN tot t),
+    mi AS (SELECT sum(mi_term) AS v FROM terms)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM cell) AS n_cells,
+           ROUND(CAST(mi.v AS DOUBLE), 6) AS mi_nats,
+           ROUND(CAST(hx.h AS DOUBLE), 6) AS h_lang,
+           ROUND(CAST(hy.h AS DOUBLE), 6) AS h_source,
+           ROUND(CAST(mi.v AS DOUBLE)
+                 / sqrt(CAST(hx.h AS DOUBLE) * CAST(hy.h AS DOUBLE)), 6) AS nmi
+    FROM mi CROSS JOIN hx CROSS JOIN hy
+    """,
+    doc="G52: mutual information + normalized MI between lang and source "
+    "over documents — the information-theoretic dependence measure "
+    "feature selection and leakage detection run on categorical pairs "
+    "(g38's chi-square asks IF dependent; MI says HOW MUCH, in nats; "
+    "NMI = MI/sqrt(H_x·H_y) normalizes to [0,1] for cross-pair "
+    "comparison). All probabilities are exact integer-count ratios; "
+    "each p·ln term is ROUND(8)-fenced and summed as DECIMAL(20,8) so "
+    "the sum is order-free (the g48/l70 log-term discipline — a raw "
+    "float Σ would drift by partial-agg order), and every final value "
+    "is ROUND(6) after the wide-decimal→double cast. Scale: one "
+    "partial+final count over the scan, then all math on the "
+    "|lang|x|source| cell table — O(cells), not O(rows). One SQL text, "
+    "both dialects.",
+)

@@ -4101,3 +4101,60 @@ def l73_nucleus_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# l74: quantile normalization across feature columns
+# ---------------------------------------------------------------------------
+
+from pydatalake_gen2_spark.registry import sql_pair as _l74_sql_pair
+
+_l74_sql_pair(
+    "l74_quantile_normalize",
+    """
+    WITH long AS (
+      SELECT 'quantity' AS col, CAST(l_quantity AS BIGINT) * 100 AS val,
+             l_orderkey AS k1, l_linenumber AS k2 FROM lineitem
+      UNION ALL
+      SELECT 'discount', CAST(ROUND(l_discount * 100, 0) AS BIGINT),
+             l_orderkey, l_linenumber FROM lineitem
+      UNION ALL
+      SELECT 'tax', CAST(ROUND(l_tax * 100, 0) AS BIGINT),
+             l_orderkey, l_linenumber FROM lineitem),
+    ranked AS (
+      SELECT col, val,
+             CAST(ROW_NUMBER() OVER (PARTITION BY col
+                                     ORDER BY val, k1, k2) AS BIGINT) AS rn
+      FROM long),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS nrows FROM lineitem),
+    ref AS (
+      SELECT rn, CAST(sum(val) AS BIGINT) AS s
+      FROM ranked GROUP BY rn),
+    norm AS (
+      SELECT r.col, r.rn, ref.s
+      FROM ranked r JOIN ref ON r.rn = ref.rn)
+    SELECT col,
+           CAST(FLOOR(((rn - 1) * 10.0) / n.nrows) AS INT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(s) AS BIGINT) AS sum_ref_x3,
+           ROUND(CAST(sum(s) AS DOUBLE) / (3 * count(*)) / 100, 6)
+             AS avg_normalized
+    FROM norm CROSS JOIN n
+    GROUP BY col, CAST(FLOOR(((rn - 1) * 10.0) / n.nrows) AS INT)
+    ORDER BY col, decile
+    """,
+    doc="L74: quantile normalization — the feature-prep transform that "
+    "forces k columns onto an IDENTICAL distribution (rank each column, "
+    "replace every value by the cross-column mean at its rank; the "
+    "bioinformatics/batch-effect standard, and the 'make the feature "
+    "marginals comparable' step before distance-based dedup or kNN). "
+    "Inputs are exact integer cents/counts; the per-rank reference is "
+    "an integer SUM (mean deferred to one final ROUND(6) divide), ties "
+    "broken deterministically by (val, orderkey, linenumber). The "
+    "certified output reports per (column, rank-decile) the normalized "
+    "mean — identical across columns by construction, which IS the "
+    "property QN promises. Scale: the rank is one sort-shuffle per "
+    "column (window over partition col), the reference one partial-agg "
+    "— at 100 TB this is the approx-quantile variant's exact baseline. "
+    "One SQL text, both dialects.",
+)
