@@ -622,3 +622,67 @@ sql_pair(
         "of data size — integer counts cross the shuffle, ratios are "
         "one ROUND(6) expression each at the end.",
 )
+
+
+# ---------------------------------------------------------------------------
+# c31: position-based (U-shaped) multi-touch attribution
+# ---------------------------------------------------------------------------
+
+sql_pair(
+    "c31_position_attribution",
+    """
+    WITH p AS (
+      SELECT event_id AS pid, user_id, ts AS pts,
+             CAST(ROUND(value * 100) AS BIGINT) AS v
+      FROM events WHERE event_type = 'purchase'),
+    touch AS (
+      SELECT p.pid, p.v, c.event_type AS channel,
+             CAST(ROW_NUMBER() OVER (PARTITION BY p.pid
+                                     ORDER BY c.ts, c.event_id) AS BIGINT)
+               AS pos,
+             CAST(COUNT(*) OVER (PARTITION BY p.pid) AS BIGINT) AS n
+      FROM p JOIN events c
+        ON c.user_id = p.user_id
+       AND c.event_type <> 'purchase'
+       AND c.ts <= p.pts
+       AND c.ts >= p.pts - INTERVAL 1 DAY),
+    credit AS (
+      SELECT pid, channel, pos, n, v,
+             CAST(FLOOR((v * 4.0) / 10) AS BIGINT) AS endc,
+             CAST(FLOOR(v / 2.0) AS BIGINT) AS halfc
+      FROM touch),
+    assigned AS (
+      SELECT pid, channel,
+             CASE
+               WHEN n = 1 THEN v
+               WHEN n = 2 AND pos = 1 THEN v - halfc
+               WHEN n = 2 AND pos = 2 THEN halfc
+               WHEN pos = 1 THEN endc
+               WHEN pos = n THEN endc
+               WHEN pos = 2 THEN
+                 CAST(FLOOR((v - 2 * endc) / (n - 2.0)) AS BIGINT)
+                 + (v - 2 * endc)
+                 - (n - 2) * CAST(FLOOR((v - 2 * endc) / (n - 2.0)) AS BIGINT)
+               ELSE CAST(FLOOR((v - 2 * endc) / (n - 2.0)) AS BIGINT)
+             END AS credit_cents
+      FROM credit)
+    SELECT channel,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(sum(credit_cents) AS BIGINT) AS credit_cents
+    FROM assigned
+    GROUP BY channel ORDER BY channel
+    """,
+    doc="C31: position-based (U-shaped 40/20/40) multi-touch attribution "
+    "— each purchase's credit splits across its 1-day journey: 40% to "
+    "the first touch, 40% to the last, the remaining 20% evenly over "
+    "the middle (1 touch takes all, 2 touches split half-and-half). "
+    "The companion to j33's winner-takes-all last-touch. ALL splits "
+    "are integer-cents arithmetic (FLOOR divides with the remainder "
+    "assigned to the first middle touch), so credit conservation — "
+    "sum of credits == sum of purchase cents — holds EXACTLY, and the "
+    "pair is float-free after the one cents conversion. The journey "
+    "build is a time-band join on user_id (J10's shape: equi-key + "
+    "range predicate, never a cross product); windows partition by "
+    "purchase — bounded journeys, no skew amplification at 100 TB. "
+    "One SQL text, both dialects.",
+)

@@ -4158,3 +4158,76 @@ _l74_sql_pair(
     "— at 100 TB this is the approx-quantile variant's exact baseline. "
     "One SQL text, both dialects.",
 )
+
+
+# ---------------------------------------------------------------------------
+# l75: T5-style span-corruption masking plan
+# ---------------------------------------------------------------------------
+
+# md5-nibble decode shared by both dialects (l70's ascii arithmetic).
+_L75_HEX = (
+    "(CASE WHEN ascii(substr(md5(CAST(doc_id AS STRING) || ':' || "
+    "CAST(blk AS STRING)), {p}, 1)) >= 97 "
+    "THEN ascii(substr(md5(CAST(doc_id AS STRING) || ':' || "
+    "CAST(blk AS STRING)), {p}, 1)) - 87 "
+    "ELSE ascii(substr(md5(CAST(doc_id AS STRING) || ':' || "
+    "CAST(blk AS STRING)), {p}, 1)) - 48 END)"
+)
+
+_L75_BODY = """
+    WITH tok AS ({tok_src}),
+    blk AS (
+      SELECT doc_id, pos, token,
+             CAST(FLOOR(pos / 10.0) AS BIGINT) AS blk
+      FROM tok),
+    keys AS (SELECT DISTINCT doc_id, blk FROM blk),
+    h AS (
+      SELECT doc_id, blk,
+             CAST({h1} % 7 AS BIGINT) AS start_off,
+             CAST({h2} % 3 + 1 AS BIGINT) AS span_len
+      FROM keys),
+    masked AS (
+      SELECT b.doc_id, b.blk, b.pos, b.token
+      FROM blk b JOIN h ON b.doc_id = h.doc_id AND b.blk = h.blk
+      WHERE b.pos - b.blk * 10 >= h.start_off
+        AND b.pos - b.blk * 10 < h.start_off + h.span_len)
+    SELECT doc_id, CAST(blk AS BIGINT) AS span_id,
+           CAST(min(pos) AS BIGINT) AS start_tok,
+           CAST(count(*) AS BIGINT) AS n_tok,
+           {span_agg} AS span_text
+    FROM masked
+    GROUP BY doc_id, blk
+    ORDER BY doc_id, span_id
+"""
+
+_l74_sql_pair(
+    "l75_span_corruption",
+    _L75_BODY.format(
+        tok_src="SELECT doc_id, posexplode(split(lower(text), ' '))"
+        " AS (pos, token) FROM documents",
+        h1=_L75_HEX.format(p=1),
+        h2=_L75_HEX.format(p=2),
+        span_agg="listagg(token, ' ') WITHIN GROUP (ORDER BY pos)",
+    ),
+    _L75_BODY.format(
+        tok_src="SELECT doc_id, u.i - 1 AS pos, t[u.i] AS token FROM "
+        "(SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),"
+        " unnest(generate_series(1, len(t))) AS u(i)",
+        h1=_L75_HEX.format(p=1),
+        h2=_L75_HEX.format(p=2),
+        span_agg="string_agg(token, ' ' ORDER BY pos)",
+    ),
+    doc="L75: T5/UL2-style span-corruption PLAN — the deterministic "
+    "masking schedule a denoising-objective data pipeline materializes "
+    "next to the tokens: each 10-token block independently selects one "
+    "span (offset = md5-nibble % 7, length = md5-nibble % 3 + 1, keyed "
+    "on (doc_id, block) — the l70 ascii-arithmetic hash, portable to "
+    "both engines), emitting (span_id, start_tok, n_tok, masked text). "
+    "Block-local selection is the scale trick: no sequential 'skip if "
+    "overlapping previous span' dependency, so the plan is one explode "
+    "+ one hash + one windowless join — embarrassingly parallel at "
+    "100 TB where greedy span walks would serialize per document. "
+    "~15% corruption rate (avg 2 of every 10 tokens), mean span 2; "
+    "ordered listagg/string_agg certifies span text exactly. Dialect "
+    "split: posexplode vs lateral unnest, listagg vs string_agg.",
+)
