@@ -1120,3 +1120,159 @@ sql_pair(
         "the discrete quantiles; at 100 TB swap PERCENTILE_DISC for "
         "G18's approx_percentile fences, same downstream arithmetic.",
 )
+
+
+# ---------------------------------------------------------------------------
+# g53: two-proportion z-test (A/B experiment readout)
+# ---------------------------------------------------------------------------
+
+sql_pair(
+    "g53_two_proportion_ztest",
+    """
+    WITH assigned AS (
+      SELECT CAST(o_custkey % 2 AS INT) AS arm,
+             CASE WHEN o_totalprice > 250000 THEN 1 ELSE 0 END AS conv
+      FROM orders),
+    cells AS (
+      SELECT arm,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(conv) AS BIGINT) AS x
+      FROM assigned GROUP BY arm),
+    wide AS (
+      SELECT
+        MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+        MAX(CASE WHEN arm = 0 THEN x END) AS x0,
+        MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+        MAX(CASE WHEN arm = 1 THEN x END) AS x1
+      FROM cells)
+    SELECT n0, x0, n1, x1,
+           ROUND(CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE), 6) AS p0,
+           ROUND(CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) AS p1,
+           ROUND(
+             (CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+              - CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+             / SQRT((CAST(x0 + x1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                    * (1.0 - CAST(x0 + x1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                    * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))),
+             6) AS z_stat,
+           CASE WHEN ABS(
+             (CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+              - CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+             / SQRT((CAST(x0 + x1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                    * (1.0 - CAST(x0 + x1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                    * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))))
+             > 1.959963985 THEN 1 ELSE 0 END AS significant_95
+    FROM wide
+    """,
+    doc="G53: two-proportion z-test — the A/B-experiment readout next to "
+        "G50's Welch t (means) and the chi-square family: arm assignment "
+        "is the deterministic key parity CAST(o_custkey %% 2 AS INT) (the "
+        "hash-bucket split every experimentation platform uses), the "
+        "conversion event is an exact integer predicate, and the four "
+        "cell counts (n0,x0,n1,x1) are the ONLY aggregates — one "
+        "partial+final agg over one scan, four bigints cross the shuffle "
+        "regardless of table size. The pooled-variance z statistic and "
+        "the |z| > 1.96 significance verdict are one final DOUBLE "
+        "expression over those integers (every operand explicitly CAST "
+        "to DOUBLE before mixing with fractional literals — the shared-"
+        "text decimal-arithmetic trap), ROUND(6). At 100 TB the shape is "
+        "unchanged: counts are mergeable, the test is driver-side "
+        "arithmetic on four numbers. One SQL text, both dialects.",
+)
+
+
+# ---------------------------------------------------------------------------
+# g54: deterministic bootstrap confidence interval for the mean
+# ---------------------------------------------------------------------------
+
+sql_pair(
+    "g54_bootstrap_ci",
+    """
+    WITH ranked AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) AS BIGINT) AS rn,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nrows FROM ranked),
+    reps AS (SELECT rn AS b FROM ranked WHERE rn <= 100),
+    draws AS (
+      SELECT r.b,
+             ((1103515245 * (r.b * 1000003 + i.rn) + 12345) % 2147483648)
+               % n.nrows + 1 AS pick
+      FROM reps r CROSS JOIN ranked i CROSS JOIN n),
+    boot AS (
+      SELECT d.b, CAST(SUM(t.cents) AS BIGINT) AS s
+      FROM draws d JOIN ranked t ON t.rn = d.pick
+      GROUP BY d.b),
+    dist AS (
+      SELECT CAST(PERCENTILE_DISC(0.025) WITHIN GROUP (ORDER BY s) AS BIGINT) AS lo_s,
+             CAST(PERCENTILE_DISC(0.975) WITHIN GROUP (ORDER BY s) AS BIGINT) AS hi_s,
+             CAST(COUNT(*) AS BIGINT) AS n_boot
+      FROM boot),
+    point AS (SELECT CAST(SUM(cents) AS BIGINT) AS s0 FROM ranked)
+    SELECT n_boot,
+           ROUND(CAST(s0 AS DOUBLE) / CAST(nrows AS DOUBLE) / 100, 4) AS mean_estimate,
+           ROUND(CAST(lo_s AS DOUBLE) / CAST(nrows AS DOUBLE) / 100, 4) AS ci_lo,
+           ROUND(CAST(hi_s AS DOUBLE) / CAST(nrows AS DOUBLE) / 100, 4) AS ci_hi,
+           CASE WHEN lo_s <= s0 AND s0 <= hi_s THEN 1 ELSE 0 END AS point_in_ci
+    FROM dist CROSS JOIN point CROSS JOIN n
+    """,
+    doc="G54: seeded deterministic bootstrap CI for the mean order value "
+        "— the distribution-free uncertainty quantifier the G50/G53 "
+        "parametric tests assume away. The B=100 resamples are generated "
+        "by a portable LCG ((1103515245*(b*1000003+i)+12345) %% 2^31) %% n "
+        "— pure int64 arithmetic, bit-identical in both engines, no RNG "
+        "state — so every resample index, every bootstrap replicate sum "
+        "(exact integer cents), and the PERCENTILE_DISC(0.025/0.975) "
+        "fences (ACTUAL replicate values, G47's discrete discipline) are "
+        "reproducible. Scale: the draws table is B×n rows but carries "
+        "only (b, pick); the join back to values is an equi-join Spark "
+        "shuffles once, and each replicate reduces to one bigint partial "
+        "sum. At 100 TB you bootstrap over per-partition partial "
+        "aggregates (poor-man's bag-of-little-bootstraps) — same "
+        "downstream percentile arithmetic. One SQL text, both dialects.",
+)
+
+
+# ---------------------------------------------------------------------------
+# g55: leave-one-out target encoding with prior smoothing
+# ---------------------------------------------------------------------------
+
+sql_pair(
+    "g55_target_encoding",
+    """
+    WITH joined AS (
+      SELECT p.p_brand,
+             CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT) AS cents
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    brand AS (
+      SELECT p_brand,
+             CAST(COUNT(*) AS BIGINT) AS n_b,
+             CAST(SUM(cents) AS BIGINT) AS s_b
+      FROM joined GROUP BY p_brand),
+    gtot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_g,
+             CAST(SUM(cents) AS BIGINT) AS s_g
+      FROM joined)
+    SELECT p_brand, n_b,
+           ROUND(CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) / 100, 4) AS brand_mean,
+           ROUND(CAST((n_b - 1) * s_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+                 / CAST(n_b - 1 + 20 AS DOUBLE) / 100
+                 + 20.0 * CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE)
+                   / CAST(n_b - 1 + 20 AS DOUBLE) / 100, 4) AS avg_loo_encoded,
+           ROUND(CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE) / 100, 4) AS prior_mean
+    FROM brand CROSS JOIN gtot
+    ORDER BY p_brand
+    """,
+    doc="G55: leave-one-out target encoding with additive (m=20) prior "
+        "smoothing — the categorical-feature encoder every tabular-ML "
+        "pipeline runs before training, audited per brand. Each row's "
+        "encoding excludes its own target ((S_b - x_i)/(n_b - 1), the "
+        "leakage guard) and shrinks toward the global prior with weight "
+        "m; the certified column is the per-brand MEAN of those row "
+        "encodings via its closed form ((n_b-1)·S_b/n_b + m·prior) / "
+        "(n_b-1+m) — all numerators exact integer cents, one final "
+        "DOUBLE expression ROUND(4). Scale: two partial+final aggs (per-"
+        "brand, global) over one lineitem⋈part equi-join with the dim "
+        "side broadcast; the encode-at-train-time join ships only 25 "
+        "brand rows. One SQL text, both dialects.",
+)
