@@ -925,3 +925,127 @@ sql_pair(
         "shuffle, no global sort, the same shape as W07 at 100 TB; "
         "output is one row per supplier.",
 )
+
+
+# ---------------------------------------------------------------------------
+# w34: time-weighted average (TWAP) per event type
+# ---------------------------------------------------------------------------
+
+sql_pair(
+    "w34_time_weighted_avg",
+    """
+    WITH seq AS (
+      SELECT event_type,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+             unix_micros(ts) AS us,
+             LEAD(unix_micros(ts)) OVER (
+               PARTITION BY event_type
+               ORDER BY ts, event_id) AS next_us
+      FROM events),
+    weighted AS (
+      SELECT event_type, cents,
+             (next_us - us) DIV 1000000 AS hold_s
+      FROM seq WHERE next_us IS NOT NULL)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(hold_s) AS BIGINT) AS total_hold_s,
+           ROUND(CAST(SUM(cents * hold_s) AS DOUBLE)
+                 / CAST(SUM(hold_s) AS DOUBLE) / 100, 6) AS twap,
+           ROUND(CAST(SUM(cents) AS DOUBLE) / COUNT(*) / 100, 6) AS plain_avg
+    FROM weighted
+    GROUP BY event_type ORDER BY event_type
+    """,
+    duck_sql="""
+    WITH seq AS (
+      SELECT event_type,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+             epoch_us(ts) AS us,
+             LEAD(epoch_us(ts)) OVER (
+               PARTITION BY event_type
+               ORDER BY ts, event_id) AS next_us
+      FROM events),
+    weighted AS (
+      SELECT event_type, cents,
+             (next_us - us) // 1000000 AS hold_s
+      FROM seq WHERE next_us IS NOT NULL)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(hold_s) AS BIGINT) AS total_hold_s,
+           ROUND(CAST(SUM(cents * hold_s) AS DOUBLE)
+                 / CAST(SUM(hold_s) AS DOUBLE) / 100, 6) AS twap,
+           ROUND(CAST(SUM(cents) AS DOUBLE) / COUNT(*) / 100, 6) AS plain_avg
+    FROM weighted
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc="W34: time-weighted average price (TWAP) per event type — each "
+        "observation is weighted by how long it HELD (lead(ts) - ts, the "
+        "last value per series carries no weight), the finance/metering "
+        "standard that a plain AVG (also reported, for the contrast) "
+        "gets wrong whenever sampling is irregular. Weights are exact "
+        "integer seconds from µs epochs (unix_micros vs epoch_us + "
+        "integer division — the dialect split), values exact integer "
+        "cents, so SUM(cents·hold_s) is exact int64 and only the final "
+        "TWAP divides, ROUND(6). Scale: one window (partition by type, "
+        "local sort after one hash shuffle) + one partial+final agg — "
+        "the W07 shape; at 100 TB the series per key sort locally and "
+        "only (type, two int64 partials) cross the second shuffle.",
+)
+
+
+# ---------------------------------------------------------------------------
+# w35: Hampel filter — rolling-median/MAD outlier detection
+# ---------------------------------------------------------------------------
+
+_W35_BODY = """
+    WITH series AS (
+      SELECT l_suppkey AS supp, l_orderkey AS ok, l_linenumber AS ln,
+             CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+             l_shipdate AS sd
+      FROM lineitem WHERE l_suppkey <= 40),
+    med AS (
+      SELECT supp, ok, ln, cents, sd,
+             {med_cents} OVER (
+               PARTITION BY supp ORDER BY sd, ok, ln
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS rm
+      FROM series),
+    dev AS (
+      SELECT supp, ok, ln, cents, rm, sd,
+             ABS(CAST(cents AS DOUBLE) - rm) AS d
+      FROM med),
+    mad AS (
+      SELECT supp, ok, ln, cents, rm, d,
+             {med_d} OVER (
+               PARTITION BY supp ORDER BY sd, ok, ln
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS m
+      FROM dev)
+    SELECT supp,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(CASE WHEN d > 3 * 1.4826 * m THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           ROUND(MAX(CASE WHEN m > 0 THEN d / (1.4826 * m) END), 4)
+             AS max_robust_z
+    FROM mad GROUP BY supp ORDER BY supp
+"""
+
+sql_pair(
+    "w35_hampel_filter",
+    _W35_BODY.format(med_cents="percentile(cents, 0.5)",
+                     med_d="percentile(d, 0.5)"),
+    _W35_BODY.format(med_cents="median(cents)", med_d="median(d)"),
+    doc="W35: Hampel filter — the robust rolling-outlier detector "
+        "(rolling median ± 3·1.4826·rolling MAD over a ±3-point frame, "
+        "per supplier price series) that survives the exact spikes that "
+        "blow up W-family z-scores built on rolling MEAN/STDDEV. Two "
+        "stacked windows over the SAME (supp, sd, ok, ln) sort — Spark "
+        "plans one Sort + two Window nodes, no re-shuffle — using the "
+        "standard SQL decomposition (deviations taken against each "
+        "row's own frame median, then the MAD is the frame median of "
+        "those deviations; both engines run the identical decomposition "
+        "so results match bit-for-bit). Median inputs are exact integer "
+        "cents; interpolated halves are exactly representable doubles; "
+        "the dialect split is only the spelling (percentile(x,0.5) vs "
+        "median(x)). Certified output: per-supplier point/outlier "
+        "counts and the max robust z, ROUND(4). Scale: per-key local "
+        "sorts after one hash shuffle (W07 shape); the frame is O(1) "
+        "per row, so 100 TB streams through without ballooning state.",
+)
