@@ -4231,3 +4231,128 @@ _l74_sql_pair(
     "ordered listagg/string_agg certifies span text exactly. Dialect "
     "split: posexplode vs lateral unnest, listagg vs string_agg.",
 )
+
+
+# ---------------------------------------------------------------------------
+# l76/l78: synthetic classifier scores for calibration audits
+# ---------------------------------------------------------------------------
+
+# Portable md5-nibble decode (functions_ext F-family idiom): three nibbles of
+# a salted md5 give a deterministic 0..999 per-mille draw in BOTH dialects.
+def _pm(salt: str) -> str:
+    nib = (
+        "(instr('0123456789abcdef', substring(md5('{s}:' || "
+        "CAST(doc_id AS STRING)), {p}, 1)) - 1)"
+    )
+    return (
+        "(("
+        + nib.format(s=salt, p=1) + " * 256 + "
+        + nib.format(s=salt, p=2) + " * 16 + "
+        + nib.format(s=salt, p=3)
+        + ") % 1000)"
+    )
+
+
+# Overconfident synthetic classifier: confidence is a uniform per-mille draw;
+# the true-label rate runs ~15 points BELOW confidence (clipped at 0), so the
+# calibration gap the audits certify is real and deterministic.
+_CLF_BASE = f"""
+      SELECT doc_id,
+             {_pm('c')} AS conf_pm,
+             CASE WHEN {_pm('y')} < GREATEST(0, {_pm('c')} - 150)
+                  THEN 1 ELSE 0 END AS label
+      FROM documents
+"""
+
+_sql_pair(
+    "l78_ece_reliability",
+    f"""
+    WITH clf AS ({_CLF_BASE}),
+    bins AS (
+      SELECT CAST(FLOOR(CAST(conf_pm AS DOUBLE) / 100) AS INT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(conf_pm) AS BIGINT) AS sum_conf_pm,
+             CAST(SUM(label) AS BIGINT) AS sum_label
+      FROM clf GROUP BY CAST(FLOOR(CAST(conf_pm AS DOUBLE) / 100) AS INT))
+    SELECT bin, n,
+           ROUND(CAST(sum_conf_pm AS DOUBLE) / CAST(n AS DOUBLE) / 1000, 6)
+             AS avg_confidence,
+           ROUND(CAST(sum_label AS DOUBLE) / CAST(n AS DOUBLE), 6)
+             AS accuracy,
+           ROUND(CAST(ABS(1000 * sum_label - sum_conf_pm) AS DOUBLE)
+                 / CAST(1000 * n AS DOUBLE), 6) AS abs_gap,
+           ROUND(CAST(SUM(ABS(1000 * sum_label - sum_conf_pm)) OVER () AS DOUBLE)
+                 / CAST(1000 * SUM(n) OVER () AS DOUBLE), 6) AS ece
+    FROM bins ORDER BY bin
+    """,
+    doc="L78: expected calibration error (ECE) reliability audit — the "
+        "trust-but-verify gate on any quality/toxicity classifier whose "
+        "scores drive corpus filtering (keep-if-p>t is only as good as p). "
+        "The synthetic classifier is deterministic md5-nibble arithmetic "
+        "(portable strpos-on-hex idiom, no RNG) built overconfident by "
+        "15 points, so the audit certifies a REAL gap. Per decile bin: "
+        "mean confidence vs empirical accuracy; the headline ECE is "
+        "sum_b |1000·labels_b - conf_pm_b| / (1000·N) — the weighted gap "
+        "folded into EXACT integer arithmetic inside ABS (per-mille "
+        "confidences are ints), one final divide ROUND(6), windowed "
+        "total repeated per row. Scale: ONE partial+final agg over one "
+        "scan (10 bins of 3 int64 partials cross the shuffle), then "
+        "10-row window math. One SQL text, both dialects.",
+)
+
+_sql_pair(
+    "l76_isotonic_calibration",
+    f"""
+    WITH clf AS ({_CLF_BASE}),
+    bins AS (
+      SELECT CAST(FLOOR(CAST(conf_pm AS DOUBLE) / 50) AS INT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS w,
+             CAST(SUM(label) AS BIGINT) AS y
+      FROM clf GROUP BY CAST(FLOOR(CAST(conf_pm AS DOUBLE) / 50) AS INT)),
+    pre AS (
+      SELECT bin, w, y,
+             CAST(SUM(w) OVER (ORDER BY bin) AS BIGINT) AS cw,
+             CAST(SUM(y) OVER (ORDER BY bin) AS BIGINT) AS cy
+      FROM bins),
+    pairs AS (
+      SELECT lo.bin AS i, hi.bin AS j,
+             CAST(hi.cy - lo.cy + lo.y AS DOUBLE)
+               / CAST(hi.cw - lo.cw + lo.w AS DOUBLE) AS seg_avg
+      FROM pre lo CROSS JOIN pre hi
+      WHERE lo.bin <= hi.bin),
+    revmin AS (
+      SELECT i, j,
+             MIN(seg_avg) OVER (
+               PARTITION BY i ORDER BY j DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tail_min
+      FROM pairs),
+    fit AS (
+      SELECT j AS bin, MAX(tail_min) AS fitted
+      FROM revmin GROUP BY j)
+    SELECT b.bin, b.w,
+           ROUND(CAST(b.y AS DOUBLE) / CAST(b.w AS DOUBLE), 6) AS raw_rate,
+           ROUND(f.fitted, 6) AS isotonic_rate,
+           CASE WHEN f.fitted + 1e-12 >=
+                     LAG(f.fitted, 1, CAST(0 AS DOUBLE))
+                       OVER (ORDER BY b.bin)
+                THEN 1 ELSE 0 END AS monotone_ok
+    FROM bins b JOIN fit f ON b.bin = f.bin
+    ORDER BY b.bin
+    """,
+    doc="L76: isotonic-regression calibration (pool-adjacent-violators) "
+        "of the L78 overconfident classifier — the nonparametric score-"
+        "to-probability map (sklearn's IsotonicRegression) that makes "
+        "filter thresholds MEAN something. Implemented via the exact "
+        "minimax identity g(k) = max_{{i<=k}} min_{{j>=k}} mean(y_i..y_j), "
+        "equivalent to sequential PAV but expressible as pure set "
+        "operations: bin the corpus (20 weighted bins — ONE partial+"
+        "final agg, the only pass over data), prefix sums, the B² "
+        "segment-average lattice, a reverse running MIN per start bin, "
+        "and a GROUP-BY MAX per end bin (every (i,k) pair with i<=k is "
+        "exactly the lattice row (i,j=k)). Segment means divide exact "
+        "integer label/weight sums once; min/max over identical IEEE "
+        "doubles are dialect-stable; fitted curve certified monotone via "
+        "LAG. Scale: the O(B²)=400-row lattice never touches the corpus "
+        "— binning is the 100 TB pass, PAV runs on the 20-row profile. "
+        "One SQL text, both dialects.",
+)
