@@ -4356,3 +4356,56 @@ _sql_pair(
         "— binning is the 100 TB pass, PAV runs on the 20-row profile. "
         "One SQL text, both dialects.",
 )
+
+
+# ---------------------------------------------------------------------------
+# l77: feature hashing (the hashing trick) over document tokens
+# ---------------------------------------------------------------------------
+
+def _l77_nib(p: int) -> str:
+    return (
+        "(instr('0123456789abcdef', substring(md5(token), "
+        f"{p}, 1)) - 1)"
+    )
+
+
+_L77_BODY = f"""
+    WITH tok AS (
+      SELECT doc_id, {{tok}} AS token FROM documents),
+    hashed AS (
+      SELECT doc_id,
+             ({_l77_nib(1)} * 16 + {_l77_nib(2)}) % 64 AS bucket,
+             CASE WHEN {_l77_nib(3)} < 8 THEN 1 ELSE -1 END AS sgn
+      FROM tok),
+    docvec AS (
+      SELECT doc_id, bucket, CAST(SUM(sgn) AS BIGINT) AS wt
+      FROM hashed GROUP BY doc_id, bucket)
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS touched_docs,
+           CAST(SUM(CASE WHEN wt <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nnz_docs,
+           CAST(SUM(wt) AS BIGINT) AS total_weight,
+           CAST(SUM(wt * wt) AS BIGINT) AS sum_sq_weight,
+           ROUND(CAST(SUM(wt) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS mean_weight
+    FROM docvec GROUP BY bucket ORDER BY bucket
+    """
+
+_sql_pair(
+    "l77_feature_hashing",
+    _L77_BODY.format(tok="explode(split(lower(text), ' '))"),
+    _L77_BODY.format(tok="unnest(string_split(lower(text), ' '))"),
+    doc="L77: the hashing trick (signed feature hashing, "
+        "HashingVectorizer/Vowpal-Wabbit style) — tokens map to a FIXED "
+        "64-bucket space via two md5 nibbles and carry a ±1 sign from a "
+        "third, so the featurizer needs NO vocabulary pass, no "
+        "dictionary broadcast, and no OOV path: the exact property that "
+        "makes it the 100 TB-safe text featurizer (stateless, "
+        "embarrassingly parallel, one partial+final agg per level). The "
+        "sign trick makes collisions cancel in expectation (certified "
+        "by mean_weight ≈ 0 against total/sum-sq mass). Everything is "
+        "exact integer arithmetic off the portable instr-on-hex nibble "
+        "decode; per-(doc,bucket) weights then per-bucket moments are "
+        "two partial+final aggs — only (bucket, 4 int64) rows cross the "
+        "final shuffle regardless of corpus size. Dialect split is only "
+        "the token explode spelling.",
+)
