@@ -1048,3 +1048,111 @@ sql_pair(
     "|lang|x|source| cell table — O(cells), not O(rows). One SQL text, "
     "both dialects.",
 )
+
+
+# ---------------------------------------------------------------------------
+# c32: Holt's linear (double exponential) smoothing forecast
+# ---------------------------------------------------------------------------
+
+def _holt_factory():
+    """Build the per-group Holt recursion worker (module-level classes pickle
+    by reference — the cloudpickle gotcha — so the fn is built in a closure)."""
+    import pandas as pd
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("m").reset_index(drop=True)
+        y = pdf["cents"].astype("float64")
+        l = y[0]
+        b = 0.0
+        for t in range(1, len(y)):
+            l_new = 0.3 * y[t] + 0.7 * (l + b)
+            b = 0.2 * (l_new - l) + 0.8 * b
+            l = l_new
+        return pd.DataFrame(
+            {
+                "pri": [pdf["pri"].iloc[0]],
+                "n_months": [len(y)],
+                "level": [round(l / 100.0, 4)],
+                "trend": [round(b / 100.0, 4)],
+                "forecast_3m": [round((l + 3.0 * b) / 100.0, 4)],
+            }
+        )
+
+    return fit
+
+
+@register(
+    "c32_holt_linear",
+    duck_sql="""
+    WITH RECURSIVE m AS (
+      SELECT o_orderpriority AS pri,
+             date_trunc('month', o_orderdate) AS mon,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                  AS DOUBLE) AS y,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY date_trunc('month', o_orderdate)) AS BIGINT) AS rn
+      FROM orders
+      GROUP BY o_orderpriority, date_trunc('month', o_orderdate)),
+    h AS (
+      SELECT pri, rn, y AS l, CAST(0 AS DOUBLE) AS b
+      FROM m WHERE rn = 1
+      UNION ALL
+      SELECT m.pri, m.rn,
+             0.3 * m.y + 0.7 * (h.l + h.b),
+             0.2 * ((0.3 * m.y + 0.7 * (h.l + h.b)) - h.l) + 0.8 * h.b
+      FROM h JOIN m ON m.pri = h.pri AND m.rn = h.rn + 1),
+    last AS (
+      SELECT pri, MAX(rn) AS t FROM h GROUP BY pri)
+    SELECT h.pri,
+           CAST(last.t AS BIGINT) AS n_months,
+           ROUND(h.l / 100, 4) AS level,
+           ROUND(h.b / 100, 4) AS trend,
+           ROUND((h.l + 3.0 * h.b) / 100, 4) AS forecast_3m
+    FROM h JOIN last ON h.pri = last.pri AND h.rn = last.t
+    ORDER BY h.pri
+    """,
+    doc="C32: Holt's linear-trend (double exponential) smoothing over the "
+        "monthly revenue series per order priority, plus the 3-month-"
+        "ahead forecast l_T + 3·b_T — the classic ops-forecasting "
+        "recursion (level α=0.3, trend β=0.2, init l₁=y₁, b₁=0) that no "
+        "window function expresses (each state feeds the next). Spark "
+        "side: the monthly rollup is the ONLY corpus pass (partial+final "
+        "agg to exact integer cents), then applyInPandas runs the O(T) "
+        "recursion per key — thousands of independent tiny series at "
+        "100 TB, each a few dozen floats, the textbook 'aggregate down, "
+        "then iterate on the profile' shape. Oracle: a DuckDB RECURSIVE "
+        "CTE stepping rn→rn+1 with the IDENTICAL IEEE expression order "
+        "(0.3·y + 0.7·(l+b); 0.2·(l_new−l) + 0.8·b), so both engines "
+        "walk the same float sequence bit-for-bit; outputs ROUND(4). "
+        "Worker fn built in a factory (cloudpickle by-value).",
+)
+def c32_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    monthly = (
+        spark.table("orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("pri"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("m"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("double")
+            .alias("cents")
+        )
+    )
+    schema = T.StructType(
+        [
+            T.StructField("pri", T.StringType()),
+            T.StructField("n_months", T.LongType()),
+            T.StructField("level", T.DoubleType()),
+            T.StructField("trend", T.DoubleType()),
+            T.StructField("forecast_3m", T.DoubleType()),
+        ]
+    )
+    return (
+        monthly.groupBy("pri")
+        .applyInPandas(_holt_factory(), schema=schema)
+        .orderBy("pri")
+    )
