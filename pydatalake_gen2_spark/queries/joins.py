@@ -1175,3 +1175,94 @@ sql_pair(
         "polygon) crossing tally is a partial+final aggregate. Dialect "
         "split: inline-VALUES derived-table syntax only.",
 )
+
+
+# ---------------------------------------------------------------------------
+# j36: interval-overlap join via week-bucket candidate equi-join
+# ---------------------------------------------------------------------------
+
+@register(
+    "j36_interval_overlap_join",
+    duck_sql="""
+    WITH r AS (
+      SELECT o_orderkey AS ok, o_orderdate AS d0,
+             o_orderdate + INTERVAL 30 DAY AS d1
+      FROM orders WHERE o_orderkey % 100 = 0),
+    s AS (
+      SELECT l_orderkey AS lk, l_linenumber AS ln, l_suppkey AS supp,
+             l_shipdate AS s0, l_shipdate + INTERVAL 7 DAY AS s1
+      FROM lineitem WHERE l_suppkey <= 20)
+    , pairs AS (
+      SELECT DISTINCT r.ok, s.lk, s.ln, s.supp
+      FROM r JOIN s ON s.s0 <= r.d1 AND r.d0 <= s.s1)
+    SELECT ok,
+           CAST(COUNT(*) AS BIGINT) AS n_overlaps,
+           CAST(MIN(supp) AS BIGINT) AS min_supp,
+           CAST(MAX(supp) AS BIGINT) AS max_supp,
+           CAST(COUNT(DISTINCT lk) AS BIGINT) AS n_orders_touched
+    FROM pairs GROUP BY ok ORDER BY ok
+    """,
+    doc="J36: interval-overlap join — order activity windows "
+        "[orderdate, +30d] against shipment windows [shipdate, +7d], "
+        "overlap iff s0<=r1 AND r0<=s1. The oracle states the THETA "
+        "join directly; the engine runs the scale path a theta join "
+        "cannot survive: each interval explodes to the epoch-WEEKS it "
+        "spans (sequence+explode — 5 rows per order window, 2 per "
+        "shipment), the candidate set is the week-bucket EQUI-join "
+        "Catalyst hashes/sorts like any other key join, the exact "
+        "predicate re-filters candidates, and a distinct on the pair "
+        "key undoes multi-bucket double-counting. No BroadcastNestedLoop "
+        "or CartesianProduct node exists in the plan (gated in "
+        "tests/test_plans.py). This is J32's spatial-grid recipe on the "
+        "time axis, and the generic form of J10's band join: at 100 TB "
+        "both sides shuffle ONCE on the week key and skew is bounded by "
+        "interval span / bucket width. Output: per-order overlap "
+        "aggregates (exact integer counts).",
+)
+def j36_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    epoch = F.lit("1970-01-01").cast("date")
+    r = (
+        spark.table("orders")
+        .where(F.col("o_orderkey") % 100 == 0)
+        .select(
+            F.col("o_orderkey").alias("ok"),
+            F.col("o_orderdate").alias("rd0"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("rd1"),
+        )
+    )
+    s = (
+        spark.table("lineitem")
+        .where(F.col("l_suppkey") <= 20)
+        .select(
+            F.col("l_orderkey").alias("lk"),
+            F.col("l_linenumber").alias("ln"),
+            F.col("l_suppkey").alias("supp"),
+            F.col("l_shipdate").alias("sd0"),
+            (F.col("l_shipdate") + F.expr("INTERVAL 7 DAYS")).alias("sd1"),
+        )
+    )
+
+    def weeks(lo, hi):
+        return F.sequence(
+            F.floor(F.datediff(F.to_date(lo), epoch) / 7),
+            F.floor(F.datediff(F.to_date(hi), epoch) / 7),
+        )
+
+    rw = r.withColumn("wk", F.explode(weeks(F.col("rd0"), F.col("rd1"))))
+    sw = s.withColumn("wk", F.explode(weeks(F.col("sd0"), F.col("sd1"))))
+    pairs = (
+        rw.join(sw, "wk")
+        .where((F.col("sd0") <= F.col("rd1")) & (F.col("rd0") <= F.col("sd1")))
+        .select("ok", "lk", "ln", "supp")
+        .distinct()
+    )
+    return (
+        pairs.groupBy("ok")
+        .agg(
+            F.count(F.lit(1)).alias("n_overlaps"),
+            F.min("supp").cast("long").alias("min_supp"),
+            F.max("supp").cast("long").alias("max_supp"),
+            F.countDistinct("lk").alias("n_orders_touched"),
+        )
+        .orderBy("ok")
+    )
