@@ -1156,3 +1156,57 @@ def c32_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(_holt_factory(), schema=schema)
         .orderBy("pri")
     )
+
+
+# ---------------------------------------------------------------------------
+# dq06: order-independent reconciliation checksum (cross-engine parity)
+# ---------------------------------------------------------------------------
+
+_DQ06_NIB = (
+    "(CAST(instr('0123456789abcdef', substring(md5(rowstr), {p}, 1))"
+    " AS BIGINT) - 1)"
+)
+
+_DQ06_H32 = " + ".join(
+    f"({_DQ06_NIB.format(p=i + 1)} * {16 ** (7 - i)})" for i in range(8)
+)
+
+sql_pair(
+    "dq06_reconciliation_checksum",
+    f"""
+    WITH canon AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+             CAST(o_orderkey AS STRING) || '|' ||
+             CAST(o_custkey AS STRING) || '|' ||
+             o_orderstatus || '|' ||
+             CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS STRING)
+               || '|' ||
+             CAST(CAST(o_orderdate AS DATE) AS STRING) || '|' ||
+             o_orderpriority AS rowstr
+      FROM orders),
+    hashed AS (
+      SELECT mon, CAST({_DQ06_H32} AS BIGINT) AS h32 FROM canon)
+    SELECT mon,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(h32) AS BIGINT) AS checksum,
+           CAST(MIN(h32) AS BIGINT) AS min_h,
+           CAST(MAX(h32) AS BIGINT) AS max_h
+    FROM hashed GROUP BY mon ORDER BY mon
+    """,
+    doc="DQ06: order-independent reconciliation checksum — the "
+        "migration/replication parity audit: every row serializes to a "
+        "canonical string (exact integer cents, ISO date, '|' field "
+        "separators — no engine-specific float or timestamp rendering "
+        "can leak in), hashes through the portable instr-on-hex md5 "
+        "decode to a 32-bit integer, and each month partition reports "
+        "COUNT + SUM + MIN/MAX of those hashes. SUM is commutative, so "
+        "the checksum is independent of row order, partitioning, and "
+        "engine — two copies of the table match iff their per-partition "
+        "(n_rows, checksum) vectors match, without ever co-locating or "
+        "sorting the copies. THIS pair is itself the reconciliation: "
+        "the oracle recomputes the fingerprint in a different engine "
+        "from the same parquet and the driver asserts byte equality. "
+        "Scale: one scan, one partial+final agg; each partition ships "
+        "four int64s — the O(partitions) table-diff that replaces the "
+        "O(rows) full-compare at 100 TB. One SQL text, both dialects.",
+)

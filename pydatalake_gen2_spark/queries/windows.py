@@ -1049,3 +1049,62 @@ sql_pair(
         "sorts after one hash shuffle (W07 shape); the frame is O(1) "
         "per row, so 100 TB streams through without ballooning state.",
 )
+
+
+# ---------------------------------------------------------------------------
+# w36: additive seasonal decomposition (centered-MA detrend, exact integers)
+# ---------------------------------------------------------------------------
+
+sql_pair(
+    "w36_seasonal_decomposition",
+    """
+    WITH monthly AS (
+      SELECT date_trunc('month', o_orderdate) AS mon,
+             month(o_orderdate) AS moy,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY date_trunc('month', o_orderdate),
+                           month(o_orderdate)),
+    trended AS (
+      SELECT mon, moy, cents,
+             CAST(SUM(cents) OVER (
+               ORDER BY mon ROWS BETWEEN 5 PRECEDING AND 6 FOLLOWING)
+               AS BIGINT) AS win_sum,
+             CAST(COUNT(*) OVER (
+               ORDER BY mon ROWS BETWEEN 5 PRECEDING AND 6 FOLLOWING)
+               AS BIGINT) AS win_n
+      FROM monthly),
+    detrended AS (
+      SELECT moy, 12 * cents - win_sum AS det12
+      FROM trended WHERE win_n = 12),
+    seasonal AS (
+      SELECT moy,
+             CAST(COUNT(*) AS BIGINT) AS n_obs,
+             CAST(SUM(det12) AS BIGINT) AS s12
+      FROM detrended GROUP BY moy)
+    SELECT moy, n_obs,
+           ROUND(CAST(s12 AS DOUBLE) / CAST(12 * n_obs AS DOUBLE) / 100, 4)
+             AS raw_seasonal,
+           ROUND((CAST(s12 AS DOUBLE) / CAST(12 * n_obs AS DOUBLE)
+                  - CAST(SUM(CAST(s12 AS DOUBLE) / CAST(12 * n_obs AS DOUBLE))
+                         OVER () AS DOUBLE) / 12) / 100, 4)
+             AS seasonal_index
+    FROM seasonal ORDER BY moy
+    """,
+    doc="W36: additive seasonal decomposition — classical "
+        "decompose-by-centered-moving-average: monthly revenue, a "
+        "12-month centered MA trend, per-month-of-year mean deviation, "
+        "re-centered so indices sum to zero (the STL-lite every demand/"
+        "capacity dashboard runs). Exactness trick: the detrended "
+        "series is kept as the INTEGER 12·y − window_sum (multiplying "
+        "through by the MA denominator), so the window sum, the "
+        "deviation, and the per-month sums are ALL exact int64 — no "
+        "double is summed in any order-dependent way; the only float "
+        "ops are 12 identical per-month divides plus the 12-term "
+        "re-centering window (deterministic: one row per month, ORDER "
+        "BY-free OVER () sums 12 values both engines produce "
+        "identically... ordered identically by the single-partition "
+        "window). ROUND(4). Scale: the corpus pass is the monthly "
+        "partial+final agg; everything after runs on ~80 rows. One SQL "
+        "text, both dialects.",
+)
