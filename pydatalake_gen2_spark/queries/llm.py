@@ -4409,3 +4409,125 @@ _sql_pair(
         "final shuffle regardless of corpus size. Dialect split is only "
         "the token explode spelling.",
 )
+
+
+# ---------------------------------------------------------------------------
+# lx_mmr_rerank: maximal-marginal-relevance diversified top-k
+# ---------------------------------------------------------------------------
+
+_MMR_COS = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+def _mmr_duck(k: int = 5, lam: str = "0.7") -> str:
+    steps = []
+    picks = ["p1"]
+    steps.append(
+        "p1 AS (SELECT vec_id, rel AS sc FROM pool "
+        "ORDER BY rel DESC, vec_id LIMIT 1)"
+    )
+    for i in range(2, k + 1):
+        prev_union = " UNION ALL ".join(f"SELECT vec_id FROM {p}" for p in picks)
+        steps.append(
+            f"p{i} AS (SELECT pool.vec_id, "
+            f"{lam} * pool.rel - (1 - {lam}) * "
+            f"(SELECT MAX(sim) FROM sims WHERE sims.a = pool.vec_id "
+            f"AND sims.b IN ({prev_union})) AS sc "
+            f"FROM pool WHERE pool.vec_id NOT IN ({prev_union}) "
+            f"ORDER BY sc DESC, vec_id LIMIT 1)"
+        )
+        picks.append(f"p{i}")
+    final = " UNION ALL ".join(
+        f"SELECT {i + 1} AS step, vec_id, sc FROM {p}" for i, p in enumerate(picks)
+    )
+    cos_qc = _MMR_COS.format(a="qv", b="cv")
+    cos_xy = _MMR_COS.format(a="x.cv", b="y.cv")
+    return f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id > 0),
+    pool AS (
+      SELECT vec_id, cv, {cos_qc} AS rel
+      FROM c CROSS JOIN q ORDER BY rel DESC, vec_id LIMIT 12),
+    sims AS (
+      SELECT x.vec_id AS a, y.vec_id AS b, {cos_xy} AS sim
+      FROM pool x JOIN pool y ON x.vec_id <> y.vec_id),
+    {', '.join(steps)}
+    SELECT CAST(step AS BIGINT) AS step, vec_id, ROUND(sc, 4) AS mmr_score
+    FROM ({final}) ORDER BY step
+    """
+
+
+@register(
+    "lx_mmr_rerank",
+    duck_sql=_mmr_duck(),
+    doc="LX-MMR: maximal-marginal-relevance diversified rerank — the "
+        "standard retrieval post-processor (Carbonell-Goldstein) that "
+        "trades relevance against redundancy: greedily pick argmax "
+        "lambda*rel - (1-lambda)*max_sim_to_picked (lambda=0.7, k=5) from a "
+        "relevance top-12 pool. The RAG-context assembler next to "
+        "lx_rrf_fusion (which merges RANKINGS; MMR shapes ONE ranking "
+        "for diversity). Engine side: pool selection is the l03 "
+        "broadcast-cosine TakeOrdered pass (the ONLY corpus-scale "
+        "stage, linear scan + top-k heap at 100 TB); the 12x12 sim "
+        "lattice and the k greedy steps are STATIC DataFrame ops "
+        "(anti-join picked, max-sim agg, TakeOrdered(1)) — an unrolled "
+        "fixed-k plan, no driver loop over data, every float op the "
+        "proven bit-stable zip_with/aggregate dot product. Oracle: the "
+        "identical greedy unroll as chained CTEs (iterative-op "
+        "discipline). Ties break by vec_id in both. ROUND(4) display "
+        "only — selection compares raw doubles both engines produce "
+        "bit-identically.",
+)
+def lx_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pydatalake_gen2_spark.operators import vectors as V
+
+    lam = 0.7
+    emb = spark.table("embeddings").select(
+        "vec_id", V.as_double(F.col("embedding")).alias("v")
+    )
+    anchor = emb.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    pool = (
+        emb.where(F.col("vec_id") > 0)
+        .crossJoin(F.broadcast(anchor))
+        .select("vec_id", "v", V.cosine(F.col("v"), F.col("qv")).alias("rel"))
+        .orderBy(F.desc("rel"), "vec_id")
+        .limit(12)
+    )
+    x = pool.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
+    y = pool.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
+    sims = (
+        x.crossJoin(y)
+        .where(F.col("a") != F.col("b"))
+        .select("a", "b", V.cosine(F.col("va"), F.col("vb")).alias("sim"))
+    )
+    rels = pool.select("vec_id", "rel")
+    picked = (
+        rels.orderBy(F.desc("rel"), "vec_id")
+        .limit(1)
+        .select(F.lit(1).alias("step"), "vec_id", F.col("rel").alias("sc"))
+    )
+    for step in range(2, 6):
+        prev = picked.select(F.col("vec_id").alias("p"))
+        cands = rels.join(prev, rels["vec_id"] == F.col("p"), "left_anti")
+        maxsim = (
+            sims.join(prev, sims["b"] == F.col("p"))
+            .groupBy("a")
+            .agg(F.max("sim").alias("ms"))
+        )
+        scored = cands.join(maxsim, cands["vec_id"] == maxsim["a"]).select(
+            cands["vec_id"],
+            (F.lit(lam) * F.col("rel") - F.lit(1 - lam) * F.col("ms")).alias("sc"),
+        )
+        pick = (
+            scored.orderBy(F.desc("sc"), "vec_id")
+            .limit(1)
+            .select(F.lit(step).alias("step"), "vec_id", "sc")
+        )
+        picked = picked.unionByName(pick)
+    return picked.select(
+        F.col("step").cast("long").alias("step"),
+        "vec_id",
+        F.round("sc", 4).alias("mmr_score"),
+    ).orderBy("step")
