@@ -1276,3 +1276,48 @@ sql_pair(
         "side broadcast; the encode-at-train-time join ships only 25 "
         "brand rows. One SQL text, both dialects.",
 )
+
+
+# ---------------------------------------------------------------------------
+# g56: Gini coefficient + Lorenz deciles of customer revenue concentration
+# ---------------------------------------------------------------------------
+
+sql_pair(
+    "g56_gini_coefficient",
+    """
+    WITH per_cust AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey),
+    ranked AS (
+      SELECT cents,
+             CAST(ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS BIGINT) AS i
+      FROM per_cust),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS s,
+             CAST(SUM(i * cents) AS BIGINT) AS ws
+      FROM ranked)
+    SELECT n,
+           ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100, 4)
+             AS mean_revenue,
+           ROUND(2.0 * CAST(ws AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
+                 - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) AS gini
+    FROM tot
+    """,
+    doc="G56: Gini coefficient of per-customer revenue concentration — "
+        "the single-number inequality summary whose full curve is "
+        "W22's Lorenz and whose top-share cut is W32's Pareto "
+        "concentration; the standard skew-risk indicator for 'is this "
+        "key distribution salting-worthy'. Uses the exact rank identity "
+        "G = 2·Σ i·x_(i) / (n·Σx) − (n+1)/n over cents sorted "
+        "ascending (ties broken by custkey — i·x is invariant within a "
+        "tie's value anyway): Σ i·x fits int64 to ~1e5 customers × 1e9 "
+        "cents; both Σ are exact integers, ONE final double expression, "
+        "ROUND(6). Scale: one partial+final per-customer agg, one "
+        "global sort (the rank), then a 3-int64 reduce; at 100 TB the "
+        "sort is the designed cost and the binned/quantile "
+        "approximation (W22's deciles) is the cheap sibling. One SQL "
+        "text, both dialects.",
+)

@@ -375,3 +375,67 @@ sql_pair(
         "formula is one ROUND(4)ed row-local double expression. "
         "Complements t02/t05 (quality gates) and t10 (lexical density).",
 )
+
+
+# ---------------------------------------------------------------------------
+# t12: Zipf-law fit of the corpus token-frequency curve
+# ---------------------------------------------------------------------------
+
+_T12_BODY = """
+    WITH tok AS (
+      SELECT {tok} AS token FROM documents),
+    freq AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS f
+      FROM tok GROUP BY token),
+    ranked AS (
+      SELECT f,
+             CAST(ROW_NUMBER() OVER (ORDER BY f DESC, token) AS BIGINT) AS r
+      FROM freq),
+    pts AS (
+      SELECT CAST(ROUND(LN(CAST(r AS DOUBLE)), 8) AS DECIMAL(20,10)) AS x,
+             CAST(ROUND(LN(CAST(f AS DOUBLE)), 8) AS DECIMAL(20,10)) AS y,
+             CAST(ROUND(ROUND(LN(CAST(r AS DOUBLE)), 8)
+                        * ROUND(LN(CAST(f AS DOUBLE)), 8), 8)
+                  AS DECIMAL(20,10)) AS xy,
+             CAST(ROUND(ROUND(LN(CAST(r AS DOUBLE)), 8)
+                        * ROUND(LN(CAST(r AS DOUBLE)), 8), 8)
+                  AS DECIMAL(20,10)) AS xx
+      FROM ranked WHERE r <= 200),
+    moments AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(xy) AS sxy, SUM(xx) AS sxx
+      FROM pts)
+    SELECT n,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4)
+             AS zipf_slope,
+           ROUND(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+                 - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                   * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 4)
+             AS ln_intercept
+    FROM moments
+    """
+
+sql_pair(
+    "t12_zipf_fit",
+    _T12_BODY.format(tok="explode(split(lower(text), ' '))"),
+    _T12_BODY.format(tok="unnest(string_split(lower(text), ' '))"),
+    doc="T12: Zipf's-law fit — OLS slope of ln(freq) on ln(rank) over "
+        "the top-200 corpus token ranks; natural text runs slope ~ -1, "
+        "and deviation is the cheap corpus-health tell (synthetic/"
+        "boilerplate-heavy corpora flatten the head, OCR noise fattens "
+        "the tail) used as a pretraining-mix sanity gate next to T09's "
+        "entropy. Float discipline is G48's: each log is ROUND(8) then "
+        "every product re-ROUND(8) and summed as exact DECIMAL(20,10) "
+        "— no order-dependent double accumulation anywhere; the slope/"
+        "intercept are one final double expression each, ROUND(4). "
+        "Scale: token counting is the canonical explode + partial+final "
+        "agg; the rank sort is top-200 of the frequency table (a "
+        "TakeOrdered at 100 TB, not a global sort). Dialect split: "
+        "token explode spelling only.",
+)
