@@ -102,8 +102,15 @@ _ALIASES: dict[str, str] = {
     # a04 and stays covered by a05/j21's time-join reps; the slot goes to
     # the new SQL-UDF class (Spark 4 CREATE FUNCTION, scalar + table).
     "a04_ud13_sql_udf": "ud13_sql_udf",
-    "a05_j11_asof": "j11_asof",
-    "a06_j13_lateral": "j13_lateral",
+    # r10 repurpose: j11 holds a green r3 driver row (a05) and the time-
+    # join family keeps j14/j21 in the local mirror; the slot goes to the
+    # new interval-OVERLAP join class (week-bucket candidate equi-join —
+    # the theta-join shape no other window row exercises).
+    "a05_j36_interval_overlap": "j36_interval_overlap_join",
+    # r10 repurpose: j13 holds a green r3 driver row (a06); the slot
+    # goes to the new retrieval-diversification class (MMR rerank — the
+    # greedy unrolled plan, first driver evidence for rerankers).
+    "a06_lx_mmr_rerank": "lx_mmr_rerank",
     # r6 repurpose: a05 already covers the as-of family, so the tolerance
     # variant's slot goes to the new null-safe equality join (distinct
     # NULL-matching semantics class, first driver evidence).
@@ -149,11 +156,17 @@ _ALIASES: dict[str, str] = {
     # a17/a19/a21; the slot goes to the new SPATIAL join class
     # (grid-bucketed haversine nearest-neighbour).
     "a18_j32_geo_grid_join": "j32_geo_grid_join",
-    "a19_w07_running_total": "w07_running_total",
+    # r10 repurpose: w07 holds a green r3 driver row (a19) and the w
+    # family keeps a17/a21-adjacent reps; the slot goes to the new
+    # seasonal-decomposition class (centered-MA detrend, integer-exact).
+    "a19_w36_seasonal_decomp": "w36_seasonal_decomposition",
     # r7 repurpose: w12 holds a green r3 row; the slot goes to the new
     # incremental near-dup ingest class (batch vs persisted MinHash index).
     "a20_l59_incremental_neardup": "l59_incremental_neardup",
-    "a21_w13_gap_fill_ffill": "w13_gap_fill_ffill",
+    # r10 repurpose: w13 holds a green r3 driver row (a21); the slot
+    # goes to the new forecasting class (Holt double-exponential
+    # smoothing — applyInPandas recursion vs recursive-CTE oracle).
+    "a21_c32_holt_linear": "c32_holt_linear",
     # sorts / top-k
     # r8 repurpose: o03 holds a green r3 driver row and a23 keeps the
     # top-k rep; the slot goes to WITH-TIES semantics and its two-pass
@@ -164,7 +177,10 @@ _ALIASES: dict[str, str] = {
     # (right-censored Kaplan-Meier lifetime curve).
     "a23_g48_kaplan_meier": "g48_kaplan_meier",
     # set ops
-    "a24_u01_union_all": "u01_union_all",
+    # r10 repurpose: u01 holds a green r3 driver row (a24) and a25
+    # keeps the set-op family; the slot goes to the new resampling class
+    # (seeded deterministic bootstrap CI — portable-LCG draws).
+    "a24_g54_bootstrap_ci": "g54_bootstrap_ci",
     "a25_u05_intersect_except_all": "u05_intersect_except_all",
     # projection / filter (a27 keeps the family's window rep)
     # r6 repurpose: p05's slot goes to the new recursive-CTE capability
@@ -195,7 +211,10 @@ _ALIASES: dict[str, str] = {
     # (integer-exact PageRank) for first-ever driver evidence.
     "a33_gr01_pagerank": "gr01_pagerank",
     # LLM-pipeline operators
-    "a34_l01_dedup_exact": "l01_dedup_exact",
+    # r10 repurpose: l01 holds a green r3 driver row (a34) and dedup
+    # keeps a20/a35/a39; the slot goes to the new classifier-calibration
+    # class (isotonic/PAV fit via the exact minimax identity).
+    "a34_l76_isotonic": "l76_isotonic_calibration",
     "a35_l02b_ngram_jaccard": "l02b_ngram_jaccard",
     # r9 repurpose: l03 holds a green r3 driver row, runs in every bench
     # round, and stays transitively exercised by a15 (MRL runs
@@ -214,7 +233,10 @@ _ALIASES: dict[str, str] = {
     "a40_l12_deterministic_sample": "l12_deterministic_sample",
     "a41_l15_sequence_packing": "l15_sequence_packing",
     # text analysis
-    "a42_t01_language_id": "t01_language_id",
+    # r10 repurpose: t01 holds a green r3 driver row (a42) and a43
+    # keeps the text family; the slot goes to the new reconciliation
+    # class (order-independent cross-engine table checksum).
+    "a42_dq06_reconciliation": "dq06_reconciliation_checksum",
     "a43_t02_quality_score": "t02_quality_score",
     # streaming (batch-equivalent forms)
     "a44_st01_tumbling_batch": "st01_tumbling_batch",

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import pytest
 
+import re
+
 from pydatalake_gen2_spark.registry import load_all
 
 
@@ -607,3 +609,28 @@ def test_dq02_one_join_one_aggregate(spark, sf_dir):
     assert "HashAggregate" in plan or "ObjectHashAggregate" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_j36_interval_overlap_is_equi_join(spark, sf_dir):
+    """j36: the interval-overlap candidate join must plan as an equi-join
+    on the week bucket — the theta join the oracle states (CartesianProduct
+    / BroadcastNestedLoopJoin) is exactly what the bucketing replaces."""
+    plan = _plan(spark, sf_dir, "j36_interval_overlap_join")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_lx_mmr_pool_is_take_ordered(spark, sf_dir):
+    """lx_mmr: the relevance pool must be a TakeOrderedAndProject (top-k
+    heap, the only corpus-scale stage) — never a global sort."""
+    plan = _plan(spark, sf_dir, "lx_mmr_rerank")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_c32_single_corpus_pass(spark, sf_dir):
+    """c32: Holt smoothing must aggregate the corpus ONCE (monthly
+    partial+final agg) before the per-key pandas recursion."""
+    plan = _plan(spark, sf_dir, "c32_holt_linear")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "HashAggregate" in plan, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
