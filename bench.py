@@ -113,6 +113,12 @@ BENCH_QUERIES = [
     "er03_entity_clusters",
     "dq01_expectation_suite",
     "lx_sq8_recall",
+    # round-10 widening: diversified rerank, interval-overlap bucket join,
+    # deterministic bootstrap, hashing-trick featurizer
+    "lx_mmr_rerank",
+    "j36_interval_overlap_join",
+    "g54_bootstrap_ci",
+    "l77_feature_hashing",
 ]
 
 N_RUNS = 3
