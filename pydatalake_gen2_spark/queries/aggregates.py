@@ -1321,3 +1321,126 @@ sql_pair(
         "approximation (W22's deciles) is the cheap sibling. One SQL "
         "text, both dialects.",
 )
+
+
+# ---------------------------------------------------------------------------
+# g57: two-sample Kolmogorov-Smirnov statistic (exact integer ECDF)
+# ---------------------------------------------------------------------------
+
+sql_pair(
+    "g57_ks_two_sample",
+    """
+    WITH pts AS (
+      SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+             CASE WHEN o_orderpriority < '3' THEN 1 ELSE 0 END AS is_a
+      FROM orders),
+    tot AS (
+      SELECT CAST(SUM(is_a) AS BIGINT) AS na,
+             CAST(SUM(1 - is_a) AS BIGINT) AS nb
+      FROM pts),
+    steps AS (
+      SELECT cents,
+             CAST(SUM(is_a) AS BIGINT) AS a_here,
+             CAST(SUM(1 - is_a) AS BIGINT) AS b_here
+      FROM pts GROUP BY cents),
+    ecdf AS (
+      SELECT cents,
+             CAST(SUM(a_here) OVER (ORDER BY cents) AS BIGINT) AS cum_a,
+             CAST(SUM(b_here) OVER (ORDER BY cents) AS BIGINT) AS cum_b
+      FROM steps),
+    gaps AS (
+      SELECT cents, ABS(nb * cum_a - na * cum_b) AS num
+      FROM ecdf CROSS JOIN tot),
+    best AS (
+      SELECT CAST(MAX(num) AS BIGINT) AS max_num FROM gaps)
+    SELECT na, nb,
+           ROUND(CAST(max_num AS DOUBLE)
+                 / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS ks_d,
+           CAST((SELECT MIN(cents) FROM gaps WHERE num = best.max_num)
+                AS BIGINT) AS argmax_cents,
+           CASE WHEN CAST(max_num AS DOUBLE)
+                     / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+                     > 1.358 * SQRT((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+                                    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))
+                THEN 1 ELSE 0 END AS reject_95
+    FROM tot CROSS JOIN best
+    """,
+    doc="G57: two-sample Kolmogorov-Smirnov test — the distribution-"
+        "equality check (urgent-priority vs normal-priority order "
+        "values) that G50's Welch t can't see (t compares MEANS; KS "
+        "catches shape/variance/tail drift), and the statistic behind "
+        "DQ03-style drift monitors. The ECDF gap is kept EXACT: D's "
+        "numerator is the integer |n_b·cumA(v) − n_a·cumB(v)| maximized "
+        "over the pooled step points (fits int64 to ~3e9×3e9 cell "
+        "products), so max and argmax are integer comparisons; only the "
+        "final D and the 95% Smirnov fence (1.358·sqrt((na+nb)/(na·nb))) "
+        "are doubles, ROUND(6). Scale: one partial+final agg to the "
+        "distinct-value step table, ONE ordered window over it (the "
+        "designed cost — at 100 TB you bin the ECDF first, same "
+        "downstream arithmetic), then a 2-int64 reduce. One SQL text, "
+        "both dialects.",
+)
+
+
+# ---------------------------------------------------------------------------
+# g58: permutation test for the group mean difference (exact, seeded)
+# ---------------------------------------------------------------------------
+
+sql_pair(
+    "g58_permutation_test",
+    """
+    WITH base AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) AS BIGINT) AS i,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+             CASE WHEN o_orderpriority < '3' THEN 1 ELSE 0 END AS is_a
+      FROM orders),
+    tot AS (
+      SELECT CAST(SUM(is_a) AS BIGINT) AS na,
+             CAST(SUM(1 - is_a) AS BIGINT) AS nb,
+             CAST(SUM(cents) AS BIGINT) AS s,
+             CAST(SUM(is_a * cents) AS BIGINT) AS sa
+      FROM base),
+    reps AS (SELECT i AS b FROM base WHERE i <= 100),
+    shuffled AS (
+      SELECT r.b, t.cents,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY r.b
+               ORDER BY (1103515245 * (r.b * 1000003 + t.i) + 12345)
+                        % 2147483648, t.i) AS BIGINT) AS rnk
+      FROM reps r CROSS JOIN base t),
+    perm AS (
+      SELECT sh.b,
+             CAST(SUM(CASE WHEN sh.rnk <= tot.na THEN sh.cents ELSE 0 END)
+                  AS BIGINT) AS sa_b
+      FROM shuffled sh CROSS JOIN tot
+      GROUP BY sh.b, tot.na),
+    stats AS (
+      SELECT CAST(SUM(CASE WHEN ABS((na + nb) * sa_b - na * s)
+                                >= ABS((na + nb) * sa - na * s)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+             CAST(COUNT(*) AS BIGINT) AS n_perm
+      FROM perm CROSS JOIN tot)
+    SELECT na, nb, n_perm, n_extreme,
+           ROUND((CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+                  - CAST(s - sa AS DOUBLE) / CAST(nb AS DOUBLE)) / 100, 4)
+             AS obs_mean_diff,
+           ROUND(CAST(1 + n_extreme AS DOUBLE)
+                 / CAST(1 + n_perm AS DOUBLE), 4) AS p_value
+    FROM tot CROSS JOIN stats
+    """,
+    doc="G58: permutation (randomization) test for the urgent-vs-normal "
+        "mean order value — the assumption-free significance check next "
+        "to G50 (Welch), G53 (z) and G54 (bootstrap): under H0 labels "
+        "are exchangeable, so B=100 GENUINE label permutations (group "
+        "sizes preserved — each permutation ranks rows by the portable "
+        "LCG hash and hands the first na ranks to group A, a bijection, "
+        "not a resample) rebuild the null distribution. The test "
+        "statistic is held EXACT: |(na+nb)·ΣA_b − na·S| is pure int64 "
+        "(≲5e15 here), so every >= comparison and the extreme-count are "
+        "integer-exact; p = (1+extreme)/(1+B). Scale: the B×n frame "
+        "carries (b, cents, rank) only, each permutation reduces to ONE "
+        "int64 partial sum, and the per-b window sorts within B "
+        "independent partitions — at 100 TB permute per-partition "
+        "partials instead of rows (same exchangeability argument). One "
+        "SQL text, both dialects.",
+)
