@@ -514,3 +514,63 @@ sql_pair(
         "pruning and scan ReadSchema behave exactly as if each kept "
         "column were listed — nothing dynamic survives into the plan.",
 )
+
+
+# ---------------------------------------------------------------------------
+# p23: VARIANT ingest + shred (Spark 4 semi-structured path)
+# ---------------------------------------------------------------------------
+
+@register(
+    "p23_variant_shred",
+    duck_sql="""
+    SELECT event_id,
+           CAST(user_id AS BIGINT) AS uid,
+           event_type AS seg,
+           CAST(2 * CAST(ROUND(value * 100, 0) AS BIGINT) AS BIGINT)
+             AS second_val,
+           CAST(TRUE AS BOOLEAN) AS missing_is_null
+    FROM events ORDER BY event_id
+    """,
+    doc="P23: VARIANT ingest + shred — Spark 4's semi-structured type "
+        "end-to-end: a nested JSON document is built row-locally from "
+        "typed columns (integer cents only — no float rendering), "
+        "parse_json()'d into a VARIANT, then shredded back out with "
+        "typed variant_get paths ($.user.id as bigint, $.user.seg as "
+        "string, $.vals[1] array index, and a missing-path probe that "
+        "must return NULL). The oracle recomputes every output straight "
+        "from the source columns, so the hash certifies the build→parse"
+        "→shred round-trip is lossless and the path/type semantics are "
+        "exact. VARIANT is the open-table-format answer to schema-on-"
+        "read JSON blobs: the binary encoding pushes typed path access "
+        "into the scan instead of per-row string parsing (the "
+        "get_json_object hot-path tax f23 measures). Row-local ops, no "
+        "shuffle; at 100 TB this is a map-only stage and shredded "
+        "columns prune like any other.",
+)
+def p23_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = F.concat(
+        F.lit('{"user":{"id":'),
+        F.col("user_id").cast("string"),
+        F.lit(',"seg":"'),
+        F.col("event_type"),
+        F.lit('"},"vals":['),
+        F.round(F.col("value") * 100, 0).cast("bigint").cast("string"),
+        F.lit(","),
+        (2 * F.round(F.col("value") * 100, 0).cast("bigint")).cast("string"),
+        F.lit("]}"),
+    )
+    v = F.parse_json(doc)
+    return (
+        spark.table("events")
+        .select("event_id", v.alias("v"))
+        .select(
+            "event_id",
+            F.variant_get(F.col("v"), "$.user.id", "bigint").alias("uid"),
+            F.variant_get(F.col("v"), "$.user.seg", "string").alias("seg"),
+            F.variant_get(F.col("v"), "$.vals[1]", "bigint").alias("second_val"),
+            F.variant_get(F.col("v"), "$.missing", "string")
+            .isNull()
+            .alias("missing_is_null"),
+        )
+        .orderBy("event_id")
+    )
