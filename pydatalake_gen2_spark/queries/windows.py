@@ -1108,3 +1108,86 @@ sql_pair(
         "partial+final agg; everything after runs on ~80 rows. One SQL "
         "text, both dialects.",
 )
+
+
+# ---------------------------------------------------------------------------
+# w37: maximum drawdown over the cumulative value series
+# ---------------------------------------------------------------------------
+
+sql_pair(
+    "w37_max_drawdown",
+    """
+    WITH series AS (
+      SELECT event_type, ts, event_id,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id) AS BIGINT)
+               AS cum
+      FROM events),
+    peaks AS (
+      SELECT event_type, cum,
+             CAST(MAX(cum) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id) AS BIGINT)
+               AS peak
+      FROM series)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           ROUND(CAST(MAX(peak - cum) AS DOUBLE) / 100, 4) AS max_drawdown,
+           ROUND(CAST(MAX(peak) AS DOUBLE) / 100, 4) AS max_peak,
+           ROUND(CAST(MAX(CASE WHEN peak > 0
+                                THEN CAST(10000 * (peak - cum) AS DOUBLE)
+                                     / CAST(peak AS DOUBLE)
+                                ELSE 0.0 END) AS DOUBLE) / 100, 4)
+             AS max_drawdown_pct
+    FROM peaks GROUP BY event_type ORDER BY event_type
+    """,
+    doc="W37: maximum drawdown — the largest peak-to-trough fall of the "
+        "cumulative value series per event type (running SUM, running "
+        "MAX of that sum, max gap): the risk summary every trading/"
+        "capacity dashboard pairs with W34's TWAP, and a W-family shape "
+        "no other query exercises (two STACKED cumulative windows over "
+        "one sort). All series arithmetic is exact integer cents — "
+        "running sum, running peak, gap, and their maxima are int64; "
+        "the percent form divides once per row inside MAX (identical "
+        "IEEE operands both engines), final ROUND(4). Scale: per-key "
+        "local sort after one hash shuffle (W07's shape), one partial+"
+        "final agg on top; nothing global.",
+)
+
+
+# ---------------------------------------------------------------------------
+# g59: Theil-Sen robust trend (median of pairwise slopes)
+# ---------------------------------------------------------------------------
+
+sql_pair(
+    "g59_theil_sen",
+    """
+    WITH monthly AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY date_trunc('month', o_orderdate))
+                  AS BIGINT) AS t,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY date_trunc('month', o_orderdate)),
+    slopes AS (
+      SELECT CAST(b.cents - a.cents AS DOUBLE)
+             / CAST(b.t - a.t AS DOUBLE) AS slope
+      FROM monthly a JOIN monthly b ON a.t < b.t)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(CAST(PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY slope)
+                      AS DOUBLE) / 100, 4) AS theil_sen_slope,
+           ROUND(CAST(MIN(slope) AS DOUBLE) / 100, 4) AS min_slope,
+           ROUND(CAST(MAX(slope) AS DOUBLE) / 100, 4) AS max_slope
+    FROM slopes
+    """,
+    doc="G59: Theil-Sen estimator — the median of all pairwise slopes of "
+        "the monthly revenue series: the robust trend line (29.3% "
+        "breakdown point) that OLS (G20's regr_slope) loses to a single "
+        "outlier month, and the sibling C32's Holt forecast consults "
+        "for trend sanity. Slopes are single IEEE divisions of exact "
+        "integer cent deltas by integer month gaps (identical operands "
+        "both engines); the median is PERCENTILE_DISC — an ACTUAL slope "
+        "value, no interpolation float (G43/G47 discipline). The O(T²) "
+        "pair lattice is over the ~80-row monthly PROFILE, never the "
+        "corpus: the monthly rollup is the one 100 TB pass ('aggregate "
+        "down, then iterate on the profile', C32's shape). ROUND(4). "
+        "One SQL text, both dialects.",
+)
