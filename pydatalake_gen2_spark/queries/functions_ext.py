@@ -1053,3 +1053,69 @@ def f59_schema_of_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("j.k")).cast("bigint").alias("sum_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# f60: collation-aware grouping (Spark 4 COLLATE)
+# ---------------------------------------------------------------------------
+
+@register(
+    "f60_collated_groupby",
+    duck_sql="""
+    WITH mixed AS (
+      SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+                  ELSE lower(c_mktsegment) END AS seg
+      FROM customer),
+    norm AS (
+      SELECT lower(seg) AS seg_norm, CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM mixed GROUP BY lower(seg)),
+    tot AS (
+      SELECT CAST(COUNT(DISTINCT seg) AS BIGINT) AS n_raw_distinct
+      FROM mixed)
+    SELECT seg_norm, n_rows,
+           CAST(COUNT(*) OVER () AS BIGINT) AS n_ci_groups,
+           n_raw_distinct
+    FROM norm CROSS JOIN tot
+    ORDER BY seg_norm
+    """,
+    doc="F60: collation-aware grouping — Spark 4's COLLATE UTF8_LCASE "
+        "makes case-insensitivity a property of the TYPE, so GROUP BY, "
+        "DISTINCT, and joins honor it engine-side with NO lower() "
+        "rewrite (the rewrite defeats dictionary encoding and any "
+        "future collated index; collated grouping keeps the raw bytes "
+        "and compares case-insensitively). A deterministic mixed-case "
+        "segment column (upper for even keys, lower for odd) groups "
+        "under the collation to 5 groups where raw DISTINCT sees 10 — "
+        "both counts certified; the displayed group key is min(lower()) "
+        "for a collation-independent representative. The oracle states "
+        "the same semantics via lower() — equivalence IS the claim. "
+        "Partial+final agg, one scan; collation compares are codegen'd "
+        "row-local ops at any scale.",
+)
+def f60_collated_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mixed = spark.table("customer").select(
+        F.when(F.col("c_custkey") % 2 == 0, F.upper("c_mktsegment"))
+        .otherwise(F.lower("c_mktsegment"))
+        .alias("seg")
+    )
+    norm = (
+        mixed.groupBy(F.expr("seg COLLATE UTF8_LCASE").alias("segc"))
+        .agg(
+            F.min(F.lower("seg")).alias("seg_norm"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        )
+        .select("seg_norm", "n_rows")
+    )
+    tot = mixed.agg(
+        F.countDistinct("seg").cast("bigint").alias("n_raw_distinct")
+    )
+    from pyspark.sql.window import Window
+
+    return (
+        norm.withColumn(
+            "n_ci_groups", F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint")
+        )
+        .crossJoin(F.broadcast(tot))
+        .select("seg_norm", "n_rows", "n_ci_groups", "n_raw_distinct")
+        .orderBy("seg_norm")
+    )
