@@ -4459,6 +4459,25 @@ def _mmr_duck(k: int = 5, lam: str = "0.7") -> str:
     """
 
 
+def _mmr_pool(spark: SparkSession):
+    """Relevance pool: the one corpus-scale stage (broadcast-cosine
+    TakeOrdered top-12). Split out so tests can plan-gate it directly."""
+    from pydatalake_gen2_spark.operators import vectors as V
+
+    emb = spark.table("embeddings").select(
+        "vec_id", V.as_double(F.col("embedding")).alias("v")
+    )
+    anchor = emb.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    return (
+        emb.where(F.col("vec_id") > 0)
+        .crossJoin(F.broadcast(anchor))
+        .select("vec_id", "v", V.cosine(F.col("v"), F.col("qv")).alias("rel"))
+        .orderBy(F.desc("rel"), "vec_id")
+        .limit(12)
+    )
+
+
+
 @register(
     "lx_mmr_rerank",
     duck_sql=_mmr_duck(),
@@ -4484,16 +4503,28 @@ def lx_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pydatalake_gen2_spark.operators import vectors as V
 
     lam = 0.7
-    emb = spark.table("embeddings").select(
-        "vec_id", V.as_double(F.col("embedding")).alias("v")
-    )
-    anchor = emb.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
-    pool = (
-        emb.where(F.col("vec_id") > 0)
-        .crossJoin(F.broadcast(anchor))
-        .select("vec_id", "v", V.cosine(F.col("v"), F.col("qv")).alias("rel"))
-        .orderBy(F.desc("rel"), "vec_id")
-        .limit(12)
+    # Materialize the 12-row pool once (bounded codebook-style collect —
+    # the IVF-centroid precedent): as lazy lineage every later reference
+    # would replay the corpus cosine scan, and the step-k pick would
+    # re-evaluate steps 1..k-1 twice each (2^k plan blowup — the
+    # iterative-operator discipline). The corpus is scanned ONCE here.
+    pool_src = _mmr_pool(spark)
+    # Literal frames go through pandas/Arrow: list-of-Rows createDataFrame
+    # builds a pickled-RDD scan that spins Python workers on EVERY job,
+    # while the pandas path lands as a pure-JVM LocalTableScan (~30x
+    # faster per greedy step here).
+    import pandas as _pd
+
+    _prows = pool_src.collect()
+    pool = spark.createDataFrame(
+        _pd.DataFrame(
+            {
+                "vec_id": [r["vec_id"] for r in _prows],
+                "v": [list(r["v"]) for r in _prows],
+                "rel": [r["rel"] for r in _prows],
+            }
+        ),
+        schema=pool_src.schema,
     )
     x = pool.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
     y = pool.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
@@ -4503,31 +4534,39 @@ def lx_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", "b", V.cosine(F.col("va"), F.col("vb")).alias("sim"))
     )
     rels = pool.select("vec_id", "rel")
-    picked = (
-        rels.orderBy(F.desc("rel"), "vec_id")
-        .limit(1)
-        .select(F.lit(1).alias("step"), "vec_id", F.col("rel").alias("sc"))
+    # Greedy selection: every SCORE is computed by JVM column expressions
+    # (the bit-stable cosine + 0.7*rel - 0.3*maxsim), and only the single
+    # winning row per step crosses the driver (bounded: k rows total) so
+    # step k's plan never re-evaluates steps 1..k-1.
+    first = (
+        rels.orderBy(F.desc("rel"), "vec_id").limit(1).collect()[0]
     )
+    picked = [(1, first["vec_id"], float(first["rel"]))]
     for step in range(2, 6):
-        prev = picked.select(F.col("vec_id").alias("p"))
-        cands = rels.join(prev, rels["vec_id"] == F.col("p"), "left_anti")
-        maxsim = (
-            sims.join(prev, sims["b"] == F.col("p"))
-            .groupBy("a")
-            .agg(F.max("sim").alias("ms"))
-        )
-        scored = cands.join(maxsim, cands["vec_id"] == maxsim["a"]).select(
-            cands["vec_id"],
-            (F.lit(lam) * F.col("rel") - F.lit(1 - lam) * F.col("ms")).alias("sc"),
-        )
+        ids = [r[1] for r in picked]
         pick = (
-            scored.orderBy(F.desc("sc"), "vec_id")
+            rels.where(~F.col("vec_id").isin(ids))
+            .join(
+                sims.where(F.col("b").isin(ids))
+                .groupBy("a")
+                .agg(F.max("sim").alias("ms")),
+                rels["vec_id"] == F.col("a"),
+            )
+            .select(
+                "vec_id",
+                (F.lit(lam) * F.col("rel") - F.lit(1 - lam) * F.col("ms")).alias(
+                    "sc"
+                ),
+            )
+            .orderBy(F.desc("sc"), "vec_id")
             .limit(1)
-            .select(F.lit(step).alias("step"), "vec_id", "sc")
+            .collect()[0]
         )
-        picked = picked.unionByName(pick)
-    return picked.select(
-        F.col("step").cast("long").alias("step"),
-        "vec_id",
-        F.round("sc", 4).alias("mmr_score"),
+        picked.append((step, pick["vec_id"], float(pick["sc"])))
+    out = spark.createDataFrame(
+        _pd.DataFrame(picked, columns=["step", "vec_id", "sc"]),
+        schema="step long, vec_id long, sc double",
+    )
+    return out.select(
+        "step", "vec_id", F.round("sc", 4).alias("mmr_score")
     ).orderBy("step")

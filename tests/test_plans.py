@@ -621,9 +621,18 @@ def test_j36_interval_overlap_is_equi_join(spark, sf_dir):
 
 
 def test_lx_mmr_pool_is_take_ordered(spark, sf_dir):
-    """lx_mmr: the relevance pool must be a TakeOrderedAndProject (top-k
-    heap, the only corpus-scale stage) — never a global sort."""
-    plan = _plan(spark, sf_dir, "lx_mmr_rerank")
+    """lx_mmr: the relevance pool (the only corpus-scale stage; the greedy
+    unroll runs over its 12-row literal) must be a TakeOrderedAndProject
+    (top-k heap) — never a global sort."""
+    from pydatalake_gen2_spark.queries.llm import _mmr_pool
+    from pydatalake_gen2_spark.registry import ensure_views
+
+    ensure_views(spark, sf_dir)
+    df = _mmr_pool(spark)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
     assert "TakeOrderedAndProject" in plan, plan
 
 
