@@ -1350,3 +1350,87 @@ def s38_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         agg_vt.commit(merged)
     return agg_vt.read(2).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# s39: SHALLOW CLONE + divergence (zero-copy table fork)
+# ---------------------------------------------------------------------------
+
+@register(
+    "s39_shallow_clone",
+    duck_sql="""
+    WITH src AS (SELECT * FROM orders WHERE o_orderkey % 4 = 0),
+    delta AS (SELECT * FROM orders WHERE o_orderkey % 4 = 1)
+    SELECT 'clone_v1_equals_src' AS probe,
+           CAST((SELECT count(*) FROM src) AS BIGINT) AS n_rows,
+           CAST((SELECT sum(o_orderkey) FROM src) AS BIGINT) AS key_sum,
+           CAST(0 AS BIGINT) AS data_dirs_copied
+    UNION ALL
+    SELECT 'clone_v2_diverged',
+           CAST((SELECT count(*) FROM src) + (SELECT count(*) FROM delta)
+                AS BIGINT),
+           CAST((SELECT sum(o_orderkey) FROM src)
+                + (SELECT sum(o_orderkey) FROM delta) AS BIGINT),
+           CAST(1 AS BIGINT)
+    UNION ALL
+    SELECT 'src_unchanged',
+           CAST((SELECT count(*) FROM src) AS BIGINT),
+           CAST((SELECT sum(o_orderkey) FROM src) AS BIGINT),
+           CAST(0 AS BIGINT)
+    ORDER BY probe
+    """,
+    doc="S39: SHALLOW CLONE — the zero-copy table fork (Delta's CREATE "
+        "TABLE ... SHALLOW CLONE): the clone commit is ONE manifest "
+        "upload whose dir list references the source snapshot "
+        "ABSOLUTELY; no data moves (certified: data_dirs_copied counts "
+        "_v* dirs under the clone root — 0 at clone time, 1 only after "
+        "the clone's own append). The clone reads identically to the "
+        "source (row count + key sum hash-matched), diverges via its "
+        "own append_commit without touching the source, and the source "
+        "stays byte-identical after the divergence (third probe). This "
+        "is the dev/test-against-prod-data and experiment-branching "
+        "primitive: at 100 TB a clone costs O(1) metadata while a deep "
+        "copy costs the table. Lifecycle coupling to source expire/"
+        "vacuum is documented on clone_from (same caveat as Delta).",
+)
+def s39_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pydatalake_gen2_spark.sources.versioned import VersionedTable
+
+    src_vt = VersionedTable(spark, _tmp("s39_src", sf_dir))
+    clone = VersionedTable(spark, _tmp("s39_clone", sf_dir))
+    o = spark.table("orders")
+    if src_vt.current_version() == 0:
+        src_vt.commit(o.filter(F.col("o_orderkey") % 4 == 0))
+    if clone.current_version() == 0:
+        clone.clone_from(src_vt)
+
+    def dirs_copied() -> int:
+        import os as _os
+
+        root = _tmp("s39_clone", sf_dir)
+        return sum(
+            1 for n in _os.listdir(root) if n.startswith("_v")
+        ) if _os.path.isdir(root) else 0
+
+    clone_v1 = clone.read(1)
+    copied_v1 = dirs_copied()
+    if clone.current_version() == 1:
+        clone.append_commit(o.filter(F.col("o_orderkey") % 4 == 1))
+    clone_v2 = clone.read(2)
+    copied_v2 = dirs_copied()
+    src_after = src_vt.read()
+
+    def stat(df, label, copied):
+        return df.agg(
+            F.lit(label).alias("probe"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+            F.lit(copied).cast("bigint").alias("data_dirs_copied"),
+        )
+
+    return (
+        stat(clone_v1, "clone_v1_equals_src", copied_v1)
+        .unionByName(stat(clone_v2, "clone_v2_diverged", copied_v2))
+        .unionByName(stat(src_after, "src_unchanged", copied_v1))
+        .orderBy("probe")
+    )

@@ -98,6 +98,11 @@ class VersionedTable:
         m = json.loads(self._cat.read_bytes(self._manifest_name(version)).decode())
         return m["dirs"] if "dirs" in m else [m["dir"]]
 
+    def _resolve(self, d: str) -> str:
+        # Manifest dirs are table-root-relative, except shallow-clone
+        # entries which reference the SOURCE table's dirs absolutely.
+        return d if d.startswith("/") else f"{self.root}/{d}"
+
     def read(self, version: int | None = None) -> DataFrame:
         """Latest snapshot, or time-travel to `version`."""
         vs = self.versions()
@@ -107,7 +112,25 @@ class VersionedTable:
         if v not in vs:
             raise ValueError(f"version {v} not in retained versions {vs}")
         dirs = self._manifest_dirs(v)
-        return self.spark.read.parquet(*[f"{self.root}/{d}" for d in dirs])
+        return self.spark.read.parquet(*[self._resolve(d) for d in dirs])
+
+    def clone_from(self, src: "VersionedTable", version: int | None = None) -> int:
+        """SHALLOW CLONE (Delta `CREATE TABLE ... SHALLOW CLONE` shape):
+        publish a manifest in THIS table that references the source
+        version's data directories ABSOLUTELY — zero bytes of data move,
+        the clone commit is one manifest upload regardless of source
+        size. The clone then diverges freely: `append_commit` adds dirs
+        under the clone's own root, never touching the source, and the
+        source keeps evolving without affecting the clone's pinned dirs
+        (snapshot dirs are immutable; the source's `expire`/`vacuum`
+        is the one lifecycle coupling — same caveat as Delta shallow
+        clones, documented not hidden)."""
+        src_v = src.current_version() if version is None else version
+        dirs = [src._resolve(d) for d in src._manifest_dirs(src_v)]
+        v = self.current_version() + 1
+        manifest = {"version": v, "dirs": dirs, "cloned_from": src.root}
+        self._cat.upload_bytes(self._manifest_name(v), json.dumps(manifest).encode())
+        return v
 
     def read_changes(self, since: int, to: int | None = None) -> DataFrame:
         """Rows added between version `since` (exclusive) and `to`
@@ -124,7 +147,7 @@ class VersionedTable:
         new_dirs = [d for d in self._manifest_dirs(to_v) if d not in old]
         if not new_dirs:
             return self.read(to_v).limit(0)
-        return self.spark.read.parquet(*[f"{self.root}/{d}" for d in new_dirs])
+        return self.spark.read.parquet(*[self._resolve(d) for d in new_dirs])
 
     def expire(self, keep_last: int) -> list[int]:
         """Drop all but the newest `keep_last` snapshots. Manifests are
