@@ -1444,3 +1444,68 @@ sql_pair(
         "partials instead of rows (same exchangeability argument). One "
         "SQL text, both dialects.",
 )
+
+
+# ---------------------------------------------------------------------------
+# g60: Cliff's delta ordinal effect size (exact rank arithmetic)
+# ---------------------------------------------------------------------------
+
+sql_pair(
+    "g60_cliffs_delta",
+    """
+    WITH pts AS (
+      SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+             CASE WHEN o_orderpriority < '3' THEN 1 ELSE 0 END AS is_a
+      FROM orders),
+    tot AS (
+      SELECT CAST(SUM(is_a) AS BIGINT) AS na,
+             CAST(SUM(1 - is_a) AS BIGINT) AS nb
+      FROM pts),
+    vals AS (
+      SELECT cents,
+             CAST(SUM(is_a) AS BIGINT) AS a_here,
+             CAST(SUM(1 - is_a) AS BIGINT) AS b_here
+      FROM pts GROUP BY cents),
+    cum AS (
+      SELECT cents, a_here, b_here,
+             CAST(COALESCE(SUM(b_here) OVER (
+               ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS BIGINT) AS b_below,
+             CAST(COALESCE(SUM(a_here) OVER (
+               ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS BIGINT) AS a_below
+      FROM vals),
+    counts AS (
+      SELECT CAST(SUM(a_here * b_below) AS BIGINT) AS gt_pairs,
+             CAST(SUM(b_here * a_below) AS BIGINT) AS lt_pairs,
+             CAST(SUM(a_here * b_here) AS BIGINT) AS tie_pairs
+      FROM cum)
+    SELECT na, nb, gt_pairs, lt_pairs, tie_pairs,
+           ROUND(CAST(gt_pairs - lt_pairs AS DOUBLE)
+                 / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6)
+             AS cliffs_delta,
+           CASE WHEN ABS(CAST(gt_pairs - lt_pairs AS DOUBLE)
+                         / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))
+                     < 0.147 THEN 'negligible'
+                WHEN ABS(CAST(gt_pairs - lt_pairs AS DOUBLE)
+                         / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))
+                     < 0.33 THEN 'small'
+                WHEN ABS(CAST(gt_pairs - lt_pairs AS DOUBLE)
+                         / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))
+                     < 0.474 THEN 'medium'
+                ELSE 'large' END AS magnitude
+    FROM counts CROSS JOIN tot
+    """,
+    doc="G60: Cliff's delta — the ordinal, distribution-free EFFECT SIZE "
+        "companion to the G57/G58 significance machinery (significant ≠ "
+        "large: delta says HOW MUCH the urgent-priority distribution "
+        "dominates): P(X>Y) − P(X<Y) computed exactly as pair counts. "
+        "All n_a·n_b pairwise comparisons collapse to the value-level "
+        "identity Σ a_v·B_<v (greater), Σ b_v·A_<v (less), Σ a_v·b_v "
+        "(ties) via running sums over the distinct-value step table — "
+        "pure int64 throughout, delta is ONE final divide ROUND(6), and "
+        "the Romano magnitude bands compare that single double. Scale: "
+        "G57's exact shape — one partial+final agg to distinct values, "
+        "one ordered window over the step table, a 3-int64 reduce; bin "
+        "first at 100 TB. One SQL text, both dialects.",
+)

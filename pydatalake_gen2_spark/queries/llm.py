@@ -4570,3 +4570,54 @@ def lx_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "step", "vec_id", F.round("sc", 4).alias("mmr_score")
     ).orderBy("step")
+
+
+# ---------------------------------------------------------------------------
+# l79: corpus datasheet — the one-pass dataset card
+# ---------------------------------------------------------------------------
+
+_sql_pair(
+    "l79_corpus_datasheet",
+    """
+    WITH base AS (
+      SELECT doc_id, lang, source, n_chars,
+             length(text) AS true_chars,
+             CASE WHEN length(text) = n_chars THEN 1 ELSE 0 END AS len_ok,
+             md5(text) AS h
+      FROM documents),
+    dup AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT h) AS BIGINT) AS n_unique,
+             CAST(SUM(true_chars) AS BIGINT) AS total_chars,
+             CAST(MIN(true_chars) AS BIGINT) AS min_chars,
+             CAST(MAX(true_chars) AS BIGINT) AS max_chars,
+             CAST(PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY true_chars)
+                  AS BIGINT) AS median_chars,
+             CAST(SUM(len_ok) AS BIGINT) AS n_len_consistent,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+      FROM base)
+    SELECT n_docs, n_unique,
+           ROUND(CAST(n_docs - n_unique AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+             AS exact_dup_rate,
+           total_chars, min_chars, median_chars, max_chars,
+           ROUND(CAST(total_chars AS DOUBLE) / CAST(n_docs AS DOUBLE), 4)
+             AS mean_chars,
+           n_len_consistent, n_langs, n_sources
+    FROM dup
+    """,
+    doc="L79: the corpus DATASHEET — the one-pass dataset card (Gebru et "
+        "al.'s 'Datasheets for Datasets' reduced to its computable core) "
+        "every corpus release ships: volume (docs, chars), exact-dup "
+        "rate (md5 distinct), length profile (min/median/max/mean, "
+        "PERCENTILE_DISC so the median is an actual value), metadata "
+        "cardinalities (langs, sources), and a metadata-integrity probe "
+        "(n_chars column vs recomputed length — the kind of silent drift "
+        "datasheets exist to catch). ONE partial+final aggregate over "
+        "one scan: every statistic is mergeable (count, sum, min/max, "
+        "distinct via partial sets/sketches at scale), so the card "
+        "costs the scan the release job already pays. At 100 TB swap "
+        "COUNT(DISTINCT) for G49's HLL partials and the discrete median "
+        "for G18's approx_percentile — same card, same shape. One SQL "
+        "text, both dialects.",
+)
