@@ -1210,3 +1210,60 @@ sql_pair(
         "four int64s — the O(partitions) table-diff that replaces the "
         "O(rows) full-compare at 100 TB. One SQL text, both dialects.",
 )
+
+
+# ---------------------------------------------------------------------------
+# dq07: observed metrics — audit stats piggybacked on the job (df.observe)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dq07_observed_metrics",
+    duck_sql="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_nonpositive,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS total_cents,
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses
+    FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    """,
+    doc="DQ07: observed metrics — Spark's Observation/observe() API: the "
+        "audit counters (row count, nonpositive-price violations, total "
+        "cents, status cardinality) are attached to a REAL filtered scan "
+        "job and collected from its accumulators, so the quality gate "
+        "costs ZERO extra passes — the exact mechanism behind "
+        "Delta-style WAP audits and streaming QueryProgress metrics "
+        "(DQ01 folds checks into a dedicated aggregate; observe rides a "
+        "job that was running anyway). The observed values return as a "
+        "pandas-path literal frame; the oracle recomputes the same "
+        "aggregates from the table directly, so the hash certifies the "
+        "accumulator path reports EXACTLY what a dedicated aggregate "
+        "would. All counters are mergeable int64 accumulators — the "
+        "shape holds on any cluster.",
+)
+def dq07_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql import Observation
+
+    obs = Observation("dq07")
+    df = (
+        spark.table("orders")
+        .where(F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        .observe(
+            obs,
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_nonpositive"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("total_cents"),
+            F.countDistinct("o_orderstatus").cast("bigint").alias("n_statuses"),
+        )
+    )
+    df.write.format("noop").mode("overwrite").save()  # the job the audit rides
+    m = obs.get
+    return spark.createDataFrame(
+        pd.DataFrame([m]),
+        schema="n_rows long, n_nonpositive long, total_cents long, n_statuses long",
+    ).select("n_rows", "n_nonpositive", "total_cents", "n_statuses")
