@@ -88,6 +88,40 @@ def pq_train(
     ]
 
 
+def pq_recon_cosine(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector cosine between the normalized vector and its PQ
+    reconstruction (encode + centroid gather in ONE Arrow pass) —
+    the quantization-quality audit that certifies ADC scores are
+    meaningful. Output: (id, recon_cos DOUBLE)."""
+    cbs = [np.asarray(cb, dtype=float) for cb in codebooks]
+    m = len(cbs)
+    sub = cbs[0].shape[1]
+
+    @F.pandas_udf("double")
+    def recon_cos(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=float)
+        x = _normalize_rows(np.stack(v.to_numpy()))
+        recon = np.empty_like(x)
+        for j in range(m):
+            xs = x[:, j * sub : (j + 1) * sub]
+            c = cbs[j]
+            d2 = -2.0 * (xs @ c.T) + (c * c).sum(axis=1)[None, :]
+            recon[:, j * sub : (j + 1) * sub] = c[d2.argmin(axis=1)]
+        rn = np.linalg.norm(recon, axis=1)
+        rn[rn == 0] = 1.0
+        return pd.Series((x * recon).sum(axis=1) / rn)
+
+    return spread(df.select(F.col(id_col), as_double(vec_col).alias("_v"))).select(
+        id_col, recon_cos("_v").alias("recon_cos")
+    )
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: list[list[list[float]]],

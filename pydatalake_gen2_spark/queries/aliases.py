@@ -246,12 +246,13 @@ _ALIASES: dict[str, str] = {
     "a45_st20_transform_with_state": "st20_transform_with_state",
     "a46_st08_stateful_counter": "st08_stateful_counter",
     "a47_st09_stream_static_join": "st09_stream_static_join",
-    # UDF surface
-    "a48_ud01_scalar_udf": "ud01_scalar_udf",
-    # r6 repurpose: ud02 runs in every bench round, so its correctness
-    # slot goes to the GROUPED_AGG pandas-UDF flavor (the ladder rung no
-    # window row exercised).
-    "a49_ud11_grouped_agg": "ud11_grouped_agg_pandas",
+    # r5 repurpose (r4 verdict #9): ud01/ud11 both hold green r4 rows and
+    # the UDF family keeps a04_ud13; their slots rotate to the two
+    # operators REPAIRED this round (dq07's observe()-legal collect_set
+    # rewrite, g51's exact-integer-cents^2 SS path) so the fixes earn
+    # fresh driver-green rows.
+    "a48_dq07_observed_metrics": "dq07_observed_metrics",
+    "a49_g51_anova_f": "g51_anova_f",
 }
 
 for _alias, _target in _ALIASES.items():

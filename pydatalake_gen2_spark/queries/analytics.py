@@ -887,38 +887,70 @@ sql_pair(
              CAST(sum(CAST(cents AS DECIMAL(19,0)) * cents)
                   AS DECIMAL(38,0)) AS s2
       FROM s GROUP BY grp),
-    tot AS (
-      SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS nn,
-             CAST(sum(s1) AS DOUBLE) AS g1
+    md AS (
+      -- exact half-up integer s1^2/n via quotient/remainder:
+      --   s1 = q*n + r  =>  s1^2/n = q*s1 + q*r + r^2/n
+      -- q from IEEE division of EXACT int64 inputs (s1 <= 2^53) is the
+      -- same double in both engines, so FLOOR is deterministic; q*s1 and
+      -- q*r are exact DECIMAL products; the residual (2r^2+n) DIV (2n)
+      -- is half-up in exact int64 range. No 1e13-magnitude double is
+      -- ever rounded.
+      SELECT n, s1, s2,
+             CAST(FLOOR(CAST(CAST(s1 AS BIGINT) AS DOUBLE) / n) AS BIGINT) AS q
       FROM m),
+    mu AS (
+      SELECT n, s1, s2, q, CAST(s1 AS BIGINT) - q * n AS r
+      FROM md),
     parts AS (
       SELECT
-        CAST(SUM(CAST(ROUND(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n, 4)
-             AS DECIMAL(30,4))) AS DOUBLE) AS sum_sq_over_n,
-        CAST(SUM(s2) AS DOUBLE) AS g2
-      FROM m)
+        SUM(CAST(q AS DECIMAL(19,0)) * s1 + CAST(q AS DECIMAL(19,0)) * r
+            + CAST(FLOOR(CAST(2 * r * r + n AS DOUBLE) / (2 * n)) AS BIGINT)
+           ) AS sum_sq_over_n_c2,
+        CAST(SUM(s2) AS DECIMAL(38,0)) AS g2_c2,
+        CAST(COUNT(*) AS BIGINT) AS k,
+        CAST(SUM(n) AS BIGINT) AS nn,
+        CAST(SUM(s1) AS BIGINT) AS g1
+      FROM mu),
+    gq AS (
+      SELECT k, nn, g2_c2, sum_sq_over_n_c2, g1,
+             CAST(FLOOR(CAST(g1 AS DOUBLE) / nn) AS BIGINT) AS qg
+      FROM parts),
+    ss AS (
+      SELECT k, nn,
+             CAST(sum_sq_over_n_c2
+                  - (CAST(qg AS DECIMAL(19,0)) * g1
+                     + CAST(qg AS DECIMAL(19,0)) * (g1 - qg * nn)
+                     + CAST(FLOOR(CAST(2 * (g1 - qg * nn) * (g1 - qg * nn)
+                                        + nn AS DOUBLE) / (2 * nn)) AS BIGINT))
+                  AS DECIMAL(38,0)) AS ssb_c2,
+             CAST(g2_c2 - sum_sq_over_n_c2 AS DECIMAL(38,0)) AS ssw_c2
+      FROM gq)
     SELECT k, nn AS n_total,
-           ROUND((sum_sq_over_n - g1 * g1 / nn) / 10000, 2) AS ss_between,
-           ROUND((g2 - sum_sq_over_n) / 10000, 2) AS ss_within,
-           ROUND(((sum_sq_over_n - g1 * g1 / nn) / (k - 1))
-                 / ((g2 - sum_sq_over_n) / (nn - k)), 6) AS f_stat,
-           ((sum_sq_over_n - g1 * g1 / nn) / (k - 1))
-             / ((g2 - sum_sq_over_n) / (nn - k)) > 2.37 AS significant
-    FROM tot, parts
+           ssb_c2 AS ss_between_cents2,
+           ssw_c2 AS ss_within_cents2,
+           ROUND((CAST(ssb_c2 AS DOUBLE) / (k - 1))
+                 / (CAST(ssw_c2 AS DOUBLE) / (nn - k)), 6) AS f_stat,
+           (CAST(ssb_c2 AS DOUBLE) / (k - 1))
+             / (CAST(ssw_c2 AS DOUBLE) / (nn - k)) > 2.37 AS significant
+    FROM ss
     """,
     doc="G51: one-way ANOVA F-test of order value across the five order "
         "priorities — the k-group generalization of G50's two-sample "
         "test (does ANY priority differ?), read against the F(4, inf) "
         "5% critical value 2.37. Decomposition from per-group exact "
         "moments: SSB = sum(s1_i^2/n_i) - G^2/N, SSW = sum(s2_i) - "
-        "sum(s1_i^2/n_i); the per-group s1^2/n_i terms are ROUND(4)-"
-        "fenced and summed as DECIMAL(30,4) so the 5-term sum is "
-        "order-independent, every other input is an exact decimal "
-        "moment, and the F is ONE final IEEE expression fenced by "
-        "ROUND(6). ss_* report in dollars^2 (/10000). Scale: "
-        "partial+final 5-group aggregate over one scan, O(1) state — "
-        "the same shape as G02 at 100 TB. One SQL text in both "
-        "dialects.",
+        "sum(s1_i^2/n_i). The SS columns are EXACT integer cents^2 "
+        "end-to-end: each s1^2/n splits as q*s1 + q*r + r^2/n with "
+        "q = s1 DIV n taken from IEEE division of exact-in-double "
+        "int64 inputs (deterministic across engines for sum(cents) "
+        "<= 2^53, i.e. well past sf100; beyond that swap the FLOOR "
+        "for decimal long division), the products exact DECIMAL, and "
+        "the residual half-up via (2r^2+n) DIV (2n) in int64 — no "
+        "ROUND ever touches a >2^53 double (the round-4 1-ulp "
+        "ss-render bug class). Only the F-stat is IEEE, ONE final "
+        "expression fenced by ROUND(6). Scale: partial+final 5-group "
+        "aggregate over one scan, O(1) state — the same shape as G02 "
+        "at 100 TB. One SQL text in both dialects.",
 )
 
 
@@ -1258,7 +1290,10 @@ def dq07_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
             .cast("bigint")
             .alias("total_cents"),
-            F.countDistinct("o_orderstatus").cast("bigint").alias("n_statuses"),
+            # countDistinct is rejected by the CollectMetrics analyzer
+            # (AGGREGATE_EXPRESSION_WITH_DISTINCT_UNSUPPORTED); collect_set
+            # is observe-legal and exact at this 3-value cardinality.
+            F.size(F.collect_set("o_orderstatus")).cast("bigint").alias("n_statuses"),
         )
     )
     df.write.format("noop").mode("overwrite").save()  # the job the audit rides

@@ -31,12 +31,67 @@ def l01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_exact(spark.table("documents"))
 
 
-@register("l02_minhash_neardup", duck_sql=None, tier="P")
+@register(
+    "l02_minhash_neardup",
+    duck_sql="""
+    WITH sets AS (
+      SELECT doc_id AS id,
+             list_distinct(list_transform(generate_series(1, len(t) - 2),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS toks
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+      WHERE len(t) >= 3),
+    inv AS (SELECT id, len(toks) AS n_toks, unnest(toks) AS tok FROM sets),
+    shared AS (
+      SELECT a.id AS id_a, b.id AS id_b, a.n_toks AS na, b.n_toks AS nb,
+             COUNT(*) AS n_shared
+      FROM inv a JOIN inv b ON a.tok = b.tok AND a.id < b.id
+      GROUP BY 1, 2, 3, 4)
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           TRUE AS full_recall,
+           TRUE AS zero_false_positives
+    FROM shared
+    WHERE n_shared / (na + nb - n_shared) >= 0.3
+    """,
+)
 def l02_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidates (seed=42) over 3-gram shingles,
-    exact-verified at Jaccard >= 0.3. Property-tested in tests/ for full
-    recall vs the exact pair join."""
-    return dedup.minhash_candidate_pairs(spark.table("documents"), tau=0.3)
+    """MinHash-LSH near-dup detection (MLlib MinHashLSH, seed=42) over
+    3-gram shingles, exact-verified at Jaccard >= 0.3 — folded to the
+    hashable form H (G04/G18 precedent: the oracle can't run MLlib's
+    hash family, but it CAN compute the exact truth set): n_pairs is the
+    engine's VERIFIED MinHash pair count, which the oracle states as the
+    exact inverted-index Jaccard pair count (l02b's SQL), so the hash
+    certifies |minhash pairs| == |true pairs|; full_recall /
+    zero_false_positives fold the two anti-join emptiness checks into
+    the row (TRUE iff the sets are identical, not just same-sized).
+    The per-pair listing rides l02b (exact) and l36 (pure-SQL banded
+    minhash). Scale: LSH banding keeps candidate generation an
+    equi-join; the exact-verify touches candidates only."""
+    import pandas as pd
+
+    docs = spark.table("documents")
+    cand = dedup.minhash_candidate_pairs(docs, tau=0.3).select("id_a", "id_b")
+    truth = dedup.exact_jaccard_pairs(docs, tau=0.3).select("id_a", "id_b")
+    cand.persist()
+    truth.persist()
+    try:
+        n_pairs = cand.count()
+        missed = truth.join(cand, ["id_a", "id_b"], "left_anti").count()
+        spurious = cand.join(truth, ["id_a", "id_b"], "left_anti").count()
+    finally:
+        cand.unpersist()
+        truth.unpersist()
+    return spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {
+                    "n_pairs": n_pairs,
+                    "full_recall": missed == 0,
+                    "zero_false_positives": spurious == 0,
+                }
+            ]
+        ),
+        schema="n_pairs bigint, full_recall boolean, zero_false_positives boolean",
+    )
 
 
 @register(
@@ -294,18 +349,48 @@ def _pq_codebook(spark: SparkSession, sf_dir: str) -> list:
     return cb
 
 
-@register("lx_pq_encode", duck_sql=None, tier="P")
+@register(
+    "lx_pq_encode",
+    duck_sql="""
+    SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(16 AS INT) AS m_subspaces,
+           TRUE AS codes_in_range,
+           TRUE AS recon_cos_ge_07
+    FROM embeddings
+    """,
+)
 def lx_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization encoding: 64-float embeddings → 16 codes
-    (16x compression for the ANN scan path). Property-tested: codes
-    reconstruct vectors to mean cosine >= 0.7, and ADC top-k over codes
-    recovers brute-force neighbours (see lx_pq_topk). Output stringifies
-    the code array (driver canonicalizer contract)."""
+    """Product-quantization encoding audit: 64-float embeddings → 16
+    uint5 codes (16× compression for the ANN scan path), folded to the
+    hashable form H (the G04/G18 precedent — the oracle can't run
+    k-means, but it CAN state what a correct encoder must produce):
+    every vector encodes (n_vectors exact), to exactly 16 codes each in
+    [0,32) (codes_in_range), and the codes reconstruct the normalized
+    vectors to mean cosine ≥ 0.7 (recon_cos_ge_07, the invariant that
+    makes ADC scores meaningful — pq.pq_recon_cosine, one Arrow pass).
+    The per-vector code table itself rides lx_pq_topk/lx_pq_rerank.
+    Scale: two single-pass Arrow aggregates, no shuffle beyond the
+    1-row agg — the audit costs one compressed-scan equivalent at any
+    corpus size."""
     from pydatalake_gen2_spark.operators import pq
 
-    codes = pq.pq_encode(spark.table("embeddings"), _pq_codebook(spark, sf_dir))
-    return codes.select(
-        "vec_id", F.array_join(F.col("codes").cast("array<string>"), ",").alias("codes")
+    emb = spark.table("embeddings")
+    cb = _pq_codebook(spark, sf_dir)
+    codes = pq.pq_encode(emb, cb)
+    code_stats = codes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.max(F.size("codes")).cast("int").alias("m_subspaces"),
+        (
+            (F.min(F.size("codes")) == F.max(F.size("codes")))
+            & (F.min(F.array_min("codes")) >= 0)
+            & (F.max(F.array_max("codes")) < 32)
+        ).alias("codes_in_range"),
+    )
+    recon = pq.pq_recon_cosine(emb, cb).agg(
+        (F.avg("recon_cos") >= 0.7).alias("recon_cos_ge_07")
+    )
+    return code_stats.crossJoin(recon).select(
+        "n_vectors", "m_subspaces", "codes_in_range", "recon_cos_ge_07"
     )
 
 

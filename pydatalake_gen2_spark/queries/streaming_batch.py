@@ -187,13 +187,36 @@ def st08_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stateful.run_stateful_counter(spark, sf_dir)
 
 
-@register("st04_late_data", duck_sql=None, tier="S")
+@register(
+    "st04_late_data",
+    duck_sql="""
+    WITH m AS (SELECT max(ts) AS mx, CAST(count(*) AS BIGINT) AS n
+               FROM events)
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM events, m
+        WHERE CAST(floor(epoch_us(ts) / 600000000) AS BIGINT) * 600000000
+              + 600000000 <= epoch_us(mx) - 600000000) AS streamed_rows,
+      (SELECT n + 2 * CAST(ceil(n / 4.0) AS BIGINT) FROM m) AS batch_rows,
+      TRUE AS late_dropped
+    """,
+)
 def st04_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ST04: watermark late-drop experiment as a registry entry — replays
-    events in ts order plus an artificially-late final chunk; emits one
-    row (streamed_rows, batch_rows, late_dropped). The strict-watermark
-    append stream must count fewer rows than batch (late rows dropped);
-    the full property lives in tests/test_streaming.py."""
+    """ST04: watermark late-drop experiment — replays events as 4
+    time-ordered chunk files (1 file/trigger) plus TWO artificially-late
+    trailing files (clones of the OLDEST chunk); emits one row
+    (streamed_rows, batch_rows, late_dropped). The outcome is fully
+    deterministic, so the oracle states it exactly (S→H upgrade, G04
+    precedent): the two stat-free trailing batches make the final
+    eviction boundary lag-proof (see replay.run_late_data_experiment —
+    with ONE late file the boundary raced a trailing no-data flush
+    batch), so the last eviction pass always runs at watermark =
+    global max ts − 10 min. streamed_rows = rows whose 10-min tumbling
+    window end ≤ max(ts) − 10 min: the late clones' rows all fall in
+    long-closed windows and are DROPPED by the watermark, and the tail
+    windows past the final watermark are withheld (append-mode
+    semantics, not loss); batch_rows = n + 2·ceil(n/4) counts the late
+    clones the batch read sees. The hash certifies Spark's watermark
+    eviction boundary to the row at every scale."""
     streamed, batch_total = replay.run_late_data_experiment(spark, sf_dir)
     return spark.createDataFrame(
         [(streamed, batch_total, streamed < batch_total)],

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -265,8 +266,11 @@ def ud08_pandas_iter_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     def bucket(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         modulus = 97  # stand-in for expensive per-task init (model load)
         for s in it:
-            # half-up, not pandas .round() (half-even): matches SQL round()
-            yield (s.mul(100) + 0.5).astype("int64") % modulus
+            # half-AWAY-FROM-ZERO, not pandas .round() (half-even): matches
+            # SQL round() in both engines for either sign (astype('int64')
+            # truncates toward zero, which is only half-up for positives)
+            cents = (np.floor(s.abs().mul(100) + 0.5) * np.sign(s)).astype("int64")
+            yield cents % modulus
 
     return (
         spark.table("orders")
@@ -396,10 +400,10 @@ def ud11_grouped_agg_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.pandas_udf("bigint")
     def wsum_cents(price: pd.Series, qty: pd.Series) -> int:
-        # half-up matches round() in Spark SQL / DuckDB (prices positive)
-        return int(
-            ((price * 100 + 0.5).astype("int64") * qty.astype("int64")).sum()
-        )
+        # half-away-from-zero matches round() in Spark SQL / DuckDB for
+        # either sign (plain astype truncation is half-up only for >= 0)
+        cents = (np.floor(price.abs() * 100 + 0.5) * np.sign(price)).astype("int64")
+        return int((cents * qty.astype("int64")).sum())
 
     li = spark.table("lineitem")
     # a grouped-agg pandas UDF cannot share an agg() with JVM aggregates
@@ -628,7 +632,9 @@ def ud15_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         uid = int(left["user_id"].iloc[0]) if len(left) else int(right["user_id"].iloc[0])
 
         def cents(s: pd.Series) -> int:
-            return int((s.mul(100) + 0.5).astype("int64").sum()) if len(s) else 0
+            # sign-correct half-away-from-zero (matches SQL round())
+            c = (np.floor(s.abs().mul(100) + 0.5) * np.sign(s)).astype("int64")
+            return int(c.sum()) if len(s) else 0
 
         return pd.DataFrame(
             {

@@ -35,15 +35,17 @@ class QueryPair:
 
 REGISTRY: dict[str, QueryPair] = {}
 
-# Views are session-global; re-register only when sf_dir changes.
-_registered_for: dict[int, str] = {}
+# Views are session-global; re-register only when sf_dir changes. The memo
+# lives ON the session object (not an id()-keyed dict): a dict keyed by
+# id(spark) can serve a stale sf_dir to a NEW session that recycled the old
+# object's id, whereas an attribute dies with the object it described.
+_VIEWS_ATTR = "_pdg2_views_sf_dir"
 
 
 def ensure_views(spark: SparkSession, sf_dir: str) -> None:
-    key = id(spark)
-    if _registered_for.get(key) != sf_dir:
+    if getattr(spark, _VIEWS_ATTR, None) != sf_dir:
         register_views(spark, sf_dir)
-        _registered_for[key] = sf_dir
+        setattr(spark, _VIEWS_ATTR, sf_dir)
 
 
 def register(

@@ -154,16 +154,16 @@ class LakeListingDataSource(DataSource):
         return _ListingReader(path)
 
 
-_registered: set[int] = set()
+# Memo lives ON the session (id()-keyed sets can alias a recycled object id).
+_PYDS_ATTR = "_pdg2_pyds_registered"
 
 
 def ensure_registered(spark) -> None:
-    key = id(spark)
-    if key not in _registered:
+    if not getattr(spark, _PYDS_ATTR, False):
         spark.dataSource.register(LakeListingDataSource)
         # runtime-settable; required for pushFilters to participate
         spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-        _registered.add(key)
+        setattr(spark, _PYDS_ATTR, True)
 
 
 # ---------------------------------------------------------------------------

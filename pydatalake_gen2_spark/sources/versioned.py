@@ -150,14 +150,28 @@ class VersionedTable:
         return self.spark.read.parquet(*[self._resolve(d) for d in new_dirs])
 
     def expire(self, keep_last: int) -> list[int]:
-        """Drop all but the newest `keep_last` snapshots. Manifests are
-        deleted BEFORE their data dirs, so a reader that lists mid-expire
-        never resolves a manifest whose data is already gone."""
+        """Drop all but the newest `keep_last` snapshots. Two guarantees:
+        (1) manifests are deleted BEFORE any data dir, so a reader that
+        lists mid-expire never resolves a manifest whose data is already
+        gone; (2) a data dir is deleted only if NO retained manifest
+        references it — append_commit/clone_from manifests are cumulative,
+        so an early version's dir may still be live in the newest
+        manifest's dir set (the same liveness rule vacuum_orphans uses;
+        without it, expiring any prefix of an append chain would delete
+        dirs the CURRENT table still reads)."""
         vs = self.versions()
         drop = vs[:-keep_last] if keep_last > 0 else list(vs)
+        dropped = set(drop)
+        live: set[str] = set()
+        for v in vs:
+            if v not in dropped:
+                live.update(self._manifest_dirs(v))
         for v in drop:
             self._cat.delete_path(self._manifest_name(v))
-            self._cat.delete_path(f"_v{v:08d}", recursive=True)
+        for v in drop:
+            d = f"_v{v:08d}"
+            if d not in live:
+                self._cat.delete_path(d, recursive=True)
         return drop
 
     def vacuum_orphans(

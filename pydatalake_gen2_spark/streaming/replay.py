@@ -52,13 +52,22 @@ def replay_dir(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> str:
             .parquet(os.path.join(out, f"chunk={i:03d}"))
         )
     # Flatten: file source watches one dir of plain parquet files.
+    # FileStreamSource orders files by MODIFICATION TIME (ms), not name —
+    # writes that land within the same millisecond tie and replay in
+    # directory-listing order, scrambling the chunk sequence (observed
+    # live: chunk 1 processed after chunk 3 and dropped wholesale as
+    # late data in ST04). Stamp strictly increasing mtimes, 2s apart,
+    # so the replay order is the chunk order at every scale.
     flat = tempfile.mkdtemp(prefix="events_stream_")
     idx = 0
+    t0 = time.time() - 3600.0
     for i in range(n_chunks):
         d = os.path.join(out, f"chunk={i:03d}")
         for f in sorted(os.listdir(d)):
             if f.endswith(".parquet"):
-                os.rename(os.path.join(d, f), os.path.join(flat, f"{idx:03d}.parquet"))
+                dst = os.path.join(flat, f"{idx:03d}.parquet")
+                os.rename(os.path.join(d, f), dst)
+                os.utime(dst, (t0 + 2.0 * idx, t0 + 2.0 * idx))
                 idx += 1
     _replay_cache[sf_dir] = flat
     return flat
@@ -270,18 +279,30 @@ def run_late_data_experiment(
     base = replay_dir(spark, sf_dir)
     lab = tempfile.mkdtemp(prefix="st04_late_")
     files = sorted(f for f in os.listdir(base) if f.endswith(".parquet"))
-    for f in files:
-        shutil.copy(os.path.join(base, f), os.path.join(lab, f))
-    # Late chunk: clone the FIRST chunk's rows (oldest ts) as a new last file.
+    t0 = time.time() - 3600.0
+    for k, f in enumerate(files):
+        dst = os.path.join(lab, f)
+        shutil.copy(os.path.join(base, f), dst)
+        # explicit strictly-increasing mtimes: FileStreamSource replays in
+        # MTIME order, and sub-ms copies tie (see replay_dir)
+        os.utime(dst, (t0 + 2.0 * k, t0 + 2.0 * k))
+    # Late chunks: clone the FIRST chunk's rows (oldest ts) as TWO new
+    # last files. Two, not one, so the final eviction boundary is
+    # lag-proof: the event-time stats of the last data-bearing batch can
+    # reach eviction one batch late, and a trailing no-data flush batch
+    # races Trigger.AvailableNow termination — with two stat-free
+    # trailing batches every propagation theory evicts the last pass at
+    # watermark = global max ts − delay, so the streamed count is
+    # deterministic and exactly oracle-able.
     first = spark.read.schema(EVENTS_SCHEMA).parquet(os.path.join(lab, files[0]))
-    first.withColumn("event_id", F.col("event_id") + 10_000_000).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(lab + "_late")
-    late_files = [f for f in os.listdir(lab + "_late") if f.endswith(".parquet")]
-    os.rename(
-        os.path.join(lab + "_late", late_files[0]),
-        os.path.join(lab, "zzz_late.parquet"),
-    )
+    for i in (1, 2):
+        first.withColumn(
+            "event_id", F.col("event_id") + 10_000_000 * i
+        ).coalesce(1).write.mode("overwrite").parquet(lab + "_late")
+        late_files = [f for f in os.listdir(lab + "_late") if f.endswith(".parquet")]
+        dst = os.path.join(lab, f"zzz_late{i}.parquet")
+        os.rename(os.path.join(lab + "_late", late_files[0]), dst)
+        os.utime(dst, (t0 + 1000.0 + 2.0 * i, t0 + 1000.0 + 2.0 * i))
 
     src = (
         spark.readStream.schema(EVENTS_SCHEMA)

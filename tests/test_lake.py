@@ -160,6 +160,22 @@ def test_versioned_table_append_and_read_changes(spark):
     assert vt.vacuum_orphans(dry_run=True, min_age_s=0) == []
     assert vt.read(2).count() == 8
 
+    # expire on the append chain: dropping versions 1-3 must NOT delete
+    # dirs _v1.._v3 — v4 (the compacted snapshot) owns _v4 only, but v5's
+    # cumulative manifest is [_v4, _v5]; expiring 1-3 deletes their
+    # manifests AND dirs (nothing retained references them), while
+    # expiring down to v5 alone must keep _v4 alive because v5 still
+    # reads it (the data-loss bug class: manifest-prefix expiry).
+    dropped = vt.expire(keep_last=2)        # keep v4, v5
+    assert dropped == [1, 2, 3]
+    assert vt.read(v4).count() == 10
+    assert vt.read().count() == 12
+    dropped = vt.expire(keep_last=1)        # keep only v5 (refs _v4+_v5)
+    assert dropped == [v4]
+    assert vt.read().count() == 12          # _v4 retained: still readable
+    # and the retained-dir set is exactly what the live manifest lists
+    assert vt.vacuum_orphans(dry_run=True, min_age_s=0) == []
+
 
 # ------------------------------------------------- S17 python data source
 
