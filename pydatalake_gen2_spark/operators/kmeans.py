@@ -1,0 +1,96 @@
+"""Distributed EXACT Lloyd k-means over integer-quantized embeddings.
+
+The IVF/PQ stack (operators/pq.py, queries/llm.py lx_ivf*) trains its
+codebooks with driver-side numpy k-means over a bounded sample — correct
+for codebook training, but not a DISTRIBUTED clustering operator. This
+module is that operator: Lloyd iterations where every arithmetic step is
+exact integer math, so the result is bit-reproducible across engines,
+partitionings, and retries — the property float k-means lacks (float
+centroid means depend on reduction order).
+
+Recipe (each step deterministic in any IEEE-754 engine):
+  1. quantize: q_d = floor(x_d * 1e6 + 0.5) as int64 (identical doubles
+     in, identical ints out — components are |x| <= ~1 floats, so q is
+     exact and distances fit comfortably in int64).
+  2. assign: argmin_j sum_d (q_d - c_jd)^2 in pure int64, ties to the
+     smallest centroid id (min over (dist, j) structs).
+  3. update: c'_jd = floor(sum_d / n_j) — exact floor division (sums are
+     < 2^53, so FLOOR(double-div) is exact and cross-engine identical;
+     the driver uses Python's big-int //, same value). Empty clusters
+     keep their previous centroid.
+
+Scale posture: per iteration = ONE scan; the shuffle carries k x dim
+int64 partial sums per map task (a few KB), the driver collects k rows
+(bounded), and the next iteration's centroids ship as broadcast
+literals. That is the textbook 1000-executor k-means loop — no lineage
+growth because each iteration rebuilds the plan from collected literals
+(the iterative-operator discipline operators/graph.py uses).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pydatalake_gen2_spark.operators.vectors import as_double
+
+QUANT = 1_000_000.0
+
+
+def quantize(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(id, q ARRAY<BIGINT>): exact 1e-6 fixed-point quantization."""
+    q = F.transform(
+        as_double(vec_col),
+        lambda x: F.floor(x * F.lit(QUANT) + F.lit(0.5)).cast("bigint"),
+    )
+    return df.select(F.col(id_col).alias("vec_id"), q.alias("q"))
+
+
+def _dist_to(cent: list[int]):
+    arr = F.array(*[F.lit(int(v)).cast("bigint") for v in cent])
+    return F.aggregate(
+        F.zip_with(F.col("q"), arr, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def assign(pts: DataFrame, cents: list[list[int]]) -> DataFrame:
+    """(vec_id, q, dist, cid): nearest centroid, ties to smallest cid."""
+    choice = F.array_min(
+        F.array(
+            *[
+                F.struct(_dist_to(c).alias("d"), F.lit(j).cast("int").alias("j"))
+                for j, c in enumerate(cents)
+            ]
+        )
+    )
+    return pts.select(
+        "vec_id", "q", choice.getField("d").alias("dist"), choice.getField("j").alias("cid")
+    )
+
+
+def update(assigned: DataFrame, cents: list[list[int]], dim: int) -> list[list[int]]:
+    """Floor-mean centroids from exact int64 sums; empty clusters keep
+    their previous centroid. Driver collect is k rows — bounded."""
+    rows = assigned.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.col("q")[d]).alias(f"s{d}") for d in range(dim)],
+    ).collect()
+    new = [list(c) for c in cents]
+    for r in rows:
+        n = r["n"]
+        new[r["cid"]] = [r[f"s{d}"] // n for d in range(dim)]
+    return new
+
+
+def lloyd(
+    pts: DataFrame, k: int, iters: int, dim: int
+) -> tuple[list[list[int]], DataFrame]:
+    """Run `iters` exact Lloyd rounds from the k smallest-id points;
+    returns (final centroids, final assignment under them)."""
+    init = pts.orderBy("vec_id").limit(k).collect()
+    cents = [list(r["q"]) for r in init]
+    for _ in range(iters):
+        cents = update(assign(pts, cents), cents, dim)
+    return cents, assign(pts, cents)

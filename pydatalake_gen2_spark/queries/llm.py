@@ -4706,3 +4706,191 @@ _sql_pair(
         "for G18's approx_percentile — same card, same shape. One SQL "
         "text, both dialects.",
 )
+
+
+# ---------------------------------------------------------------------------
+# l80: per-source Jensen-Shannon divergence vs the corpus distribution
+# ---------------------------------------------------------------------------
+
+_L80_SELECT = """
+    SELECT g.source, ns AS n_tokens,
+           CAST(SUM(CAST(ROUND(
+                 CASE WHEN c IS NULL THEN 0.0
+                      ELSE 0.5 * (CAST(c AS DOUBLE) / ns)
+                           * LN((CAST(c AS DOUBLE) / ns)
+                                / (0.5 * (CAST(c AS DOUBLE) / ns
+                                          + CAST(ctot AS DOUBLE) / n))) END
+               + 0.5 * (CAST(ctot AS DOUBLE) / n)
+                     * LN((CAST(ctot AS DOUBLE) / n)
+                          / (0.5 * (COALESCE(CAST(c AS DOUBLE), 0.0) / ns
+                                    + CAST(ctot AS DOUBLE) / n))),
+                 8) AS DECIMAL(20,8))) AS DOUBLE) AS js_vs_corpus,
+           ROUND(CAST(SUM(CAST(ROUND(
+                 CASE WHEN c IS NULL THEN 0.0
+                      ELSE 0.5 * (CAST(c AS DOUBLE) / ns)
+                           * LN((CAST(c AS DOUBLE) / ns)
+                                / (0.5 * (CAST(c AS DOUBLE) / ns
+                                          + CAST(ctot AS DOUBLE) / n))) END
+               + 0.5 * (CAST(ctot AS DOUBLE) / n)
+                     * LN((CAST(ctot AS DOUBLE) / n)
+                          / (0.5 * (COALESCE(CAST(c AS DOUBLE), 0.0) / ns
+                                    + CAST(ctot AS DOUBLE) / n))),
+                 8) AS DECIMAL(20,8))) AS DOUBLE) / LN(2.0), 6) AS js_normalized
+    FROM grid g
+    LEFT JOIN st ON g.source = st.source AND g.tok = st.tok
+    GROUP BY g.source, ns ORDER BY g.source
+"""
+
+_sql_pair(
+    "l80_js_divergence",
+    """
+    WITH toks AS (
+      SELECT source, explode(split(lower(text), ' ')) AS tok FROM documents),
+    st AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+           FROM toks GROUP BY source, tok),
+    stot AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM st GROUP BY source),
+    ct AS (SELECT tok, CAST(sum(c) AS BIGINT) AS ctot FROM st GROUP BY tok),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM st),
+    grid AS (
+      SELECT stot.source, stot.ns, ct.tok, ct.ctot, tot.n
+      FROM stot CROSS JOIN ct CROSS JOIN tot)
+    """ + _L80_SELECT,
+    """
+    WITH toks AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+    st AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+           FROM toks GROUP BY source, tok),
+    stot AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM st GROUP BY source),
+    ct AS (SELECT tok, CAST(sum(c) AS BIGINT) AS ctot FROM st GROUP BY tok),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM st),
+    grid AS (
+      SELECT stot.source, stot.ns, ct.tok, ct.ctot, tot.n
+      FROM stot CROSS JOIN ct CROSS JOIN tot)
+    """ + _L80_SELECT,
+    doc="L80: per-source Jensen-Shannon divergence JS(p_source, p_corpus) "
+        "over unigram distributions — the SYMMETRIC, bounded ([0, ln 2]) "
+        "companion to L58's KL: KL explodes when a source merely lacks a "
+        "corpus-common token, JS stays finite and comparable across "
+        "sources, which is why mixture-rebalance dashboards plot JS. "
+        "Absent tokens contribute the exact 0.5*q*ln(2) mass via the "
+        "source x vocab LEFT-JOIN grid (the grid is |sources| x |vocab| "
+        "— tallies, never rows; at 100 TB both factors are post-agg "
+        "metadata scales). Every count is an exact integer tally; each "
+        "term is one IEEE expression ROUND(8)ed row-locally then summed "
+        "EXACTLY as DECIMAL(20,8) (l58/gr07 discipline); js_normalized "
+        "= JS/ln2 in [0,1] with a terminal ROUND(6).",
+)
+
+
+# ---------------------------------------------------------------------------
+# lx_kmeans: distributed EXACT Lloyd k-means (2 rounds, integer arithmetic)
+# ---------------------------------------------------------------------------
+
+def _lx_kmeans_duck(k: int = 8, iters: int = 2) -> str:
+    """Unrolled exact-Lloyd oracle: MATERIALIZED per-round CTEs (the
+    iterative-op oracle discipline), distances via list_dot_product on
+    exactly-representable int64 doubles (< 2^53, so the double math IS
+    integer math), floor-mean updates, empty clusters COALESCE to the
+    prior round's centroid."""
+    stages = [
+        f"""pts AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                 x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS q
+      FROM embeddings),
+    c0 AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q AS c
+      FROM pts ORDER BY vec_id LIMIT {k})"""
+    ]
+    for i in range(1, iters + 2):
+        prev = f"c{i-1}"
+        stages.append(f"""d{i} AS MATERIALIZED (
+      SELECT p.vec_id, p.q, c.cid,
+             CAST(list_dot_product(p.q::DOUBLE[], p.q::DOUBLE[])
+                  - 2 * list_dot_product(p.q::DOUBLE[], c.c::DOUBLE[])
+                  + list_dot_product(c.c::DOUBLE[], c.c::DOUBLE[])
+                  AS BIGINT) AS dist
+      FROM pts p CROSS JOIN {prev} c),
+    a{i} AS MATERIALIZED (
+      SELECT vec_id, q, cid, dist FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, cid) AS rn
+        FROM d{i}) t WHERE rn = 1)""")
+        if i <= iters:
+            stages.append(f"""u{i} AS MATERIALIZED (
+      SELECT cid, g.d AS d,
+             CAST(FLOOR(CAST(sum(q[g.d]) AS DOUBLE) / count(*)) AS BIGINT) AS v
+      FROM a{i} CROSS JOIN generate_series(1, 64) AS g(d)
+      GROUP BY cid, g.d),
+    c{i} AS MATERIALIZED (
+      SELECT p.cid, COALESCE(u.c, p.c) AS c
+      FROM c{i-1} p LEFT JOIN (
+        SELECT cid, list(v ORDER BY d) AS c FROM u{i} GROUP BY cid) u
+      ON p.cid = u.cid)""")
+    final_a = f"a{iters + 1}"
+    final_c = f"c{iters}"
+    body = ",\n    ".join(stages)
+    return f"""
+    WITH {body}
+    SELECT c.cid,
+           CAST(COALESCE(s.n, 0) AS BIGINT) AS n_members,
+           CAST(COALESCE(s.inertia, 0) AS BIGINT) AS inertia,
+           c.c[1] AS c_0, c.c[2] AS c_1, c.c[3] AS c_2, c.c[4] AS c_3
+    FROM {final_c} c LEFT JOIN (
+      SELECT cid, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(dist) AS BIGINT) AS inertia
+      FROM {final_a} GROUP BY cid) s
+    ON c.cid = s.cid
+    ORDER BY c.cid
+    """
+
+
+@register("lx_kmeans", duck_sql=_lx_kmeans_duck())
+def lx_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LX-KMEANS: distributed EXACT Lloyd k-means (k=8, 2 rounds) over
+    1e-6-fixed-point-quantized embeddings — the clustering operator
+    behind IVF cell assignment (lx_ivf_topk trains driver-side on a
+    sample; THIS is the shape that trains on the full 100 TB corpus).
+    Every step is exact integer arithmetic (operators/kmeans.py:
+    int64 distances, min-(dist,cid)-struct argmin ties, floor-mean
+    updates), so the result is bit-reproducible across engines,
+    partitionings, and retries — the determinism float k-means cannot
+    offer and the reason this pair can carry a DuckDB hash oracle at
+    all (the oracle unrolls the identical recurrence). Per round: ONE
+    scan, k x 64 int64 partial sums per task across the shuffle, k
+    collected rows, next round's centroids broadcast as literals —
+    no lineage growth (iterative-op discipline). Output: per-cluster
+    size, exact inertia, first 4 centroid components."""
+    from pydatalake_gen2_spark.operators import kmeans
+
+    pts = kmeans.quantize(spark.table("embeddings"))
+    pts = pts.persist()
+    try:
+        cents, assigned = kmeans.lloyd(pts, k=8, iters=2, dim=64)
+        stats = {
+            r["cid"]: (r["n"], r["inertia"])
+            for r in assigned.groupBy("cid")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("dist").alias("inertia"))
+            .collect()
+        }
+    finally:
+        pts.unpersist()
+    import pandas as pd
+
+    rows = [
+        {
+            "cid": j,
+            "n_members": stats.get(j, (0, 0))[0],
+            "inertia": stats.get(j, (0, 0))[1],
+            "c_0": cents[j][0],
+            "c_1": cents[j][1],
+            "c_2": cents[j][2],
+            "c_3": cents[j][3],
+        }
+        for j in range(8)
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame(rows),
+        schema="cid int, n_members bigint, inertia bigint, "
+               "c_0 bigint, c_1 bigint, c_2 bigint, c_3 bigint",
+    ).orderBy("cid")

@@ -19,7 +19,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pydatalake_gen2_spark.registry import register
+from pydatalake_gen2_spark.registry import register, sql_pair
 from pydatalake_gen2_spark.tables import TABLES, load_table
 
 _tmp_root = tempfile.mkdtemp(prefix="pydatalake_sinks_")
@@ -1434,3 +1434,91 @@ def s39_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stat(src_after, "src_unchanged", copied_v1))
         .orderBy("probe")
     )
+
+
+# ---------------------------------------------------------------------------
+# s40: Z-order (Morton) clustering key + multi-column-locality layout
+# ---------------------------------------------------------------------------
+
+def _zvalue_sql(xcol: str, ycol: str, bits: int = 16) -> str:
+    """Morton-interleave SQL from pure portable integer arithmetic:
+    bit b of x lands at position 2b, of y at 2b+1. Bit extraction is
+    FLOOR(x / 2^b) % 2 — x < 2^16 is exact in DOUBLE, so the expression
+    is deterministic in every IEEE engine; no engine-specific bit-shift
+    operators, ONE text in both dialects."""
+    terms = []
+    for b in range(bits):
+        terms.append(
+            f"(CAST(FLOOR(CAST({xcol} AS DOUBLE) / {1 << b}) AS BIGINT) % 2)"
+            f" * {1 << (2 * b)}"
+        )
+        terms.append(
+            f"(CAST(FLOOR(CAST({ycol} AS DOUBLE) / {1 << b}) AS BIGINT) % 2)"
+            f" * {1 << (2 * b + 1)}"
+        )
+    return "(" + "\n             + ".join(terms) + ")"
+
+
+sql_pair(
+    "s40_zorder_curve",
+    f"""
+    WITH xy AS (
+      SELECT o_orderkey,
+             CAST(o_custkey % 65536 AS BIGINT) AS x,
+             CAST(CAST(datediff(o_orderdate, TIMESTAMP '1992-01-01 00:00:00')
+                       AS BIGINT) % 65536 AS BIGINT) AS y
+      FROM orders),
+    z AS (
+      SELECT o_orderkey, x, y,
+             {_zvalue_sql('x', 'y')} AS zval
+      FROM xy)
+    SELECT o_orderkey, x, y, zval
+    FROM z ORDER BY zval, o_orderkey LIMIT 20
+    """,
+    duck_sql=f"""
+    WITH xy AS (
+      SELECT o_orderkey,
+             CAST(o_custkey % 65536 AS BIGINT) AS x,
+             CAST(CAST(datediff('day', TIMESTAMP '1992-01-01 00:00:00',
+                                o_orderdate) AS BIGINT) % 65536 AS BIGINT) AS y
+      FROM orders),
+    z AS (
+      SELECT o_orderkey, x, y,
+             {_zvalue_sql('x', 'y')} AS zval
+      FROM xy)
+    SELECT o_orderkey, x, y, zval
+    FROM z ORDER BY zval, o_orderkey LIMIT 20
+    """,
+    doc="S40: Z-order (Morton) clustering key over (customer, order-day) "
+        "— the multi-dimensional data-skipping layout (Delta OPTIMIZE "
+        "ZORDER BY): sorting by the interleaved key gives every written "
+        "file a TIGHT min/max envelope on BOTH dimensions at once, so "
+        "footer-stats pruning (S34's machinery) skips files for "
+        "predicates on either column — a single-column sort buys "
+        "pruning on one dimension only. The curve value is pure "
+        "portable integer arithmetic (FLOOR-div bit extraction, no "
+        "engine bit operators), one text in both dialects; "
+        "zorder_layout() below is the write-side verb and "
+        "tests/test_operators.py measures the per-file envelope "
+        "shrinkage vs a natural-order layout. At 100 TB: the z-sort is "
+        "one repartitionByRange on zval (range exchange + local sort), "
+        "after which every downstream scan with x/y predicates prunes.",
+)
+
+
+def zorder_layout(
+    df: DataFrame, xcol: str, ycol: str, path: str, n_files: int = 8
+) -> str:
+    """Write `df` z-ordered on (xcol % 2^16, ycol-derived int % 2^16):
+    range-partition by the Morton key then sort within partitions —
+    exactly Delta's OPTIMIZE ZORDER BY shape (S40)."""
+    z = F.expr(_zvalue_sql(f"({xcol} % 65536)", f"({ycol} % 65536)"))
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return path

@@ -1284,3 +1284,65 @@ def test_grid_nearest_wraps_antimeridian(spark):
     rows = grid_nearest(pdf, sdf, radius_km=200.0).collect()
     assert len(rows) == 1 and rows[0]["s_id"] == 7, rows
     assert rows[0]["dist_km"] < 15.0, rows
+
+
+# ------------------------------------------------------ S40 z-order layout
+
+
+def test_zorder_layout_shrinks_file_envelopes(spark, sf_dir, tmp_path):
+    """S40's point: a z-ordered layout gives every file a tight min/max
+    envelope on BOTH clustering dimensions, so footer-stats pruning can
+    skip files for predicates on either column. Write orders natural
+    (orderkey order) vs z-ordered on (custkey, order-day) into 8 files
+    each and compare the summed per-file envelope AREA (x-span * y-span
+    from the real parquet footers): z-order must shrink it by >= 4x,
+    and single-column spans must shrink too."""
+    import pyarrow.parquet as pq_
+    from pydatalake_gen2_spark.queries.scans import zorder_layout
+    from pydatalake_gen2_spark.registry import ensure_views
+    import pyspark.sql.functions as F
+
+    ensure_views(spark, sf_dir)
+    day = F.datediff(
+        F.col("o_orderdate"), F.lit("1992-01-01 00:00:00").cast("timestamp")
+    ).cast("bigint")
+    orders = spark.table("orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 65536).alias("x"),
+        (day % 65536).alias("y"),
+    )
+
+    nat = str(tmp_path / "natural")
+    (
+        orders.repartitionByRange(8, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite").parquet(nat)
+    )
+    zo = str(tmp_path / "zordered")
+    zorder_layout(orders, "x", "y", zo, n_files=8)
+
+    def envelope_area(path):
+        import os
+
+        total = 0
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq_.ParquetFile(os.path.join(path, f)).metadata
+            lo = {"x": None, "y": None}
+            hi = {"x": None, "y": None}
+            for rg in range(md.num_row_groups):
+                row = md.row_group(rg)
+                for ci in range(row.num_columns):
+                    col = row.column(ci)
+                    name = col.path_in_schema
+                    if name in lo and col.statistics is not None:
+                        st = col.statistics
+                        lo[name] = st.min if lo[name] is None else min(lo[name], st.min)
+                        hi[name] = st.max if hi[name] is None else max(hi[name], st.max)
+            total += (hi["x"] - lo["x"] + 1) * (hi["y"] - lo["y"] + 1)
+        return total
+
+    nat_area = envelope_area(nat)
+    zo_area = envelope_area(zo)
+    assert zo_area * 4 <= nat_area, (zo_area, nat_area)
