@@ -119,6 +119,11 @@ BENCH_QUERIES = [
     "j36_interval_overlap_join",
     "g54_bootstrap_ci",
     "l77_feature_hashing",
+    # round-11 widening: distributed exact k-means (3 full scans), the
+    # Brown-Forsythe exact-SS path, Z-order curve + top-k
+    "lx_kmeans",
+    "g62_brown_forsythe",
+    "s40_zorder_curve",
 ]
 
 N_RUNS = 3

@@ -1476,3 +1476,71 @@ sql_pair(
         "final IEEE expression ROUND(6). One SQL text in both "
         "dialects.",
 )
+
+
+# ---------------------------------------------------------------------------
+# g63: Tukey-Kramer HSD post-hoc pairwise comparison (after g51's ANOVA)
+# ---------------------------------------------------------------------------
+
+sql_pair(
+    "g63_tukey_hsd",
+    """
+    WITH s AS (
+      SELECT o_orderpriority AS grp,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    m AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS DECIMAL(38,0)) AS s1,
+             CAST(sum(CAST(cents AS DECIMAL(19,0)) * cents)
+                  AS DECIMAL(38,0)) AS s2
+      FROM s GROUP BY grp),
+    mu AS (
+      SELECT grp, n, s1, s2, q,
+             CAST(s1 AS BIGINT) - q * n AS r
+      FROM (SELECT grp, n, s1, s2,
+                   CAST(FLOOR(CAST(CAST(s1 AS BIGINT) AS DOUBLE) / n)
+                        AS BIGINT) AS q
+            FROM m) t),
+    parts AS (
+      SELECT
+        SUM(CAST(q AS DECIMAL(19,0)) * s1 + CAST(q AS DECIMAL(19,0)) * r
+            + CAST(FLOOR(CAST(2 * r * r + n AS DOUBLE) / (2 * n)) AS BIGINT)
+           ) AS sum_sq_over_n_c2,
+        CAST(SUM(s2) AS DECIMAL(38,0)) AS g2_c2,
+        CAST(COUNT(*) AS BIGINT) AS k,
+        CAST(SUM(n) AS BIGINT) AS nn
+      FROM mu),
+    msw AS (
+      SELECT k, nn,
+             CAST(CAST(g2_c2 - sum_sq_over_n_c2 AS DECIMAL(38,0)) AS DOUBLE)
+               / (nn - k) AS ms_within
+      FROM parts)
+    SELECT a.grp AS grp_a, b.grp AS grp_b,
+           a.q AS mean_a_cents, b.q AS mean_b_cents,
+           ROUND(ABS(CAST(CAST(a.s1 AS BIGINT) AS DOUBLE) / a.n
+                     - CAST(CAST(b.s1 AS BIGINT) AS DOUBLE) / b.n)
+                 / SQRT(ms_within / 2
+                        * (1.0 / a.n + 1.0 / b.n)), 6) AS q_stat,
+           ABS(CAST(CAST(a.s1 AS BIGINT) AS DOUBLE) / a.n
+               - CAST(CAST(b.s1 AS BIGINT) AS DOUBLE) / b.n)
+             / SQRT(ms_within / 2
+                    * (1.0 / a.n + 1.0 / b.n)) > 3.858 AS significant
+    FROM mu a JOIN mu b ON a.grp < b.grp
+    CROSS JOIN msw
+    ORDER BY grp_a, grp_b
+    """,
+    doc="G63: Tukey-Kramer HSD — the post-hoc step after G51's ANOVA "
+        "says 'SOME priority differs': all 10 pairwise priority "
+        "comparisons with the studentized-range statistic "
+        "q = |mean_a - mean_b| / sqrt(MSW/2 * (1/n_a + 1/n_b)), read "
+        "against q(0.05, k=5, df=inf) = 3.858 — the family-wise-error "
+        "control a naive 10x t-test loop lacks. MSW comes from g51's "
+        "exact integer cents^2 SSW (quotient/remainder machinery, no "
+        "wide-double ROUND); reported group means are exact floor-cents "
+        "(q from the same split), and each q_stat is ONE IEEE "
+        "expression over exact integer moments, ROUND(6). Scale: the "
+        "same one-scan 5-group aggregate as G51 — the pairwise stage "
+        "is k^2/2 rows of post-agg metadata. One SQL text in both "
+        "dialects.",
+)

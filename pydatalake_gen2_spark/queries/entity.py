@@ -613,3 +613,4 @@ def er06_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rec_a", "rec_b")
     )
+

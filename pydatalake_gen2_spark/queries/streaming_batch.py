@@ -676,3 +676,62 @@ def st25_native_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink's read-back hash-matches the source table."""
     out = replay.run_file_sink(spark, sf_dir)
     return out.orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# st26: stream-stream LEFT SEMI join (clicks confirmed by a purchase)
+# ---------------------------------------------------------------------------
+
+@register(
+    "st26_semi_join_batch",
+    duck_sql="""
+    SELECT c.event_id AS click_id, c.user_id AS c_user
+    FROM events c
+    WHERE c.event_type = 'click'
+      AND EXISTS (
+        SELECT 1 FROM events p
+        WHERE p.event_type = 'purchase'
+          AND p.user_id = c.user_id
+          AND p.ts > c.ts
+          AND p.ts <= c.ts + INTERVAL 10 MINUTE)
+    ORDER BY click_id
+    """,
+)
+def st26_semi_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST26 batch form (the oracle-matched shape): clicks with a purchase
+    in the 10 minutes after them, via LEFT SEMI join — each click emits
+    AT MOST ONCE however many purchases match (the dedup-free funnel
+    primitive; an inner join would multiply clicks by purchases and need
+    a distinct). The oracle states the textbook EXISTS. Streaming run:
+    st26_semi_stream (watermarked stream-stream semi — click state
+    evicts once the purchase watermark passes click_ts + 10 min, so
+    state is bounded by the interval, not the stream). Scale: semi join
+    state carries only the CLICK keys in the active window — strictly
+    less state than ST06's inner interval join."""
+    ev = spark.table("events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    return (
+        clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 10 MINUTES")),
+            "left_semi",
+        )
+        .select("click_id", "c_user")
+        .orderBy("click_id")
+    )
+
+
+@register("st26_semi_stream", duck_sql=None, tier="S")
+def st26_semi_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST26 real streaming run (equality with the batch form asserted in
+    tests/test_streaming.py)."""
+    return replay.run_stream_stream_semi(spark, sf_dir)

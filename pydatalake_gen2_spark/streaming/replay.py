@@ -250,6 +250,39 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("st06_out")
 
 
+def run_stream_stream_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST26: stream-stream LEFT SEMI join — clicks confirmed by a purchase
+    within 10 min after them, emitted once per click (never duplicated by
+    multiple matching purchases — the semantics that make semi the right
+    funnel primitive). Both sides watermarked: the click side's state is
+    evicted once the purchase watermark passes click_ts + 10 min."""
+    clicks = (
+        read_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        read_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "left_semi",
+    ).select("click_id", "c_user")
+    _run_to_memory(joined, "st26_out", "append")
+    return spark.table("st26_out")
+
+
 def run_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST07: foreachBatch → parquet append sink; returns the read-back."""
     out = tempfile.mkdtemp(prefix="st07_sink_")

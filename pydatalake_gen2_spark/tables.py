@@ -56,9 +56,21 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def _events_ts_is_nanos(path: str) -> bool:
-    """Footer-only probe (no data read) for the events.ts parquet unit."""
+    """Footer-only probe (no data read) for the events.ts parquet unit.
+    Handles both a single parquet file (driver fixtures) and a directory
+    of part files (any real lake layout, tools/gen_scale.py output) —
+    one footer decides for the table."""
+    import os
+
     import pyarrow.parquet as pq
 
+    if os.path.isdir(path):
+        parts = sorted(
+            f for f in os.listdir(path) if f.endswith(".parquet")
+        )
+        if not parts:
+            return False
+        path = os.path.join(path, parts[0])
     return getattr(pq.read_schema(path).field("ts").type, "unit", None) == "ns"
 
 

@@ -340,3 +340,10 @@ def test_full_outer_join_stream_equals_batch(spark, sf_dir):
     assert streamed == batch
     assert any(p is None for _, p, _, _ in streamed)  # unmatched clicks
     assert any(c is None for c, _, _, _ in streamed)  # unmatched purchases
+
+
+def test_semi_join_stream_equals_batch(spark, sf_dir):
+    """ST26: the watermarked stream-stream LEFT SEMI join must emit
+    exactly the batch semi join's click set — once per click, however
+    many purchases confirm it."""
+    _pair_equal(spark, sf_dir, "st26_semi_stream", "st26_semi_join_batch")
