@@ -327,11 +327,62 @@ def l09_centroid_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("lx_simhash", duck_sql=None, tier="P")
+def _lx_simhash_duck(bits: int = 48) -> str:
+    """Bit-exact SimHash oracle: md5 is engine-independent, so every
+    per-token 60-bit hash, per-bit signed tally, and sign-pack is
+    recomputable in DuckDB — bit i of the token hash is bit (i%4) of
+    hex nibble i//4, decoded with the portable instr-on-hex idiom
+    (dq06's). P→H upgrade: the fingerprints themselves hash-match, not
+    just their properties."""
+    tallies = ", ".join(
+        f"SUM(CASE WHEN CAST(FLOOR((instr('0123456789abcdef',"
+        f" substring(h, {15 - (i // 4)}, 1)) - 1) / {2 ** (i % 4)}) AS BIGINT)"
+        f" % 2 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN CAST({2 ** i} AS BIGINT) ELSE 0 END)"
+        for i in range(bits)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id,
+             unnest(string_split(lower(coalesce(text, '')), ' ')) AS tok
+      FROM documents),
+    nib AS (SELECT doc_id, md5(tok) AS h FROM toks),
+    bt AS (SELECT doc_id, {tallies} FROM nib GROUP BY doc_id)
+    SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM bt ORDER BY doc_id
+    """
+
+
+def _lx_simhash_neardup_duck(r: int = 4) -> str:
+    """Brute-force Hamming-radius oracle over the bit-exact fingerprints:
+    the banded join's pigeonhole recall is EXACTLY 1.0 (no band cap in
+    the registered entry) and its verify is exact, so its output must
+    EQUAL all pairs at bit_count(xor) <= r — the oracle states that set
+    directly (P→H upgrade; the n^2 compare is oracle-side only)."""
+    base = _lx_simhash_duck()
+    cut = base.rindex("ORDER BY doc_id")
+    base = base[:cut].strip()  # fingerprint SELECT without the final sort
+    return f"""
+    WITH fp AS ({base})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {r}
+    ORDER BY id_a, id_b
+    """
+
+
+@register("lx_simhash", duck_sql=_lx_simhash_duck())
 def lx_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """48-bit SimHash fingerprints (property-tested: identical docs →
-    identical hash; near-dup docs → small Hamming distance)."""
-    return dedup.simhash(spark.table("documents"))
+    """48-bit SimHash fingerprints, BIT-EXACT against the DuckDB oracle
+    (md5 token hashes are engine-independent; see _lx_simhash_duck).
+    One explode + one partial-aggregated groupBy(doc_id) with 48 signed
+    tallies — the shuffle carries 48 int64s per doc, never tokens.
+    Property tests additionally cover the semantic claims (identical
+    docs → identical hash; near-dups → small Hamming distance)."""
+    return dedup.simhash(spark.table("documents")).orderBy("doc_id")
 
 
 # PQ codebook per corpus dir — same build/query split as _IVF_CODEBOOKS.
@@ -443,12 +494,15 @@ def lx_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("lx_simhash_neardup", duck_sql=None, tier="P")
+@register("lx_simhash_neardup", duck_sql=_lx_simhash_neardup_duck())
 def lx_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded Hamming-radius near-dup join over 48-bit SimHash (r=4,
     5 disjoint bands → pigeonhole guarantees 1.0 recall; exact
-    bit_count(xor) verify → exact precision). Property-tested against
-    brute-force pairwise Hamming in tests/test_properties.py.
+    bit_count(xor) verify → exact precision). P→H: the oracle states
+    the full brute-force Hamming pair set over bit-exact md5
+    fingerprints — equality certifies recall AND precision in one hash
+    (the engine never runs the n² compare; plan-gated equi-join).
+    Also property-tested in tests/test_properties.py.
 
     Bench note: the synthetic fixture's 31-word vocabulary makes SimHash
     fingerprints pathologically clustered (sf0.1: 3445 distinct over 5000
@@ -4894,3 +4948,62 @@ def lx_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="cid int, n_members bigint, inertia bigint, "
                "c_0 bigint, c_1 bigint, c_2 bigint, c_3 bigint",
     ).orderBy("cid")
+
+
+# ---------------------------------------------------------------------------
+# l81: dedup mixture-shift audit — which sources lose mass under dedup
+# ---------------------------------------------------------------------------
+
+_L81_BODY = """
+    keep AS (SELECT h, min(doc_id) AS keeper FROM keyed GROUP BY h),
+    flagged AS (
+      SELECT k.source, k.tok_n,
+             CASE WHEN k.doc_id = keep.keeper THEN 1 ELSE 0 END AS kept
+      FROM keyed k JOIN keep ON k.h = keep.h),
+    per_src AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS docs_before,
+             CAST(sum(kept) AS BIGINT) AS docs_after,
+             CAST(sum(tok_n) AS BIGINT) AS toks_before,
+             CAST(sum(kept * tok_n) AS BIGINT) AS toks_after
+      FROM flagged GROUP BY source),
+    tot AS (
+      SELECT CAST(sum(toks_before) AS BIGINT) AS tb,
+             CAST(sum(toks_after) AS BIGINT) AS ta
+      FROM per_src)
+    SELECT source, docs_before, docs_after, toks_before, toks_after,
+           ROUND(CAST(toks_before AS DOUBLE) / tb, 6) AS share_before,
+           ROUND(CAST(toks_after AS DOUBLE) / ta, 6) AS share_after,
+           ROUND(CAST(toks_after AS DOUBLE) / ta
+                 - CAST(toks_before AS DOUBLE) / tb, 6) AS share_shift
+    FROM per_src CROSS JOIN tot
+    ORDER BY source
+"""
+
+_sql_pair(
+    "l81_dedup_mixture_shift",
+    """
+    WITH keyed AS (
+      SELECT doc_id, source, md5(lower(text)) AS h,
+             CAST(size(split(lower(text), ' ')) AS BIGINT) AS tok_n
+      FROM documents),
+    """ + _L81_BODY,
+    """
+    WITH keyed AS (
+      SELECT doc_id, source, md5(lower(text)) AS h,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS tok_n
+      FROM documents),
+    """ + _L81_BODY,
+    doc="L81: dedup mixture-shift audit — exact dedup (L01's min-doc_id "
+        "keeper over the md5 text key) silently REWEIGHTS the corpus: a "
+        "source whose documents duplicate heavily loses token share, "
+        "changing the training mixture the pipeline thought it "
+        "configured (the measured effect behind 'dedup moved my domain "
+        "mix'). Per source: docs/tokens before vs after, exact integer "
+        "tallies; token shares and the share_shift delta are terminal "
+        "ROUND(6) rationals. At 100 TB this is L01's groupBy plus one "
+        "per-source rollup — tallies, never rows, cross the second "
+        "shuffle. Pairs with L14's temperature sampling (the knob you "
+        "re-tune after reading this report) and L58/L80 (the "
+        "distributional view of the same drift).",
+)

@@ -1122,7 +1122,19 @@ def s34_footer_stats_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     upgrade."""
     import pandas as pd
 
-    files = [(t, f"{sf_dir}/{t}.parquet", k) for t, k in sorted(_S34_KEYS.items())]
+    # one row (= one footer-read task) PER PHYSICAL FILE: driver fixtures
+    # are single files, any real lake table is a directory of part files
+    files = []
+    for t, k in sorted(_S34_KEYS.items()):
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):
+            files += [
+                (t, os.path.join(p, f), k)
+                for f in sorted(os.listdir(p))
+                if f.endswith(".parquet")
+            ]
+        else:
+            files.append((t, p, k))
     fdf = spark.createDataFrame(files, "table_name STRING, path STRING, key_col STRING")
 
     def read_footers(batches):
@@ -1145,10 +1157,16 @@ def s34_footer_stats_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out, columns=["table_name", "key_col", "n_rows", "min_key", "max_key"]
             )
 
-    return fdf.repartition(len(files), "table_name").mapInPandas(
+    per_file = fdf.repartition(len(files), "path").mapInPandas(
         read_footers,
         "table_name STRING, key_col STRING, n_rows BIGINT, min_key BIGINT, "
         "max_key BIGINT",
+    )
+    # per-file partials reduce in one tiny aggregate (the 100 TB shape)
+    return per_file.groupBy("table_name", "key_col").agg(
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.min("min_key").cast("bigint").alias("min_key"),
+        F.max("max_key").cast("bigint").alias("max_key"),
     )
 
 

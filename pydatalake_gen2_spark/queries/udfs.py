@@ -134,25 +134,58 @@ def ud04_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ud05_ewma", duck_sql=None, tier="P")
+@register(
+    "ud05_ewma",
+    duck_sql="""
+    WITH RECURSIVE s AS (
+      SELECT user_id, event_id, CAST(value AS DOUBLE) AS x,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    rec AS (
+      SELECT user_id, event_id, rn, x AS ewma FROM s WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.event_id, s.rn,
+             0.7 * rec.ewma + 0.3 * s.x
+      FROM rec JOIN s ON s.user_id = rec.user_id AND s.rn = rec.rn + 1)
+    SELECT user_id, event_id, ROUND(ewma, 6) AS ewma
+    FROM rec ORDER BY user_id, event_id
+    """,
+)
 def ud05_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-key exponential weighted moving average over event time — the
-    canonical sequential-state computation SQL windows cannot express
-    without overflow-prone pow() tricks. Runs as Arrow-batched
+    """UD05: per-key exponential weighted moving average over event time —
+    the canonical sequential-state computation SQL windows cannot
+    express without overflow-prone pow() tricks. Runs as Arrow-batched
     ``applyInPandas`` per user_id (the batch analog of
     applyInPandasWithState; one shuffle on the key, sequential scan
     inside each group — group size bounded by per-user event counts).
-    Tier P: property-tested against a straight numpy recurrence
-    (tests/test_properties.py); driver does the rows-only check."""
+    P→H upgrade (the c32 Holt precedent): the recursion is written as
+    the EXPLICIT IEEE expression y_t = 0.7*y_{t-1} + 0.3*x_t in our own
+    loop — NOT pandas' .ewm() whose internal op order is theirs to
+    change — and the oracle walks the identical expression order in a
+    DuckDB recursive CTE, so every per-event double is bit-identical
+    and ROUND(6) is a pure display fence."""
     ev = spark.table("events").select("user_id", "event_id", "ts", "value")
 
     def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        def r6(v: float) -> float:  # half-away-from-zero, like SQL ROUND
+            return math.copysign(math.floor(abs(v) * 1e6 + 0.5), v) / 1e6
+
         pdf = pdf.sort_values(["ts", "event_id"])
-        pdf["ewma"] = pdf["value"].ewm(alpha=0.3, adjust=False).mean()
+        out = []
+        y = 0.0
+        for i, x in enumerate(pdf["value"].astype(float)):
+            y = x if i == 0 else 0.7 * y + 0.3 * x
+            out.append(y)
+        pdf = pdf.assign(ewma=[r6(v) for v in out])
         return pdf[["user_id", "event_id", "ewma"]]
 
-    return ev.groupBy("user_id").applyInPandas(
-        ewma, "user_id BIGINT, event_id BIGINT, ewma DOUBLE"
+    return (
+        ev.groupBy("user_id")
+        .applyInPandas(ewma, "user_id BIGINT, event_id BIGINT, ewma DOUBLE")
+        .orderBy("user_id", "event_id")
     )
 
 

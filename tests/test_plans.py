@@ -643,3 +643,30 @@ def test_c32_single_corpus_pass(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
     assert "HashAggregate" in plan, plan
     assert "FlatMapGroupsInPandas" in plan, plan
+
+
+def test_zorder_curve_takeordered_not_global_sort(spark, sf_dir):
+    """s40's top-20 by z-value must plan as TakeOrderedAndProject (a
+    per-partition top-k + driver merge), never a global range-exchange
+    sort — the difference between O(k) and O(n log n) network at 100 TB."""
+    plan = _plan(spark, sf_dir, "s40_zorder_curve")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_kmeans_assignment_is_pure_projection(spark, sf_dir):
+    """lx_kmeans' assignment stage must be a map-only projection over
+    broadcast centroid LITERALS — no join, no shuffle, no Python. The
+    only shuffle per Lloyd round is the k x dim partial-sum aggregate."""
+    from pydatalake_gen2_spark.operators import kmeans
+    from pydatalake_gen2_spark.registry import ensure_views
+
+    ensure_views(spark, sf_dir)
+    pts = kmeans.quantize(spark.table("embeddings"))
+    cents = [list(r["q"]) for r in pts.orderBy("vec_id").limit(8).collect()]
+    assigned = kmeans.assign(pts, cents)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = assigned._jdf.queryExecution().explainString(mode)
+    assert "Join" not in plan, plan
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan

@@ -405,8 +405,11 @@ def test_simhash_band_cap_composition(spark, sf_dir):
 
 
 def test_ewma_matches_numpy_recurrence(spark, sf_dir):
-    """ud05 must equal the textbook y_t = (1-a)·y_{t-1} + a·x_t
-    recurrence exactly (same float64 op order)."""
+    """ud05 must equal the textbook y_t = 0.7*y_{t-1} + 0.3*x_t
+    recurrence exactly (same float64 op order and LITERALS — note
+    1.0-0.3 is a DIFFERENT double than the 0.7 literal the operator and
+    its recursive-CTE oracle both use), with the ROUND(6) display fence
+    applied identically."""
     from pydatalake_gen2_spark.registry import ensure_views, load_all
 
     ensure_views(spark, sf_dir)
@@ -422,13 +425,17 @@ def test_ewma_matches_numpy_recurrence(spark, sf_dir):
     by_user: dict = {}
     for r in sorted(rows, key=lambda r: (r.user_id, r.ts, r.event_id)):
         by_user.setdefault(r.user_id, []).append(r)
-    a = 0.3
+    import math
+
+    def r6(v: float) -> float:  # half-away-from-zero, like the operator
+        return math.copysign(math.floor(abs(v) * 1e6 + 0.5), v) / 1e6
+
     n = 0
     for evs in by_user.values():
         y = None
         for r in evs:
-            y = r.value if y is None else (1.0 - a) * y + a * r.value
-            assert got[r.event_id] == y, r.event_id
+            y = r.value if y is None else 0.7 * y + 0.3 * r.value
+            assert got[r.event_id] == r6(y), r.event_id
             n += 1
     assert n == len(got) > 0
 
