@@ -1205,48 +1205,72 @@ sql_pair(
 sql_pair(
     "g54_bootstrap_ci",
     """
-    WITH ranked AS (
-      SELECT CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) AS BIGINT) AS rn,
+    WITH base AS (
+      SELECT CAST(o_orderkey AS BIGINT) AS k,
              CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
       FROM orders),
-    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nrows FROM ranked),
-    reps AS (SELECT rn AS b FROM ranked WHERE rn <= 100),
+    reps AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY k) AS BIGINT) - 1 AS b
+      FROM (SELECT k FROM base ORDER BY k LIMIT 100) t),
     draws AS (
-      SELECT r.b,
-             ((1103515245 * (r.b * 1000003 + i.rn) + 12345) % 2147483648)
-               % n.nrows + 1 AS pick
-      FROM reps r CROSS JOIN ranked i CROSS JOIN n),
-    boot AS (
-      SELECT d.b, CAST(SUM(t.cents) AS BIGINT) AS s
-      FROM draws d JOIN ranked t ON t.rn = d.pick
-      GROUP BY d.b),
+      SELECT r.b, i.cents,
+             ((1103515245 * ((r.b + 1) * 1000003 + i.k) + 12345)
+               % 2147483648 + 2147483648) % 2147483648 AS u
+      FROM base i CROSS JOIN reps r),
+    weighted AS (
+      SELECT b, cents,
+             (CASE WHEN u >= 790015084 THEN 1 ELSE 0 END)
+           + (CASE WHEN u >= 1580030168 THEN 1 ELSE 0 END)
+           + (CASE WHEN u >= 1975037710 THEN 1 ELSE 0 END)
+           + (CASE WHEN u >= 2106706891 THEN 1 ELSE 0 END)
+           + (CASE WHEN u >= 2139624186 THEN 1 ELSE 0 END)
+           + (CASE WHEN u >= 2146207645 THEN 1 ELSE 0 END)
+           + (CASE WHEN u >= 2147304888 THEN 1 ELSE 0 END)
+           + (CASE WHEN u >= 2147461638 THEN 1 ELSE 0 END)
+           + (CASE WHEN u >= 2147481231 THEN 1 ELSE 0 END) AS w
+      FROM draws),
+    rep_sums AS (
+      SELECT b, CAST(SUM(w * cents) AS BIGINT) AS s,
+             CAST(SUM(w) AS BIGINT) AS wn
+      FROM weighted GROUP BY b),
+    means AS (
+      SELECT b, CAST(s AS DOUBLE) / CAST(wn AS DOUBLE) AS m
+      FROM rep_sums WHERE wn > 0),
     dist AS (
-      SELECT CAST(PERCENTILE_DISC(0.025) WITHIN GROUP (ORDER BY s) AS BIGINT) AS lo_s,
-             CAST(PERCENTILE_DISC(0.975) WITHIN GROUP (ORDER BY s) AS BIGINT) AS hi_s,
+      SELECT PERCENTILE_DISC(0.025) WITHIN GROUP (ORDER BY m) AS lo_m,
+             PERCENTILE_DISC(0.975) WITHIN GROUP (ORDER BY m) AS hi_m,
              CAST(COUNT(*) AS BIGINT) AS n_boot
-      FROM boot),
-    point AS (SELECT CAST(SUM(cents) AS BIGINT) AS s0 FROM ranked)
+      FROM means),
+    point AS (SELECT CAST(SUM(cents) AS BIGINT) AS s0,
+                     CAST(COUNT(*) AS BIGINT) AS nrows
+              FROM base)
     SELECT n_boot,
            ROUND(CAST(s0 AS DOUBLE) / CAST(nrows AS DOUBLE) / 100, 4) AS mean_estimate,
-           ROUND(CAST(lo_s AS DOUBLE) / CAST(nrows AS DOUBLE) / 100, 4) AS ci_lo,
-           ROUND(CAST(hi_s AS DOUBLE) / CAST(nrows AS DOUBLE) / 100, 4) AS ci_hi,
-           CASE WHEN lo_s <= s0 AND s0 <= hi_s THEN 1 ELSE 0 END AS point_in_ci
-    FROM dist CROSS JOIN point CROSS JOIN n
+           ROUND(lo_m / 100, 4) AS ci_lo,
+           ROUND(hi_m / 100, 4) AS ci_hi,
+           CASE WHEN lo_m <= CAST(s0 AS DOUBLE) / CAST(nrows AS DOUBLE)
+                 AND CAST(s0 AS DOUBLE) / CAST(nrows AS DOUBLE) <= hi_m
+                THEN 1 ELSE 0 END AS point_in_ci
+    FROM dist CROSS JOIN point
     """,
-    doc="G54: seeded deterministic bootstrap CI for the mean order value "
-        "— the distribution-free uncertainty quantifier the G50/G53 "
-        "parametric tests assume away. The B=100 resamples are generated "
-        "by a portable LCG ((1103515245*(b*1000003+i)+12345) %% 2^31) %% n "
-        "— pure int64 arithmetic, bit-identical in both engines, no RNG "
-        "state — so every resample index, every bootstrap replicate sum "
-        "(exact integer cents), and the PERCENTILE_DISC(0.025/0.975) "
-        "fences (ACTUAL replicate values, G47's discrete discipline) are "
-        "reproducible. Scale: the draws table is B×n rows but carries "
-        "only (b, pick); the join back to values is an equi-join Spark "
-        "shuffles once, and each replicate reduces to one bigint partial "
-        "sum. At 100 TB you bootstrap over per-partition partial "
-        "aggregates (poor-man's bag-of-little-bootstraps) — same "
-        "downstream percentile arithmetic. One SQL text, both dialects.",
+    doc="G54: seeded deterministic POISSON bootstrap CI for the mean "
+        "order value — the distribution-free uncertainty quantifier the "
+        "G50/G53 parametric tests assume away, in the large-scale "
+        "formulation (Chamandy et al., 'Estimating Uncertainty for "
+        "Massive Data Streams', Google 2012): each row draws an i.i.d. "
+        "Poisson(1) multiplicity PER REPLICATE from a portable LCG on "
+        "(replicate, o_orderkey) — u compared against 9 precomputed "
+        "integer CDF thresholds (floor(cdf*2^31): pure int64, "
+        "bit-identical in both engines, no RNG state, no floats until "
+        "the final means) — so a replicate is SUM(w*cents)/SUM(w). "
+        "This replaces the round-4 multinomial form whose B×n pick "
+        "table re-JOINED the ranked rows (measured 46 s at sf1, "
+        "superlinear, and impossible at 100 TB): now there is NO join "
+        "and NO global row_number — one scan, a broadcast 100-row "
+        "replicate spine, and B partial sums per task crossing the "
+        "shuffle. PERCENTILE_DISC fences are actual replicate means "
+        "(exact-int ratios, deterministic doubles). One SQL text, "
+        "both dialects.",
 )
 
 
