@@ -1544,3 +1544,93 @@ sql_pair(
         "is k^2/2 rows of post-agg metadata. One SQL text in both "
         "dialects.",
 )
+
+
+# ---------------------------------------------------------------------------
+# g64: two-way ANOVA (priority x status) from exact integer moments
+# ---------------------------------------------------------------------------
+
+def _g64_ssq_block(nm: str, grp: str) -> str:
+    """Exact half-up SUM over groups of s1^2/n in integer cents^2 — the
+    g51 quotient/remainder machinery as a reusable text block; groups by
+    `grp` over the shared `s` (grp_a, grp_b, cents) CTE."""
+    group_by = f"GROUP BY {grp.rstrip(', ')}" if grp else ""
+    return f"""
+    m_{nm} AS (
+      SELECT {grp} CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS DECIMAL(38,0)) AS s1
+      FROM s {group_by}),
+    u_{nm} AS (
+      SELECT CAST(SUM(CAST(q AS DECIMAL(19,0)) * s1
+                 + CAST(q AS DECIMAL(19,0)) * (CAST(s1 AS BIGINT) - q * n)
+                 + CAST(FLOOR(CAST(2 * (CAST(s1 AS BIGINT) - q * n)
+                                     * (CAST(s1 AS BIGINT) - q * n)
+                                     + n AS DOUBLE) / (2 * n)) AS BIGINT))
+               AS DECIMAL(38,0)) AS ssq,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM (SELECT n, s1,
+                   CAST(FLOOR(CAST(CAST(s1 AS BIGINT) AS DOUBLE) / n)
+                        AS BIGINT) AS q
+            FROM m_{nm}) t)"""
+
+
+_G64_SQL = (
+    """
+    WITH s AS (
+      SELECT o_orderpriority AS grp_a, o_orderstatus AS grp_b,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),"""
+    + _g64_ssq_block("a", "grp_a, ") + ","
+    + _g64_ssq_block("b", "grp_b, ") + ","
+    + _g64_ssq_block("ab", "grp_a, grp_b, ") + ","
+    + _g64_ssq_block("g", "") + ","
+    + """
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS nn,
+             CAST(sum(CAST(cents AS DECIMAL(19,0)) * cents)
+                  AS DECIMAL(38,0)) AS g2
+      FROM s),
+    ss AS (
+      SELECT u_a.k AS k_a, u_b.k AS k_b, u_ab.k AS k_cells, tot.nn AS n_total,
+             CAST(u_a.ssq - u_g.ssq AS DECIMAL(38,0)) AS ss_a_c2,
+             CAST(u_b.ssq - u_g.ssq AS DECIMAL(38,0)) AS ss_b_c2,
+             CAST(u_ab.ssq - u_a.ssq - u_b.ssq + u_g.ssq
+                  AS DECIMAL(38,0)) AS ss_ab_c2,
+             CAST(tot.g2 - u_ab.ssq AS DECIMAL(38,0)) AS ss_within_c2
+      FROM u_a CROSS JOIN u_b CROSS JOIN u_ab CROSS JOIN u_g CROSS JOIN tot)
+    SELECT k_a, k_b, k_cells, n_total,
+           ss_a_c2, ss_b_c2, ss_ab_c2, ss_within_c2,
+           ROUND((CAST(ss_a_c2 AS DOUBLE) / (k_a - 1))
+                 / (CAST(ss_within_c2 AS DOUBLE) / (n_total - k_cells)), 6)
+             AS f_a,
+           ROUND((CAST(ss_b_c2 AS DOUBLE) / (k_b - 1))
+                 / (CAST(ss_within_c2 AS DOUBLE) / (n_total - k_cells)), 6)
+             AS f_b,
+           ROUND((CAST(ss_ab_c2 AS DOUBLE)
+                  / ((k_a - 1) * (k_b - 1)))
+                 / (CAST(ss_within_c2 AS DOUBLE) / (n_total - k_cells)), 6)
+             AS f_interaction
+    FROM ss
+    """
+)
+
+sql_pair(
+    "g64_two_way_anova",
+    _G64_SQL,
+    doc="G64: two-way ANOVA of order value on priority (5 levels) x "
+        "status (3 levels) — the factorial readout after G51/G62: main "
+        "effects AND whether the factors INTERACT (does priority's "
+        "effect differ by status?). Sums of squares via the sequential "
+        "decomposition SS_A = sum_a s1_a^2/n_a - G^2/N (and likewise B, "
+        "cells), SS_AB = SS_cells - SS_A - SS_B, SS_within = sum s2 - "
+        "sum_cells s1^2/n — every term an EXACT integer cents^2 through "
+        "g51's quotient/remainder machinery (the _g64_ssq_block text "
+        "block reuses it verbatim per grouping), so the SS columns are "
+        "hash-stable at any scale; only the three F ratios are IEEE, "
+        "ROUND(6). Caveat stated, not hidden: with unbalanced cells "
+        "this is the Type-I-style decomposition (SS_AB can go slightly "
+        "negative under strong imbalance; TPC-H's near-uniform factors "
+        "keep it well-posed). Scale: ONE scan, 15-cell partial+final "
+        "aggregate — the same shape as G02 at 100 TB. One SQL text in "
+        "both dialects.",
+)
