@@ -1540,3 +1540,78 @@ def zorder_layout(
         .parquet(path)
     )
     return path
+
+
+# ---------------------------------------------------------------------------
+# s41: ORC round-trip; s42: XML round-trip (Spark-4 native XML source)
+# ---------------------------------------------------------------------------
+
+_FORMAT_RT_AGG = """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key
+    FROM {src} GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+@register("s41_orc_roundtrip", duck_sql=_FORMAT_RT_AGG.format(src="orders"))
+def s41_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S41: ORC round-trip — orders written to ORC (Spark's built-in
+    columnar alternative to parquet, same vectorized reader/pushdown
+    path) and read back; the per-status count / exact-cents sum /
+    key min-max must equal the oracle reading the ORIGINAL parquet, so
+    the hash certifies the ORC writer+reader pair is lossless. DuckDB
+    cannot read ORC — equality against the parquet source is exactly
+    the cross-format reconciliation a lake migration runs."""
+    path = _tmp("s41_orc", sf_dir)
+    src = load_table(spark, sf_dir, "orders")
+    _write_once(path, lambda: src.write.mode("overwrite").orc(path))
+    spark.read.orc(path).createOrReplaceTempView("orders_orc")
+    return spark.sql(_FORMAT_RT_AGG.format(src="orders_orc"))
+
+
+@register("s42_xml_roundtrip", duck_sql=_FORMAT_RT_AGG.format(src="orders"))
+def s42_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S42: XML round-trip over Spark 4's NATIVE XML source (the
+    spark-xml package folded into core): orders written as <order>
+    row elements and read back with an explicit schema; the same
+    reconciliation aggregate as S41 certifies the writer+reader pair is
+    lossless against the oracle's parquet read. Money rides as exact
+    integer cents THROUGH the text format (XML has no decimal type —
+    writing the raw double would round-trip through decimal text and
+    1-ulp-drift; the integer detour is the discipline F23/F24 use for
+    JSON). Scale: the XML reader is a streaming row-element parser —
+    no whole-document DOM — so files split per element like JSONL."""
+    path = _tmp("s42_xml", sf_dir)
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    _write_once(
+        path,
+        lambda: src.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "orders")
+        .option("rowTag", "order")
+        .save(path),
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "order")
+        .schema("o_orderkey BIGINT, o_orderstatus STRING, cents BIGINT")
+        .load(path)
+    )
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("cents"),
+            F.min("o_orderkey").cast("bigint").alias("min_key"),
+            F.max("o_orderkey").cast("bigint").alias("max_key"),
+        )
+        .orderBy("o_orderstatus")
+    )
