@@ -1388,51 +1388,6 @@ sql_pair(
 
 
 # ---------------------------------------------------------------------------
-# dq08: Benford first-digit audit
-# ---------------------------------------------------------------------------
-
-sql_pair(
-    "dq08_benford",
-    """
-    WITH s AS (
-      SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
-                                 AS STRING), 1, 1) AS INT) AS d
-      FROM orders WHERE o_totalprice > 0),
-    obs AS (SELECT d, CAST(count(*) AS BIGINT) AS o FROM s GROUP BY d),
-    tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
-    terms AS (
-      SELECT d, o, n,
-             CAST(n AS DOUBLE) * LN(1.0 + 1.0 / d) / LN(10.0) AS e
-      FROM obs CROSS JOIN tot),
-    chi AS (
-      SELECT CAST(SUM(CAST(ROUND((o - e) * (o - e) / e, 6)
-                           AS DECIMAL(24,6))) AS DOUBLE) AS chi2
-      FROM terms)
-    SELECT d AS digit, o AS n_obs,
-           ROUND(e, 4) AS n_expected,
-           ROUND(CAST(o AS DOUBLE) / n, 6) AS obs_freq,
-           ROUND(chi2, 6) AS chi2,
-           chi2 > 15.507 AS deviates
-    FROM terms CROSS JOIN chi
-    ORDER BY d
-    """,
-    doc="DQ08: Benford's-law first-digit audit of order values — the "
-        "forensic data-quality screen for fabricated or truncated "
-        "numeric columns (naturally-grown multiplicative quantities "
-        "follow P(d) = log10(1+1/d); synthetic-uniform or capped data "
-        "deviates, which is exactly what this fixture's verdict "
-        "documents rather than hides). First digit comes from the "
-        "exact integer-cents string (x100 never changes the leading "
-        "significant digit), tallies are one integer partial+final "
-        "agg, each digit's (o-e)^2/e is ROUND(6)ed row-locally then "
-        "summed EXACTLY as DECIMAL (g38's chi-square discipline), and "
-        "the verdict reads against the chi2(8) 5% fence 15.507. At "
-        "100 TB: one scan, 9 tallies — O(1) state. One SQL text in "
-        "both dialects.",
-)
-
-
-# ---------------------------------------------------------------------------
 # g61: Cramer's V effect size for the g38 contingency table
 # ---------------------------------------------------------------------------
 
@@ -1633,4 +1588,54 @@ sql_pair(
         "keep it well-posed). Scale: ONE scan, 15-cell partial+final "
         "aggregate — the same shape as G02 at 100 TB. One SQL text in "
         "both dialects.",
+)
+
+
+# ---------------------------------------------------------------------------
+# g65: Kendall tau-b rank correlation (monthly volume vs avg order value)
+# ---------------------------------------------------------------------------
+
+sql_pair(
+    "g65_kendall_tau",
+    """
+    WITH monthly AS (
+      SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mk,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS DECIMAL(19,0)) AS cents
+      FROM orders GROUP BY 1),
+    pairs AS (
+      SELECT a.n AS xa, b.n AS xb,
+             a.cents * b.n AS ya_cross, b.cents * a.n AS yb_cross
+      FROM monthly a JOIN monthly b ON a.mk < b.mk),
+    tallies AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(CASE WHEN (xa < xb AND ya_cross < yb_cross)
+                            OR (xa > xb AND ya_cross > yb_cross)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+             CAST(SUM(CASE WHEN (xa < xb AND ya_cross > yb_cross)
+                            OR (xa > xb AND ya_cross < yb_cross)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+             CAST(SUM(CASE WHEN xa = xb THEN 1 ELSE 0 END) AS BIGINT) AS ties_x,
+             CAST(SUM(CASE WHEN ya_cross = yb_cross THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ties_y
+      FROM pairs),
+    nm AS (SELECT CAST(count(*) AS BIGINT) AS n_months FROM monthly)
+    SELECT n_months, n_pairs, concordant, discordant, ties_x, ties_y,
+           ROUND(CAST(concordant - discordant AS DOUBLE)
+                 / SQRT(CAST(n_pairs - ties_x AS DOUBLE)
+                        * CAST(n_pairs - ties_y AS DOUBLE)), 6) AS tau_b
+    FROM tallies CROSS JOIN nm
+    """,
+    doc="G65: Kendall tau-b rank correlation between monthly order VOLUME "
+        "and monthly AVERAGE order value — do busy months run cheaper "
+        "orders? The robust, outlier-proof companion to G45's Pearson "
+        "and G59's Theil-Sen: tau depends only on pair ORDERINGS. The "
+        "average (a rational cents/n) is never materialized: pair "
+        "comparisons cross-multiply a.cents*b.n vs b.cents*a.n in exact "
+        "DECIMAL — concordant/discordant/tie tallies are pure integer "
+        "facts, and tau_b is ONE final IEEE expression ROUND(6). Scale: "
+        "'aggregate down, iterate on the profile' (G59's discipline) — "
+        "one scan reduces to ~80 month rows, the O(months^2) pair join "
+        "is post-agg metadata. One SQL text in both dialects.",
 )
