@@ -1191,3 +1191,54 @@ sql_pair(
         "down, then iterate on the profile', C32's shape). ROUND(4). "
         "One SQL text, both dialects.",
 )
+
+
+# ---------------------------------------------------------------------------
+# w38: rolling 12-month volume-revenue correlation (regime-change monitor)
+# ---------------------------------------------------------------------------
+
+sql_pair(
+    "w38_rolling_correlation",
+    """
+    WITH monthly AS (
+      SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mk,
+             CAST(count(*) AS BIGINT) AS x,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS DECIMAL(38,0)) AS y
+      FROM orders GROUP BY 1),
+    win AS (
+      SELECT mk, x, y,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n,
+             CAST(SUM(x) OVER w AS BIGINT) AS sx,
+             CAST(SUM(y) OVER w AS DECIMAL(38,0)) AS sy,
+             CAST(SUM(x * x) OVER w AS BIGINT) AS sxx,
+             CAST(SUM(CAST(y AS DECIMAL(19,0)) * y) OVER w
+                  AS DECIMAL(38,0)) AS syy,
+             CAST(SUM(x * y) OVER w AS DECIMAL(38,0)) AS sxy
+      FROM monthly
+      WINDOW w AS (ORDER BY mk ROWS BETWEEN 11 PRECEDING AND CURRENT ROW))
+    SELECT mk AS month_key, x AS n_orders,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+             AS rolling_corr_12m
+    FROM win
+    WHERE n = 12
+      AND (n * sxx - sx * sx) > 0
+      AND (n * syy - sy * sy) > 0
+    ORDER BY month_key
+    """,
+    doc="W38: rolling 12-month Pearson correlation between monthly order "
+        "VOLUME and monthly REVENUE — the regime-change monitor (a stable "
+        "business holds corr near 1; a drop flags a mix shift: more "
+        "orders, less money). G45 is the static matrix, G39 the static "
+        "lag autocorrelation; this is the windowed time-local view. All "
+        "five window moments (Sx, Sy, Sxx, Syy, Sxy) are EXACT integer/"
+        "DECIMAL(38,0) frame sums (y^2 forced through DECIMAL(19) so "
+        "DuckDB runs hugeint, g50's overflow discipline; widths sized "
+        "so n*Syy and Sy^2 stay under 38 digits through ~sf100), and "
+        "each month's corr is ONE final IEEE expression ROUND(6)-fenced "
+        "(the DECIMAL->DOUBLE int128 cast drift, g39's discipline). "
+        "Scale: one partial+final monthly rollup, then a window over "
+        "the ~80-row profile. One SQL text in both dialects.",
+)
