@@ -211,10 +211,12 @@ _ALIASES: dict[str, str] = {
     # (integer-exact PageRank) for first-ever driver evidence.
     "a33_gr01_pagerank": "gr01_pagerank",
     # LLM-pipeline operators
-    # r10 repurpose: l01 holds a green r3 driver row (a34) and dedup
-    # keeps a20/a35/a39; the slot goes to the new classifier-calibration
-    # class (isotonic/PAV fit via the exact minimax identity).
-    "a34_l76_isotonic": "l76_isotonic_calibration",
+    # r10 repurposed this slot to l76 isotonic calibration (green r4 row);
+    # r11 rotates it again to the round's new capability class:
+    # DISTRIBUTED EXACT CLUSTERING (integer-Lloyd k-means, the full-corpus
+    # IVF trainer shape) — its recurrence is bit-reproducible, so the
+    # driver row certifies a whole iterative-ML family, not one query.
+    "a34_lx_kmeans": "lx_kmeans",
     "a35_l02b_ngram_jaccard": "l02b_ngram_jaccard",
     # r9 repurpose: l03 holds a green r3 driver row, runs in every bench
     # round, and stays transitively exercised by a15 (MRL runs
