@@ -208,6 +208,23 @@ class Engine:
 
         return merge_upsert(target, source, key_cols, **kw)
 
+    def kmeans(self, df, k: int = 8, iters: int = 2, dim: int = 64, **kw):
+        """Distributed EXACT Lloyd k-means over integer-quantized vectors
+        (operators/kmeans.py, LX-KMEANS): bit-reproducible across
+        partitionings/retries — the full-corpus IVF-trainer shape.
+        Returns (centroids, assignment DataFrame)."""
+        from pydatalake_gen2_spark.operators import kmeans as km
+
+        pts = km.quantize(df, **kw)
+        return km.lloyd(pts, k=k, iters=iters, dim=dim)
+
+    def zorder_write(self, df, xcol: str, ycol: str, path: str, n_files: int = 8) -> str:
+        """Z-order (Morton) clustered layout write — multi-dimensional
+        data skipping via tight per-file min/max envelopes (S40)."""
+        from pydatalake_gen2_spark.queries.scans import zorder_layout
+
+        return zorder_layout(df, xcol, ycol, path, n_files)
+
     # -- streaming ----------------------------------------------------------
     def stream_events(self, sf_dir: str | None = None) -> DataFrame:
         from pydatalake_gen2_spark.streaming import replay
