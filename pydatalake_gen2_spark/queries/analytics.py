@@ -1639,3 +1639,54 @@ sql_pair(
         "one scan reduces to ~80 month rows, the O(months^2) pair join "
         "is post-agg metadata. One SQL text in both dialects.",
 )
+
+
+# ---------------------------------------------------------------------------
+# g66: Mann-Kendall trend test on monthly revenue
+# ---------------------------------------------------------------------------
+
+sql_pair(
+    "g66_mann_kendall",
+    """
+    WITH monthly AS (
+      SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mk,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS DECIMAL(19,0)) AS y
+      FROM orders GROUP BY 1),
+    pairs AS (
+      SELECT CASE WHEN b.y > a.y THEN 1
+                  WHEN b.y < a.y THEN -1 ELSE 0 END AS sgn
+      FROM monthly a JOIN monthly b ON a.mk < b.mk),
+    stat AS (
+      SELECT CAST(SUM(sgn) AS BIGINT) AS s,
+             CAST(SUM(CASE WHEN sgn = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS tied_pairs
+      FROM pairs),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM monthly)
+    SELECT n AS n_months, s AS mk_s, tied_pairs,
+           ROUND(CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1)
+                      WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1)
+                      ELSE 0.0 END
+                 / SQRT(CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5) / 18),
+                 6) AS z_stat,
+           ABS(CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1)
+                    WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1)
+                    ELSE 0.0 END
+               / SQRT(CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5) / 18))
+             > 1.959963985 AS significant
+    FROM stat CROSS JOIN nn
+    """,
+    doc="G66: Mann-Kendall monotone-trend test on monthly revenue — the "
+        "SIGNIFICANCE companion to G59's Theil-Sen slope (the pair every "
+        "environmental/ops time-series methodology ships together): "
+        "S = sum of sign(y_j - y_i) over all month pairs is a pure "
+        "integer tally from exact-cents comparisons (no ranks "
+        "materialized, no floats), the no-ties normal approximation "
+        "var = n(n-1)(2n+5)/18 and the continuity-corrected z are ONE "
+        "final IEEE expression ROUND(6), read against |z| > 1.96 "
+        "(tied_pairs reported so a reader can see the no-ties "
+        "assumption hold — exact-cents monthly sums virtually never "
+        "tie). Scale: G59's 'aggregate down, iterate on the profile' — "
+        "one scan to ~80 month rows, O(months^2) pairs post-agg. One "
+        "SQL text in both dialects.",
+)
