@@ -938,3 +938,62 @@ def gr11_landmark_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node")
     )
+
+
+# ---------------------------------------------------------------------------
+# gr12: degree distribution + Hill power-law tail estimator
+# ---------------------------------------------------------------------------
+
+sql_pair(
+    "gr12_degree_powerlaw",
+    """
+    WITH edges AS (
+      SELECT DISTINCT o.o_custkey AS src, l.l_suppkey AS dst
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    deg AS (
+      SELECT dst AS node, CAST(count(*) AS BIGINT) AS d
+      FROM edges GROUP BY dst),
+    ranked AS (
+      SELECT d, ROW_NUMBER() OVER (ORDER BY d DESC, node) AS rn,
+             CAST(count(*) OVER () AS BIGINT) AS n_nodes
+      FROM deg),
+    tail AS (
+      SELECT n_nodes,
+             CAST(count(*) AS BIGINT) AS k_tail,
+             CAST(MIN(d) AS BIGINT) AS d_min,
+             CAST(SUM(CAST(ROUND(LN(CAST(d AS DOUBLE)), 8)
+                           AS DECIMAL(20,8))) AS DOUBLE) AS sum_ln_d
+      FROM ranked
+      WHERE rn <= CAST(FLOOR(CAST(n_nodes AS DOUBLE) / 10) AS BIGINT)
+        AND n_nodes >= 20
+      GROUP BY n_nodes),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_nodes_all,
+             CAST(MAX(d) AS BIGINT) AS d_max,
+             CAST(MIN(d) AS BIGINT) AS d_min_all,
+             CAST(SUM(d) AS BIGINT) AS sum_d
+      FROM deg)
+    SELECT s.n_nodes_all AS n_nodes, s.d_min_all AS d_min, s.d_max,
+           ROUND(CAST(s.sum_d AS DOUBLE) / s.n_nodes_all, 4) AS mean_degree,
+           t.k_tail, t.d_min AS tail_d_min,
+           ROUND(1.0 + CAST(t.k_tail AS DOUBLE)
+                 / (t.sum_ln_d
+                    - t.k_tail * ROUND(LN(CAST(t.d_min AS DOUBLE)), 8)),
+                 6) AS hill_alpha
+    FROM stats s CROSS JOIN tail t
+    """,
+    doc="GR12: degree distribution + Hill power-law tail estimator over "
+        "the supplier side of the customer→supplier graph — the "
+        "graph-health profile behind every skew decision this repo "
+        "makes (salting, band caps, AQE skew joins): a heavy tail "
+        "(small alpha) says hot keys WILL dominate shuffles. Hill "
+        "estimator over the top-decile tail: alpha = 1 + k / "
+        "sum(ln(d_i/d_min)), with each ln ROUND(8)-fenced then summed "
+        "EXACTLY as DECIMAL(20,8) (l58/gr07 discipline — the sum is "
+        "order-independent across engines) and ONE final IEEE "
+        "expression ROUND(6). Degrees, counts, min/max/mean are exact "
+        "integers. Scale: degrees are one partial+final agg over the "
+        "deduped edge list; the tail selection is a top-k over the "
+        "per-node degree table (nodes, not edges). One SQL text in "
+        "both dialects.",
+)
