@@ -61,6 +61,36 @@ def canon_rows(columns: list[str], rows: list[tuple]) -> Counter:
     return Counter(tuple(_canon_value(row[i]) for i in order) for row in rows)
 
 
+_FLOAT64_EXACT_MAX = 1 << 53  # largest contiguous exact integer in float64
+
+
+def _fence_float64_exact(name: str, cols: list[str], rows: list[tuple]) -> None:
+    """Runtime half of the round-6 canonicalizer fence (the static half is
+    tests/test_correctness.py::test_canonicalizer_shape_contract): no
+    rendered INTEGRAL numeric cell may exceed 2^53 in magnitude. Past
+    that, a float64-coercing hasher (pandas on either engine's result)
+    can render equal values differently per engine — the round-5 driver
+    red row was g51's ~2^61 DECIMAL(38,0) cents^2 sums. Render such
+    values as STRING (digit-exact in both engines) instead. Doubles are
+    exempt (both engines hash the same bits); so are strings — the
+    escape hatch itself."""
+    bad = []
+    for row in rows:
+        for c, v in zip(cols, row):
+            if isinstance(v, bool) or v is None:
+                continue
+            if isinstance(v, int) and abs(v) > _FLOAT64_EXACT_MAX:
+                bad.append((c, v))
+            elif isinstance(v, Decimal) and v == v.to_integral_value() \
+                    and abs(v) > _FLOAT64_EXACT_MAX:
+                bad.append((c, str(v)))
+        if bad:
+            raise AssertionError(
+                f"{name}: integral output cells exceed 2^53 (float64-exact "
+                f"range) — render as STRING or rescale; offenders: {bad[:4]}"
+            )
+
+
 def run_pair(spark, con, sf_dir: str, name: str) -> dict:
     from pydatalake_gen2_spark.operators.util import release_persisted
 
@@ -69,6 +99,8 @@ def run_pair(spark, con, sf_dir: str, name: str) -> dict:
     s_cols = [c.lower() for c in sdf.columns]
     s_rows = [tuple(r) for r in sdf.collect()]
     release_persisted()  # operator caches are consumed; drop the blocks
+    if qp.duck_sql is not None:
+        _fence_float64_exact(name, s_cols, s_rows)
     out = {"name": name, "tier": qp.tier, "spark_rows": len(s_rows)}
     if qp.duck_sql is None:
         out["status"] = "rows_only"

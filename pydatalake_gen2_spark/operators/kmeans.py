@@ -110,6 +110,12 @@ def lloyd(
     returns (final centroids, final assignment under them)."""
     init = pts.orderBy("vec_id").limit(k).collect()
     cents = [list(r["q"]) for r in init]
+    if len(cents) < k:
+        raise ValueError(
+            f"lloyd: k={k} centroids requested but the corpus has only "
+            f"{len(cents)} vectors — callers (lx_kmeans's fixed-k render) "
+            "assume k seeded centroids exist"
+        )
     for _ in range(iters):
         cents = update(assign(pts, cents), cents, dim)
     return cents, assign(pts, cents)

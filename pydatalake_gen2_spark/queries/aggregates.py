@@ -14,6 +14,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pydatalake_gen2_spark.queries.sqlexact import (
+    dec2dbl as _dec2dbl,
+    wide_mul as _wide_mul,
+)
 from pydatalake_gen2_spark.registry import register, sql_pair
 
 
@@ -901,7 +905,15 @@ sql_pair(
 )
 
 
-_G44_SQL = """
+def _g44_sql(duck: bool) -> str:
+    # Round-6 hardening: 2*U1 = r1x2 - n1*(n1+1) and the tie cube sum
+    # are wide-decimal integers that can pass 2^53 (~1e20 at 1e10 rows);
+    # they reach DOUBLE via sqlexact.dec2dbl's deterministic hi/lo
+    # split, never the native decimal cast (DuckDB's int128->double is
+    # not correctly rounded).
+    u1x2 = _dec2dbl(duck, "r1x2 - CAST(n1 AS DECIMAL(19,0)) * (n1 + 1)")
+    tie3 = _dec2dbl(duck, "tie3")
+    return f"""
     WITH g AS (
       SELECT o_totalprice AS v,
              CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS in1
@@ -922,21 +934,22 @@ _G44_SQL = """
              SUM(CAST(c AS DECIMAL(19,0)) * c * c - c) AS tie3
       FROM ranked)
     SELECT n1, n2,
-           CAST(r1x2 - CAST(n1 AS DECIMAL(19,0)) * (n1 + 1) AS DOUBLE) / 2 AS u1,
-           ROUND(CAST(r1x2 - CAST(n1 AS DECIMAL(19,0)) * (n1 + 1) AS DOUBLE) / 2
+           {u1x2} / 2 AS u1,
+           ROUND({u1x2} / 2
                  / (CAST(n1 AS DOUBLE) * n2), 6) AS auc,
-           ROUND((CAST(r1x2 - CAST(n1 AS DECIMAL(19,0)) * (n1 + 1) AS DOUBLE) / 2
+           ROUND(({u1x2} / 2
                   - CAST(n1 AS DOUBLE) * n2 / 2)
                  / SQRT(CAST(n1 AS DOUBLE) * n2 / 12
                         * ((n1 + n2 + 1)
-                           - CAST(tie3 AS DOUBLE)
+                           - {tie3}
                              / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1.0)))), 6) AS z
     FROM s
 """
 
 sql_pair(
     "g44_mann_whitney",
-    _G44_SQL,
+    _g44_sql(duck=False),
+    duck_sql=_g44_sql(duck=True),
     doc="G44: Mann-Whitney U rank-sum test between finished ('F') and open "
         "('O') order price distributions — the nonparametric sibling of "
         "G41's KS test (KS asks 'same distribution?'; U also yields "
@@ -970,14 +983,26 @@ _G45_MOMENTS = """
       FROM c
 """
 
-_G45_CORR = (
-    "ROUND((CAST(n AS DOUBLE) * CAST(s_{xy} AS DOUBLE)"
-    " - CAST(s_{x} AS DOUBLE) * CAST(s_{y} AS DOUBLE))"
-    " / SQRT((CAST(n AS DOUBLE) * CAST(s_{xx} AS DOUBLE)"
-    "         - CAST(s_{x} AS DOUBLE) * CAST(s_{x} AS DOUBLE))"
-    "        * (CAST(n AS DOUBLE) * CAST(s_{yy} AS DOUBLE)"
-    "           - CAST(s_{y} AS DOUBLE) * CAST(s_{y} AS DOUBLE))), 6)"
-)
+def _g45_corr(duck: bool, x: str, y: str, xy: str, xx: str, yy: str) -> str:
+    # Round-6 hardening: each covariance term n*S_xy - S_x*S_y is now an
+    # EXACT wide-integer (the old form multiplied ALREADY-CAST doubles of
+    # >2^53 moments — s_pp ~ 1.5e18 at sf0.01 — inheriting DuckDB's
+    # 1-ulp int128->double cast drift); the single conversion to DOUBLE
+    # goes through sqlexact.dec2dbl's deterministic hi/lo split.
+    # Magnitudes: n*s ~ 9e22 at sf0.01, ~9e28 at sf100 — inside
+    # wide-int range and dec2dbl's hi-fits-BIGINT bound (9.2e33).
+    def cov(a: str, b: str, ab: str) -> str:
+        return _dec2dbl(
+            duck,
+            f"{_wide_mul(duck, 'n', 's_' + ab)} - "
+            f"{_wide_mul(duck, 's_' + a, 's_' + b)}",
+        )
+
+    return (
+        f"ROUND({cov(x, y, xy)}"
+        f" / SQRT({cov(x, x, xx)}"
+        f"        * {cov(y, y, yy)}), 6)"
+    )
 
 _G45_PREFIX = (
     """
@@ -1000,22 +1025,22 @@ _G45_DUCK = (
     + """
     SELECT pair, corr FROM (
       SELECT 'quantity~extendedprice' AS pair, """
-    + _G45_CORR.format(x="q", y="p", xy="qp", xx="qq", yy="pp")
+    + _g45_corr(True, "q", "p", "qp", "qq", "pp")
     + """ AS corr FROM m
       UNION ALL SELECT 'quantity~discount', """
-    + _G45_CORR.format(x="q", y="d", xy="qd", xx="qq", yy="dd")
+    + _g45_corr(True, "q", "d", "qd", "qq", "dd")
     + """ FROM m
       UNION ALL SELECT 'quantity~tax', """
-    + _G45_CORR.format(x="q", y="t", xy="qt", xx="qq", yy="tt")
+    + _g45_corr(True, "q", "t", "qt", "qq", "tt")
     + """ FROM m
       UNION ALL SELECT 'extendedprice~discount', """
-    + _G45_CORR.format(x="p", y="d", xy="pd", xx="pp", yy="dd")
+    + _g45_corr(True, "p", "d", "pd", "pp", "dd")
     + """ FROM m
       UNION ALL SELECT 'extendedprice~tax', """
-    + _G45_CORR.format(x="p", y="t", xy="pt", xx="pp", yy="tt")
+    + _g45_corr(True, "p", "t", "pt", "pp", "tt")
     + """ FROM m
       UNION ALL SELECT 'discount~tax', """
-    + _G45_CORR.format(x="d", y="t", xy="dt", xx="dd", yy="tt")
+    + _g45_corr(True, "d", "t", "dt", "dd", "tt")
     + """ FROM m
     ) ORDER BY pair
     """
@@ -1027,22 +1052,22 @@ _G45_SPARK = (
     SELECT pair, corr FROM (
       SELECT stack(6,
         'quantity~extendedprice', """
-    + _G45_CORR.format(x="q", y="p", xy="qp", xx="qq", yy="pp")
+    + _g45_corr(False, "q", "p", "qp", "qq", "pp")
     + """,
         'quantity~discount', """
-    + _G45_CORR.format(x="q", y="d", xy="qd", xx="qq", yy="dd")
+    + _g45_corr(False, "q", "d", "qd", "qq", "dd")
     + """,
         'quantity~tax', """
-    + _G45_CORR.format(x="q", y="t", xy="qt", xx="qq", yy="tt")
+    + _g45_corr(False, "q", "t", "qt", "qq", "tt")
     + """,
         'extendedprice~discount', """
-    + _G45_CORR.format(x="p", y="d", xy="pd", xx="pp", yy="dd")
+    + _g45_corr(False, "p", "d", "pd", "pp", "dd")
     + """,
         'extendedprice~tax', """
-    + _G45_CORR.format(x="p", y="t", xy="pt", xx="pp", yy="tt")
+    + _g45_corr(False, "p", "t", "pt", "pp", "tt")
     + """,
         'discount~tax', """
-    + _G45_CORR.format(x="d", y="t", xy="dt", xx="dd", yy="tt")
+    + _g45_corr(False, "d", "t", "dt", "dd", "tt")
     + """) AS (pair, corr)
       FROM m)
     ORDER BY pair

@@ -17,6 +17,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from pydatalake_gen2_spark.queries.sqlexact import (
+    dec2dbl as _dec2dbl,
+    f6_half_away as _f6_half_away,
+    idiv as _idiv,
+    wide_mul as _wide_mul,
+)
 from pydatalake_gen2_spark.registry import register, sql_pair
 
 # ---------------------------------------------------------------------------
@@ -62,25 +68,33 @@ sql_pair(
 # g39: lag-k autocorrelation of the daily revenue series
 # ---------------------------------------------------------------------------
 
-def _autocorr_sql() -> str:
+def _autocorr_sql(duck: bool) -> str:
     """Lag-1 and lag-7 Pearson autocorrelation from EXACT integer moments.
 
     corr = (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2) * (n*Syy - Sy^2)) with
     every S a DECIMAL sum of integer cents (order-independent, exact in
-    both engines); the final expression is ONE IEEE divide/sqrt,
-    ROUND(6)ed because DuckDB's int128-decimal -> DOUBLE cast is not
-    correctly rounded (observed 1-ulp drift on 70-bit moments).
-    Precisions are sized so no product exceeds width 38 in either engine
-    (DuckDB errors past 38; Spark silently reduces scale).
+    both engines). Round-6 hardening: the wide-decimal moments (~5e22 at
+    sf0.01) reach DOUBLE through sqlexact.dec2dbl's hi/lo int64 split —
+    both engines run identical correctly-rounded int64 casts + the same
+    IEEE mul/add — instead of the native decimal cast (DuckDB's
+    int128 -> DOUBLE is not correctly rounded; observed 1-ulp drift on
+    70-bit moments). hi = x DIV 1e15 fits BIGINT through |x| < 9.2e33,
+    i.e. past sf100 for these n*cents^2 moments. The final expression
+    stays ONE IEEE divide/sqrt, ROUND(6). Precisions are sized so no
+    product exceeds width 38 in either engine (DuckDB errors past 38;
+    Spark silently reduces scale).
     """
+    num = _dec2dbl(duck, "n * sxy - sx * sy")
+    den_a = _dec2dbl(duck, "n * sxx - sx * sx")
+    den_b = _dec2dbl(duck, "n * syy - sy * sy")
     legs = []
     for lag in (1, 7):
         legs.append(f"""
     SELECT CAST({lag} AS INT) AS lag_days,
            CAST(n AS BIGINT) AS n_pairs,
-           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
-             / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
-                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS autocorr
+           ROUND({num}
+             / SQRT({den_a}
+                    * {den_b}), 6) AS autocorr
     FROM (
       SELECT CAST(count(*) AS DECIMAL(6,0)) AS n,
              CAST(SUM(x) AS DECIMAL(19,0)) AS sx,
@@ -103,7 +117,8 @@ def _autocorr_sql() -> str:
 
 sql_pair(
     "g39_autocorrelation",
-    _autocorr_sql(),
+    _autocorr_sql(duck=False),
+    duck_sql=_autocorr_sql(duck=True),
     doc="G39: lag-1 / lag-7 autocorrelation of the daily revenue series — "
         "the seasonality detector behind forecast-model choice. The fact "
         "table reduces to one row per day (partial agg), the lag window "
@@ -816,9 +831,8 @@ sql_pair(
 # g50: Welch two-sample t-test (unequal variances)
 # ---------------------------------------------------------------------------
 
-sql_pair(
-    "g50_welch_ttest",
-    """
+def _g50_sql(duck: bool) -> str:
+    return f"""
     WITH s AS (
       SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 0 ELSE 1 END AS grp,
              CAST(round(o_totalprice * 100) AS BIGINT) AS cents
@@ -829,14 +843,18 @@ sql_pair(
              CAST(sum(CAST(cents AS DECIMAL(19,0)) * cents)
                   AS DECIMAL(38,0)) AS s2
       FROM s GROUP BY grp),
+    -- round-6 hardening: the cents^2 moments (s2 ~ 1.5e18 at sf0.01,
+    -- past 2^53) reach DOUBLE via sqlexact.dec2dbl's deterministic
+    -- hi/lo split, not the native decimal cast; s1 is < 2^53 but takes
+    -- the same path (dec2dbl is exact there: hi = 0 or tiny).
     sel AS (
       SELECT
         max(CASE WHEN grp = 0 THEN n END) AS n1,
         max(CASE WHEN grp = 1 THEN n END) AS n2,
-        CAST(max(CASE WHEN grp = 0 THEN s1 END) AS DOUBLE) AS a1,
-        CAST(max(CASE WHEN grp = 1 THEN s1 END) AS DOUBLE) AS b1,
-        CAST(max(CASE WHEN grp = 0 THEN s2 END) AS DOUBLE) AS a2,
-        CAST(max(CASE WHEN grp = 1 THEN s2 END) AS DOUBLE) AS b2
+        {_dec2dbl(duck, "max(CASE WHEN grp = 0 THEN s1 END)")} AS a1,
+        {_dec2dbl(duck, "max(CASE WHEN grp = 1 THEN s1 END)")} AS b1,
+        {_dec2dbl(duck, "max(CASE WHEN grp = 0 THEN s2 END)")} AS a2,
+        {_dec2dbl(duck, "max(CASE WHEN grp = 1 THEN s2 END)")} AS b2
       FROM m),
     v AS (
       SELECT n1, n2,
@@ -853,7 +871,13 @@ sql_pair(
                     + (v2 / n2) * (v2 / n2) / (n2 - 1)), 4) AS welch_df,
            abs((m1 - m2) / sqrt(v1 / n1 + v2 / n2)) > 1.96 AS significant
     FROM v
-    """,
+    """
+
+
+sql_pair(
+    "g50_welch_ttest",
+    _g50_sql(duck=False),
+    duck_sql=_g50_sql(duck=True),
     doc="G50: Welch two-sample t-test (unequal variances) of order value "
         "between URGENT and LOW priorities — the A/B-test readout "
         "(Welch, not pooled Student: the robust default when group "
@@ -862,21 +886,51 @@ sql_pair(
         "moments (n, sum cents, sum cents^2) accumulate as EXACT "
         "DECIMAL(38,0) — the cents^2 product is forced through "
         "DECIMAL(19,0) so DuckDB runs it in hugeint, not overflowing "
-        "int64 — and the t/df are ONE final IEEE expression each with "
-        "a terminal ROUND (the DECIMAL->DOUBLE 1-ulp cast drift is "
-        "fenced by ROUND(6)/ROUND(4)). Scale: a partial+final "
-        "2-group aggregate over one scan; the test is O(1) memory at "
-        "any table size. One SQL text in both dialects.",
+        "int64 — and reach DOUBLE via sqlexact.dec2dbl's deterministic "
+        "hi/lo split (round-6: the native DECIMAL->DOUBLE cast is gone "
+        "— DuckDB's int128->double is not correctly rounded); the t/df "
+        "are ONE final IEEE expression each with a terminal ROUND. "
+        "Scale: a partial+final 2-group aggregate over one scan; the "
+        "test is O(1) memory at any table size.",
 )
 
 
 # ---------------------------------------------------------------------------
 # g51: one-way ANOVA F-test across order priorities
 # ---------------------------------------------------------------------------
+#
+# Exact-integer render discipline (round-6, after the driver-side r5 red
+# row): NO rendered column may be a DECIMAL with precision > 15, and NO
+# rendered DOUBLE may be computed by casting such a decimal. The ~2^61
+# cents^2 sums are past float64's exact range, so (a) DuckDB's
+# int128->double cast is not correctly rounded (1-ulp drift), and (b) an
+# external canonicalizer that coerces decimals to float64 renders the two
+# engines differently even when the values are EQUAL. Fix: SS columns are
+# rendered as STRING (digit-exact in both engines), ratios go through
+# exact integer division in the engines' native wide-integer types
+# (Spark DECIMAL(38,0) DIV -> BIGINT quotient; DuckDB HUGEINT // — both
+# truncate toward zero, verified including negatives), and boolean fences
+# are exact cross-multiplications. tests/test_correctness.py enforces the
+# schema fence registry-wide.
 
-sql_pair(
-    "g51_anova_f",
-    """
+
+# (sqlexact helpers are imported at module top; this block intentionally
+# documents the discipline where the first hardened pairs live.)
+
+
+def _g51_sql(duck: bool) -> str:
+    # F = (ssb/(k-1)) / (ssw/(nn-k)) = ssb*(nn-k) / (ssw*(k-1)).
+    # Magnitudes: ss ~ 3e18 cents^2 at sf0.01 and ~ N*var overall; the
+    # f6 numerator 2*ssb*(nn-k)*1e6 stays < 1e37 through ~sf100 (doc'd
+    # in the pair's docstring); the quotient f6 = F*1e6 is ~1e6-1e10,
+    # comfortably BIGINT. significant: F > 2.37 <=> 100*ssb*(nn-k) >
+    # 237*ssw*(k-1), exact in wide ints (< 1e33).
+    num = _wide_mul(duck, "ssb_c2", "nn - k")
+    den = _wide_mul(duck, "ssw_c2", "k - 1")
+    f6 = _f6_half_away(duck, num, den)
+    sig_l = _wide_mul(duck, "100", "ssb_c2", "nn - k")
+    sig_r = _wide_mul(duck, "237", "ssw_c2", "k - 1")
+    return f"""
     WITH s AS (
       SELECT o_orderpriority AS grp,
              CAST(round(o_totalprice * 100) AS BIGINT) AS cents
@@ -926,14 +980,18 @@ sql_pair(
              CAST(g2_c2 - sum_sq_over_n_c2 AS DECIMAL(38,0)) AS ssw_c2
       FROM gq)
     SELECT k, nn AS n_total,
-           ssb_c2 AS ss_between_cents2,
-           ssw_c2 AS ss_within_cents2,
-           ROUND((CAST(ssb_c2 AS DOUBLE) / (k - 1))
-                 / (CAST(ssw_c2 AS DOUBLE) / (nn - k)), 6) AS f_stat,
-           (CAST(ssb_c2 AS DOUBLE) / (k - 1))
-             / (CAST(ssw_c2 AS DOUBLE) / (nn - k)) > 2.37 AS significant
+           CAST(ssb_c2 AS STRING) AS ss_between_cents2,
+           CAST(ssw_c2 AS STRING) AS ss_within_cents2,
+           CAST({f6} AS DOUBLE) / CAST(1000000 AS DOUBLE) AS f_stat,
+           {sig_l} > {sig_r} AS significant
     FROM ss
-    """,
+    """
+
+
+sql_pair(
+    "g51_anova_f",
+    _g51_sql(duck=False),
+    duck_sql=_g51_sql(duck=True),
     doc="G51: one-way ANOVA F-test of order value across the five order "
         "priorities — the k-group generalization of G50's two-sample "
         "test (does ANY priority differ?), read against the F(4, inf) "
@@ -947,10 +1005,19 @@ sql_pair(
         "for decimal long division), the products exact DECIMAL, and "
         "the residual half-up via (2r^2+n) DIV (2n) in int64 — no "
         "ROUND ever touches a >2^53 double (the round-4 1-ulp "
-        "ss-render bug class). Only the F-stat is IEEE, ONE final "
-        "expression fenced by ROUND(6). Scale: partial+final 5-group "
-        "aggregate over one scan, O(1) state — the same shape as G02 "
-        "at 100 TB. One SQL text in both dialects.",
+        "ss-render bug class). Round-6 hardening: the RENDERED row is "
+        "integer-pure — the ~2^61 SS columns are emitted as STRING "
+        "(digit-exact; a float64-coercing canonicalizer can no longer "
+        "diverge per engine), f_stat is micro-units exact integer "
+        "division f6 = round_half_up(ssb*(nn-k)*1e6 / (ssw*(k-1))) "
+        "via Spark DECIMAL(38,0) DIV / DuckDB HUGEINT `//` (numerator "
+        "< 1e37 through ~sf100) rendered as the exact double f6/1e6, "
+        "and significant is the exact cross-multiplication "
+        "100*ssb*(nn-k) > 237*ssw*(k-1). No DECIMAL->DOUBLE cast "
+        "survives anywhere in the output. Scale: partial+final "
+        "5-group aggregate over one scan, O(1) state — the same shape "
+        "as G02 at 100 TB. One template, two dialect spellings of "
+        "exact integer division.",
 )
 
 
@@ -1308,9 +1375,17 @@ def dq07_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # g60: Brown-Forsythe (Levene-at-median) variance-homogeneity test
 # ---------------------------------------------------------------------------
 
-sql_pair(
-    "g62_brown_forsythe",
-    """
+def _g62_sql(duck: bool) -> str:
+    # Same integer-pure final render as g51 (see the round-6 note above
+    # g51): SS as STRING, W-stat via exact micro-unit integer division,
+    # fence by exact cross-multiplication. z = |cents - median| keeps
+    # magnitudes below g51's, so g51's overflow bounds dominate.
+    num = _wide_mul(duck, "ssb_c2", "nn - k")
+    den = _wide_mul(duck, "ssw_c2", "k - 1")
+    f6 = _f6_half_away(duck, num, den)
+    sig_l = _wide_mul(duck, "100", "ssb_c2", "nn - k")
+    sig_r = _wide_mul(duck, "237", "ssw_c2", "k - 1")
+    return f"""
     WITH s AS (
       SELECT o_orderpriority AS grp,
              CAST(round(o_totalprice * 100) AS BIGINT) AS cents
@@ -1360,14 +1435,18 @@ sql_pair(
              CAST(g2_c2 - sum_sq_over_n_c2 AS DECIMAL(38,0)) AS ssw_c2
       FROM gq)
     SELECT k, nn AS n_total,
-           ssb_c2 AS ss_between_cents2,
-           ssw_c2 AS ss_within_cents2,
-           ROUND((CAST(ssb_c2 AS DOUBLE) / (k - 1))
-                 / (CAST(ssw_c2 AS DOUBLE) / (nn - k)), 6) AS w_stat,
-           (CAST(ssb_c2 AS DOUBLE) / (k - 1))
-             / (CAST(ssw_c2 AS DOUBLE) / (nn - k)) > 2.37 AS significant
+           CAST(ssb_c2 AS STRING) AS ss_between_cents2,
+           CAST(ssw_c2 AS STRING) AS ss_within_cents2,
+           CAST({f6} AS DOUBLE) / CAST(1000000 AS DOUBLE) AS w_stat,
+           {sig_l} > {sig_r} AS significant
     FROM ss
-    """,
+    """
+
+
+sql_pair(
+    "g62_brown_forsythe",
+    _g62_sql(duck=False),
+    duck_sql=_g62_sql(duck=True),
     doc="G62: Brown-Forsythe test (Levene centered at the MEDIAN) for "
         "variance homogeneity of order value across the five priorities "
         "— the precondition audit for G51's ANOVA (pooled-variance "
@@ -1377,7 +1456,10 @@ sql_pair(
         "(an actual data value, so z is an EXACT integer), then the "
         "one-way ANOVA F on z via g51's exact-SS machinery — "
         "quotient/remainder split per group, every SS column exact "
-        "integer cents^2, only the final W-stat is IEEE (ROUND(6)), "
+        "integer cents^2 rendered as STRING, the W-stat exact "
+        "micro-unit integer division rendered as f6/1e6, and the "
+        "fence an exact cross-multiplication (g51's round-6 "
+        "integer-pure render — no DECIMAL->DOUBLE cast in the output), "
         "read against the same F(4, inf) 5% fence 2.37. Scale: the "
         "per-group median is the only rank step (a fixed-k "
         "PERCENTILE_DISC over the group — at 100 TB use the partial-agg "
@@ -1437,9 +1519,21 @@ sql_pair(
 # g63: Tukey-Kramer HSD post-hoc pairwise comparison (after g51's ANOVA)
 # ---------------------------------------------------------------------------
 
-sql_pair(
-    "g63_tukey_hsd",
-    """
+def _g63_sql(duck: bool) -> str:
+    # Round-6 hardening: ms_within used to be CAST(DECIMAL(38,0) AS
+    # DOUBLE)/(nn-k) — a ~2^61 int128->double cast DuckDB does not
+    # correctly round. Now msw_c2 = round_half_up(ssw/(nn-k)) via exact
+    # wide-integer division: the quotient is the per-row z-variance in
+    # cents^2 (~1e13-1e15, < 2^53 at ANY table size since it is
+    # row-count-free), so CAST(msw_c2 AS DOUBLE) is exact and every
+    # later IEEE step is deterministic across engines. The +-0.5 cents^2
+    # truncation is ~1e-15 relative — invisible at ROUND(6).
+    msw = _idiv(
+        duck,
+        f"2 * {_wide_mul(duck, 'g2_c2 - sum_sq_over_n_c2')} + (nn - k)",
+        "2 * (nn - k)",
+    )
+    return f"""
     WITH s AS (
       SELECT o_orderpriority AS grp,
              CAST(round(o_totalprice * 100) AS BIGINT) AS cents
@@ -1468,8 +1562,7 @@ sql_pair(
       FROM mu),
     msw AS (
       SELECT k, nn,
-             CAST(CAST(g2_c2 - sum_sq_over_n_c2 AS DECIMAL(38,0)) AS DOUBLE)
-               / (nn - k) AS ms_within
+             CAST(CAST({msw} AS BIGINT) AS DOUBLE) AS ms_within
       FROM parts)
     SELECT a.grp AS grp_a, b.grp AS grp_b,
            a.q AS mean_a_cents, b.q AS mean_b_cents,
@@ -1484,15 +1577,23 @@ sql_pair(
     FROM mu a JOIN mu b ON a.grp < b.grp
     CROSS JOIN msw
     ORDER BY grp_a, grp_b
-    """,
+    """
+
+
+sql_pair(
+    "g63_tukey_hsd",
+    _g63_sql(duck=False),
+    duck_sql=_g63_sql(duck=True),
     doc="G63: Tukey-Kramer HSD — the post-hoc step after G51's ANOVA "
         "says 'SOME priority differs': all 10 pairwise priority "
         "comparisons with the studentized-range statistic "
         "q = |mean_a - mean_b| / sqrt(MSW/2 * (1/n_a + 1/n_b)), read "
         "against q(0.05, k=5, df=inf) = 3.858 — the family-wise-error "
         "control a naive 10x t-test loop lacks. MSW comes from g51's "
-        "exact integer cents^2 SSW (quotient/remainder machinery, no "
-        "wide-double ROUND); reported group means are exact floor-cents "
+        "exact integer cents^2 SSW via exact wide-integer division to "
+        "a <2^53 BIGINT (round-6: the DECIMAL(38,0)->DOUBLE cast is "
+        "gone — DuckDB's int128->double is not correctly rounded); "
+        "reported group means are exact floor-cents "
         "(q from the same split), and each q_stat is ONE IEEE "
         "expression over exact integer moments, ROUND(6). Scale: the "
         "same one-scan 5-group aggregate as G51 — the pairwise stage "
@@ -1529,17 +1630,38 @@ def _g64_ssq_block(nm: str, grp: str) -> str:
             FROM m_{nm}) t)"""
 
 
-_G64_SQL = (
-    """
+def _g64_sql(duck: bool) -> str:
+    # Round-6 integer-pure render (see g51): SS columns as STRING, the
+    # three F ratios as exact micro-unit integer division f6/1e6.
+    # SS_AB can go slightly NEGATIVE under imbalance (Type-I-style
+    # decomposition) — _f6_half_away is sign-correct (half away from
+    # zero in both engines; both DIV spellings truncate toward zero).
+    f_a = _f6_half_away(
+        duck,
+        _wide_mul(duck, "ss_a_c2", "n_total - k_cells"),
+        _wide_mul(duck, "ss_within_c2", "k_a - 1"),
+    )
+    f_b = _f6_half_away(
+        duck,
+        _wide_mul(duck, "ss_b_c2", "n_total - k_cells"),
+        _wide_mul(duck, "ss_within_c2", "k_b - 1"),
+    )
+    f_ab = _f6_half_away(
+        duck,
+        _wide_mul(duck, "ss_ab_c2", "n_total - k_cells"),
+        _wide_mul(duck, "ss_within_c2", "(k_a - 1) * (k_b - 1)"),
+    )
+    return (
+        """
     WITH s AS (
       SELECT o_orderpriority AS grp_a, o_orderstatus AS grp_b,
              CAST(round(o_totalprice * 100) AS BIGINT) AS cents
       FROM orders),"""
-    + _g64_ssq_block("a", "grp_a, ") + ","
-    + _g64_ssq_block("b", "grp_b, ") + ","
-    + _g64_ssq_block("ab", "grp_a, grp_b, ") + ","
-    + _g64_ssq_block("g", "") + ","
-    + """
+        + _g64_ssq_block("a", "grp_a, ") + ","
+        + _g64_ssq_block("b", "grp_b, ") + ","
+        + _g64_ssq_block("ab", "grp_a, grp_b, ") + ","
+        + _g64_ssq_block("g", "") + ","
+        + f"""
     tot AS (
       SELECT CAST(count(*) AS BIGINT) AS nn,
              CAST(sum(CAST(cents AS DECIMAL(19,0)) * cents)
@@ -1554,24 +1676,22 @@ _G64_SQL = (
              CAST(tot.g2 - u_ab.ssq AS DECIMAL(38,0)) AS ss_within_c2
       FROM u_a CROSS JOIN u_b CROSS JOIN u_ab CROSS JOIN u_g CROSS JOIN tot)
     SELECT k_a, k_b, k_cells, n_total,
-           ss_a_c2, ss_b_c2, ss_ab_c2, ss_within_c2,
-           ROUND((CAST(ss_a_c2 AS DOUBLE) / (k_a - 1))
-                 / (CAST(ss_within_c2 AS DOUBLE) / (n_total - k_cells)), 6)
-             AS f_a,
-           ROUND((CAST(ss_b_c2 AS DOUBLE) / (k_b - 1))
-                 / (CAST(ss_within_c2 AS DOUBLE) / (n_total - k_cells)), 6)
-             AS f_b,
-           ROUND((CAST(ss_ab_c2 AS DOUBLE)
-                  / ((k_a - 1) * (k_b - 1)))
-                 / (CAST(ss_within_c2 AS DOUBLE) / (n_total - k_cells)), 6)
-             AS f_interaction
+           CAST(ss_a_c2 AS STRING) AS ss_a_cents2,
+           CAST(ss_b_c2 AS STRING) AS ss_b_cents2,
+           CAST(ss_ab_c2 AS STRING) AS ss_ab_cents2,
+           CAST(ss_within_c2 AS STRING) AS ss_within_cents2,
+           CAST({f_a} AS DOUBLE) / CAST(1000000 AS DOUBLE) AS f_a,
+           CAST({f_b} AS DOUBLE) / CAST(1000000 AS DOUBLE) AS f_b,
+           CAST({f_ab} AS DOUBLE) / CAST(1000000 AS DOUBLE) AS f_interaction
     FROM ss
     """
-)
+    )
+
 
 sql_pair(
     "g64_two_way_anova",
-    _G64_SQL,
+    _g64_sql(duck=False),
+    duck_sql=_g64_sql(duck=True),
     doc="G64: two-way ANOVA of order value on priority (5 levels) x "
         "status (3 levels) — the factorial readout after G51/G62: main "
         "effects AND whether the factors INTERACT (does priority's "
@@ -1581,8 +1701,10 @@ sql_pair(
         "sum_cells s1^2/n — every term an EXACT integer cents^2 through "
         "g51's quotient/remainder machinery (the _g64_ssq_block text "
         "block reuses it verbatim per grouping), so the SS columns are "
-        "hash-stable at any scale; only the three F ratios are IEEE, "
-        "ROUND(6). Caveat stated, not hidden: with unbalanced cells "
+        "hash-stable at any scale — rendered as STRING with the three "
+        "F ratios as exact micro-unit integer divisions (g51's round-6 "
+        "integer-pure render; sign-correct for the negative-SS_AB "
+        "case). Caveat stated, not hidden: with unbalanced cells "
         "this is the Type-I-style decomposition (SS_AB can go slightly "
         "negative under strong imbalance; TPC-H's near-uniform factors "
         "keep it well-posed). Scale: ONE scan, 15-cell partial+final "

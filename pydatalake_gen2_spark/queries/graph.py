@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pydatalake_gen2_spark.queries.sqlexact import f6_half_away as _f6
 from pydatalake_gen2_spark.registry import register, sql_pair
 
 # Customer -> supplier edges: a customer "links to" every supplier that
@@ -756,8 +757,15 @@ def _duck_hits() -> str:
     intermediate value is an exact integer (DECIMAL(38,0) sums: hugeint
     in DuckDB, precision-38 decimal in Spark; no rounding EXISTS in the
     recurrence, unlike GR01's quantized rank/deg division). Scale
-    normalization only happens once, in the final report (score/max,
-    ROUND(6)), and the exact raw magnitude ships as a string."""
+    normalization only happens once, in the final report, as an EXACT
+    micro-unit integer division (round-6: the wide-decimal->double cast
+    is banned — DuckDB's int128->double is not correctly rounded), and
+    the exact raw magnitude ships as a string. Bound: the f6 numerator
+    2*a*10^6 stays in range while a < 5e31 — HITS magnitudes after 3
+    half-rounds grow like (mean degree)^5 * N, far below that through
+    sf100 (a3 max ~ 1e13 at sf0.01)."""
+    f6a = _f6(True, "a", "m")
+    f6h = _f6(True, "h", "m")
     return f"""
     WITH edges AS (
       SELECT DISTINCT o.o_custkey AS src, l.l_suppkey AS dst
@@ -776,11 +784,11 @@ def _duck_hits() -> str:
     hmax AS (SELECT MAX(h) AS m FROM h2),
     top_a AS (
       SELECT 'authority' AS role, dst AS node, CAST(a AS STRING) AS score_raw,
-             ROUND(CAST(a AS DOUBLE) / CAST(m AS DOUBLE), 6) AS score_norm
+             CAST({f6a} AS DOUBLE) / CAST(1000000 AS DOUBLE) AS score_norm
       FROM a3 CROSS JOIN amax ORDER BY a DESC, dst LIMIT {_GR10_TOPN}),
     top_h AS (
       SELECT 'hub' AS role, src AS node, CAST(h AS STRING) AS score_raw,
-             ROUND(CAST(h AS DOUBLE) / CAST(m AS DOUBLE), 6) AS score_norm
+             CAST({f6h} AS DOUBLE) / CAST(1000000 AS DOUBLE) AS score_norm
       FROM h2 CROSS JOIN hmax ORDER BY h DESC, src LIMIT {_GR10_TOPN})
     SELECT * FROM top_a UNION ALL SELECT * FROM top_h
     """
@@ -800,7 +808,8 @@ def _duck_hits() -> str:
         "direction after k rounds is identical to normalized HITS). "
         "Each half-step is one shuffle keyed on the receiving side; "
         "state frames are node-sized. Top-15 per role, raw magnitude "
-        "as exact string + ROUND(6) normalized score.",
+        "as exact string + micro-unit-exact normalized score (round-6: "
+        "no wide-decimal->double cast).",
 )
 def gr10_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = spark.table("orders")
@@ -828,15 +837,21 @@ def gr10_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     amax = a.agg(F.max("a").alias("m"))
     hmax = h.agg(F.max("h").alias("m"))
+    # round-6: score_norm = f6/1e6 via exact DECIMAL DIV (same spelling
+    # as the oracle's hugeint path), not a wide-decimal->double cast.
+    norm_a = F.expr(
+        f"CAST({_f6(False, 'a', 'm')} AS DOUBLE) / CAST(1000000 AS DOUBLE)"
+    )
+    norm_h = F.expr(
+        f"CAST({_f6(False, 'h', 'm')} AS DOUBLE) / CAST(1000000 AS DOUBLE)"
+    )
     top_a = (
         a.crossJoin(F.broadcast(amax))
         .select(
             F.lit("authority").alias("role"),
             F.col("dst").alias("node"),
             F.col("a").cast("string").alias("score_raw"),
-            F.round(F.col("a").cast("double") / F.col("m").cast("double"), 6).alias(
-                "score_norm"
-            ),
+            norm_a.alias("score_norm"),
             F.col("a").alias("_s"),
         )
         .orderBy(F.col("_s").desc(), "node")
@@ -849,9 +864,7 @@ def gr10_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("hub").alias("role"),
             F.col("src").alias("node"),
             F.col("h").cast("string").alias("score_raw"),
-            F.round(F.col("h").cast("double") / F.col("m").cast("double"), 6).alias(
-                "score_norm"
-            ),
+            norm_h.alias("score_norm"),
             F.col("h").alias("_s"),
         )
         .orderBy(F.col("_s").desc(), "node")
@@ -977,8 +990,9 @@ sql_pair(
            ROUND(CAST(s.sum_d AS DOUBLE) / s.n_nodes_all, 4) AS mean_degree,
            t.k_tail, t.d_min AS tail_d_min,
            ROUND(1.0 + CAST(t.k_tail AS DOUBLE)
-                 / (t.sum_ln_d
-                    - t.k_tail * ROUND(LN(CAST(t.d_min AS DOUBLE)), 8)),
+                 / NULLIF(t.sum_ln_d
+                          - t.k_tail * ROUND(LN(CAST(t.d_min AS DOUBLE)), 8),
+                          0),
                  6) AS hill_alpha
     FROM stats s CROSS JOIN tail t
     """,

@@ -303,7 +303,10 @@ def ud08_pandas_iter_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
             # SQL round() in both engines for either sign (astype('int64')
             # truncates toward zero, which is only half-up for positives)
             cents = (np.floor(s.abs().mul(100) + 0.5) * np.sign(s)).astype("int64")
-            yield cents % modulus
+            # np.fmod, not `%`: numpy % is FLOORED modulo (always
+            # non-negative) while Spark/DuckDB SQL % TRUNCATES (sign of
+            # dividend) — they differ on negative cents.
+            yield pd.Series(np.fmod(cents.to_numpy(), modulus))
 
     return (
         spark.table("orders")

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pydatalake_gen2_spark.queries.sqlexact import dec2dbl as _dec2dbl
 from pydatalake_gen2_spark.registry import register, sql_pair
 
 sql_pair(
@@ -687,7 +688,10 @@ sql_pair(
 )
 
 
-def _w28_sql(epoch_us: str) -> str:
+def _w28_sql(epoch_us: str, duck: bool) -> str:
+    # swv (cents x microsecond-gap sums, ~1e17+ per user) passes 2^53:
+    # it reaches DOUBLE via sqlexact.dec2dbl's deterministic hi/lo
+    # split, not the native wide-decimal cast (round-6 discipline).
     return f"""
     WITH seq AS (
       SELECT user_id,
@@ -707,24 +711,25 @@ def _w28_sql(epoch_us: str) -> str:
              CAST(SUM(dt_us) AS BIGINT) AS span_us
       FROM seg GROUP BY user_id)
     SELECT user_id, n_segments, span_us,
-           ROUND(CAST(swv AS DOUBLE) / span_us, 4) AS twap_cents
+           ROUND({_dec2dbl(duck, "swv")} / span_us, 4) AS twap_cents
     FROM agg ORDER BY user_id
     """
 
 
 sql_pair(
     "w28_time_weighted_avg",
-    _w28_sql("unix_micros(ts)"),
-    _w28_sql("epoch_us(ts)"),
+    _w28_sql("unix_micros(ts)", duck=False),
+    _w28_sql("epoch_us(ts)", duck=True),
     doc="W28: time-weighted average (TWAP) per user — each observation "
         "weighted by how long it REMAINED the current value (until the "
         "next event), the correct mean for irregularly-sampled series "
         "where the plain AVG over-weights bursty periods. Weights are "
         "exact integer microsecond gaps x integer cents summed as "
         "DECIMAL (order-independent); the only float op is the final "
-        "divide, ROUND(4)ed for the wide-decimal cast (DuckDB int128 "
-        "cast caveat). One window shuffle on user_id; epoch extraction "
-        "is the unix_micros/epoch_us dialect pair.",
+        "divide over a dec2dbl-split exact double (round-6: DuckDB's "
+        "int128->double cast is not correctly rounded, so the native "
+        "cast is banned), ROUND(4). One window shuffle on user_id; "
+        "epoch extraction is the unix_micros/epoch_us dialect pair.",
 )
 
 
@@ -773,9 +778,12 @@ sql_pair(
 )
 
 
-sql_pair(
-    "w31_cusum_changepoint",
-    """
+def _w31_sql(duck: bool) -> str:
+    # a = |n*run - k*t| is a wide-decimal integer (~5e14 at sf0.01,
+    # past 2^53 by sf100): rendered and normalized via dec2dbl's
+    # deterministic split, never the native decimal->double cast.
+    a_dbl = _dec2dbl(duck, "a")
+    return f"""
     WITH daily AS (
       SELECT CAST(o_orderdate AS DATE) AS d,
              CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
@@ -797,15 +805,21 @@ sql_pair(
                  - CAST(k AS DECIMAL(19,0)) * t) AS a
       FROM cum CROSS JOIN tot)
     SELECT d AS changepoint_date, k AS day_idx, n AS n_days,
-           CAST(a AS DOUBLE) AS dev_scaled,
-           ROUND(CAST(a AS DOUBLE) / (CAST(n AS DOUBLE) * t), 8)
+           {a_dbl} AS dev_scaled,
+           ROUND({a_dbl} / (CAST(n AS DOUBLE) * t), 8)
              AS dev_normalized,
            ROUND(CAST(run AS DOUBLE) / k / 100, 4) AS pre_mean,
            CASE WHEN k < n
                 THEN ROUND(CAST(t - run AS DOUBLE) / (n - k) / 100, 4)
            END AS post_mean
     FROM dev ORDER BY a DESC, k LIMIT 1
-    """,
+    """
+
+
+sql_pair(
+    "w31_cusum_changepoint",
+    _w31_sql(duck=False),
+    duck_sql=_w31_sql(duck=True),
     doc="W31: CUSUM changepoint detection on the daily-revenue series — "
         "argmax_k |n*cumsum_k - k*total| locates the day where the mean "
         "level shifts (the mean-centered cumulative sum scaled by n to "
@@ -1197,9 +1211,17 @@ sql_pair(
 # w38: rolling 12-month volume-revenue correlation (regime-change monitor)
 # ---------------------------------------------------------------------------
 
-sql_pair(
-    "w38_rolling_correlation",
-    """
+def _w38_sql(duck: bool) -> str:
+    # Round-6 hardening (g45's discipline): the covariance terms
+    # n*S - S*S are computed as EXACT wide integers, then reach DOUBLE
+    # once through dec2dbl's deterministic hi/lo split — the native
+    # wide-decimal cast (not correctly rounded in DuckDB) is gone.
+    from pydatalake_gen2_spark.queries.sqlexact import wide_mul as _wm
+
+    num = _dec2dbl(duck, f"{_wm(duck, 'n', 'sxy')} - {_wm(duck, 'sx', 'sy')}")
+    den_x = _dec2dbl(duck, f"{_wm(duck, 'n', 'sxx')} - {_wm(duck, 'sx', 'sx')}")
+    den_y = _dec2dbl(duck, f"{_wm(duck, 'n', 'syy')} - {_wm(duck, 'sy', 'sy')}")
+    return f"""
     WITH monthly AS (
       SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mk,
              CAST(count(*) AS BIGINT) AS x,
@@ -1218,16 +1240,22 @@ sql_pair(
       FROM monthly
       WINDOW w AS (ORDER BY mk ROWS BETWEEN 11 PRECEDING AND CURRENT ROW))
     SELECT mk AS month_key, x AS n_orders,
-           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
-                 / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
-                        * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+           ROUND({num}
+                 / SQRT({den_x}
+                        * {den_y}), 6)
              AS rolling_corr_12m
     FROM win
     WHERE n = 12
       AND (n * sxx - sx * sx) > 0
       AND (n * syy - sy * sy) > 0
     ORDER BY month_key
-    """,
+    """
+
+
+sql_pair(
+    "w38_rolling_correlation",
+    _w38_sql(duck=False),
+    duck_sql=_w38_sql(duck=True),
     doc="W38: rolling 12-month Pearson correlation between monthly order "
         "VOLUME and monthly REVENUE — the regime-change monitor (a stable "
         "business holds corr near 1; a drop flags a mix shift: more "
@@ -1237,8 +1265,9 @@ sql_pair(
         "DECIMAL(38,0) frame sums (y^2 forced through DECIMAL(19) so "
         "DuckDB runs hugeint, g50's overflow discipline; widths sized "
         "so n*Syy and Sy^2 stay under 38 digits through ~sf100), and "
-        "each month's corr is ONE final IEEE expression ROUND(6)-fenced "
-        "(the DECIMAL->DOUBLE int128 cast drift, g39's discipline). "
+        "each month's corr is ONE final IEEE expression over "
+        "dec2dbl-split exact covariances, ROUND(6) (round-6: no native "
+        "wide-decimal->double cast survives; g39/g45's discipline). "
         "Scale: one partial+final monthly rollup, then a window over "
         "the ~80-row profile. One SQL text in both dialects.",
 )

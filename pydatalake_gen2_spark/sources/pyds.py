@@ -243,7 +243,11 @@ class _JsonlWriter(DataSourceWriter):
             try:
                 os.remove(m.staged)
             except FileNotFoundError:
-                pass
+                # Tolerated: a retried/speculative task may have already
+                # aborted its own staged file, or the task died between
+                # commit-message send and file creation. Anything else
+                # (permissions, IO) propagates — abort() must not hide it.
+                continue
 
 
 class LakeJsonlSink(DataSource):

@@ -20,23 +20,122 @@ def test_pair(spark, duck, sf_dir, name):
     assert res["spark_rows"] >= 0
 
 
-def test_no_complex_typed_outputs(spark, sf_dir):
-    """Driver-gate shape contract: the external canonicalizer pandas-sorts
-    and hashes result cells, and dies on list/dict cells (round-1 VERDICT:
-    f30/f31/f32 TypeError unhashable list). Every registered query with an
-    oracle must therefore emit only scalar top-level columns — arrays are
-    rendered via array_join/array_to_string inside the pair."""
-    from pyspark.sql.types import ArrayType, MapType, StructType
+def _walk_wide_casts(jplan) -> set:
+    """Collect (child_type, 'double') for every Cast(decimal(p>=19, s=0)
+    -> double) in an analyzed plan, recursing through plan nodes,
+    expression trees, and subquery plans via py4j."""
+    import re
 
-    offenders = []
+    hits = set()
+    stack = [jplan]
+    while stack:
+        node = stack.pop()
+        try:
+            ch = node.children()
+            for i in range(ch.size()):
+                stack.append(ch.apply(i))
+        except Exception:
+            pass
+        try:
+            exprs = node.expressions()
+        except Exception:
+            continue
+        estack = [exprs.apply(i) for i in range(exprs.size())]
+        while estack:
+            e = estack.pop()
+            cls = e.getClass().getSimpleName()
+            if cls == "Cast":
+                try:
+                    dt = e.dataType().simpleString()
+                    cdt = e.child().dataType().simpleString()
+                    m = re.match(r"decimal\((\d+),(\d+)\)", cdt)
+                    if dt == "double" and m and int(m.group(1)) >= 19 \
+                            and int(m.group(2)) == 0:
+                        hits.add((cdt, dt))
+                except Exception:
+                    pass
+            if "Subquery" in cls or "Exists" in cls or "ListQuery" in cls:
+                try:
+                    stack.append(e.plan())
+                except Exception:
+                    pass
+            try:
+                ech = e.children()
+                for i in range(ech.size()):
+                    estack.append(ech.apply(i))
+            except Exception:
+                pass
+    return hits
+
+
+def test_canonicalizer_shape_contract(spark, sf_dir):
+    """Driver-gate shape contract, checked over EVERY oracle pair in one
+    construction pass (no execution):
+
+    (1) No complex-typed output columns: the external canonicalizer
+        pandas-sorts and hashes result cells, and dies on list/dict
+        cells (round-1 VERDICT: f30/f31/f32 TypeError unhashable list).
+        Arrays are rendered via array_join/array_to_string in the pair.
+
+    (2) No wide integer-decimal OUTPUT columns (DecimalType precision >
+        15, scale 0): their values can pass 2^53, where a float64-
+        coercing hasher renders Spark's Decimal and DuckDB's int128
+        differently even when the values are EQUAL — the round-5 driver
+        red row (g51's DECIMAL(38,0) cents^2 sums, ~2^61). Render such
+        values as STRING, or keep them < 2^53 via sqlexact.idiv.
+
+    (3) No Cast(decimal(p>=19, s=0) -> double) ANYWHERE in the analyzed
+        plan: width >= 19 is DuckDB's int128 storage, whose cast to
+        double is NOT correctly rounded (1-ulp drift, observed live on
+        g39's 70-bit moments) — a shared-text cast can therefore differ
+        per engine even on equal inputs, and a terminal ROUND(6) only
+        shrinks the window where the ulp flips a rounding boundary.
+        Use sqlexact.dec2dbl (deterministic hi/lo int64 split) or exact
+        integer division instead. Width <= 18 scale-0 casts are int64-
+        backed in both engines (correctly rounded — deterministic), and
+        scaled money casts (e.g. DECIMAL(28,4) revenue) keep their
+        unscaled payloads < 2^53 at test scale; both stay allowed.
+    """
+    from pyspark.sql.types import ArrayType, DecimalType, MapType, StructType
+
+    complex_out, wide_out, wide_casts = [], [], []
     for name, qp in sorted(load_all().items()):
         if qp.duck_sql is None:
             continue  # rows-only checks never hash cells
         df = qp.spark_fn(spark, sf_dir)
         for f in df.schema.fields:
             if isinstance(f.dataType, (ArrayType, MapType, StructType)):
-                offenders.append((name, f.name, f.dataType.simpleString()))
-    assert not offenders, offenders
+                complex_out.append((name, f.name, f.dataType.simpleString()))
+            if (
+                isinstance(f.dataType, DecimalType)
+                and f.dataType.precision > 15
+                and f.dataType.scale == 0
+            ):
+                wide_out.append((name, f.name, f.dataType.simpleString()))
+        hits = _walk_wide_casts(df._jdf.queryExecution().analyzed())
+        if hits:
+            wide_casts.append((name, sorted(hits)))
+    assert not complex_out, f"complex-typed outputs: {complex_out}"
+    assert not wide_out, f"wide integer-decimal outputs: {wide_out}"
+    assert not wide_casts, f"wide-decimal->double casts: {wide_casts}"
+
+
+def test_float64_exact_fence_unit():
+    """The runtime fence must trip on the exact shape that made the
+    round-5 driver row red (an integral DECIMAL cell of ~2^61) and on
+    >2^53 BIGINTs, and pass the sanctioned renders (STRING, double,
+    <=2^53 ints)."""
+    from decimal import Decimal
+
+    from pydatalake_gen2_spark.harness import _fence_float64_exact
+
+    with pytest.raises(AssertionError):
+        _fence_float64_exact("prefix_g51", ["ss"], [(Decimal(2**61),)])
+    with pytest.raises(AssertionError):
+        _fence_float64_exact("big_int", ["x"], [(2**53 + 1,)])
+    _fence_float64_exact(
+        "ok", ["s", "f", "i", "d"], [(str(2**61), 1.5, 2**53, Decimal("1.25"))]
+    )
 
 
 def test_detector_oracle_copies_agree():
