@@ -73,7 +73,13 @@ def _fence_float64_exact(name: str, cols: list[str], rows: list[tuple]) -> None:
     red row was g51's ~2^61 DECIMAL(38,0) cents^2 sums. Render such
     values as STRING (digit-exact in both engines) instead. Doubles are
     exempt (both engines hash the same bits); so are strings — the
-    escape hatch itself."""
+    escape hatch itself.
+
+    Scaled decimals are fenced on their UNSCALED payload (value*10^scale
+    as stored): a DECIMAL(38,4) money rollup whose int128 payload passes
+    2^53 hits the same not-correctly-rounded int128->double coercion
+    class as the integral case even though the VALUE is only ~10^12
+    (round-6 ADVICE item 1)."""
     bad = []
     for row in rows:
         for c, v in zip(cols, row):
@@ -81,9 +87,16 @@ def _fence_float64_exact(name: str, cols: list[str], rows: list[tuple]) -> None:
                 continue
             if isinstance(v, int) and abs(v) > _FLOAT64_EXACT_MAX:
                 bad.append((c, v))
-            elif isinstance(v, Decimal) and v == v.to_integral_value() \
-                    and abs(v) > _FLOAT64_EXACT_MAX:
-                bad.append((c, str(v)))
+            elif isinstance(v, Decimal):
+                t = v.as_tuple()
+                if not isinstance(t.exponent, int):
+                    bad.append((c, str(v)))  # NaN/Inf decimal: never render
+                    continue
+                unscaled = int("".join(map(str, t.digits)) or "0")
+                if t.exponent > 0:  # e.g. 1E+20: value exceeds payload
+                    unscaled *= 10 ** t.exponent
+                if unscaled > _FLOAT64_EXACT_MAX:
+                    bad.append((c, str(v)))
         if bad:
             raise AssertionError(
                 f"{name}: integral output cells exceed 2^53 (float64-exact "

@@ -282,6 +282,7 @@ def ivfpq_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    query_pred=None,
 ) -> DataFrame:
     """IVF-PQ: centroid-partitioned inverted file whose postings are PQ
     codes — the canonical billion-scale ANN layout (Jégou et al. 2011,
@@ -314,7 +315,10 @@ def ivfpq_topk(
     # inverted file: postings are PQ codes, not vectors
     codes = pq_encode(corpus, codebooks, id_col, vec_col)
     inv = base.select(id_col, F.col("_a.cell").alias("cell")).join(codes, on=id_col)
-    probes = base.select(
+    # query_pred restricts the probe side only (audit query sample); the
+    # inverted file still covers the whole corpus.
+    qbase = base.filter(query_pred) if query_pred is not None else base
+    probes = qbase.select(
         F.col(id_col).alias("query_id"),
         F.col("_v").alias("_qv"),
         F.explode("_a.probes").alias("cell"),

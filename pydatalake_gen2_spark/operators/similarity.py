@@ -191,6 +191,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
+    query_pred=None,
 ) -> DataFrame:
     """Approximate all-pairs top-k via IVF (inverted-file) cells: corpus
     rows live in their nearest-centroid cell; each query probes its
@@ -231,7 +232,11 @@ def ivf_topk(
         two.withColumn("_a", assign("_v")).withColumn("_n", l2_norm(F.col("_v")))
     )
     inv = base.select(id_col, "_v", "_n", F.col("_a.cell").alias("cell"))
-    probes = base.select(
+    # query_pred restricts the PROBE side only (e.g. an audit over a
+    # deterministic query sample) — the inverted file still indexes the
+    # whole corpus, and the filter lands before the probe explode+join.
+    qbase = base.filter(query_pred) if query_pred is not None else base
+    probes = qbase.select(
         F.col(id_col).alias("query_id"),
         F.col("_v").alias("_qv"),
         F.col("_n").alias("_qn"),

@@ -29,19 +29,45 @@ integer-division path; its decimal *products* are hugeint-exact and cap
 at width 38, same as Spark's). Both spellings truncate toward zero for
 both signs (verified: -7/2 = -3 in both, and `%` keeps the dividend's
 sign in both).
+
+Overflow symmetry past the documented magnitude bounds (round-6 ADVICE
+item 3), all verified live under this repo's session (ANSI mode ON —
+Spark 4's default; get_spark does not override it):
+
+- PRODUCTS (wide_mul): Spark DECIMAL(38,0) overflow RAISES
+  (NUMERIC_VALUE_OUT_OF_RANGE) and DuckDB HUGEINT overflow RAISES
+  (Out of Range) — already a symmetric, loud signal. No guard needed.
+- QUOTIENTS (idiv): Spark `DIV` silently WRAPS the BIGINT quotient past
+  2^63 EVEN IN ANSI MODE (verified: 12345678901234567890 DIV 1 returns
+  a wrapped negative), while DuckDB `//` returns the true int128
+  quotient — silent wrong-value vs silent right-value. idiv therefore
+  fences the quotient range in BOTH dialects: NULL whenever
+  |num| > (2^63-1)*|den|, via an exact integer comparison (Spark:
+  try_multiply so the guard itself cannot raise; DuckDB: nested CASE —
+  lazily evaluated, verified — so the guard product never overflows
+  int128). In-range results are unchanged; past the bound both engines
+  now yield NULL instead of garbage-vs-value.
 """
 
 from __future__ import annotations
+
+_QMAX = 2**63 - 1  # largest BIGINT quotient Spark's DIV can represent
+# Spark's guard product QMAX*|den| is representable while |den| <= _DMAX
+# (DECIMAL(38,0) caps at 10^38-1); past it try_multiply yields NULL and
+# the guard fails closed. DuckDB mirrors the same boundary explicitly.
+_DMAX = (10**38 - 1) // _QMAX
 
 
 def wide_mul(duck: bool, *terms: str) -> str:
     """Product of integer terms in the dialect's exact wide-integer type.
 
     Spark: DECIMAL(38,0) products (precision caps at 38, scale 0 — exact
-    while |value| < 10^38, overflow -> NULL in non-ANSI mode). DuckDB:
-    HUGEINT (int128, |value| < ~1.7e38, overflow raises; DuckDB decimal
-    products would also be exact, but hugeint composes with `//`).
-    Callers document their magnitude bounds.
+    while |value| < 10^38; overflow RAISES under this repo's ANSI-on
+    session, NULL only in non-ANSI mode). DuckDB: HUGEINT (int128,
+    |value| < ~1.7e38, overflow raises; DuckDB decimal products would
+    also be exact, but hugeint composes with `//`). Overflow is thus
+    raise-vs-raise — symmetric and loud (module docstring). Callers
+    document their magnitude bounds.
     """
     cast = "HUGEINT" if duck else "DECIMAL(38,0)"
     return " * ".join(f"CAST(({t}) AS {cast})" for t in terms)
@@ -52,12 +78,32 @@ def idiv(duck: bool, num: str, den: str) -> str:
 
     The denominator is NULLIF-fenced: division by zero yields NULL in
     both engines instead of Spark-NULL-vs-DuckDB-error divergence.
-    Spark callers must keep the QUOTIENT within BIGINT (DIV wraps past
-    2^63 — verified live).
+
+    The QUOTIENT range is fenced symmetrically (module docstring,
+    "Overflow symmetry"): Spark's DIV silently wraps a quotient past
+    2^63 even in ANSI mode, so both dialects yield NULL whenever
+    |num| > (2^63-1)*|den| — the exact boundary where the wrap begins.
+    Both guards are pure integer comparisons (no doubles, no new raise
+    paths): Spark uses try_multiply (NULL -> guard fails closed when
+    |den| > _DMAX makes the guard product unrepresentable), DuckDB
+    nests CASE so the int128 guard product is only evaluated when
+    |den| <= _DMAX (the same boundary — the dialects agree everywhere).
     """
     if duck:
-        return f"(CAST(({num}) AS HUGEINT) // CAST(NULLIF(({den}), 0) AS HUGEINT))"
-    return f"((({num}) DIV NULLIF(({den}), 0)))"
+        q = f"(CAST(({num}) AS HUGEINT) // CAST(NULLIF(({den}), 0) AS HUGEINT))"
+        nh = f"ABS(CAST(({num}) AS HUGEINT))"
+        dh = f"ABS(CAST(({den}) AS HUGEINT))"
+        return (
+            f"(CASE WHEN {dh} <= CAST({_DMAX} AS HUGEINT) THEN "
+            f"(CASE WHEN {nh} <= CAST({_QMAX} AS HUGEINT) * {dh} "
+            f"THEN {q} END) END)"
+        )
+    nd = f"ABS(CAST(({num}) AS DECIMAL(38,0)))"
+    dd = f"ABS(CAST(({den}) AS DECIMAL(38,0)))"
+    return (
+        f"(CASE WHEN {nd} <= try_multiply(CAST({_QMAX} AS DECIMAL(38,0)), {dd}) "
+        f"THEN (({num}) DIV NULLIF(({den}), 0)) END)"
+    )
 
 
 def f6_half_away(duck: bool, num: str, den: str) -> str:

@@ -4,6 +4,7 @@ at sf0.001 (the driver runs the same compare at sf0.01)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from pydatalake_gen2_spark.harness import run_pair
 from pydatalake_gen2_spark.registry import load_all
@@ -135,6 +136,41 @@ def test_float64_exact_fence_unit():
         _fence_float64_exact("big_int", ["x"], [(2**53 + 1,)])
     _fence_float64_exact(
         "ok", ["s", "f", "i", "d"], [(str(2**61), 1.5, 2**53, Decimal("1.25"))]
+    )
+    # round-6 ADVICE item 1: SCALED decimals are fenced on the unscaled
+    # payload — a DECIMAL(38,4) money sum whose int128 payload passes
+    # 2^53 coerces not-correctly-rounded even though the VALUE is small.
+    with pytest.raises(AssertionError):
+        _fence_float64_exact(
+            "money", ["rev"], [(Decimal(2**54) / Decimal(10_000),)]
+        )
+    with pytest.raises(AssertionError):  # positive exponent: 92E+15
+        _fence_float64_exact("exp", ["x"], [(Decimal("92E+15"),)])
+    _fence_float64_exact("ok2", ["rev"], [(Decimal("900719925474.0992"),)])
+
+
+def test_wide_cast_walker_sentinel(spark):
+    """Round-6 ADVICE item 2: the static fence's py4j plan walk wraps
+    every accessor in try/except, so Catalyst API drift would make it
+    fail OPEN (report zero casts). Assert it still detects a deliberate
+    decimal(38,0)->double cast — API drift now fails THIS test loudly."""
+    df = spark.range(1).select(
+        F.col("id").cast("decimal(38,0)").cast("double").alias("x")
+    )
+    hits = _walk_wide_casts(df._jdf.queryExecution().analyzed())
+    assert ("decimal(38,0)", "double") in hits, (
+        "sentinel wide cast not found — the py4j plan-walk API drifted "
+        f"and the shape-contract fence is failing open (hits={hits})"
+    )
+    # and a subquery-buried cast is still found (the recursion leg)
+    spark.range(3).createOrReplaceTempView("_sentinel_t")
+    df2 = spark.sql(
+        "SELECT (SELECT CAST(CAST(max(id) AS DECIMAL(20,0)) AS DOUBLE) "
+        "FROM _sentinel_t) AS y"
+    )
+    hits2 = _walk_wide_casts(df2._jdf.queryExecution().analyzed())
+    assert ("decimal(20,0)", "double") in hits2, (
+        f"subquery-buried sentinel cast not found (hits={hits2})"
     )
 
 
