@@ -736,3 +736,111 @@ def semdedup(
         })
 
     return assigned.groupBy("cell").applyInPandas(dedup_cell, out_type)
+
+
+def semdedup_exact(
+    corpus: DataFrame,
+    n_cells: int = 8,
+    iters: int = 2,
+    tau: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    max_cell: int = 100_000,
+) -> DataFrame:
+    """SemDeDup over EXACT integer k-means cells (round-7 P->H rework of
+    `semdedup`): same paper semantics (within-cell tau-pairs, connected
+    dup-groups, keep the least-central member), but every quantity either
+    IS an exact int64 or is derived from exact int64s by <= 3 correctly-
+    rounded IEEE ops — so the whole output is bit-reproducible across
+    engines and an unrolled DuckDB oracle can hash-match it end to end
+    (queries/llm.py::_l31_semdedup_duck).
+
+    1. Cells: operators/kmeans.lloyd — the bit-reproducible integer Lloyd
+       (1e-6 fixed-point, exact int64 distances, floor-mean updates) that
+       lx_kmeans already hash-certifies, instead of float driver k-means.
+    2. Similarities: all dots are int64 gemms over the quantized vectors
+       (|q| <= ~6e5 -> 64-term dots < 2^45, exact), cast to double
+       EXACTLY (< 2^53); cos = dot / sqrt(n2_i * n2_j) is then mul+sqrt+
+       div — each correctly rounded, hence bit-identical to the oracle's
+       list_dot_product form. The tau compare therefore cannot straddle
+       engines.
+    3. Keeper: argmin (cent_sim, id) per group over those bit-identical
+       doubles; grp label = smallest member id.
+
+    Returns (vec_id, cell, grp, cent_sim, keep). Scale posture matches
+    `semdedup`: one groupBy(cell) exchange, per-cell work is (n/k)^2 via
+    one integer gemm, max_cell guards collapse. The per-cell pairwise
+    contraction is unchanged in spirit; only the arithmetic substrate
+    moved from float32-ish gemm to exact int64.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        BooleanType, DoubleType, LongType, StructField, StructType,
+    )
+
+    from pydatalake_gen2_spark.operators import kmeans
+    from pydatalake_gen2_spark.operators.util import track_persist
+
+    # quantized points feed every Lloyd round AND the final contraction
+    pts = track_persist(kmeans.quantize(corpus, id_col, vec_col))
+    cents, assigned = kmeans.lloyd(pts, k=n_cells, iters=iters, dim=dim)
+    c_arr = np.asarray(cents, dtype=np.int64)  # (k, dim)
+
+    out_type = StructType([
+        StructField("vec_id", LongType()),
+        StructField("cell", LongType()),
+        StructField("grp", LongType()),
+        StructField("cent_sim", DoubleType()),
+        StructField("keep", BooleanType()),
+    ])
+
+    def dedup_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n > max_cell:
+            raise ValueError(
+                f"semdedup_exact cell {int(pdf['cid'].iloc[0])} holds {n} "
+                f"> max_cell={max_cell} vectors; raise n_cells or max_cell"
+            )
+        pdf = pdf.sort_values("vec_id", kind="mergesort").reset_index(drop=True)
+        x = np.stack(pdf["q"].to_numpy()).astype(np.int64)  # (n, dim) exact
+        cid = int(pdf["cid"].iloc[0])
+        n2 = (x * x).sum(axis=1)  # exact int64
+        cent = c_arr[cid]
+        cdot = x @ cent  # exact int64
+        cn2 = float((cent * cent).sum())  # exact int -> exact double
+        n2d = n2.astype(np.float64)  # exact (< 2^53)
+        cent_sim = cdot.astype(np.float64) / np.sqrt(n2d * cn2)
+        dots = x @ x.T  # exact int64 gemm
+        cos = dots.astype(np.float64) / np.sqrt(n2d[:, None] * n2d[None, :])
+        # union-find over tau-pairs (i<j); path-halving find
+        parent = np.arange(n)
+
+        def find(i: int) -> int:
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        ii, jj = np.where(np.triu(cos >= tau, k=1))
+        for i, j in zip(ii.tolist(), jj.tolist()):
+            ri, rj = find(i), find(j)
+            if ri != rj:
+                parent[max(ri, rj)] = min(ri, rj)
+        root = np.array([find(i) for i in range(n)])
+        keep = np.zeros(n, dtype=bool)
+        for r in np.unique(root):
+            members = np.where(root == r)[0]
+            # rows are id-sorted: first-minimum = (cent_sim, id) argmin
+            keep[members[np.argmin(cent_sim[members])]] = True
+        ids = pdf["vec_id"].to_numpy()
+        return pd.DataFrame({
+            "vec_id": ids,
+            "cell": np.full(n, cid, dtype="int64"),
+            "grp": ids[root],
+            "cent_sim": cent_sim,
+            "keep": keep,
+        })
+
+    return assigned.groupBy("cid").applyInPandas(dedup_cell, out_type)

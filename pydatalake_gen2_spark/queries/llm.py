@@ -1170,19 +1170,44 @@ def l19_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("l18b_weighted_reservoir", duck_sql=None, tier="P")
+@register(
+    "l18b_weighted_reservoir",
+    duck_sql="""
+    WITH d AS (
+      SELECT doc_id, lang, n_chars,
+             POW((CAST(('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       ::BIGINT AS BIGINT) + 0.5) / 4294967296.0,
+                 1.0 / CAST(n_chars AS DOUBLE)) AS k
+      FROM documents)
+    SELECT doc_id, lang, n_chars, ROUND(k, 4) AS es_key
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY k DESC, doc_id) AS rn FROM d)
+    WHERE rn <= 50
+    """,
+)
 def l18b_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-k (k=50) weighted sample without replacement via the
     Efraimidis-Spirakis u^(1/w) key over a deterministic per-row uniform
-    (w = n_chars). Executes as TakeOrderedAndProject — k rows per
-    partition cross the exchange, never a total sort. Tier P: the key is
-    a transcendental double, so ordering is property-tested (determinism
-    across partitionings, weight-rescale invariance, numpy recompute)
-    rather than hash-compared against a second SQL engine."""
+    (u from md5(doc_id), w = n_chars). Executes as
+    TakeOrderedAndProject — k rows per partition cross the exchange,
+    never a total sort.
+
+    Tier H since round 7. The key is transcendental (POW), and Spark's
+    Math.pow and DuckDB's libm pow were MEASURED to differ on ~84% of
+    rows at sf0.1 — but only by <= 8.8e-13, while the keys' adjacent
+    order-statistic gaps near rank 50 are ~1.6e-6 at fixture density:
+    the SELECTED SET agrees unless the rank-50/51 gap lands below 1e-12
+    (~1e-6 probability), and the RENDERED key is ROUND(4) so a rendered
+    cell flips only within 8.8e-13 of a 5e-5 rounding boundary. The
+    ordering itself stays raw-key (the operator's semantics are
+    untouched); property tests (determinism across partitionings,
+    weight-rescale invariance, numpy recompute) still run in
+    tests/test_properties.py."""
     from pydatalake_gen2_spark.operators import sampling
 
     d = spark.table("documents").select("doc_id", "lang", "n_chars")
-    return sampling.weighted_reservoir_k(d, F.col("n_chars"), "doc_id", k=50)
+    return sampling.weighted_reservoir_k(
+        d, F.col("n_chars"), "doc_id", k=50
+    ).withColumn("es_key", F.round("es_key", 4))
 
 
 @register(
@@ -1681,23 +1706,115 @@ def l17b_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("l31_semdedup", duck_sql=None, tier="P")
+def _kmeans_stages_duck(k: int, iters: int) -> tuple[str, str, str]:
+    """Shared unrolled exact-Lloyd CTE prefix (used by lx_kmeans AND
+    l31_semdedup's oracle): MATERIALIZED per-round CTEs (the iterative-op
+    oracle discipline), distances via list_dot_product on exactly-
+    representable int64 doubles (< 2^53, so the double math IS integer
+    math), floor-mean updates, empty clusters COALESCE to the prior
+    round's centroid. Returns (cte_body, final_assign_cte_name,
+    final_centroid_cte_name) — the assign CTE carries (vec_id, q, cid,
+    dist) under the FINAL centroids."""
+    stages = [
+        f"""pts AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                 x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS q
+      FROM embeddings),
+    c0 AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q AS c
+      FROM pts ORDER BY vec_id LIMIT {k})"""
+    ]
+    for i in range(1, iters + 2):
+        prev = f"c{i-1}"
+        stages.append(f"""d{i} AS MATERIALIZED (
+      SELECT p.vec_id, p.q, c.cid,
+             CAST(list_dot_product(p.q::DOUBLE[], p.q::DOUBLE[])
+                  - 2 * list_dot_product(p.q::DOUBLE[], c.c::DOUBLE[])
+                  + list_dot_product(c.c::DOUBLE[], c.c::DOUBLE[])
+                  AS BIGINT) AS dist
+      FROM pts p CROSS JOIN {prev} c),
+    a{i} AS MATERIALIZED (
+      SELECT vec_id, q, cid, dist FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, cid) AS rn
+        FROM d{i}) t WHERE rn = 1)""")
+        if i <= iters:
+            stages.append(f"""u{i} AS MATERIALIZED (
+      SELECT cid, g.d AS d,
+             CAST(FLOOR(CAST(sum(q[g.d]) AS DOUBLE) / count(*)) AS BIGINT) AS v
+      FROM a{i} CROSS JOIN generate_series(1, 64) AS g(d)
+      GROUP BY cid, g.d),
+    c{i} AS MATERIALIZED (
+      SELECT p.cid, COALESCE(u.c, p.c) AS c
+      FROM c{i-1} p LEFT JOIN (
+        SELECT cid, list(v ORDER BY d) AS c FROM u{i} GROUP BY cid) u
+      ON p.cid = u.cid)""")
+    return ",\n    ".join(stages), f"a{iters + 1}", f"c{iters}"
+
+
+def _l31_semdedup_duck(k: int = 8, iters: int = 2, tau: float = 0.9) -> str:
+    """Full SemDeDup oracle (round-7 P->H): the shared exact-Lloyd
+    assignment prefix (lx_kmeans's hash-certified recurrence) gives the
+    cells; within-cell tau-pairs come from EXACT int64 dots rendered as
+    <2^53 doubles (mul+sqrt+div only — bit-identical to the engine's
+    numpy path); components contract via the l11 recursive-CTE pattern;
+    keeper = (cent_sim, vec_id) argmin per group."""
+    body, a, c = _kmeans_stages_duck(k, iters)
+    return f"""
+    WITH RECURSIVE {body},
+    mem AS MATERIALIZED (
+      SELECT s.vec_id, s.cid, s.q,
+             list_dot_product(s.q::DOUBLE[], s.q::DOUBLE[]) AS n2,
+             list_dot_product(s.q::DOUBLE[], cc.c::DOUBLE[]) AS cdot,
+             list_dot_product(cc.c::DOUBLE[], cc.c::DOUBLE[]) AS cn2
+      FROM {a} s JOIN {c} cc ON s.cid = cc.cid),
+    prs AS MATERIALIZED (
+      SELECT x.vec_id AS i, y.vec_id AS j
+      FROM mem x JOIN mem y ON x.cid = y.cid AND x.vec_id < y.vec_id
+      WHERE list_dot_product(x.q::DOUBLE[], y.q::DOUBLE[])
+            / sqrt(x.n2 * y.n2) >= {tau!r}),
+    edges AS (SELECT i AS s, j AS d FROM prs
+              UNION ALL SELECT j, i FROM prs),
+    reach(id, r) AS (
+      SELECT s, s FROM edges
+      UNION SELECT s, d FROM edges
+      UNION SELECT reach.id, edges.d
+      FROM reach JOIN edges ON reach.r = edges.s),
+    comp AS (SELECT id, MIN(r) AS grp FROM reach GROUP BY id),
+    labeled AS (
+      SELECT m.vec_id, CAST(m.cid AS BIGINT) AS cell,
+             COALESCE(cp.grp, m.vec_id) AS grp,
+             m.cdot / sqrt(m.n2 * m.cn2) AS cent_sim
+      FROM mem m LEFT JOIN comp cp ON m.vec_id = cp.id)
+    SELECT vec_id, cell, grp, ROUND(cent_sim, 6) AS cent_sim,
+           (ROW_NUMBER() OVER (PARTITION BY grp
+                               ORDER BY cent_sim, vec_id) = 1) AS keep
+    FROM labeled ORDER BY vec_id
+    """
+
+
+@register("l31_semdedup", duck_sql=_l31_semdedup_duck())
 def l31_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L31 SemDeDup (Abbas et al. 2023): semantic near-dup pruning —
     k-means cells, within-cell pairwise cosine >= tau, keep the
-    least-central member per dup group (operators/dedup.py::semdedup).
-    Tier P: k-means is not SQL-expressible, so the driver records a
-    rows-only check; exactness of the within-cell contraction is
-    property-tested against a brute-force reimplementation at fixture
-    scale (tests/test_properties.py::test_semdedup_matches_bruteforce).
-    Deterministic output — seeded codebook, stable ties."""
-    from pydatalake_gen2_spark.operators.dedup import semdedup
+    least-central member per dup group.
+
+    Tier H since round 7: the cells come from the bit-reproducible
+    integer Lloyd that lx_kmeans already hash-certifies, and every
+    similarity is an exact int64 dot pushed through <=3 correctly-rounded
+    IEEE ops (operators/dedup.py::semdedup_exact), so the oracle
+    (_l31_semdedup_duck) replays the ENTIRE pipeline — assignment,
+    tau-pairs, component contraction, keeper election — and hash-matches
+    it. The float-gemm variant (dedup.semdedup) remains the scale
+    reference implementation and is still brute-force property-tested."""
+    from pydatalake_gen2_spark.operators.dedup import semdedup_exact
 
     emb = spark.table("embeddings")
     return (
-        semdedup(emb, n_cells=8, tau=0.9)
+        semdedup_exact(emb, n_cells=8, iters=2, tau=0.9)
         .select(
-            F.col("id").alias("vec_id"), "cell", "grp",
+            "vec_id", "cell", "grp",
             F.round("cent_sim", 6).alias("cent_sim"), "keep",
         )
         .orderBy("vec_id")
@@ -5107,50 +5224,11 @@ _sql_pair(
 # lx_kmeans: distributed EXACT Lloyd k-means (2 rounds, integer arithmetic)
 # ---------------------------------------------------------------------------
 
+
 def _lx_kmeans_duck(k: int = 8, iters: int = 2) -> str:
-    """Unrolled exact-Lloyd oracle: MATERIALIZED per-round CTEs (the
-    iterative-op oracle discipline), distances via list_dot_product on
-    exactly-representable int64 doubles (< 2^53, so the double math IS
-    integer math), floor-mean updates, empty clusters COALESCE to the
-    prior round's centroid."""
-    stages = [
-        f"""pts AS MATERIALIZED (
-      SELECT vec_id,
-             list_transform(embedding::DOUBLE[],
-                 x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS q
-      FROM embeddings),
-    c0 AS MATERIALIZED (
-      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q AS c
-      FROM pts ORDER BY vec_id LIMIT {k})"""
-    ]
-    for i in range(1, iters + 2):
-        prev = f"c{i-1}"
-        stages.append(f"""d{i} AS MATERIALIZED (
-      SELECT p.vec_id, p.q, c.cid,
-             CAST(list_dot_product(p.q::DOUBLE[], p.q::DOUBLE[])
-                  - 2 * list_dot_product(p.q::DOUBLE[], c.c::DOUBLE[])
-                  + list_dot_product(c.c::DOUBLE[], c.c::DOUBLE[])
-                  AS BIGINT) AS dist
-      FROM pts p CROSS JOIN {prev} c),
-    a{i} AS MATERIALIZED (
-      SELECT vec_id, q, cid, dist FROM (
-        SELECT *, row_number() OVER (PARTITION BY vec_id
-                                     ORDER BY dist, cid) AS rn
-        FROM d{i}) t WHERE rn = 1)""")
-        if i <= iters:
-            stages.append(f"""u{i} AS MATERIALIZED (
-      SELECT cid, g.d AS d,
-             CAST(FLOOR(CAST(sum(q[g.d]) AS DOUBLE) / count(*)) AS BIGINT) AS v
-      FROM a{i} CROSS JOIN generate_series(1, 64) AS g(d)
-      GROUP BY cid, g.d),
-    c{i} AS MATERIALIZED (
-      SELECT p.cid, COALESCE(u.c, p.c) AS c
-      FROM c{i-1} p LEFT JOIN (
-        SELECT cid, list(v ORDER BY d) AS c FROM u{i} GROUP BY cid) u
-      ON p.cid = u.cid)""")
-    final_a = f"a{iters + 1}"
-    final_c = f"c{iters}"
-    body = ",\n    ".join(stages)
+    """lx_kmeans oracle: the shared exact-Lloyd prefix + the per-cluster
+    size/inertia/centroid-prefix render."""
+    body, final_a, final_c = _kmeans_stages_duck(k, iters)
     return f"""
     WITH {body}
     SELECT c.cid,
