@@ -160,7 +160,7 @@ def gr01_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # gr02: triangle counting over the co-supply graph
 # ---------------------------------------------------------------------------
 
-_TRIANGLE_SPARK = """
+_TRIANGLE_DUCK = """
     WITH ps AS (
       SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
     w AS (
@@ -168,7 +168,7 @@ _TRIANGLE_SPARK = """
       FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
       GROUP BY a.s, b.s),
     thr AS (
-      SELECT percentile_disc(0.99) WITHIN GROUP (ORDER BY cnt) AS t FROM w),
+      SELECT quantile_disc(cnt, 0.99) AS t FROM w),
     edges AS (SELECT u, v FROM w, thr WHERE cnt >= t),
     tri AS (
       SELECT count(*) AS n_triangles
@@ -181,31 +181,83 @@ _TRIANGLE_SPARK = """
     FROM tri
 """
 
-_TRIANGLE_DUCK = _TRIANGLE_SPARK.replace(
-    "percentile_disc(0.99) WITHIN GROUP (ORDER BY cnt)", "quantile_disc(cnt, 0.99)"
-)
 
-sql_pair(
-    "gr02_triangle_count",
-    _TRIANGLE_SPARK,
-    _TRIANGLE_DUCK,
-    doc="Triangle counting over the co-supply BACKBONE: supplier pairs are "
-        "weighted by how many parts they co-supply, only the strongest 1% "
-        "(exact discrete percentile threshold) become edges, then oriented "
-        "low-id -> high-id so each triangle is enumerated exactly once as "
-        "u<v<w (compact-forward) — three equi-joins, no theta join, no "
-        "post-hoc distinct/3! division; plan-gated against nested loops. "
-        "The backbone step is the point at scale: a raw co-occurrence "
-        "projection of a uniform bipartite graph is near-COMPLETE (every "
-        "supplier eventually co-supplies every other), and triangle "
-        "enumeration on a dense graph is Theta(n^3) no matter how it is "
-        "joined — first measured here as a 16 s bench entry before "
-        "thresholding. Weight-thresholding (disparity-filter/backbone "
-        "extraction) is how co-occurrence networks are made countable; "
-        "the remaining knobs are degree-ordering the orientation "
-        "(bounds wedge fan-out by arboricity) and l02b's max_df cap on "
-        "pathologically hot parts — see SCALE.md.",
-)
+@register("gr02_triangle_count", duck_sql=_TRIANGLE_DUCK)
+def gr02_triangle_count(spark, sf_dir):
+    """Triangle counting over the co-supply BACKBONE: supplier pairs are
+    weighted by how many parts they co-supply, only the strongest 1%
+    (exact discrete percentile threshold) become edges, then oriented
+    low-id -> high-id so each triangle is enumerated exactly once as
+    u<v<w (compact-forward) — three equi-joins, no theta join, no
+    post-hoc distinct/3! division; plan-gated against nested loops.
+
+    Round-7 rework, driven by profiling (the pair-weight build `w`, not
+    the triangle join, was ~80% of wall time):
+    - Pair generation is ROW-LOCAL: per-part supplier sets via one
+      groupBy(part) + collect_set, then an i<j double posexplode of the
+      sorted array — the same Sum_p C(s_p,2) pairs the ps-self-join
+      emitted (8.7M at sf0.1), but with zero join and the expansion
+      spread over all cores (the collect_set output is a few small
+      partitions; repartition(32) before exploding was the difference
+      between 2 busy cores and 32).
+    - `w` is PERSISTED and consumed twice (threshold + edge filter)
+      instead of being rebuilt under Spark's CTE inlining; the p99
+      threshold is a 1-row driver fetch (bounded-collect precedent:
+      keyset boundary in analytics.py).
+    - The (degree, id) wedge-orientation knob from SCALE.md was BUILT and
+      MEASURED this round: counts invariant (838 at sf0.1 under either
+      orientation), but 4.5-5.0 s vs 3.5 s warm — a pessimization here,
+      because the thresholded backbone is near-regular (not power-law)
+      and its triangle join was already sub-300ms; the deg computation
+      added two joins on the hot path. Not shipped; see SCALE.md.
+
+    The backbone step is the point at scale: a raw co-occurrence
+    projection of a uniform bipartite graph is near-COMPLETE, and
+    triangle enumeration on a dense graph is Theta(n^3) no matter how it
+    is joined — measured as a 16 s bench entry before thresholding.
+    Weight-thresholding (disparity filtering) is how co-occurrence
+    networks are made countable; the remaining knob is l02b's max_df cap
+    on pathologically hot parts."""
+    from pydatalake_gen2_spark.operators.util import track_persist
+
+    li = spark.table("lineitem")
+    ps = (
+        li.groupBy(F.col("l_partkey").alias("p"))
+        .agg(F.array_sort(F.collect_set("l_suppkey")).alias("ss"))
+        .repartition(32)
+    )
+    pairs = (
+        ps.select("ss")
+        .selectExpr("ss", "posexplode(ss) AS (i, u)")
+        .selectExpr("i", "u", "posexplode(ss) AS (j, v)")
+        .filter(F.col("i") < F.col("j"))
+        .select("u", "v")
+    )
+    w = track_persist(
+        pairs.groupBy("u", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    t = w.selectExpr(
+        "percentile_disc(0.99) WITHIN GROUP (ORDER BY cnt) AS t"
+    ).collect()[0]["t"]  # bounded: one scalar row
+    edges = w.filter(F.col("cnt") >= F.lit(t)).select("u", "v")
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    n_sup = li.agg(
+        F.count_distinct("l_suppkey").alias("n_suppliers")
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        n_sup.crossJoin(n_edges)
+        .crossJoin(tri)
+        .select("n_suppliers", "n_edges", "n_triangles")
+    )
 
 
 # ---------------------------------------------------------------------------
