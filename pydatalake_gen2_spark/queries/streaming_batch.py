@@ -17,6 +17,20 @@ from pyspark.sql import functions as F
 from pydatalake_gen2_spark.registry import register, sql_pair
 from pydatalake_gen2_spark.streaming import replay
 
+
+def _twin(batch_name: str) -> str:
+    """Round-7 S->H upgrade: the *_stream legs now carry their batch
+    twin's DuckDB oracle, so the LIVE streaming run itself is
+    hash-certified (the ST11/ST17/ST21 recipe generalized). This is
+    sound because the file replay is lossless and strictly
+    mtime-ordered (streaming/replay.py), so each stream's final append
+    output must equal its batch form over the same events — an equality
+    the stream==batch pytest suite has asserted since round 2 and the
+    oracle now certifies cross-engine every round."""
+    from pydatalake_gen2_spark.registry import REGISTRY
+
+    return REGISTRY[batch_name].duck_sql
+
 sql_pair(
     "st01_tumbling_batch",
     """
@@ -132,42 +146,56 @@ def _stream(fn):
     return run
 
 
-@register("st01_tumbling_stream", duck_sql=None, tier="S")
+@register("st01_tumbling_stream", duck_sql=_twin("st01_tumbling_batch"))
 def st01_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real streaming run of the ST01 shape (watermark + complete mode);
     equality with st01_tumbling_batch asserted in tests."""
     return replay.run_tumbling_stream(spark, sf_dir)
 
 
-@register("st02_sliding_stream", duck_sql=None, tier="S")
+@register("st02_sliding_stream", duck_sql=_twin("st02_sliding_batch"))
 def st02_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real streaming sliding-window run (ST02); equality with
     st02_sliding_batch asserted in tests."""
     return replay.run_sliding_stream(spark, sf_dir)
 
 
-@register("st03_session_stream", duck_sql=None, tier="S")
+@register("st03_session_stream", duck_sql=_twin("st03_session_batch"))
 def st03_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real streaming session-window run (ST03)."""
     return replay.run_session_stream(spark, sf_dir)
 
 
-@register("st05_dedup_stream", duck_sql=None, tier="S")
+@register("st05_dedup_stream", duck_sql=_twin("st05_dedup_batch"))
 def st05_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real streaming dropDuplicates-with-state run (ST05)."""
     return replay.run_dedup_stream(spark, sf_dir)
 
 
-@register("st06_join_stream", duck_sql=None, tier="S")
+@register("st06_join_stream", duck_sql=_twin("st06_interval_join_batch"))
 def st06_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real stream-stream interval join (ST06)."""
     return replay.run_stream_stream_join(spark, sf_dir)
 
 
-@register("st07_foreachbatch_sink", duck_sql=None, tier="S")
+@register(
+    "st07_foreachbatch_sink",
+    duck_sql="""
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+    FROM events WHERE event_type = 'error'
+    """,
+)
 def st07_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """foreachBatch → parquet sink → read-back (ST07)."""
-    return replay.run_foreachbatch_sink(spark, sf_dir)
+    """foreachBatch → parquet sink → read-back (ST07). Round-7 S->H: the
+    sink pipeline is a stateless filter, so the read-back must equal the
+    batch filter over the same events (replay is lossless) — the oracle
+    states it directly; ts renders as a seconds string on both sides."""
+    sunk = replay.run_foreachbatch_sink(spark, sf_dir)
+    return sunk.select(
+        "event_id", "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+    )
 
 
 @register(
@@ -248,7 +276,7 @@ def st09_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("st09_stream", duck_sql=None, tier="S")
+@register("st09_stream", duck_sql=_twin("st09_stream_static_join"))
 def st09_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST09 real streaming run (equality with the batch form asserted in
     tests/test_streaming.py)."""
@@ -287,7 +315,7 @@ sql_pair(
 )
 
 
-@register("st10_pipeline_stream", duck_sql=None, tier="S")
+@register("st10_pipeline_stream", duck_sql=_twin("st10_pipeline_batch"))
 def st10_pipeline_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed continuous query: filter gate + stateful dedup +
     watermarked tumbling agg in ONE stream (ST10)."""
@@ -383,7 +411,7 @@ sql_pair(
 )
 
 
-@register("st13_outer_join_stream", duck_sql=None, tier="S")
+@register("st13_outer_join_stream", duck_sql=_twin("st13_outer_join_batch"))
 def st13_outer_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real watermarked stream-stream LEFT OUTER join run (ST13);
     stream == batch asserted in tests/test_streaming.py."""
@@ -581,7 +609,7 @@ sql_pair(
 )
 
 
-@register("st21_dynamic_session_stream", duck_sql=None, tier="S")
+@register("st21_dynamic_session_stream", duck_sql=_twin("st21_dynamic_session_batch"))
 def st21_dynamic_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real streaming run of ST21's dynamic-gap session windows; equality
     with st21_dynamic_session_batch asserted in tests (the batch form is
@@ -613,7 +641,7 @@ sql_pair(
 )
 
 
-@register("st22_full_outer_stream", duck_sql=None, tier="S")
+@register("st22_full_outer_stream", duck_sql=_twin("st22_full_outer_batch"))
 def st22_full_outer_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real watermarked stream-stream FULL OUTER join run (ST22);
     stream == batch asserted in tests/test_streaming.py."""
@@ -730,7 +758,7 @@ def st26_semi_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("st26_semi_stream", duck_sql=None, tier="S")
+@register("st26_semi_stream", duck_sql=_twin("st26_semi_join_batch"))
 def st26_semi_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST26 real streaming run (equality with the batch form asserted in
     tests/test_streaming.py)."""
