@@ -92,7 +92,11 @@ def a00_lake_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ALIASES: dict[str, str] = {
     # joins
     "a01_j01_inner_equi": "j01_inner_equi",
-    "a02_j02_broadcast_inner": "j02_broadcast_inner",
+    # r7 rotation: j02 holds green driver rows r1-r6 and the join family
+    # keeps SIX other window reps (a01/a05/a07/a08/a18/a31); the slot goes
+    # to the round-7 P->H flagship — the IVF retrieval audit whose
+    # hash-matched leg is the IVF machinery itself at full probe.
+    "a02_lx_ivf_topk": "lx_ivf_topk",
     # r9 repurpose: j05 holds a green r3 driver row and the join family
     # keeps a01/a02/a05/a06/a07/a08/a18; the slot goes to the new
     # entity-resolution class (blocked fuzzy record linkage — first
@@ -134,7 +138,11 @@ _ALIASES: dict[str, str] = {
     # r7 repurpose: g16 holds a green r3 driver row, so its slot goes to
     # the new statistical-test class (chi-square independence — first
     # driver evidence for hypothesis-test operators).
-    "a13_g38_chi_square": "g38_chi_square",
+    # r7 rotation (r6 verdict #8): g38 holds green rows r1-r6 and the
+    # stat-test family keeps a24_g54 + a49_g51; the slot goes to Tukey HSD,
+    # which shares g51's hardened exact-integer render and should earn
+    # driver evidence of its own.
+    "a13_g63_tukey_hsd": "g63_tukey_hsd",
     # r8 repurpose: g18 holds a green r3 driver row; the slot goes to the
     # new metadata-only-scan class (count/min/max answered purely from
     # parquet footer statistics).
@@ -217,7 +225,11 @@ _ALIASES: dict[str, str] = {
     # IVF trainer shape) — its recurrence is bit-reproducible, so the
     # driver row certifies a whole iterative-ML family, not one query.
     "a34_lx_kmeans": "lx_kmeans",
-    "a35_l02b_ngram_jaccard": "l02b_ngram_jaccard",
+    # r7 rotation: l02b holds green rows r4-r6 and the dedup family keeps
+    # a16/a20/a32/a39; the slot goes to SemDeDup — newly full-H via the
+    # exact integer-Lloyd cells (first driver evidence for embedding-space
+    # semantic dedup).
+    "a35_l31_semdedup": "l31_semdedup",
     # r9 repurpose: l03 holds a green r3 driver row, runs in every bench
     # round, and stays transitively exercised by a15 (MRL runs
     # cosine_topk on both legs); the slot goes to the new mergeable-
@@ -232,7 +244,11 @@ _ALIASES: dict[str, str] = {
     # observed pair-similarity distribution).
     "a38_l64_lsh_plan": "l64_lsh_param_plan",
     "a39_l11_dedup_clusters": "l11_dedup_clusters",
-    "a40_l12_deterministic_sample": "l12_deterministic_sample",
+    # r7 rotation: l12 holds green rows r1-r6; the sampling family keeps
+    # its window rep via the newly-H exact-k weighted reservoir, whose
+    # measured pow-drift fence (see the pair docstring) should earn driver
+    # evidence every round.
+    "a40_l18b_weighted_reservoir": "l18b_weighted_reservoir",
     "a41_l15_sequence_packing": "l15_sequence_packing",
     # text analysis
     # r10 repurpose: t01 holds a green r3 driver row (a42) and a43
@@ -241,7 +257,11 @@ _ALIASES: dict[str, str] = {
     "a42_dq06_reconciliation": "dq06_reconciliation_checksum",
     "a43_t02_quality_score": "t02_quality_score",
     # streaming (batch-equivalent forms)
-    "a44_st01_tumbling_batch": "st01_tumbling_batch",
+    # r7 rotation: the batch form holds green rows r1-r6 and stays
+    # oracle-verified locally; the slot now runs the LIVE tumbling-window
+    # streaming query (newly hash-certified vs the same oracle) so the
+    # driver exercises a real Structured Streaming run each round.
+    "a44_st01_tumbling_stream": "st01_tumbling_stream",
     # r6 repurpose: windowed-agg streaming keeps a44 and explicit state
     # keeps a46, so the session-window slot goes to the new
     # transformWithState surface (Spark 4 StatefulProcessor family).
