@@ -124,6 +124,12 @@ BENCH_QUERIES = [
     "lx_kmeans",
     "g62_brown_forsythe",
     "s40_zorder_curve",
+    # round-12 widening: the round's P->0 / S->H evidence queries — exact
+    # integer-Lloyd SemDeDup, banded-LSH top-k (now full-H), and a LIVE
+    # Structured Streaming replay run timed end to end
+    "l31_semdedup",
+    "lx_lsh_topk",
+    "st01_tumbling_stream",
 ]
 
 N_RUNS = 3

