@@ -233,8 +233,14 @@ def pq_rerank(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    shortlist: DataFrame | None = None,
 ) -> DataFrame:
     """ADC shortlist → exact re-rank: the standard two-stage ANN refine.
+
+    ``shortlist`` (optional): a precomputed (query_id, id) candidate
+    frame — e.g. a persisted pq_topk(k*mult) the caller also consumes
+    for an ADC-recall audit — so the compressed corpus scan runs ONCE
+    instead of once per consumer (round-7 bench fix for lx_pq_rerank).
 
     Stage 1 runs `pq_topk` with a widened k (``shortlist_mult * k``) over
     the compressed codes — the cheap, bandwidth-bound scan. Stage 2
@@ -252,9 +258,12 @@ def pq_rerank(
     from pydatalake_gen2_spark.operators.vectors import as_double as _ad
     from pydatalake_gen2_spark.operators.vectors import cosine as _cos
 
-    shortlist = pq_topk(
-        corpus, queries, k * shortlist_mult, codebooks, id_col, vec_col, query_id_col
-    ).select(query_id_col, id_col)
+    if shortlist is None:
+        shortlist = pq_topk(
+            corpus, queries, k * shortlist_mult, codebooks,
+            id_col, vec_col, query_id_col,
+        )
+    shortlist = shortlist.select(query_id_col, id_col)
     vec = corpus.select(F.col(id_col), _ad(vec_col).alias("_v"))
     qvec = queries.select(
         F.col(id_col).alias(query_id_col), _ad(vec_col).alias("_qv")

@@ -589,11 +589,22 @@ def lx_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     rerank), plus the measured-with-margin mean recall bound."""
     from pydatalake_gen2_spark.operators import pq
 
+    from pydatalake_gen2_spark.operators.util import track_persist
+
     emb = spark.table("embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
     cb = _pq_codebook(spark, sf_dir)
-    adc = pq.pq_topk(emb, queries, k=_ANN_K, codebooks=cb)
-    rr = pq.pq_rerank(emb, queries, k=_ANN_K, codebooks=cb)
+    # ONE compressed ADC scan serves both stages: the widened shortlist
+    # is persisted, its rn<=k prefix IS pq_topk(k) (same window, same
+    # unrounded ranking; the per-batch prune keeps k*mult+1 >= k+1), and
+    # the rerank consumes the same frame (round-7 bench fix: the audit
+    # previously paid the corpus code scan twice).
+    shortlist = track_persist(pq.pq_topk(emb, queries, k=_ANN_K * 4, codebooks=cb))
+    adc = shortlist.filter(F.col("rn") <= _ANN_K)
+    rr = pq.pq_rerank(
+        emb, queries, k=_ANN_K, codebooks=cb,
+        shortlist=shortlist.select("query_id", "vec_id"),
+    )
     exact = similarity.cosine_topk(emb, queries, k=_ANN_K)
     rows = _ann_rank_fold(exact, "exact_topk_ids", "exact_top1_cos")
     adc_r = _ann_recall_per_query(exact, adc).withColumnRenamed("recall", "_ar")
