@@ -763,3 +763,68 @@ def st26_semi_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST26 real streaming run (equality with the batch form asserted in
     tests/test_streaming.py)."""
     return replay.run_stream_stream_semi(spark, sf_dir)
+
+
+@register(
+    "st27_anti_join_batch",
+    duck_sql="""
+    SELECT c.event_id AS click_id, c.user_id AS c_user
+    FROM events c
+    WHERE c.event_type = 'click'
+      AND NOT EXISTS (
+        SELECT 1 FROM events p
+        WHERE p.event_type = 'purchase'
+          AND p.user_id = c.user_id
+          AND p.ts > c.ts
+          AND p.ts <= c.ts + INTERVAL 10 MINUTE)
+    ORDER BY click_id
+    """,
+)
+def st27_anti_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST27 batch form: clicks with NO purchase in the 10 minutes after
+    them — the abandonment/funnel-drop primitive that completes the
+    stream-stream join family (inner ST06, outer ST13, full ST22, semi
+    ST26, ANTI here). LEFT ANTI join in batch; the oracle states the
+    textbook NOT EXISTS. Streaming run: st27_anti_stream."""
+    ev = spark.table("events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    return (
+        clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 10 MINUTES")),
+            "left_anti",
+        )
+        .select("click_id", "c_user")
+        .orderBy("click_id")
+    )
+
+
+@register("st27_anti_stream", duck_sql=_twin("st27_anti_join_batch"))
+def st27_anti_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST27 real streaming run. Structured Streaming has NO native
+    stream-stream LEFT ANTI join (inner/outer/semi only), so the
+    incremental form is the COMPOSITION the engine's own primitives
+    provide: the watermark-closed LEFT OUTER interval join (ST13's run —
+    a click emits with NULLs exactly when the watermark PROVES no
+    matching purchase can still arrive) filtered to the never-matched
+    rows. The filter runs on the sink read-back — NEVER pre-sink, where
+    Catalyst would push a left-side predicate under the watermark node
+    (the documented ST13 pushdown trap). State and eviction are ST13's:
+    bounded by watermark delay + join window, and the NULL-emission
+    decision IS the anti-join semantics, so stream == batch LEFT ANTI
+    exactly; the oracle certifies it cross-engine."""
+    out = replay.run_outer_join_stream(spark, sf_dir)
+    return (
+        out.filter(F.col("purchase_id").isNull())
+        .select("click_id", "c_user")
+        .orderBy("click_id")
+    )
