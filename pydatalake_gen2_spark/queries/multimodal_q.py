@@ -1,53 +1,129 @@
-"""Multimodal query registrations (S09/L10 — tier S smoke; the decode
-step is a deterministic fake, so no SQL oracle)."""
+"""Multimodal query registrations.
+
+Round-7: the former tier-S smoke pairs (S09/L10/MM-RESIZE/
+MM-FRAME-SAMPLE) are hash-matched. Their decode step is still a
+deterministic fake (no image libs in the container), but the fake's
+derivations now live in ASCII/hex space (sources/multimodal.py:
+materialize_fake_assets), so a DuckDB oracle — whose hash functions are
+VARCHAR-only — can reconstruct every payload, window signature, size,
+and filename analytically. The Spark side is unchanged in kind: a real
+binaryFile scan into Arrow-batched mapInPandas over opaque BYTES."""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from pydatalake_gen2_spark.registry import register
 from pydatalake_gen2_spark.sources import multimodal
 
+def _basename():
+    # built lazily: Column construction needs an active SparkContext
+    return F.element_at(F.split(F.col("path"), "/"), -1)
 
-@register("s09_binary_source", duck_sql=None, tier="S")
+
+@register(
+    "s09_binary_source",
+    duck_sql="""
+    SELECT printf('doc_%06d.img', doc_id) AS name,
+           CAST(264 AS BIGINT) AS length
+    FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 32)
+    ORDER BY name
+    """,
+)
 def s09_binary_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """binaryFile scan of generated assets (path/length/content schema)."""
+    """binaryFile scan of generated assets. H since round 7: the oracle
+    states each asset's deterministic filename and byte length (8-byte
+    magic + 4x64 hex chars = 264), certifying the source's listing,
+    naming, and length metadata — the path prefix (a temp dir) is
+    stripped to the basename."""
     assets = multimodal.materialize_fake_assets(spark, sf_dir, n=32)
     df = multimodal.read_binary(spark, assets)
-    return df.select("path", "length")
+    return df.select(_basename().alias("name"), "length").orderBy("name")
 
 
-@register("l10_multimodal_ingest", duck_sql=None, tier="S")
+@register(
+    "l10_multimodal_ingest",
+    duck_sql="""
+    WITH d AS (SELECT doc_id, lang, source, text
+               FROM documents ORDER BY doc_id LIMIT 64),
+    c AS (SELECT doc_id, lang, source,
+                 sha256('FAKEIMG0' || repeat(sha256(text), 4)) AS h
+          FROM d)
+    SELECT doc_id, lang, source, CAST(264 AS BIGINT) AS n_bytes,
+           'fakeimg' AS format,
+           CAST(64 + ('0x' || substring(h, 1, 2))::INT % 64 AS INT) AS width,
+           CAST(64 + ('0x' || substring(h, 3, 2))::INT % 64 AS INT) AS height
+    FROM c ORDER BY doc_id
+    """,
+)
 def l10_multimodal_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary ingest → mapInPandas decode (fake codec) → metadata join."""
-    return multimodal.ingest_with_metadata(spark, sf_dir)
+    """Binary ingest → mapInPandas decode (deterministic fake codec) →
+    metadata join. H since round 7: the oracle replays the whole
+    derivation — payload reconstruction, the decode's re-hash, and the
+    hex-pair width/height — in SQL, certifying the binaryFile read, the
+    Arrow decode batch, the doc_id parse from the filename, AND the
+    metadata join."""
+    out = multimodal.ingest_with_metadata(spark, sf_dir)
+    return out.select(
+        "doc_id", "lang", "source",
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        "format", "width", "height",
+    ).orderBy("doc_id")
 
 
-@register("mm_resize", duck_sql=None, tier="S")
+@register(
+    "mm_resize",
+    duck_sql="""
+    SELECT printf('doc_%06d.img', doc_id) AS name,
+           CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+           CAST(256 AS INT) AS n_bytes
+    FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 32)
+    ORDER BY name
+    """,
+)
 def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MM-RESIZE: binary ingest → mapInPandas resize (stubbed codec; real
-    Arrow-batched 1→1 plumbing). Output is scalar metadata only — the
-    resized payload stays engine-side (driver canonicalizers don't hash
-    binary), its size invariant is asserted via length()."""
-    from pyspark.sql import functions as F
-
+    Arrow-batched 1→1 plumbing). H since round 7: the stub's contract —
+    every output payload is exactly target_w*target_h bytes with the new
+    dims attached, one row per asset — is fully analytic, so the oracle
+    states it per asset; the resized payload itself stays engine-side
+    (canonicalizers don't hash binary)."""
     assets = multimodal.materialize_fake_assets(spark, sf_dir, n=32)
     raw = multimodal.read_binary(spark, assets)
     out = multimodal.resize_batch(raw, target_w=16, target_h=16)
     return out.select(
-        "path", "width", "height", F.length("content").alias("n_bytes")
-    )
+        _basename().alias("name"), "width", "height",
+        F.length("content").cast("int").alias("n_bytes"),
+    ).orderBy("name")
 
 
-@register("mm_frame_sample", duck_sql=None, tier="S")
+@register(
+    "mm_frame_sample",
+    duck_sql="""
+    WITH d AS (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 32),
+    c AS (SELECT doc_id, 'FAKEIMG0' || repeat(sha256(text), 4) AS s FROM d)
+    SELECT printf('doc_%06d.img', doc_id) AS name,
+           CAST(g.i AS INT) AS frame_idx,
+           md5(substring(s, g.i * 64 + 1, 64)) AS frame_sig
+    FROM c CROSS JOIN generate_series(0, 4) AS g(i)
+    ORDER BY name, frame_idx
+    """,
+)
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MM-FRAME-SAMPLE: binary ingest → mapInPandas 1→N frame extraction
     (byte-window stub standing in for a video codec; the Arrow batch
-    shape, schema and fan-out are the real thing). Deterministic output:
-    md5 signature per sampled window."""
+    shape, schema and fan-out are the real thing). H since round 7: the
+    264-byte payload yields exactly 5 windows (4x64 + the 8-byte tail);
+    each window's md5 signature is recomputed by the oracle over the
+    reconstructed ASCII payload — fan-out count, window boundaries, and
+    signatures all hash-certified."""
     assets = multimodal.materialize_fake_assets(spark, sf_dir, n=32)
     raw = multimodal.read_binary(spark, assets)
-    return multimodal.frame_sample(raw, every_n_bytes=64)
+    frames = multimodal.frame_sample(raw, every_n_bytes=64)
+    return frames.select(
+        _basename().alias("name"), "frame_idx", "frame_sig"
+    ).orderBy("name", "frame_idx")
 
 
 _PNG_CACHE: dict[str, str] = {}

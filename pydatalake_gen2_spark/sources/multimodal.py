@@ -32,16 +32,27 @@ DECODED_SCHEMA = (
 
 def materialize_fake_assets(spark: SparkSession, sf_dir: str, n: int = 64) -> str:
     """Write deterministic fake 'image' blobs (one per document, derived
-    from the doc text) so the binary pipeline has real files to scan."""
+    from the doc text) so the binary pipeline has real files to scan.
+
+    Round-7 oracle-ability rework: the payload is the ASCII hex digest
+    repeated (8 + 4*64 = 264 bytes, same length as the old raw-digest
+    form) instead of raw digest bytes, and the doc set is ORDER BY
+    doc_id (was an unordered limit). Every downstream derivation —
+    re-hash, byte windows, sizes, names — is then reconstructable by a
+    SQL oracle whose hash functions only accept VARCHAR (DuckDB 1.0),
+    which upgraded s09/l10/mm_resize/mm_frame_sample from rows-only to
+    hash-matched. The binaryFile scan and Arrow plumbing are unchanged:
+    Spark still reads opaque BINARY and hashes BYTES."""
     out = tempfile.mkdtemp(prefix="mm_assets_")
     docs = (
         spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
         .select("doc_id", "text")
+        .orderBy("doc_id")
         .limit(n)
         .collect()
     )
     for r in docs:
-        blob = hashlib.sha256(r["text"].encode()).digest() * 8  # 256 bytes
+        blob = hashlib.sha256(r["text"].encode()).hexdigest().encode() * 4
         with open(os.path.join(out, f"doc_{r['doc_id']:06d}.img"), "wb") as f:
             f.write(b"FAKEIMG0" + blob)
     return out
@@ -63,10 +74,13 @@ def decode_image(content: bytes, fake: bool = False) -> tuple[str, int, int, lis
         raise NotImplementedError(
             "image codecs not available in this environment; pass fake=True"
         )
-    # Deterministic fake: dimensions + an 8-dim feature from the bytes.
-    h = hashlib.sha256(content).digest()
-    width, height = 64 + h[0] % 64, 64 + h[1] % 64
-    feat = [round(b / 255.0, 6) for b in h[2:10]]
+    # Deterministic fake: dimensions + an 8-dim feature from the HEX
+    # digest (hex pairs, not raw bytes — the derivation a VARCHAR-only
+    # SQL oracle can replay; see materialize_fake_assets).
+    h = hashlib.sha256(content).hexdigest()
+    width = 64 + int(h[0:2], 16) % 64
+    height = 64 + int(h[2:4], 16) % 64
+    feat = [round(int(h[4 + 2 * i : 6 + 2 * i], 16) / 255.0, 6) for i in range(8)]
     return "fakeimg", width, height, feat
 
 
