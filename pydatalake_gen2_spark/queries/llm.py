@@ -5386,3 +5386,175 @@ _sql_pair(
         "re-tune after reading this report) and L58/L80 (the "
         "distributional view of the same drift).",
 )
+
+
+# ---------------------------------------------------------------------------
+# l83: cap-aware token-budget allocation (exact water-filling mix planner)
+# ---------------------------------------------------------------------------
+
+_L83_BODY = """
+    tot AS (SELECT CAST(sum(toks) AS BIGINT) AS total,
+                   CAST(count(*) AS BIGINT) AS k FROM t),
+    b AS (SELECT {i90} AS budget, total, k FROM tot),
+    r AS (SELECT source, toks,
+                 ROW_NUMBER() OVER (ORDER BY toks, source) AS rnk,
+                 SUM(toks) OVER (ORDER BY toks, source
+                                 ROWS UNBOUNDED PRECEDING) AS pfx
+          FROM t),
+    fs AS (
+      SELECT r.*, b.budget, b.k,
+             CASE WHEN toks * (k - rnk + 1) <= budget - (pfx - toks)
+                  THEN 1 ELSE 0 END AS is_full
+      FROM r CROSS JOIN b),
+    agg AS (SELECT CAST(sum(is_full) AS BIGINT) AS rstar,
+                   CAST(sum(CASE WHEN is_full = 1 THEN toks ELSE 0 END)
+                        AS BIGINT) AS pfull
+            FROM fs),
+    lvl AS (
+      SELECT rstar, pfull, budget, k,
+             CASE WHEN k > rstar THEN {theta} ELSE CAST(0 AS BIGINT) END AS theta,
+             CASE WHEN k > rstar THEN (budget - pfull) % (k - rstar)
+                  ELSE CAST(0 AS BIGINT) END AS rem
+      FROM agg CROSS JOIN b)
+    SELECT f.source, f.toks,
+           CASE WHEN f.is_full = 1 THEN f.toks
+                ELSE l.theta + CASE WHEN f.rnk - l.rstar <= l.rem
+                               THEN 1 ELSE 0 END END AS alloc_tokens,
+           (f.is_full = 1) AS fully_taken,
+           {ppm} AS take_rate_ppm
+    FROM fs f CROSS JOIN lvl l
+    ORDER BY f.source
+"""
+
+_L83_ALLOC = (
+    "CASE WHEN f.is_full = 1 THEN f.toks "
+    "ELSE l.theta + CASE WHEN f.rnk - l.rstar <= l.rem THEN 1 ELSE 0 END END"
+)
+
+
+def _l83_text(duck: bool) -> str:
+    tok = (
+        "len(string_split(lower(text), ' '))" if duck
+        else "size(split(lower(text), ' '))"
+    )
+    dv = (lambda n, d: f"(({n}) // ({d}))") if duck else (
+        lambda n, d: f"(({n}) div ({d}))"
+    )
+    head = f"""
+    WITH t AS (
+      SELECT source, CAST(sum({tok}) AS BIGINT) AS toks
+      FROM documents GROUP BY source),"""
+    return head + _L83_BODY.format(
+        i90=dv("total * 9", "10"),
+        theta=dv("budget - pfull", "k - rstar"),
+        ppm=dv(f"({_L83_ALLOC}) * 1000000", "f.toks"),
+    )
+
+
+_sql_pair(
+    "l83_token_budget_mix",
+    _l83_text(False),
+    _l83_text(True),
+    doc="L83: cap-aware token-budget allocation — the water-filling mix "
+        "planner behind 'train on B tokens, as uniformly across sources "
+        "as their sizes allow': every source gets min(T_i, θ) tokens "
+        "where the level θ solves Σ min(T_i, θ) = B (here B = 90% of "
+        "corpus tokens, so the cap leg exercises at fixture scale), and "
+        "the integer remainder goes to the first sources in (toks, "
+        "source) order so Σ alloc == B EXACTLY. The whole solve is one "
+        "sorted prefix-sum pass: sources ascending by size, source r is "
+        "fully taken iff T_r·(k−r+1) ≤ B − prefix_{r−1} (an exact "
+        "integer cross-multiplication — the standard water-filling "
+        "prefix characterization), θ and the remainder are exact "
+        "integer division on the survivors, take_rate_ppm is exact "
+        "integer DIV. Complements l16 (unconstrained target/observed "
+        "weights) and l14 (temperature reweighting): this is the "
+        "EXACT-BUDGET, cap-feasible plan a 100 TB run actually "
+        "schedules. Scale: one groupBy(source) token tally (partial-"
+        "agg), then all planning over the k-row source table — k is "
+        "thousands at worst, so the window sort is trivial.",
+)
+
+
+# ---------------------------------------------------------------------------
+# lx_embedding_drift: exact fixed-point drift monitor between corpus halves
+# ---------------------------------------------------------------------------
+
+_LX_DRIFT_TAIL = """
+    m AS (SELECT half, dim,
+                 CASE WHEN s >= 0 THEN {sdivn}
+                      ELSE -({negdivn}) END AS mu
+          FROM x),
+    j AS (SELECT a.dim, a.mu AS ma, b.mu AS mb
+          FROM (SELECT * FROM m WHERE half = 0) a
+          JOIN (SELECT * FROM m WHERE half = 1) b ON a.dim = b.dim),
+    agg AS (
+      SELECT CAST(sum(ma * mb) AS BIGINT) AS dot,
+             CAST(sum(ma * ma) AS BIGINT) AS na,
+             CAST(sum(mb * mb) AS BIGINT) AS nb,
+             CAST(max(abs(ma - mb)) AS BIGINT) AS max_shift_micro,
+             CAST(sum(abs(ma - mb)) AS BIGINT) AS sum_shift_micro
+      FROM j),
+    cnt AS (SELECT CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                   CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+            FROM e)
+    SELECT cnt.n_a, cnt.n_b,
+           CAST(dot AS DOUBLE)
+             / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))
+             AS mean_cosine,
+           agg.max_shift_micro,
+           {avgshift} AS avg_shift_micro
+    FROM agg CROSS JOIN cnt
+"""
+
+
+def _lx_drift_text(duck: bool) -> str:
+    dv = (lambda n, d: f"(({n}) // ({d}))") if duck else (
+        lambda n, d: f"(({n}) div ({d}))"
+    )
+    if duck:
+        head = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, vec_id % 2 AS half
+               FROM embeddings),
+    x AS (SELECT half, g.d AS dim,
+                 CAST(sum(CAST(floor(v[g.d] * 1000000 + 0.5) AS BIGINT))
+                      AS BIGINT) AS s,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM e CROSS JOIN generate_series(1, 64) AS g(d)
+          GROUP BY half, g.d),"""
+    else:
+        head = """
+    WITH e AS (SELECT vec_id, embedding AS v, vec_id % 2 AS half
+               FROM embeddings),
+    x AS (SELECT half, d + 1 AS dim,
+                 CAST(sum(CAST(floor(CAST(el AS DOUBLE) * 1000000 + 0.5)
+                               AS BIGINT)) AS BIGINT) AS s,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM e LATERAL VIEW posexplode(v) t AS d, el
+          GROUP BY half, d),"""
+    return head + _LX_DRIFT_TAIL.format(
+        sdivn=dv("s", "n"), negdivn=dv("-s", "n"),
+        avgshift=dv("agg.sum_shift_micro", "64"),
+    )
+
+
+_sql_pair(
+    "lx_embedding_drift",
+    _lx_drift_text(False),
+    _lx_drift_text(True),
+    doc="LX-DRIFT: embedding-space drift monitor between two deterministic "
+        "corpus halves (vec_id parity — in production: old vs new embedder "
+        "version, or this week's ingest vs last week's): per-dimension "
+        "1e-6 fixed-point mean vectors from EXACT integer sums (|q| <= "
+        "~6e5, n <= millions keeps every sum < 2^53), truncating integer "
+        "division to micro-unit means (CASE-symmetrized for negative "
+        "sums so both dialects truncate identically), then cosine of the "
+        "two mean vectors — dot and norms are int64-exact (|mu| <= 1e6, "
+        "64 dims -> <= 6.4e13), only the final sqrt/divide is IEEE, so "
+        "the whole statistic is bit-identical cross-engine — plus the "
+        "max and average per-dimension micro-shift. A mean_cosine well "
+        "below 1 or a max_dim shift spike is the canonical 'the embedder "
+        "changed under you' alarm before any ANN index is rebuilt. "
+        "Scale: ONE pass (explode 64 dims, partial-agg by (half, dim) -> "
+        "128 rows), then O(1) planning — no pairwise anything.",
+)
