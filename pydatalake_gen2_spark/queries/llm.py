@@ -5558,3 +5558,68 @@ _sql_pair(
         "Scale: ONE pass (explode 64 dims, partial-agg by (half, dim) -> "
         "128 rows), then O(1) planning — no pairwise anything.",
 )
+
+
+# ---------------------------------------------------------------------------
+# l84: per-document n-gram novelty (memorization-risk audit)
+# ---------------------------------------------------------------------------
+
+_L84_DUCK = """
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+    sets AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(t) - 4),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                    || t[i+3] || ' ' || t[i+4])) AS sh
+      FROM toks WHERE len(t) >= 5),
+    inv AS (SELECT doc_id, unnest(sh) AS g FROM sets),
+    df AS (SELECT g, CAST(count(*) AS BIGINT) AS dfreq FROM inv GROUP BY g),
+    per AS (
+      SELECT i.doc_id,
+             CAST(count(*) AS BIGINT) AS n_shingles,
+             CAST(sum(CASE WHEN d.dfreq = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_novel
+      FROM inv i JOIN df d ON i.g = d.g
+      GROUP BY i.doc_id)
+    SELECT doc_id, n_shingles, n_novel,
+           (n_novel * 1000000) // n_shingles AS novelty_ppm
+    FROM per ORDER BY doc_id
+"""
+
+
+@register("l84_ngram_novelty", duck_sql=_L84_DUCK)
+def l84_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L84: per-document 5-gram NOVELTY — the fraction of a document's
+    distinct 5-gram shingles that appear in NO other document. The
+    memorization-risk / content-originality audit run before a corpus
+    release: a document whose novelty_ppm collapses is mostly verbatim
+    boilerplate shared with the rest of the corpus (the inverse view of
+    near-dup detection — L36 finds the PAIRS, this scores each doc's
+    exposure), and test-split docs with low novelty against train are
+    leakage candidates (L60's per-doc companion). Exact integers
+    end-to-end: shingle document frequency via one partial-agg groupBy,
+    per-doc tallies via the inverted-index join, novelty as exact ppm
+    integer division. Scale: the inverted index is the same
+    explode->groupBy shape as L36's shingle build — near-linear in
+    corpus size, hot-shingle capped upstream if a real corpus needs it
+    (dedup.exact_jaccard_pairs' max_df note)."""
+    from pydatalake_gen2_spark.operators.dedup import distinct_shingle_sets
+
+    sets = distinct_shingle_sets(spark.table("documents"), n=5)
+    inv = sets.select("doc_id", F.explode("toks").alias("g"))
+    dfreq = inv.groupBy("g").agg(F.count(F.lit(1)).alias("dfreq"))
+    per = (
+        inv.join(dfreq, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(F.when(F.col("dfreq") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+    )
+    return per.select(
+        "doc_id", "n_shingles", "n_novel",
+        F.expr("(n_novel * 1000000) div n_shingles").alias("novelty_ppm"),
+    ).orderBy("doc_id")

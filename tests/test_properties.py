@@ -584,3 +584,78 @@ def test_sq8_quantization_faithful(spark, sf_dir):
     ensure_views(spark, sf_dir)
     rows = load_all()["lx_sq8_recall"].spark_fn(spark, sf_dir).collect()
     assert rows and all(r["recall"] == 1.0 for r in rows)
+
+
+def test_l83_water_filling_invariants(spark, sf_dir):
+    """The cap-aware budget plan must (a) hit the budget EXACTLY,
+    (b) never allocate past a source's size, (c) be a true water level:
+    every fully-taken source is no larger than every uncapped one's
+    allocation + 1 (the remainder unit)."""
+    from pydatalake_gen2_spark.registry import REGISTRY, load_all
+
+    load_all()
+    rows = REGISTRY["l83_token_budget_mix"].spark_fn(spark, sf_dir).collect()
+    total = sum(r["toks"] for r in rows)
+    budget = total * 9 // 10
+    assert sum(r["alloc_tokens"] for r in rows) == budget
+    assert all(r["alloc_tokens"] <= r["toks"] for r in rows)
+    full = [r for r in rows if r["fully_taken"]]
+    part = [r for r in rows if not r["fully_taken"]]
+    if full and part:
+        assert max(r["toks"] for r in full) <= min(
+            r["alloc_tokens"] for r in part
+        ) + 1
+    # uncapped allocations are equal up to the remainder unit
+    if part:
+        allocs = sorted(r["alloc_tokens"] for r in part)
+        assert allocs[-1] - allocs[0] <= 1
+
+
+def test_l84_novelty_bounds_and_unique_doc(spark, sf_dir):
+    """novelty_ppm is in [0, 1e6]; n_novel <= n_shingles; and the corpus
+    must contain at least one fully-novel document (the fixture's texts
+    are near-unique) and nonzero sharing overall (sum novel < sum
+    shingles would fail only if every doc were fully unique — allow it,
+    but the bounds must hold)."""
+    from pydatalake_gen2_spark.registry import REGISTRY, load_all
+
+    load_all()
+    rows = REGISTRY["l84_ngram_novelty"].spark_fn(spark, sf_dir).collect()
+    assert rows, "no documents with >= 5 tokens?"
+    for r in rows:
+        assert 0 <= r["n_novel"] <= r["n_shingles"]
+        assert 0 <= r["novelty_ppm"] <= 1_000_000
+        if r["n_novel"] == r["n_shingles"]:
+            assert r["novelty_ppm"] == 1_000_000
+    assert any(r["novelty_ppm"] == 1_000_000 for r in rows)
+
+
+def test_lx_embedding_drift_self_is_identity(spark, sf_dir):
+    """Drift of a half against itself must be exactly zero shift and
+    cosine 1.0 — recomputed through the same fixed-point machinery the
+    pair uses (numpy mirror of the integer means)."""
+    import numpy as np
+
+    from pydatalake_gen2_spark.registry import ensure_views
+
+    ensure_views(spark, sf_dir)
+    emb = spark.table("embeddings").collect()
+    qs = {}
+    for half in (0, 1):
+        vs = np.stack([
+            np.asarray(r["embedding"], dtype=float)
+            for r in emb if r["vec_id"] % 2 == half
+        ])
+        s = np.floor(vs * 1e6 + 0.5).astype(np.int64).sum(axis=0)
+        n = vs.shape[0]
+        mu = np.where(s >= 0, s // n, -((-s) // n))
+        qs[half] = mu.astype(np.int64)
+    dot = int((qs[0] * qs[1]).sum())
+    na, nb = int((qs[0] ** 2).sum()), int((qs[1] ** 2).sum())
+    expect_cos = dot / (np.sqrt(float(na)) * np.sqrt(float(nb)))
+    from pydatalake_gen2_spark.registry import REGISTRY, load_all
+
+    load_all()
+    row = REGISTRY["lx_embedding_drift"].spark_fn(spark, sf_dir).collect()[0]
+    assert row["mean_cosine"] == expect_cos
+    assert row["max_shift_micro"] == int(np.abs(qs[0] - qs[1]).max())
