@@ -1812,3 +1812,135 @@ sql_pair(
         "one scan to ~80 month rows, O(months^2) pairs post-agg. One "
         "SQL text in both dialects.",
 )
+
+
+# ---------------------------------------------------------------------------
+# c33: Holt-Winters additive seasonal smoothing (period 12) forecast
+# ---------------------------------------------------------------------------
+
+def _hw_factory():
+    """Per-group Holt-Winters worker, built in a closure (cloudpickle
+    pickles module-level functions by reference)."""
+    import pandas as pd
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("m").reset_index(drop=True)
+        y = pdf["cents"].astype("float64").tolist()
+        if len(y) < 13:
+            return pd.DataFrame(
+                columns=["pri", "n_months", "level", "trend",
+                         "season_3", "forecast_3m"]
+            )
+        l = sum(y[:12]) / 12.0  # exact-int partials -> one IEEE divide
+        seas = [v - l for v in y[:12]]
+        b = 0.0
+        for t in range(12, len(y)):
+            s_old = seas[0]
+            l_new = 0.3 * (y[t] - s_old) + 0.7 * (l + b)
+            b = 0.2 * (l_new - l) + 0.8 * b
+            s_new = 0.1 * (y[t] - l_new) + 0.9 * s_old
+            seas = seas[1:] + [s_new]
+            l = l_new
+        import math
+
+        def r4(x: float) -> float:
+            # SQL ROUND is half-away-from-zero; python round() is
+            # half-even (a real tie fired once at sf0.01 — ud05).
+            return math.copysign(
+                math.floor(abs(x) * 1e4 + 0.5), x
+            ) / 1e4
+
+        return pd.DataFrame({
+            "pri": [pdf["pri"].iloc[0]],
+            "n_months": [len(y)],
+            "level": [r4(l / 100.0)],
+            "trend": [r4(b / 100.0)],
+            "season_3": [r4(seas[2] / 100.0)],
+            "forecast_3m": [r4((l + 3.0 * b + seas[2]) / 100.0)],
+        })
+
+    return fit
+
+
+@register(
+    "c33_holt_winters",
+    duck_sql="""
+    WITH RECURSIVE m AS (
+      SELECT o_orderpriority AS pri,
+             date_trunc('month', o_orderdate) AS mon,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                  AS DOUBLE) AS y,
+             CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+               ORDER BY date_trunc('month', o_orderdate)) AS BIGINT) AS rn
+      FROM orders
+      GROUP BY o_orderpriority, date_trunc('month', o_orderdate)),
+    b0 AS (
+      SELECT pri, list(y ORDER BY rn) AS ys, sum(y) AS sy
+      FROM m WHERE rn <= 12 GROUP BY pri HAVING count(*) = 12),
+    h AS (
+      SELECT pri, CAST(12 AS BIGINT) AS rn, sy/12.0 AS l,
+             CAST(0 AS DOUBLE) AS b,
+             list_transform(ys, v -> v - sy/12.0) AS seas
+      FROM b0
+      UNION ALL
+      SELECT m.pri, m.rn,
+             0.3 * (m.y - h.seas[1]) + 0.7 * (h.l + h.b),
+             0.2 * ((0.3 * (m.y - h.seas[1]) + 0.7 * (h.l + h.b)) - h.l)
+               + 0.8 * h.b,
+             list_concat(h.seas[2:],
+               [0.1 * (m.y - (0.3 * (m.y - h.seas[1]) + 0.7 * (h.l + h.b)))
+                + 0.9 * h.seas[1]])
+      FROM h JOIN m ON m.pri = h.pri AND m.rn = h.rn + 1),
+    last AS (SELECT pri, MAX(rn) AS t FROM h GROUP BY pri)
+    SELECT h.pri, CAST(last.t AS BIGINT) AS n_months,
+           ROUND(h.l / 100, 4) AS level,
+           ROUND(h.b / 100, 4) AS trend,
+           ROUND(h.seas[3] / 100, 4) AS season_3,
+           ROUND((h.l + 3.0 * h.b + h.seas[3]) / 100, 4) AS forecast_3m
+    FROM h JOIN last ON h.pri = last.pri AND h.rn = last.t
+    ORDER BY h.pri
+    """,
+    doc="C33: Holt-Winters ADDITIVE-SEASONAL (triple exponential)"
+        " smoothing over the monthly revenue series per order priority,"
+        " period 12 (alpha=0.3, beta=0.2, gamma=0.1; init l = mean of the"
+        " first year, s_i = y_i - l, b = 0), plus the 3-month-ahead"
+        " forecast l + 3b + s_{T+3-12} — c32's linear-trend recursion"
+        " completed with the seasonal state no window function can carry."
+        " Spark side: ONE corpus pass to exact integer monthly cents,"
+        " then applyInPandas runs the O(T) recursion per key (aggregate"
+        " down, iterate on the profile). Oracle: a DuckDB RECURSIVE CTE"
+        " whose rows CARRY THE 12-SLOT SEASONAL WINDOW AS A LIST"
+        " (seas[2:] || [s_new] each step) and step the IDENTICAL IEEE"
+        " expression order, so both engines walk the same float sequence"
+        " bit-for-bit; outputs ROUND(4). The init mean is an exact-int"
+        " sum (order-free, < 2^53) through one IEEE divide in both"
+        " engines. Worker built in a factory (cloudpickle by-value).",
+)
+def c33_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    monthly = (
+        spark.table("orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("pri"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("m"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("double")
+            .alias("cents")
+        )
+    )
+    schema = T.StructType([
+        T.StructField("pri", T.StringType()),
+        T.StructField("n_months", T.LongType()),
+        T.StructField("level", T.DoubleType()),
+        T.StructField("trend", T.DoubleType()),
+        T.StructField("season_3", T.DoubleType()),
+        T.StructField("forecast_3m", T.DoubleType()),
+    ])
+    return (
+        monthly.groupBy("pri")
+        .applyInPandas(_hw_factory(), schema=schema)
+        .orderBy("pri")
+    )
