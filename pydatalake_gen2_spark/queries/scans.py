@@ -1615,3 +1615,56 @@ def s42_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "s43_schema_evolution",
+    duck_sql="""
+    SELECT COALESCE(CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END,
+                    '(pre-evolution)') AS channel,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders
+    GROUP BY 1 ORDER BY channel
+    """,
+)
+def s43_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S43: ADD-COLUMN schema evolution on the versioned lakehouse table —
+    generation 1 commits (o_orderkey, cents) for even keys; generation 2
+    appends odd keys WITH a new `channel` column; `read(merge_schema=
+    True)` then reads the evolved table in one scan, surfacing the new
+    column as NULL on pre-evolution rows (the Delta/Iceberg evolved-read
+    contract, here via Spark's parquet mergeSchema over the manifest's
+    immutable snapshot dirs — no rewrite of generation-1 files ever
+    happens). The oracle recomputes the same rollup from the raw table
+    with the parity-derived channel, so the hash match certifies that
+    the evolved read loses no rows, mis-merges no columns, and NULLs
+    exactly the pre-evolution generation. Scale: evolution is
+    metadata-only (a new manifest); the merged read costs one footer
+    pass per file — no data migration at any size."""
+    from pydatalake_gen2_spark.sources.versioned import VersionedTable
+
+    o = spark.table("orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        "o_orderpriority",
+    )
+    vt = VersionedTable(spark, _tmp("s43_evo", sf_dir))
+    vt.commit(o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "cents"))
+    vt.append_commit(
+        o.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "cents", F.col("o_orderpriority").alias("channel")
+        )
+    )
+    evolved = vt.read(merge_schema=True)
+    return (
+        evolved.groupBy(
+            F.coalesce(F.col("channel"), F.lit("(pre-evolution)")).alias("channel")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+        )
+        .orderBy("channel")
+    )

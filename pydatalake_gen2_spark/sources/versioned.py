@@ -103,8 +103,17 @@ class VersionedTable:
         # entries which reference the SOURCE table's dirs absolutely.
         return d if d.startswith("/") else f"{self.root}/{d}"
 
-    def read(self, version: int | None = None) -> DataFrame:
-        """Latest snapshot, or time-travel to `version`."""
+    def read(
+        self, version: int | None = None, merge_schema: bool = False
+    ) -> DataFrame:
+        """Latest snapshot, or time-travel to `version`.
+
+        ``merge_schema=True`` unions the column sets across the
+        snapshot's data directories (Spark's parquet mergeSchema) — the
+        ADD-COLUMN schema-evolution read: generations written before a
+        column existed surface it as NULL, exactly like Delta/Iceberg
+        evolved-schema reads. Off by default: merging costs a footer
+        pass per file and same-schema tables never need it."""
         vs = self.versions()
         if not vs:
             raise ValueError(f"no committed versions under {self.root}")
@@ -112,7 +121,10 @@ class VersionedTable:
         if v not in vs:
             raise ValueError(f"version {v} not in retained versions {vs}")
         dirs = self._manifest_dirs(v)
-        return self.spark.read.parquet(*[self._resolve(d) for d in dirs])
+        reader = self.spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*[self._resolve(d) for d in dirs])
 
     def clone_from(self, src: "VersionedTable", version: int | None = None) -> int:
         """SHALLOW CLONE (Delta `CREATE TABLE ... SHALLOW CLONE` shape):
