@@ -174,7 +174,11 @@ _ALIASES: dict[str, str] = {
     # r10 repurpose: w13 holds a green r3 driver row (a21); the slot
     # goes to the new forecasting class (Holt double-exponential
     # smoothing — applyInPandas recursion vs recursive-CTE oracle).
-    "a21_c32_holt_linear": "c32_holt_linear",
+    # r8 rotation (r7 verdict #1): c32 holds green r6-r7 rows; the
+    # forecasting family's slot advances to the round-7 Holt-Winters
+    # SEASONAL variant (12-slot seasonal state carried through the
+    # recursive CTE) so the new operator earns its first driver row.
+    "a21_c33_holt_winters": "c33_holt_winters",
     # sorts / top-k
     # r8 repurpose: o03 holds a green r3 driver row and a23 keeps the
     # top-k rep; the slot goes to WITH-TIES semantics and its two-pass
@@ -201,7 +205,10 @@ _ALIASES: dict[str, str] = {
     # r9 repurpose: s05 holds a green r3 driver row and the scan family
     # keeps a28/a14; the slot goes to the new incremental-view-
     # maintenance class (O(delta) materialized-aggregate refresh).
-    "a29_s38_incremental_refresh": "s38_incremental_agg_refresh",
+    # r8 rotation (r7 verdict #1): s38 holds green r4-r7 rows and the
+    # scan/source family keeps a14/a28; the slot advances to round-7's
+    # ADD-COLUMN schema evolution on the versioned lakehouse table.
+    "a29_s43_schema_evolution": "s43_schema_evolution",
     # r5 repurpose: the s-family already held three window slots
     # (a28/a29/a30) while the multimodal family — now a REAL stdlib-PNG
     # decode pipeline with a full SQL oracle (mm_png_decode), no longer a
@@ -249,13 +256,20 @@ _ALIASES: dict[str, str] = {
     # measured pow-drift fence (see the pair docstring) should earn driver
     # evidence every round.
     "a40_l18b_weighted_reservoir": "l18b_weighted_reservoir",
-    "a41_l15_sequence_packing": "l15_sequence_packing",
+    # r8 rotation (r7 verdict #1): l15 holds green r3-r7 rows and the
+    # LLM-pipeline family keeps nine other window reps; the slot advances
+    # to round-7's exact water-filling token-budget mix (L83).
+    "a41_l83_token_budget_mix": "l83_token_budget_mix",
     # text analysis
     # r10 repurpose: t01 holds a green r3 driver row (a42) and a43
     # keeps the text family; the slot goes to the new reconciliation
     # class (order-independent cross-engine table checksum).
     "a42_dq06_reconciliation": "dq06_reconciliation_checksum",
-    "a43_t02_quality_score": "t02_quality_score",
+    # r8 rotation (r7 verdict #1): t02 holds green r1-r7 rows and text
+    # quality stays exercised via l27 (bench, every round) and a10's
+    # expectation suite; the slot advances to round-7's 5-gram novelty
+    # scorer (L84 — inverted-index tally join, text-analysis class).
+    "a43_l84_ngram_novelty": "l84_ngram_novelty",
     # streaming (batch-equivalent forms)
     # r7 rotation: the batch form holds green rows r1-r6 and stays
     # oracle-verified locally; the slot now runs the LIVE tumbling-window
@@ -266,8 +280,16 @@ _ALIASES: dict[str, str] = {
     # keeps a46, so the session-window slot goes to the new
     # transformWithState surface (Spark 4 StatefulProcessor family).
     "a45_st20_transform_with_state": "st20_transform_with_state",
-    "a46_st08_stateful_counter": "st08_stateful_counter",
-    "a47_st09_stream_static_join": "st09_stream_static_join",
+    # r8 rotation (r7 verdict #1): st08 holds green r3-r7 rows and the
+    # streaming family keeps a44 (live tumbling) + a45 (TWS surface);
+    # the slot advances to round-7's stream-stream ANTI join — a second
+    # LIVE Structured Streaming run in the window, hash-certified via
+    # its batch twin's oracle.
+    "a46_st27_anti_stream": "st27_anti_stream",
+    # r8 rotation (r7 verdict #1): st09 holds green r3-r7 rows; the slot
+    # advances to round-7's embedding-drift monitor (LX-DRIFT — fixed-
+    # point int64-exact one-pass partial aggregation).
+    "a47_lx_embedding_drift": "lx_embedding_drift",
     # r5 repurpose (r4 verdict #9): ud01/ud11 both hold green r4 rows and
     # the UDF family keeps a04_ud13; their slots rotate to the two
     # operators REPAIRED this round (dq07's observe()-legal collect_set

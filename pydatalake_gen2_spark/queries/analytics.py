@@ -1891,7 +1891,8 @@ def _hw_factory():
                [0.1 * (m.y - (0.3 * (m.y - h.seas[1]) + 0.7 * (h.l + h.b)))
                 + 0.9 * h.seas[1]])
       FROM h JOIN m ON m.pri = h.pri AND m.rn = h.rn + 1),
-    last AS (SELECT pri, MAX(rn) AS t FROM h GROUP BY pri)
+    last AS (SELECT pri, MAX(rn) AS t FROM h GROUP BY pri
+             HAVING MAX(rn) >= 13)
     SELECT h.pri, CAST(last.t AS BIGINT) AS n_months,
            ROUND(h.l / 100, 4) AS level,
            ROUND(h.b / 100, 4) AS trend,
@@ -1914,7 +1915,11 @@ def _hw_factory():
         " expression order, so both engines walk the same float sequence"
         " bit-for-bit; outputs ROUND(4). The init mean is an exact-int"
         " sum (order-free, < 2^53) through one IEEE divide in both"
-        " engines. Worker built in a factory (cloudpickle by-value).",
+        " engines. Worker built in a factory (cloudpickle by-value)."
+        " Boundary guard (r7 advice): a series of EXACTLY 12 months is"
+        " emitted by neither side — Python requires len(y) >= 13 and the"
+        " oracle's last CTE requires MAX(rn) >= 13, so the b0 anchor row"
+        " alone never surfaces on sparse fixtures.",
 )
 def c33_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T

@@ -1119,3 +1119,88 @@ def f60_collated_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("seg_norm", "n_rows", "n_ci_groups", "n_raw_distinct")
         .orderBy("seg_norm")
     )
+
+
+# ---------------------------------------------------------------------------
+# f61/f62: OUTER generators — explode_outer / posexplode_outer (r7 verdict #4)
+# ---------------------------------------------------------------------------
+# The classic silently-dropped-rows bug: inner explode() EMITS NOTHING for an
+# empty or NULL array, so a per-document metric join built on it loses those
+# documents without a trace. The OUTER variants keep the parent row with NULL
+# generator output. Fixtures have no native array column with empties, so the
+# pair PLANTS them deterministically: doc_id % 11 == 0 -> NULL array,
+# doc_id % 7 == 0 -> empty array, else the token split. DuckDB has no outer
+# unnest; the oracle is the textbook LEFT JOIN against the unnested child.
+
+_F61_CASE_SPARK = """
+      CASE WHEN doc_id % 11 = 0 THEN CAST(NULL AS ARRAY<STRING>)
+           WHEN doc_id % 7 = 0 THEN array()
+           ELSE split(text, ' ') END
+"""
+
+_F61_CASE_DUCK = """
+      CASE WHEN doc_id % 11 = 0 THEN CAST(NULL AS VARCHAR[])
+           WHEN doc_id % 7 = 0 THEN CAST([] AS VARCHAR[])
+           ELSE string_split(text, ' ') END
+"""
+
+sql_pair(
+    "f61_explode_outer",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_F61_CASE_SPARK} AS toks
+      FROM documents WHERE doc_id < 300)
+    SELECT doc_id, tok
+    FROM t LATERAL VIEW OUTER explode(toks) x AS tok
+    ORDER BY doc_id, tok
+    """,
+    duck_sql=f"""
+    WITH t AS (
+      SELECT doc_id, {_F61_CASE_DUCK} AS toks
+      FROM documents WHERE doc_id < 300),
+    u AS (SELECT doc_id, unnest(toks) AS tok FROM t)
+    SELECT t.doc_id, u.tok
+    FROM t LEFT JOIN u ON t.doc_id = u.doc_id
+    ORDER BY t.doc_id, tok
+    """,
+    doc="F61: explode_outer / LATERAL VIEW OUTER — parent rows with an "
+        "empty or NULL array survive with tok = NULL instead of vanishing "
+        "(the most common real-user array bug; inner f18_explode drops "
+        "them). Oracle: DuckDB has no outer unnest, so the LEFT JOIN "
+        "against the unnested child states the semantics from first "
+        "principles. Generator runs inside the scan stage (no shuffle); "
+        "outer-ness adds no cost at any scale.",
+)
+
+sql_pair(
+    "f62_posexplode_outer",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_F61_CASE_SPARK} AS toks
+      FROM documents WHERE doc_id < 300)
+    SELECT doc_id, CAST(pos AS BIGINT) AS pos, tok,
+           CAST(count(*) OVER (PARTITION BY CAST(1 AS INT)) AS BIGINT)
+             AS n_rows_total
+    FROM t LATERAL VIEW OUTER posexplode(toks) x AS pos, tok
+    ORDER BY doc_id, pos, tok
+    """,
+    duck_sql=f"""
+    WITH t AS (
+      SELECT doc_id, {_F61_CASE_DUCK} AS toks
+      FROM documents WHERE doc_id < 300),
+    u AS (SELECT doc_id,
+                 CAST(generate_subscripts(toks, 1) - 1 AS BIGINT) AS pos,
+                 unnest(toks) AS tok
+          FROM t)
+    SELECT t.doc_id, u.pos, u.tok,
+           CAST(count(*) OVER () AS BIGINT) AS n_rows_total
+    FROM t LEFT JOIN u ON t.doc_id = u.doc_id
+    ORDER BY t.doc_id, pos, tok
+    """,
+    doc="F62: posexplode_outer — ordinal-preserving OUTER generator; "
+        "empty/NULL-array parents surface once with (pos, tok) = (NULL, "
+        "NULL). The windowed total-row-count column certifies the exact "
+        "row-preservation accounting cross-engine (every planted empty "
+        "and NULL parent contributes exactly one row). Same LEFT-JOIN-"
+        "unnest oracle as f61 with 0-based subscripts.",
+)

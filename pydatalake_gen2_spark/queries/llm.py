@@ -655,7 +655,7 @@ def lx_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pydatalake_gen2_spark.operators import pq
 
     emb = spark.table("embeddings")
-    pred = ((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 2000)) & (F.col("vec_id") < 2000)
+    pred = (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 2000)
     appx = pq.ivfpq_topk(
         emb, k=_ANN_K, codebooks=_pq_codebook(spark, sf_dir),
         centroids=_ivf_codebook(spark, sf_dir), n_probe=6, query_pred=pred,
@@ -777,6 +777,19 @@ def lx_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.table("embeddings")
     n = emb.count()  # parquet metadata count: no scan
     n_planes = max(6, math.ceil(math.log2(max(n, 128) / 64)))
+    if n_planes != 6:
+        # r7-advice guard: the registered oracle bakes 6-plane literals;
+        # a hash-compare against a >4096-vector fixture would mismatch
+        # confusingly instead of failing loudly. (The formula resolves to
+        # exactly 6 for every oracle-compared corpus <= 4096 vectors.)
+        import warnings
+
+        warnings.warn(
+            f"lx_lsh_topk: corpus has {n} vectors -> n_planes={n_planes};"
+            " the baked DuckDB oracle is 6-plane and only valid for"
+            " corpora <= 4096 vectors — do NOT hash-compare this run.",
+            stacklevel=2,
+        )
     return similarity.lsh_topk(emb, k=5, n_planes=n_planes)
 
 
@@ -830,7 +843,7 @@ def lx_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf_returned_k and the measured-with-margin mean recall bound."""
     emb = spark.table("embeddings")
     cents = _ivf_codebook(spark, sf_dir)
-    pred = ((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 2000)) & (F.col("vec_id") < 2000)
+    pred = (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 2000)
     full = similarity.ivf_topk(
         emb, k=_ANN_K, n_probe=len(cents), centroids=cents, query_pred=pred
     )

@@ -1668,3 +1668,158 @@ def s43_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# ---------------------------------------------------------------------------
+# s44: ANALYZE TABLE / CBO statistics round-trip (r7 verdict #5)
+# ---------------------------------------------------------------------------
+
+@register(
+    "s44_analyze_cbo_stats",
+    duck_sql="""
+    SELECT stat, value FROM (
+      SELECT 'row_count' AS stat, CAST(COUNT(*) AS BIGINT) AS value FROM nation
+      UNION ALL SELECT 'size_bytes_positive', 1
+      UNION ALL SELECT 'nationkey_min', CAST(MIN(n_nationkey) AS BIGINT) FROM nation
+      UNION ALL SELECT 'nationkey_max', CAST(MAX(n_nationkey) AS BIGINT) FROM nation
+      UNION ALL SELECT 'nationkey_nulls',
+        CAST(COUNT(*) - COUNT(n_nationkey) AS BIGINT) FROM nation
+      UNION ALL SELECT 'nationkey_ndv',
+        CAST(COUNT(DISTINCT n_nationkey) AS BIGINT) FROM nation
+      UNION ALL SELECT 'name_nulls',
+        CAST(COUNT(*) - COUNT(n_name) AS BIGINT) FROM nation
+      UNION ALL SELECT 'name_ndv', CAST(COUNT(DISTINCT n_name) AS BIGINT) FROM nation
+      UNION ALL SELECT 'name_maxlen',
+        CAST(MAX(LENGTH(n_name)) AS BIGINT) FROM nation
+    ) t ORDER BY stat
+    """,
+)
+def s44_analyze_cbo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S44: the ANALYZE TABLE / cost-based-optimizer statistics surface —
+    ``ANALYZE TABLE t COMPUTE STATISTICS`` (table-level rowCount +
+    sizeInBytes) and ``... FOR COLUMNS`` (per-column min/max/null-count/
+    NDV/max-len), read back through ``DESCRIBE EXTENDED`` exactly as a
+    user inspects them. The returned rows are the CATALOG's stats; the
+    oracle recomputes ground truth from the raw table, so the hash match
+    certifies the round-trip is lossless (NDV comes from HLL++, which is
+    exact at nation's 25-key cardinality and deterministic at any —
+    same hashes, same estimate). The stats-INFORMED planning effect
+    (column-stat filter selectivity flipping a join to broadcast under
+    CBO with AQE off) is plan-gated in tests/test_plans.py. Scale:
+    ANALYZE is one partial-agg scan; stats live in the catalog and cost
+    nothing at read time — at 100 TB this is what replaces file-size
+    guessing for join planning."""
+    import re
+    import shutil as _shutil
+    from urllib.parse import urlparse as _urlparse
+
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    tbl = f"s44_nation_{tag}"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    wh = _urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    _shutil.rmtree(os.path.join(wh, tbl), ignore_errors=True)
+    spark.sql(f"CREATE TABLE {tbl} USING parquet AS SELECT * FROM nation")
+    spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS")
+    spark.sql(
+        f"ANALYZE TABLE {tbl} COMPUTE STATISTICS FOR COLUMNS n_nationkey, n_name"
+    )
+
+    stats_row = next(
+        r.data_type
+        for r in spark.sql(f"DESCRIBE EXTENDED {tbl}").collect()
+        if r.col_name == "Statistics"
+    )
+    m = re.fullmatch(r"(\d+) bytes, (\d+) rows", stats_row)
+    size_bytes, row_count = int(m.group(1)), int(m.group(2))
+
+    def col_stats(col: str) -> dict[str, str]:
+        return {
+            r.info_name: r.info_value
+            for r in spark.sql(f"DESCRIBE EXTENDED {tbl} {col}").collect()
+        }
+
+    k, n = col_stats("n_nationkey"), col_stats("n_name")
+    rows = [
+        ("row_count", row_count),
+        ("size_bytes_positive", 1 if size_bytes > 0 else 0),
+        ("nationkey_min", int(k["min"])),
+        ("nationkey_max", int(k["max"])),
+        ("nationkey_nulls", int(k["num_nulls"])),
+        ("nationkey_ndv", int(k["distinct_count"])),
+        ("name_nulls", int(n["num_nulls"])),
+        ("name_ndv", int(n["distinct_count"])),
+        ("name_maxlen", int(n["max_col_len"])),
+    ]
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["stat", "value"]),
+        schema="stat STRING, value BIGINT",
+    ).orderBy("stat")
+
+
+# ---------------------------------------------------------------------------
+# s45: seed-pinned TABLESAMPLE / df.sample() audit (r7 verdict gap #3)
+# ---------------------------------------------------------------------------
+
+@register(
+    "s45_tablesample_seeded",
+    duck_sql="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+           TRUE AS within_bounds,
+           TRUE AS seed_deterministic,
+           TRUE AS sql_matches_api,
+           TRUE AS subset_of_base
+    FROM orders
+    """,
+)
+def s45_tablesample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S45: the stock sampling surface users type first —
+    ``df.sample(fraction, seed)`` and SQL ``TABLESAMPLE (10 PERCENT)
+    REPEATABLE (42)``. The sampled ROW SET is engine-specific (Spark's
+    Bernoulli cell sampler on a seeded XORShift per partition), so no
+    cross-engine oracle can replay it; what IS certifiable is the
+    contract, emitted as one audit row: sample size within 5 sigma of
+    Binomial(n, p) (p=0.1: mean 1500, sigma ~36.7 at sf0.01), the same
+    seed reproducing the IDENTICAL multiset within one file layout
+    (exceptAll both ways empty — the determinism users rely on for
+    debuggable pipelines; a layout change re-deals partitions, which is
+    why L12-L14's md5-predicate samples exist for layout-stable
+    sampling), the SQL spelling matching the DataFrame API exactly, and
+    the sample being a true multiset subset of the base. Scale: sampling
+    is a scan-side filter — no shuffle, no collect; the audit's
+    exceptAll legs are hash-aggregates sized by the sample."""
+    import math
+
+    base = spark.table("orders")
+    n_total = base.count()
+    frac, seed = 0.1, 42
+    s1 = base.sample(fraction=frac, seed=seed)
+    s2 = base.sample(fraction=frac, seed=seed)
+    sql_s = spark.sql(
+        "SELECT * FROM orders TABLESAMPLE (10 PERCENT) REPEATABLE (42)"
+    )
+    n1 = s1.count()
+    sigma = math.sqrt(n_total * frac * (1 - frac))
+    within = abs(n1 - n_total * frac) <= 5 * sigma
+    deterministic = (
+        s1.exceptAll(s2).count() == 0 and s2.exceptAll(s1).count() == 0
+    )
+    sql_matches = (
+        sql_s.exceptAll(s1).count() == 0 and s1.exceptAll(sql_s).count() == 0
+    )
+    subset = s1.exceptAll(base).count() == 0
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame(
+            [(n_total, within, deterministic, sql_matches, subset)],
+            columns=[
+                "n_total", "within_bounds", "seed_deterministic",
+                "sql_matches_api", "subset_of_base",
+            ],
+        ),
+        schema="n_total BIGINT, within_bounds BOOLEAN, "
+               "seed_deterministic BOOLEAN, sql_matches_api BOOLEAN, "
+               "subset_of_base BOOLEAN",
+    )

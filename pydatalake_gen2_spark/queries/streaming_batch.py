@@ -26,10 +26,25 @@ def _twin(batch_name: str) -> str:
     mtime-ordered (streaming/replay.py), so each stream's final append
     output must equal its batch form over the same events — an equality
     the stream==batch pytest suite has asserted since round 2 and the
-    oracle now certifies cross-engine every round."""
+    oracle now certifies cross-engine every round.
+
+    ORDERING CONTRACT (r7 advice): the twin's oracle text is dereferenced
+    at decoration/import time, so the batch pair MUST be registered
+    earlier in this module than the ``_twin(...)`` call that names it.
+    Moving or reordering a batch registration breaks that; fail with the
+    contract spelled out instead of a bare KeyError."""
     from pydatalake_gen2_spark.registry import REGISTRY
 
-    return REGISTRY[batch_name].duck_sql
+    try:
+        return REGISTRY[batch_name].duck_sql
+    except KeyError:
+        raise RuntimeError(
+            f"_twin({batch_name!r}): batch twin not registered yet. "
+            "_twin resolves the twin's duck_sql at import time, so the "
+            "batch pair must be registered ABOVE the *_stream pair that "
+            "references it in queries/streaming_batch.py — reordering or "
+            "moving the batch registration violates that contract."
+        ) from None
 
 sql_pair(
     "st01_tumbling_batch",

@@ -674,3 +674,98 @@ def test_kmeans_assignment_is_map_only_arrow(spark, sf_dir):
     # formatted explain mentions each node twice (tree line + details)
     assert 1 <= plan.count("ArrowEvalPython") <= 2, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_s44_cbo_column_stats_flip_join_to_broadcast(spark, sf_dir):
+    """The stats-INFORMED planning gate behind s44 (r7 verdict #5): with
+    CBO on and AQE off, a selective filter on an ANALYZEd table must
+    flip the join to BroadcastHashJoin because COLUMN-STAT selectivity
+    estimation shrinks its size estimate below the broadcast threshold;
+    the identical query WITHOUT stats (file-size estimate only, above
+    the threshold) must stay SortMergeJoin. This is the decision ANALYZE
+    exists to buy at 100 TB — a 1%-selective dimension filter turning a
+    petabyte-class shuffle join into a broadcast."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    from pydatalake_gen2_spark.registry import ensure_views
+
+    ensure_views(spark, sf_dir)
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for tbl in ("cbo_gate_orders", "cbo_gate_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(os.path.join(wh, tbl), ignore_errors=True)
+    spark.sql("CREATE TABLE cbo_gate_orders USING parquet AS SELECT * FROM orders")
+    spark.sql(
+        "CREATE TABLE cbo_gate_lineitem USING parquet AS SELECT * FROM lineitem"
+    )
+    q = """SELECT l.l_orderkey, o.o_totalprice
+           FROM cbo_gate_lineitem l
+           JOIN cbo_gate_orders o ON l.l_orderkey = o.o_orderkey
+           WHERE o.o_orderkey < 150"""
+
+    def physical() -> str:
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        return spark.sql(q)._jdf.queryExecution().explainString(mode)
+
+    saved = {
+        "spark.sql.adaptive.enabled": spark.conf.get("spark.sql.adaptive.enabled"),
+        "spark.sql.cbo.enabled": spark.conf.get("spark.sql.cbo.enabled"),
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        # threshold between the NO-STATS estimate of the filtered build
+        # side (file size scaled by column pruning only — stats can't
+        # see the filter) and the post-ANALYZE column-stat estimate
+        # (~1% selectivity), so ONLY the stats path can broadcast
+        no_stats_est = int(
+            str(
+                spark.sql(
+                    "SELECT o_orderkey, o_totalprice FROM cbo_gate_orders "
+                    "WHERE o_orderkey < 150"
+                )
+                ._jdf.queryExecution()
+                .optimizedPlan()
+                .stats()
+                .sizeInBytes()
+            )
+        )
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(max(no_stats_est // 2, 4096))
+        )
+        before = physical()
+        assert "SortMergeJoin" in before and "BroadcastHashJoin" not in before, before
+        spark.sql("ANALYZE TABLE cbo_gate_orders COMPUTE STATISTICS")
+        spark.sql(
+            "ANALYZE TABLE cbo_gate_orders COMPUTE STATISTICS "
+            "FOR COLUMNS o_orderkey"
+        )
+        after = physical()
+        assert "BroadcastHashJoin" in after, after
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+        for tbl in ("cbo_gate_orders", "cbo_gate_lineitem"):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            shutil.rmtree(os.path.join(wh, tbl), ignore_errors=True)
+
+
+def test_f61_outer_explode_is_generate_outer_no_join(spark, sf_dir):
+    """f61/f62 must plan as a single Generate node with outer=true inside
+    the scan stage — Spark's generator handles empty/NULL arrays inline;
+    the LEFT-JOIN-against-unnest shape (what the DuckDB oracle states,
+    and what users hand-write to fix dropped rows) would be a shuffle.
+    No Join, no Exchange besides the final sort."""
+    plan = _plan(spark, sf_dir, "f61_explode_outer")
+    assert "Generate" in plan and "explode(toks" in plan, plan
+    # the Generate node's third argument is the outer flag:
+    # "Arguments: explode(toks#N), [doc_id#M], true, [tok#K]"
+    assert re.search(r"explode\(toks#\d+\), \[doc_id#\d+L?\], true,", plan), plan
+    assert "Join" not in plan, plan
