@@ -1,0 +1,601 @@
+"""Differential relational-expression fuzzer (r7 verdict #3).
+
+The fixed registry proves what it DECLARES; this module hunts the dialect
+-drift and type-coercion corners nobody declared (the U08/F13 class found
+by hand in earlier rounds). A seeded generator builds random typed
+expressions — projections, predicates, aggregates, FK joins, set ops —
+over the real fixture schemas and renders each query for BOTH engines;
+tests/test_fuzz_differential.py executes N seeds per session and demands
+exact canonicalized-multiset equality via the same harness the registry
+uses (harness.canon_rows — stricter than the driver's hash).
+
+Generation is PORTABLE-BY-CONSTRUCTION: every node the generator can emit
+follows a documented cross-engine dialect rule, so any mismatch the fuzzer
+surfaces is a genuine engine/coercion divergence (or a rule we believed
+wrongly — either way, a finding). The rules, each learned from a live
+divergence during registry development (see queries/sqlexact.py and the
+memory'd money-math discipline):
+
+ R1  Money-like doubles (2-decimal payloads) enter integer math ONLY as
+     cents: CAST(ROUND(col * 100, 0) AS BIGINT). Raw doubles may be
+     projected / MIN / MAXed (bit-identical storage) but never summed.
+ R2  No fractional literals: ``bigint_col + 0.5`` runs in DECIMAL with
+     DIFFERENT division scales per engine. Integer literals only.
+ R3  Integer division goes through sqlexact.idiv (per-dialect spelling;
+     there is no shared-text exact form). ``%`` is shared (sign-of-
+     dividend in both), with a nonzero literal divisor.
+ R4  SUM over integer expressions is CAST(... AS BIGINT); generated
+     magnitudes are bounded so every rendered integer stays < 2^53
+     (the harness's float64-exact fence). Means are rendered as
+     CAST(SUM AS DOUBLE) / COUNT(*) — exact int sums through one
+     correctly-rounded IEEE divide — never engine AVG.
+ R5  No ROUND on computed doubles (only the R1 idiom rounds, where the
+     payload is an exact half-free 2-decimal grid).
+ R6  String ops from the verified-portable set only: ``||`` (NULL-
+     propagating in both; DuckDB's concat() skips NULLs — divergent),
+     upper/lower/trim/substring/replace/length/left/right/instr.
+ R7  No ORDER BY (compare is an order-insensitive multiset); GROUP BY is
+     ordinal (both engines honor it).
+ R8  Timestamp literals use the shared TIMESTAMP '...' spelling;
+     extraction via year()/month()/day() (INT vs BIGINT width differs —
+     canon_rows compares python ints, so width is immaterial).
+ R9  COUNT/COUNT DISTINCT are exact in both; approximate aggregates are
+     out of scope here (they carry their own fenced pairs).
+ R10 NULLs are injected via NULLIF and must flow through ||, CASE,
+     COALESCE, predicates (three-valued logic) and GROUP BY (NULL is one
+     group in both) identically.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pydatalake_gen2_spark.queries.sqlexact import idiv
+
+# type tags: "int" (exact integer), "money" (2-decimal double), "str",
+# "ts" (timestamp). doubles beyond money are excluded (events.value is a
+# free double whose *100 grid has real half-way cases — R1 scope).
+SCHEMAS: dict[str, dict[str, list[str]]] = {
+    "region": {"int": ["r_regionkey"], "money": [], "str": ["r_name"], "ts": []},
+    "nation": {
+        "int": ["n_nationkey", "n_regionkey"],
+        "money": [],
+        "str": ["n_name"],
+        "ts": [],
+    },
+    "customer": {
+        "int": ["c_custkey", "c_nationkey"],
+        "money": ["c_acctbal"],
+        "str": ["c_name", "c_mktsegment"],
+        "ts": [],
+    },
+    "supplier": {
+        "int": ["s_suppkey", "s_nationkey"],
+        "money": ["s_acctbal"],
+        "str": ["s_name"],
+        "ts": [],
+    },
+    "part": {
+        "int": ["p_partkey", "p_size"],
+        "money": ["p_retailprice"],
+        "str": ["p_name", "p_brand", "p_type"],
+        "ts": [],
+    },
+    "orders": {
+        "int": ["o_orderkey", "o_custkey"],
+        "money": ["o_totalprice"],
+        "str": ["o_orderstatus", "o_orderpriority"],
+        "ts": ["o_orderdate"],
+    },
+    "lineitem": {
+        "int": ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
+        "money": ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "str": ["l_returnflag", "l_linestatus"],
+        "ts": ["l_shipdate"],
+    },
+}
+
+# (left table, left col, right table, right col) — the fixtures' FK edges
+FKS = [
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+]
+
+_STR_LITS = ["A", "BRASS", "econ", "F", "O", "1-URGENT", "x", ""]
+_LIKE_PATS = ["%a%", "C%", "%5", "%er%", "%e_t%", "A%"]
+_TS_LITS = [
+    "1993-01-01 00:00:00",
+    "1995-06-17 00:00:00",
+    "1997-03-01 00:00:00",
+]
+
+
+class _E:
+    """A generated expression rendered per dialect."""
+
+    __slots__ = ("spark", "duck", "typ")
+
+    def __init__(self, spark: str, duck: str | None, typ: str):
+        self.spark = spark
+        self.duck = duck if duck is not None else spark
+        self.typ = typ
+
+
+def _shared(text: str, typ: str) -> _E:
+    return _E(text, text, typ)
+
+
+class QueryGen:
+    def __init__(self, seed: int):
+        self.r = random.Random(seed)
+
+    # ---------------- expressions ----------------
+
+    def int_expr(self, t: str, depth: int = 0) -> _E:
+        s = SCHEMAS[t]
+        leafs: list[str] = []
+        if s["int"]:
+            leafs += ["col"] * 4
+        if s["money"]:
+            leafs += ["cents"] * 2
+        if s["ts"]:
+            leafs += ["datepart"] * 2
+        if s["str"]:
+            leafs += ["length"]
+        leafs += ["lit"]
+        ops = (
+            ["add", "sub", "mul", "mod", "idiv", "abs", "case",
+             "coalesce_nullif", "greatest", "instr"]
+            if depth < 2
+            else []
+        )
+        kind = self.r.choice(leafs + ops * 2)
+        if kind == "col":
+            return _shared(self.r.choice(s["int"]), "int")
+        if kind == "cents":
+            c = self.r.choice(s["money"])
+            return _shared(f"CAST(ROUND({c} * 100, 0) AS BIGINT)", "int")  # R1
+        if kind == "datepart":
+            c = self.r.choice(s["ts"])
+            fn = self.r.choice(["year", "month", "day"])
+            return _shared(f"{fn}({c})", "int")
+        if kind == "length":
+            inner = self.str_expr(t, depth + 1)
+            return _E(f"length({inner.spark})", f"length({inner.duck})", "int")
+        if kind == "lit":
+            return _shared(str(self.r.randint(0, 100)), "int")
+        if kind == "abs":
+            a = self.int_expr(t, depth + 1)
+            return _E(f"abs({a.spark})", f"abs({a.duck})", "int")
+        if kind in ("add", "sub"):
+            a, b = self.int_expr(t, depth + 1), self.int_expr(t, depth + 1)
+            op = "+" if kind == "add" else "-"
+            return _E(
+                f"({a.spark} {op} {b.spark})", f"({a.duck} {op} {b.duck})", "int"
+            )
+        if kind == "mul":
+            # literal factor only: bounds every rendered int < 2^53 (R4)
+            a = self.int_expr(t, depth + 1)
+            k = self.r.randint(2, 7)
+            return _E(f"({a.spark} * {k})", f"({a.duck} * {k})", "int")
+        if kind == "mod":
+            a = self.int_expr(t, depth + 1)
+            k = self.r.randint(2, 13)
+            return _E(f"({a.spark} % {k})", f"({a.duck} % {k})", "int")
+        if kind == "idiv":
+            a = self.int_expr(t, depth + 1)
+            k = str(self.r.randint(1, 9))
+            return _E(idiv(False, a.spark, k), idiv(True, a.duck, k), "int")  # R3
+        if kind == "case":
+            p = self.pred(t, depth + 1)
+            a, b = self.int_expr(t, depth + 1), self.int_expr(t, depth + 1)
+            # sometimes omit ELSE: the implicit NULL branch must flow
+            # identically (R10)
+            els_s = f" ELSE {b.spark}" if self.r.random() < 0.8 else ""
+            els_d = f" ELSE {b.duck}" if els_s else ""
+            return _E(
+                f"(CASE WHEN {p.spark} THEN {a.spark}{els_s} END)",
+                f"(CASE WHEN {p.duck} THEN {a.duck}{els_d} END)",
+                "int",
+            )
+        if kind == "greatest":
+            a, b = self.int_expr(t, depth + 1), self.int_expr(t, depth + 1)
+            fn = self.r.choice(["greatest", "least"])
+            return _E(
+                f"{fn}({a.spark}, {b.spark})", f"{fn}({a.duck}, {b.duck})", "int"
+            )
+        if kind == "instr":
+            a = self.str_expr(t, depth + 1)
+            sub = self.r.choice(["a", "er", "5", "Q"])
+            return _E(
+                f"CAST(instr({a.spark}, '{sub}') AS INT)",
+                f"CAST(instr({a.duck}, '{sub}') AS INT)",
+                "int",
+            )
+        # coalesce_nullif: inject a NULL and recover it (R10)
+        a = self.int_expr(t, depth + 1)
+        b = self.int_expr(t, depth + 1)
+        k = self.r.randint(0, 10)
+        return _E(
+            f"COALESCE(NULLIF({a.spark}, {k}), {b.spark})",
+            f"COALESCE(NULLIF({a.duck}, {k}), {b.duck})",
+            "int",
+        )
+
+    def str_expr(self, t: str, depth: int = 0) -> _E:
+        s = SCHEMAS[t]
+        kinds = ["col"] * 4 + ["lit"]
+        if depth < 2:
+            kinds += ["upper", "lower", "trim", "substr", "replace", "concat",
+                      "leftright", "nullif", "cast_int", "lpad"]
+        kind = self.r.choice(kinds)
+        if kind == "col" and s["str"]:
+            return _shared(self.r.choice(s["str"]), "str")
+        if kind in ("col", "lit"):
+            lit = self.r.choice(_STR_LITS)
+            return _shared(f"'{lit}'", "str")
+        if kind in ("upper", "lower", "trim"):
+            a = self.str_expr(t, depth + 1)
+            return _E(f"{kind}({a.spark})", f"{kind}({a.duck})", "str")
+        if kind == "substr":
+            a = self.str_expr(t, depth + 1)
+            i, n = self.r.randint(1, 5), self.r.randint(1, 8)
+            return _E(
+                f"substring({a.spark}, {i}, {n})",
+                f"substring({a.duck}, {i}, {n})",
+                "str",
+            )
+        if kind == "replace":
+            a = self.str_expr(t, depth + 1)
+            frm = self.r.choice("aeiou")
+            return _E(
+                f"replace({a.spark}, '{frm}', 'Q')",
+                f"replace({a.duck}, '{frm}', 'Q')",
+                "str",
+            )
+        if kind == "concat":
+            a, b = self.str_expr(t, depth + 1), self.str_expr(t, depth + 1)
+            # || propagates NULL in BOTH engines; concat() does not (R6)
+            return _E(
+                f"({a.spark} || '_' || {b.spark})",
+                f"({a.duck} || '_' || {b.duck})",
+                "str",
+            )
+        if kind == "leftright":
+            a = self.str_expr(t, depth + 1)
+            fn = self.r.choice(["left", "right"])
+            n = self.r.randint(1, 6)
+            return _E(f"{fn}({a.spark}, {n})", f"{fn}({a.duck}, {n})", "str")
+        if kind == "cast_int":
+            # Spark spells it STRING; DuckDB accepts STRING as a VARCHAR
+            # alias (bare VARCHAR needs a length in Spark — R6 family)
+            a = self.int_expr(t, depth + 1)
+            return _E(
+                f"CAST({a.spark} AS STRING)", f"CAST({a.duck} AS STRING)", "str"
+            )
+        if kind == "lpad":
+            a = self.str_expr(t, depth + 1)
+            n = self.r.randint(1, 10)
+            fn = self.r.choice(["lpad", "rpad"])
+            return _E(
+                f"{fn}({a.spark}, {n}, '#')", f"{fn}({a.duck}, {n}, '#')", "str"
+            )
+        a = self.str_expr(t, depth + 1)
+        lit = self.r.choice(_STR_LITS)
+        return _E(
+            f"NULLIF({a.spark}, '{lit}')", f"NULLIF({a.duck}, '{lit}')", "str"
+        )
+
+    def pred(self, t: str, depth: int = 0) -> _E:
+        kinds = ["icmp"] * 3 + ["scmp", "like", "between", "isin"]
+        if SCHEMAS[t]["ts"]:
+            kinds += ["tscmp"]
+        if depth < 2:
+            kinds += ["and", "or", "not", "isnull"]
+        kind = self.r.choice(kinds)
+        if kind == "icmp":
+            a, b = self.int_expr(t, depth + 1), self.int_expr(t, depth + 1)
+            op = self.r.choice(["=", "<", "<=", ">", ">=", "<>"])
+            return _E(
+                f"({a.spark} {op} {b.spark})", f"({a.duck} {op} {b.duck})", "bool"
+            )
+        if kind == "scmp":
+            a, b = self.str_expr(t, depth + 1), self.str_expr(t, depth + 1)
+            op = self.r.choice(["=", "<>", "<", ">"])
+            return _E(
+                f"({a.spark} {op} {b.spark})", f"({a.duck} {op} {b.duck})", "bool"
+            )
+        if kind == "like":
+            a = self.str_expr(t, depth + 1)
+            pat = self.r.choice(_LIKE_PATS)
+            return _E(f"({a.spark} LIKE '{pat}')", f"({a.duck} LIKE '{pat}')", "bool")
+        if kind == "between":
+            a = self.int_expr(t, depth + 1)
+            lo = self.r.randint(0, 50)
+            hi = lo + self.r.randint(0, 80)
+            return _E(
+                f"({a.spark} BETWEEN {lo} AND {hi})",
+                f"({a.duck} BETWEEN {lo} AND {hi})",
+                "bool",
+            )
+        if kind == "isin":
+            a = self.int_expr(t, depth + 1)
+            vals = ", ".join(str(self.r.randint(0, 60)) for _ in range(3))
+            return _E(f"({a.spark} IN ({vals}))", f"({a.duck} IN ({vals}))", "bool")
+        if kind == "tscmp":
+            c = self.r.choice(SCHEMAS[t]["ts"])
+            lit = self.r.choice(_TS_LITS)
+            op = self.r.choice(["<", ">=", ">"])
+            return _shared(f"({c} {op} TIMESTAMP '{lit}')", "bool")
+        if kind in ("and", "or"):
+            a, b = self.pred(t, depth + 1), self.pred(t, depth + 1)
+            op = kind.upper()
+            return _E(
+                f"({a.spark} {op} {b.spark})", f"({a.duck} {op} {b.duck})", "bool"
+            )
+        if kind == "not":
+            a = self.pred(t, depth + 1)
+            return _E(f"(NOT {a.spark})", f"(NOT {a.duck})", "bool")
+        a = self.str_expr(t, depth + 1)
+        return _E(f"({a.spark} IS NULL)", f"({a.duck} IS NULL)", "bool")
+
+    def group_key(self, t: str) -> _E:
+        """Low-cardinality key expressions (bounds result size)."""
+        s = SCHEMAS[t]
+        kinds = []
+        if s["str"]:
+            kinds += ["prefix", "strcol"]
+        if s["int"]:
+            kinds += ["mod"]
+        if s["ts"]:
+            kinds += ["year", "trunc"]
+        kind = self.r.choice(kinds)
+        if kind == "prefix":
+            c = self.r.choice(s["str"])
+            return _shared(f"substring({c}, 1, 1)", "str")
+        if kind == "strcol":
+            # pick the lowest-cardinality-ish string col (status/segment
+            # style names sort first in these schemas by suffix) — any is
+            # fine for a multiset compare, cardinality just bounds rows
+            return _shared(self.r.choice(s["str"]), "str")
+        if kind == "mod":
+            c = self.r.choice(s["int"])
+            k = self.r.randint(2, 9)
+            return _shared(f"({c} % {k})", "int")
+        if kind == "year":
+            c = self.r.choice(s["ts"])
+            return _shared(f"year({c})", "int")
+        c = self.r.choice(s["ts"])
+        return _shared(f"CAST(date_trunc('month', {c}) AS DATE)", "date")
+
+    def aggs(self, t: str, n: int) -> list[tuple[str, str, str]]:
+        out = []
+        for i in range(n):
+            kind = self.r.choice(
+                ["count_star", "count", "count_distinct", "min_int", "max_int",
+                 "sum_int", "mean_int", "min_str", "max_str", "min_money"]
+            )
+            alias = f"a{i}"
+            if kind == "count_star":
+                out.append((alias, "CAST(COUNT(*) AS BIGINT)", None))
+            elif kind == "count":
+                e = self.str_expr(t, 2)
+                out.append(
+                    (alias, f"CAST(COUNT({e.spark}) AS BIGINT)",
+                     f"CAST(COUNT({e.duck}) AS BIGINT)")
+                )
+            elif kind == "count_distinct":
+                s = SCHEMAS[t]
+                c = self.r.choice(s["int"] + s["str"])
+                out.append((alias, f"CAST(COUNT(DISTINCT {c}) AS BIGINT)", None))
+            elif kind in ("min_int", "max_int"):
+                e = self.int_expr(t, 1)
+                fn = kind[:3].upper()
+                out.append(
+                    (alias, f"CAST({fn}({e.spark}) AS BIGINT)",
+                     f"CAST({fn}({e.duck}) AS BIGINT)")
+                )
+            elif kind == "sum_int":
+                e = self.int_expr(t, 1)
+                out.append(
+                    (alias, f"CAST(SUM({e.spark}) AS BIGINT)",
+                     f"CAST(SUM({e.duck}) AS BIGINT)")
+                )
+            elif kind == "mean_int":
+                # R4: exact int sum through ONE IEEE divide — never AVG
+                e = self.int_expr(t, 1)
+                out.append(
+                    (alias,
+                     f"(CAST(SUM({e.spark}) AS DOUBLE) / COUNT(*))",
+                     f"(CAST(SUM({e.duck}) AS DOUBLE) / COUNT(*))")
+                )
+            elif kind in ("min_str", "max_str"):
+                e = self.str_expr(t, 2)
+                fn = kind[:3].upper()
+                out.append((alias, f"{fn}({e.spark})", f"{fn}({e.duck})"))
+            else:  # min_money: raw doubles are bit-identical storage (R1)
+                s = SCHEMAS[t]
+                if s["money"]:
+                    c = self.r.choice(s["money"])
+                    fn = self.r.choice(["MIN", "MAX"])
+                    out.append((alias, f"{fn}({c})", None))
+                else:
+                    out.append((alias, "CAST(COUNT(*) AS BIGINT)", None))
+        return out
+
+    # ---------------- query templates ----------------
+
+    def _render(self, cols: list[tuple[str, str, str | None]],
+                frm_s: str, frm_d: str, where: _E | None,
+                group_n: int = 0, having: tuple[str, str] | None = None,
+                distinct: bool = False) -> tuple[str, str]:
+        kw = "SELECT DISTINCT" if distinct else "SELECT"
+        sel_s = ", ".join(f"{s} AS {a}" for a, s, _ in cols)
+        sel_d = ", ".join(f"{d if d is not None else s} AS {a}" for a, s, d in cols)
+        q_s = f"{kw} {sel_s} FROM {frm_s}"
+        q_d = f"{kw} {sel_d} FROM {frm_d}"
+        if where is not None:
+            q_s += f" WHERE {where.spark}"
+            q_d += f" WHERE {where.duck}"
+        if group_n:
+            ordinal = ", ".join(str(i + 1) for i in range(group_n))
+            q_s += f" GROUP BY {ordinal}"
+            q_d += f" GROUP BY {ordinal}"
+        if having is not None:
+            q_s += f" HAVING {having[0]}"
+            q_d += f" HAVING {having[1]}"
+        return q_s, q_d
+
+    def filter_project(self) -> tuple[str, str]:
+        t = self.r.choice(list(SCHEMAS))
+        n = self.r.randint(1, 4)
+        cols = []
+        for i in range(n):
+            which = self.r.random()
+            if which < 0.5:
+                e = self.int_expr(t)
+            elif which < 0.85:
+                e = self.str_expr(t)
+            elif SCHEMAS[t]["ts"]:
+                e = _shared(self.r.choice(SCHEMAS[t]["ts"]), "ts")
+            else:
+                e = self.int_expr(t)
+            cols.append((f"c{i}", e.spark, e.duck))
+        where = self.pred(t)
+        if self.r.random() < 0.2:
+            # scalar-subquery comparison: uncorrelated MAX/MIN from a
+            # second table inside the predicate
+            t2 = self.r.choice([x for x in SCHEMAS if x != t])
+            c2 = self.r.choice(SCHEMAS[t2]["int"])
+            a = self.int_expr(t, 1)
+            sub = f"(SELECT MIN({c2}) FROM {t2})"
+            where = _E(
+                f"({where.spark} AND {a.spark} >= {sub})",
+                f"({where.duck} AND {a.duck} >= {sub})",
+                "bool",
+            )
+        return self._render(
+            cols, t, t, where, distinct=self.r.random() < 0.25
+        )
+
+    def group_agg(self) -> tuple[str, str]:
+        t = self.r.choice(list(SCHEMAS))
+        nk = self.r.randint(1, 2)
+        keys = [self.group_key(t) for _ in range(nk)]
+        cols = [(f"k{i}", k.spark, k.duck) for i, k in enumerate(keys)]
+        cols += self.aggs(t, self.r.randint(1, 3))
+        where = self.pred(t) if self.r.random() < 0.7 else None
+        having = None
+        if self.r.random() < 0.3:
+            k = self.r.randint(1, 40)
+            having = (f"COUNT(*) > {k}", f"COUNT(*) > {k}")
+        return self._render(cols, t, t, where, group_n=nk, having=having)
+
+    def join_agg(self) -> tuple[str, str]:
+        lt, lc, rt, rc = self.r.choice(FKS)
+        jt = self.r.choice(["JOIN", "LEFT JOIN"])
+        frm = f"{lt} {jt} {rt} ON {lt}.{lc} = {rt}.{rc}"
+        kt = self.r.choice([lt, rt] if jt == "JOIN" else [lt])
+        key = self.group_key(kt)
+        cols = [("k0", key.spark, key.duck)]
+        cols += self.aggs(lt, self.r.randint(1, 2))
+        # predicates on the LEFT side only under LEFT JOIN (a right-side
+        # WHERE would silently convert it to inner — a trap, but one both
+        # engines share; keep the generated queries semantically crisp)
+        where = self.pred(lt) if self.r.random() < 0.6 else None
+        return self._render(cols, frm, frm, where, group_n=1)
+
+    def setop(self) -> tuple[str, str]:
+        t = self.r.choice(list(SCHEMAS))
+        op = self.r.choice(["UNION ALL", "UNION", "INTERSECT ALL", "EXCEPT ALL"])
+        e1, e2 = self.int_expr(t), self.str_expr(t)
+        p1, p2 = self.pred(t), self.pred(t)
+        b_s = f"SELECT {e1.spark} AS c0, {e2.spark} AS c1 FROM {t}"
+        b_d = f"SELECT {e1.duck} AS c0, {e2.duck} AS c1 FROM {t}"
+        return (
+            f"{b_s} WHERE {p1.spark} {op} {b_s} WHERE {p2.spark}",
+            f"{b_d} WHERE {p1.duck} {op} {b_d} WHERE {p2.duck}",
+        )
+
+    def query(self) -> tuple[str, str]:
+        kind = self.r.choices(
+            ["filter_project", "group_agg", "join_agg", "setop"],
+            weights=[3, 4, 3, 2],
+        )[0]
+        return getattr(self, kind)()
+
+
+def generate(seed: int) -> tuple[str, str]:
+    """(spark_sql, duck_sql) for one seed — deterministic."""
+    return QueryGen(seed).query()
+
+
+def run_seed(spark, con, seed: int) -> dict:
+    """Execute one generated pair on both engines; harness-canon compare."""
+    from pydatalake_gen2_spark.harness import canon_rows
+
+    s_sql, d_sql = generate(seed)
+    out = {"seed": seed, "spark_sql": s_sql, "duck_sql": d_sql}
+    try:
+        sdf = spark.sql(s_sql)
+        s_cols = [c.lower() for c in sdf.columns]
+        s_rows = [tuple(r) for r in sdf.collect()]
+    except Exception as e:  # noqa: BLE001 — an engine error IS a finding
+        out["status"] = "SPARK_ERROR"
+        out["detail"] = f"{type(e).__name__}: {str(e)[:300]}"
+        return out
+    try:
+        dres = con.execute(d_sql)
+        d_cols = [d[0].lower() for d in dres.description]
+        d_rows = dres.fetchall()
+    except Exception as e:  # noqa: BLE001
+        out["status"] = "DUCK_ERROR"
+        out["detail"] = f"{type(e).__name__}: {str(e)[:300]}"
+        return out
+    if sorted(s_cols) != sorted(d_cols):
+        out["status"] = "COL_MISMATCH"
+        out["detail"] = f"spark={sorted(s_cols)} duck={sorted(d_cols)}"
+        return out
+    sm, dm = canon_rows(s_cols, s_rows), canon_rows(d_cols, d_rows)
+    if sm == dm:
+        out["status"] = "match"
+        out["rows"] = len(s_rows)
+    else:
+        out["status"] = "VALUE_MISMATCH"
+        only_s = list((sm - dm).items())[:3]
+        only_d = list((dm - sm).items())[:3]
+        out["detail"] = f"only_spark={only_s} only_duck={only_d}"
+    return out
+
+
+def main() -> int:  # pragma: no cover — dev CLI
+    import sys
+
+    from pydatalake_gen2_spark.harness import duck_connect
+    from pydatalake_gen2_spark.registry import ensure_views
+    from pydatalake_gen2_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 200
+    start = int(sys.argv[3]) if len(sys.argv) > 3 else 0
+    spark = get_spark("fuzz")
+    ensure_views(spark, sf_dir)
+    con = duck_connect(sf_dir)
+    bad = 0
+    for seed in range(start, start + n):
+        r = run_seed(spark, con, seed)
+        if r["status"] != "match":
+            bad += 1
+            print(f"FAIL seed={seed} {r['status']}\n  spark: {r['spark_sql']}\n"
+                  f"  duck:  {r['duck_sql']}\n  {r.get('detail', '')}")
+    print(f"\n{n - bad}/{n} match")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":  # pragma: no cover
+    raise SystemExit(main())

@@ -1,0 +1,39 @@
+"""Seeded differential fuzzing: random relational expressions executed on
+Spark AND DuckDB must canon-match exactly (r7 verdict #3).
+
+The registry's 546 fixed pairs prove the declared surface; these seeds walk
+the UNdeclared dialect / type-coercion space (NULL three-valued logic
+through ||, CASE with implicit NULL branches, greatest/least NULL
+skipping, DISTINCT over computed columns, HAVING, scalar subqueries,
+set-op type unification, idiv fencing...). Every construct the generator
+can emit follows a documented portability rule (pydatalake_gen2_spark/
+fuzz.py module docstring), so a failure here is a real engine divergence
+or a falsified rule — both findings.
+
+Seeds 0..1199 were swept during development (all match); CI pins the
+first 200 as the per-session gate.
+"""
+
+from __future__ import annotations
+
+from pydatalake_gen2_spark.fuzz import run_seed
+from pydatalake_gen2_spark.harness import duck_connect
+from pydatalake_gen2_spark.registry import ensure_views
+
+N_SEEDS = 200
+
+
+def test_differential_fuzz_200_seeds(spark, sf_dir):
+    ensure_views(spark, sf_dir)
+    con = duck_connect(sf_dir)
+    failures = []
+    for seed in range(N_SEEDS):
+        r = run_seed(spark, con, seed)
+        if r["status"] != "match":
+            failures.append(
+                f"seed={seed} {r['status']}\n  spark: {r['spark_sql']}\n"
+                f"  duck:  {r['duck_sql']}\n  {r.get('detail', '')}"
+            )
+    assert not failures, f"{len(failures)} divergent seeds:\n" + "\n".join(
+        failures[:10]
+    )
