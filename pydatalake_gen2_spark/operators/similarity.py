@@ -125,30 +125,48 @@ def _lsh_buckets_arrow(n_planes: int, n_tables: int, seed: int, dim: int = 64):
     return _buckets
 
 
-def _pair_cos_arrow(dim: int = 64):
-    """Arrow pandas-UDF factory: cosine over candidate pairs. Dimension
-    loop is sequential (vectorized across rows), so dot and both squared
-    norms are bit-identical to operators.vectors.dot/l2_norm, sqrt and
-    the final division are single correctly-rounded IEEE ops in both
-    engines — scores hash-match the expression form exactly."""
-    from pyspark.sql.functions import pandas_udf
+def _pair_cos_map_arrow(dim: int = 64, id_col: str = "vec_id"):
+    """mapInArrow scorer: cosine over candidate-pair batches of
+    (query_id, id, _qv, _v) -> (query_id, id, cos).
 
-    @pandas_udf("double")
-    def _pcos(qv: pd.Series, cv: pd.Series) -> pd.Series:
-        q = np.vstack(qv.to_numpy()).astype(np.float64)
-        c = np.vstack(cv.to_numpy()).astype(np.float64)
-        n = q.shape[0]
-        acc_qc = np.zeros(n, dtype=np.float64)
-        acc_qq = np.zeros(n, dtype=np.float64)
-        acc_cc = np.zeros(n, dtype=np.float64)
-        for d in range(dim):
-            qd, cd = q[:, d], c[:, d]
-            acc_qc = acc_qc + qd * cd
-            acc_qq = acc_qq + qd * qd
-            acc_cc = acc_cc + cd * cd
-        return pd.Series(acc_qc / (np.sqrt(acc_qq) * np.sqrt(acc_cc)))
+    mapInArrow instead of a pandas UDF because the pair frame is huge
+    (131M rows at the sf10 ladder point): the pandas path materializes
+    one python ndarray PER ROW and np.vstack's them (~60% of the stage's
+    CPU there); Arrow's list layout already stores each batch's vectors
+    as ONE contiguous values buffer, so reshape(-1, dim) is a zero-copy
+    view. The dimension loop is sequential (vectorized across rows), so
+    dot and both squared norms are bit-identical to
+    operators.vectors.dot/l2_norm; float32 -> float64 widening, sqrt and
+    the final division are exact/correctly-rounded single IEEE ops —
+    scores hash-match the expression form exactly."""
 
-    return _pcos
+    def _score(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            q = b.column("_qv").flatten().to_numpy(zero_copy_only=False)
+            c = b.column("_v").flatten().to_numpy(zero_copy_only=False)
+            qm = q.reshape(-1, dim).astype(np.float64)
+            cm = c.reshape(-1, dim).astype(np.float64)
+            n = qm.shape[0]
+            acc_qc = np.zeros(n, dtype=np.float64)
+            acc_qq = np.zeros(n, dtype=np.float64)
+            acc_cc = np.zeros(n, dtype=np.float64)
+            for d in range(dim):  # sequential: the exact dot() fold
+                qd, cd = qm[:, d], cm[:, d]
+                acc_qc = acc_qc + qd * cd
+                acc_qq = acc_qq + qd * qd
+                acc_cc = acc_cc + cd * cd
+            cos = acc_qc / (np.sqrt(acc_qq) * np.sqrt(acc_cc))
+            yield pa.RecordBatch.from_arrays(
+                [b.column("query_id"), b.column(id_col), pa.array(cos)],
+                names=["query_id", id_col, "cos"],
+            )
+
+    return _score
 
 
 def ivf_centroids(
@@ -353,19 +371,32 @@ def lsh_topk(
     # zip_with/aggregate fold was ~half the query's wall time at sf0.1.
     # The kernel's sequential dimension loop keeps scores bit-identical
     # to the dot()/l2_norm() expression form (see _pair_cos_arrow).
+    #
+    # The re-attach joins are BROADCAST while the (id, vector) projection
+    # is modest (<= ~256 MB): the candidate frame is n*occupancy*tables
+    # rows — 131M at the sf10 ladder point — and letting the planner
+    # shuffle it TWICE (by query_id, then by id) to meet a 50 MB build
+    # side was ~60% of the query's wall time there. Past the bound the
+    # hint is withheld and the planner's shuffle join is correct: at a
+    # true 100 TB corpus the bucket-local candidate join IS the shuffle
+    # that matters, and vectors must ride it.
     vec = bucketed.select(F.col(id_col), F.col(vec_col).alias("_v"))
+    n_vecs = bucketed.count()  # persisted: metadata-cheap, also warms it
+    dim = len(bucketed.select(vec_col).first()[0])
+    small = n_vecs * dim * 4 <= 256 * 1024 * 1024
+    bvec = F.broadcast(vec) if small else vec
     scored = (
         pairs.join(
-            vec.select(
+            bvec.select(
                 F.col(id_col).alias("query_id"), F.col("_v").alias("_qv")
             ),
             on="query_id",
         )
-        .join(vec, on=id_col)
-        .select(
-            "query_id",
-            id_col,
-            _pair_cos_arrow()(F.col("_qv"), F.col("_v")).alias("cos"),
+        .join(bvec, on=id_col)
+        .select("query_id", id_col, "_qv", "_v")
+        .mapInArrow(
+            _pair_cos_map_arrow(id_col=id_col),
+            schema=f"query_id BIGINT, {id_col} BIGINT, cos DOUBLE",
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col))
