@@ -44,6 +44,13 @@ memory'd money-math discipline):
  R10 NULLs are injected via NULLIF and must flow through ||, CASE,
      COALESCE, predicates (three-valued logic) and GROUP BY (NULL is one
      group in both) identically.
+ R11 Positional window functions (row_number/lag/lead/ntile/running
+     frames) ORDER BY a verified-unique key only; value-ranked windows
+     (rank/dense_rank) are tie-stable. THE FUZZER'S FIRST LIVE CATCH:
+     seeds 24/84 diverged on lag() ordered by l_orderkey*10+l_linenumber
+     because the driver fixtures' lineitem carries duplicate
+     (orderkey, linenumber) pairs — the "obviously unique" key isn't,
+     and each engine broke the ties its own way (see UNIQUE_KEYS).
 """
 
 from __future__ import annotations
@@ -105,6 +112,24 @@ FKS = [
     ("lineitem", "l_partkey", "part", "p_partkey"),
     ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
 ]
+
+# unique total-order keys per table (window determinism rule R11: any
+# POSITIONAL window function — row_number/lag/lead/ntile/running frames —
+# must ORDER BY a genuinely unique key, or tie order is engine-dependent
+# and the results legitimately diverge. lineitem is deliberately ABSENT:
+# the driver fixtures carry duplicate (l_orderkey, l_linenumber) pairs
+# (6000 rows, 4599 distinct at sf0.001 — found LIVE by fuzz seeds 24/84,
+# whose lag() over the would-be key diverged), so it has no unique key.
+# Value-ranked windows (rank/dense_rank) are tie-stable and would be
+# safe anywhere, but the grammar keeps one rule for all positional forms.
+UNIQUE_KEYS = {
+    "region": "r_regionkey",
+    "nation": "n_nationkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+}
 
 _STR_LITS = ["A", "BRASS", "econ", "F", "O", "1-URGENT", "x", ""]
 _LIKE_PATS = ["%a%", "C%", "%5", "%er%", "%e_t%", "A%"]
@@ -510,6 +535,77 @@ class QueryGen:
         where = self.pred(lt) if self.r.random() < 0.6 else None
         return self._render(cols, frm, frm, where, group_n=1)
 
+    def window(self) -> tuple[str, str]:
+        """Window functions over deterministic frames: ranking by VALUE
+        (rank/dense_rank — tie-stable multisets), everything positional
+        (row_number/lag/lead/ntile/running sums) over the table's unique
+        key order, optional low-cardinality PARTITION BY."""
+        t = self.r.choice(list(UNIQUE_KEYS))
+        uk = UNIQUE_KEYS[t]
+        part = ""
+        if self.r.random() < 0.6:
+            k = self.group_key(t)
+            part = f"PARTITION BY {k.spark} "  # group_key is shared-text
+        kind = self.r.choice(
+            ["row_number", "rank", "dense_rank", "lag", "lead", "ntile",
+             "running_sum", "part_sum", "part_minmax"]
+        )
+        if kind in ("row_number", "ntile"):
+            n = self.r.randint(2, 5)
+            fn = "ROW_NUMBER()" if kind == "row_number" else f"NTILE({n})"
+            w = f"{fn} OVER ({part}ORDER BY {uk})"
+            wexp = _shared(w, "int")
+        elif kind in ("rank", "dense_rank"):
+            e = self.int_expr(t, 1)
+            w_s = f"{kind.upper()}() OVER ({part}ORDER BY {e.spark})"
+            w_d = f"{kind.upper()}() OVER ({part}ORDER BY {e.duck})"
+            wexp = _E(w_s, w_d, "int")
+        elif kind in ("lag", "lead"):
+            e = self.int_expr(t, 1)
+            off = self.r.randint(1, 3)
+            w_s = f"{kind}({e.spark}, {off}) OVER ({part}ORDER BY {uk})"
+            w_d = f"{kind}({e.duck}, {off}) OVER ({part}ORDER BY {uk})"
+            wexp = _E(w_s, w_d, "int")
+        elif kind == "running_sum":
+            e = self.int_expr(t, 1)
+            frame = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+            w_s = f"SUM({e.spark}) OVER ({part}ORDER BY {uk} {frame})"
+            w_d = f"SUM({e.duck}) OVER ({part}ORDER BY {uk} {frame})"
+            wexp = _E(f"CAST({w_s} AS BIGINT)", f"CAST({w_d} AS BIGINT)", "int")
+        elif kind == "part_sum":
+            e = self.int_expr(t, 1)
+            p = part or f"PARTITION BY ({UNIQUE_KEYS[t]}) % 7 "
+            w_s = f"CAST(SUM({e.spark}) OVER ({p.rstrip()}) AS BIGINT)"
+            w_d = f"CAST(SUM({e.duck}) OVER ({p.rstrip()}) AS BIGINT)"
+            wexp = _E(w_s, w_d, "int")
+        else:  # part_minmax
+            e = self.int_expr(t, 1)
+            p = part or f"PARTITION BY ({UNIQUE_KEYS[t]}) % 5 "
+            fn = self.r.choice(["MIN", "MAX"])
+            w_s = f"{fn}({e.spark}) OVER ({p.rstrip()})"
+            w_d = f"{fn}({e.duck}) OVER ({p.rstrip()})"
+            wexp = _E(f"CAST({w_s} AS BIGINT)", f"CAST({w_d} AS BIGINT)", "int")
+        cols = [("k0", f"({uk})", None), ("w0", wexp.spark, wexp.duck)]
+        where = self.pred(t) if self.r.random() < 0.5 else None
+        return self._render(cols, t, t, where)
+
+    def exists_filter(self) -> tuple[str, str]:
+        """Correlated EXISTS / NOT EXISTS through an FK edge."""
+        lt, lc, rt, rc = self.r.choice(FKS)
+        neg = "NOT " if self.r.random() < 0.4 else ""
+        p2 = self.pred(rt, 1)
+        e = self.int_expr(lt, 1)
+        sub_s = (f"SELECT 1 FROM {rt} WHERE {rt}.{rc} = {lt}.{lc}"
+                 f" AND {p2.spark}")
+        sub_d = (f"SELECT 1 FROM {rt} WHERE {rt}.{rc} = {lt}.{lc}"
+                 f" AND {p2.duck}")
+        return (
+            f"SELECT {lt}.{lc} AS c0, {e.spark} AS c1 FROM {lt} "
+            f"WHERE {neg}EXISTS ({sub_s})",
+            f"SELECT {lt}.{lc} AS c0, {e.duck} AS c1 FROM {lt} "
+            f"WHERE {neg}EXISTS ({sub_d})",
+        )
+
     def setop(self) -> tuple[str, str]:
         t = self.r.choice(list(SCHEMAS))
         op = self.r.choice(["UNION ALL", "UNION", "INTERSECT ALL", "EXCEPT ALL"])
@@ -524,8 +620,9 @@ class QueryGen:
 
     def query(self) -> tuple[str, str]:
         kind = self.r.choices(
-            ["filter_project", "group_agg", "join_agg", "setop"],
-            weights=[3, 4, 3, 2],
+            ["filter_project", "group_agg", "join_agg", "setop", "window",
+             "exists_filter"],
+            weights=[3, 4, 3, 2, 3, 2],
         )[0]
         return getattr(self, kind)()
 
