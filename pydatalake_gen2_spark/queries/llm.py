@@ -3169,7 +3169,14 @@ def l59_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_batch"
         ),
     )
-    toks = (
+    # toks feeds FOUR consumers whose exchanges hash on different keys
+    # (sigs' (doc_id,is_batch) agg, sizes' doc_id agg, and both sides of
+    # the exact-verify join), so without a persist the ngram explode +
+    # distinct recomputes four times — measured as most of the query's
+    # wall time at sf0.1. Values unchanged: caching, not recomputing.
+    from pydatalake_gen2_spark.operators.util import track_persist
+
+    toks = track_persist(
         docs.select(
             "doc_id",
             "is_batch",
@@ -3183,15 +3190,20 @@ def l59_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(_L59_K)
         ]
     )
-    bands = None
-    for b in range(_L59_BANDS):
-        part = sigs.select(
-            "doc_id",
-            "is_batch",
-            F.lit(b).alias("band"),
-            F.md5(F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}"))).alias("bh"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    # one posexplode pass instead of _L59_BANDS unioned selects of the
+    # same sigs subtree (pos IS the band id; bh expressions identical)
+    bands = sigs.select(
+        "doc_id",
+        "is_batch",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")))
+                    for b in range(_L59_BANDS)
+                ]
+            )
+        ).alias("band", "bh"),
+    )
     cand = (
         bands.filter("is_batch")
         .select(F.col("doc_id").alias("new_id"), "band", "bh")
