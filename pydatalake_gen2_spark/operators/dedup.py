@@ -256,10 +256,19 @@ def simhash_neardup_pairs(
     """
     if r < 0 or r + 1 > bits:
         raise ValueError(f"radius r={r} must satisfy 0 <= r <= bits-1 ({bits - 1})")
+    from pydatalake_gen2_spark.operators.util import track_persist
+
+    # Internally-computed fingerprints are persisted: the banded index
+    # self-joins, and the fp subtree (tokenize + explode + 48 signed
+    # tallies) is NOT deduped by exchange reuse across the two join
+    # sides (verified in the static plan: 4 scans, 0 ReusedExchange) —
+    # without the persist the whole fingerprint pipeline runs twice.
+    # Caller-supplied fingerprints are left alone (callers own their
+    # caching); release via util.release_persisted() as usual.
     fp = (
         fingerprints
         if fingerprints is not None
-        else simhash(df, bits, text_col, id_col)
+        else track_persist(simhash(df, bits, text_col, id_col))
     ).select(F.col(id_col).alias("id"), F.col("simhash"))
     n_bands = r + 1
     width = bits // n_bands
