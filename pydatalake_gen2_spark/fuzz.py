@@ -523,16 +523,25 @@ class QueryGen:
 
     def join_agg(self) -> tuple[str, str]:
         lt, lc, rt, rc = self.r.choice(FKS)
-        jt = self.r.choice(["JOIN", "LEFT JOIN"])
+        jt = self.r.choice(["JOIN", "JOIN", "LEFT JOIN", "LEFT JOIN",
+                            "RIGHT JOIN", "FULL OUTER JOIN"])
         frm = f"{lt} {jt} {rt} ON {lt}.{lc} = {rt}.{rc}"
         kt = self.r.choice([lt, rt] if jt == "JOIN" else [lt])
         key = self.group_key(kt)
         cols = [("k0", key.spark, key.duck)]
         cols += self.aggs(lt, self.r.randint(1, 2))
-        # predicates on the LEFT side only under LEFT JOIN (a right-side
-        # WHERE would silently convert it to inner — a trap, but one both
-        # engines share; keep the generated queries semantically crisp)
-        where = self.pred(lt) if self.r.random() < 0.6 else None
+        # predicates on the LEFT side only, and only under INNER/LEFT:
+        # a WHERE over null-extended columns silently drops the outer
+        # rows (consistently in both engines, but it defeats the outer
+        # semantics this template exists to exercise). Under RIGHT/FULL
+        # the outer-row NULL flow itself is the test: NULL group keys
+        # (one group in both), aggs skipping NULL left columns, COUNT(*)
+        # counting every null-extended row.
+        where = (
+            self.pred(lt)
+            if jt in ("JOIN", "LEFT JOIN") and self.r.random() < 0.6
+            else None
+        )
         return self._render(cols, frm, frm, where, group_n=1)
 
     def window(self) -> tuple[str, str]:
