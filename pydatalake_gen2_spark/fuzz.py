@@ -356,6 +356,14 @@ class QueryGen:
             c = self.r.choice(SCHEMAS[t]["ts"])
             lit = self.r.choice(_TS_LITS)
             op = self.r.choice(["<", ">=", ">"])
+            if self.r.random() < 0.4:
+                # shared interval arithmetic: ts + INTERVAL n DAY parses
+                # and adds identically in both engines
+                n = self.r.randint(1, 90)
+                return _shared(
+                    f"(({c} + INTERVAL {n} DAY) {op} TIMESTAMP '{lit}')",
+                    "bool",
+                )
             return _shared(f"({c} {op} TIMESTAMP '{lit}')", "bool")
         if kind in ("and", "or"):
             a, b = self.pred(t, depth + 1), self.pred(t, depth + 1)
