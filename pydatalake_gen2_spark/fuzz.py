@@ -51,6 +51,17 @@ memory'd money-math discipline):
      because the driver fixtures' lineitem carries duplicate
      (orderkey, linenumber) pairs — the "obviously unique" key isn't,
      and each engine broke the ties its own way (see UNIQUE_KEYS).
+ R12 Super-aggregates (ROLLUP / CUBE / GROUPING SETS with the () grand-
+     total set) over an EMPTY input: the standard (and DuckDB, and
+     Postgres) emits the grand-total row — grouping by () over an empty
+     table yields one group, COUNT(*) = 0 — while Spark emits zero rows
+     (its GROUPING SETS expansion aggregates over the synthetic grouping
+     -id column, and any non-empty grouping-expression list over an
+     empty input produces no groups). THE FUZZER'S SECOND LIVE CATCH:
+     11/25 rollup_agg smoke seeds whose WHERE filtered a table to empty
+     diverged exactly this way. Fenced with a shared HAVING
+     COUNT(*) > 0 — semantics-preserving wherever the engines agree
+     (every real grouping-set row aggregates >= 1 input row).
 """
 
 from __future__ import annotations
@@ -552,6 +563,33 @@ class QueryGen:
         )
         return self._render(cols, frm, frm, where, group_n=1)
 
+    def join3_agg(self) -> tuple[str, str]:
+        """Three-table FK chain join + aggregate: multiplicity through a
+        fact->dim->dim path, with optional LEFT on the second hop (NULL
+        group keys and agg inputs through two join depths)."""
+        chain = self.r.choice([
+            ("lineitem", "l_orderkey", "orders", "o_orderkey",
+             "o_custkey", "customer", "c_custkey"),
+            ("orders", "o_custkey", "customer", "c_custkey",
+             "c_nationkey", "nation", "n_nationkey"),
+            ("customer", "c_nationkey", "nation", "n_nationkey",
+             "n_regionkey", "region", "r_regionkey"),
+            ("supplier", "s_nationkey", "nation", "n_nationkey",
+             "n_regionkey", "region", "r_regionkey"),
+            ("lineitem", "l_suppkey", "supplier", "s_suppkey",
+             "s_nationkey", "nation", "n_nationkey"),
+        ])
+        t1, c1, t2, c2, c2b, t3, c3 = chain
+        j2 = self.r.choice(["JOIN", "JOIN", "LEFT JOIN"])
+        frm = (f"{t1} JOIN {t2} ON {t1}.{c1} = {t2}.{c2} "
+               f"{j2} {t3} ON {t2}.{c2b} = {t3}.{c3}")
+        kt = self.r.choice([t1, t2] if j2 == "LEFT JOIN" else [t1, t2, t3])
+        key = self.group_key(kt)
+        cols = [("k0", key.spark, key.duck)]
+        cols += self.aggs(t1, self.r.randint(1, 2))
+        where = self.pred(t1) if self.r.random() < 0.6 else None
+        return self._render(cols, frm, frm, where, group_n=1)
+
     def window(self) -> tuple[str, str]:
         """Window functions over deterministic frames: ranking by VALUE
         (rank/dense_rank — tie-stable multisets), everything positional
@@ -606,6 +644,153 @@ class QueryGen:
         where = self.pred(t) if self.r.random() < 0.5 else None
         return self._render(cols, t, t, where)
 
+    def rollup_agg(self) -> tuple[str, str]:
+        """ROLLUP / CUBE / GROUPING SETS with GROUPING() disambiguation.
+
+        The super-aggregate NULL a rollup emits is indistinguishable from
+        a data NULL in the key column alone — GROUPING(expr) is the
+        standard marker, and both engines implement it (Spark returns
+        TINYINT, DuckDB BIGINT — cast to INT; canon compares python
+        ints). Keys are shared-text (group_key always is), so the
+        grouping clause renders identically; only the aggregates carry
+        per-dialect spellings. Expressions must be repeated literally in
+        the grouping clause (ordinals are not allowed inside ROLLUP in
+        either engine)."""
+        t = self.r.choice(list(SCHEMAS))
+        k1 = self.group_key(t)
+        k2 = self.group_key(t)
+        for _ in range(5):  # distinct key texts keep GROUPING() unambiguous
+            if k2.spark != k1.spark:
+                break
+            k2 = self.group_key(t)
+        if k2.spark == k1.spark:
+            return self.group_agg()
+        form = self.r.choice(["ROLLUP", "CUBE", "SETS"])
+        if form == "SETS":
+            grp = (f"GROUPING SETS (({k1.spark}, {k2.spark}), "
+                   f"({k1.spark}), ())")
+        else:
+            grp = f"{form}({k1.spark}, {k2.spark})"
+        cols: list[tuple[str, str, str | None]] = [
+            ("k0", k1.spark, None),
+            ("k1", k2.spark, None),
+            ("g0", f"CAST(GROUPING({k1.spark}) AS INT)", None),
+            ("g1", f"CAST(GROUPING({k2.spark}) AS INT)", None),
+        ]
+        cols += self.aggs(t, self.r.randint(1, 2))
+        where = self.pred(t) if self.r.random() < 0.6 else None
+        sel_s = ", ".join(f"{s} AS {a}" for a, s, _ in cols)
+        sel_d = ", ".join(f"{d if d is not None else s} AS {a}"
+                          for a, s, d in cols)
+        q_s = f"SELECT {sel_s} FROM {t}"
+        q_d = f"SELECT {sel_d} FROM {t}"
+        if where is not None:
+            q_s += f" WHERE {where.spark}"
+            q_d += f" WHERE {where.duck}"
+        # R12 fence: the shared HAVING drops exactly the empty-input
+        # super-aggregate rows DuckDB (standard) emits and Spark doesn't;
+        # over non-empty inputs every grouping-set row has COUNT(*) >= 1,
+        # so this is semantics-preserving where the engines agree.
+        tail = f" GROUP BY {grp} HAVING COUNT(*) > 0"
+        return q_s + tail, q_d + tail
+
+    def agg_filter(self) -> tuple[str, str]:
+        """Aggregate FILTER (WHERE ...) clauses — per-aggregate predicates
+        with their own three-valued logic (a NULL filter predicate must
+        exclude the row in both engines, same as WHERE)."""
+        t = self.r.choice(list(SCHEMAS))
+        key = self.group_key(t)
+        cols: list[tuple[str, str, str | None]] = [
+            ("k0", key.spark, key.duck)
+        ]
+        for i in range(self.r.randint(1, 2)):
+            p = self.pred(t, 1)
+            flt_s, flt_d = f" FILTER (WHERE {p.spark})", f" FILTER (WHERE {p.duck})"
+            kind = self.r.choice(["count", "sum", "minmax"])
+            if kind == "count":
+                cols.append((f"a{i}", f"CAST(COUNT(*){flt_s} AS BIGINT)",
+                             f"CAST(COUNT(*){flt_d} AS BIGINT)"))
+            elif kind == "sum":
+                e = self.int_expr(t, 1)
+                cols.append((f"a{i}",
+                             f"CAST(SUM({e.spark}){flt_s} AS BIGINT)",
+                             f"CAST(SUM({e.duck}){flt_d} AS BIGINT)"))
+            else:
+                e = self.int_expr(t, 1)
+                fn = self.r.choice(["MIN", "MAX"])
+                cols.append((f"a{i}",
+                             f"CAST({fn}({e.spark}){flt_s} AS BIGINT)",
+                             f"CAST({fn}({e.duck}){flt_d} AS BIGINT)"))
+        cols.append(("n", "CAST(COUNT(*) AS BIGINT)", None))
+        where = self.pred(t) if self.r.random() < 0.4 else None
+        return self._render(cols, t, t, where, group_n=1)
+
+    def nested_agg(self) -> tuple[str, str]:
+        """Two-level aggregation through a derived table: the outer
+        aggregate consumes the inner's computed columns, exercising type
+        propagation (BIGINT counts, exact-mean doubles) across a subquery
+        boundary."""
+        t = self.r.choice(list(SCHEMAS))
+        k1 = self.group_key(t)
+        k2 = self.group_key(t)
+        e = self.int_expr(t, 1)
+        where = self.pred(t) if self.r.random() < 0.6 else None
+        inner_s = (f"SELECT {k1.spark} AS i0, {k2.spark} AS i1, "
+                   f"CAST(COUNT(*) AS BIGINT) AS c, "
+                   f"CAST(SUM({e.spark}) AS BIGINT) AS s FROM {t}")
+        inner_d = (f"SELECT {k1.duck} AS i0, {k2.duck} AS i1, "
+                   f"CAST(COUNT(*) AS BIGINT) AS c, "
+                   f"CAST(SUM({e.duck}) AS BIGINT) AS s FROM {t}")
+        if where is not None:
+            inner_s += f" WHERE {where.spark}"
+            inner_d += f" WHERE {where.duck}"
+        inner_s += " GROUP BY 1, 2"
+        inner_d += " GROUP BY 1, 2"
+        outer_agg = self.r.choice(["sum", "minmax", "mean"])
+        if outer_agg == "sum":
+            oa = "CAST(SUM(c) AS BIGINT)"
+        elif outer_agg == "minmax":
+            oa = f"CAST({self.r.choice(['MIN', 'MAX'])}(s) AS BIGINT)"
+        else:  # exact int sum through one IEEE divide (R4)
+            oa = "(CAST(SUM(s) AS DOUBLE) / COUNT(*))"
+        having = ""
+        if self.r.random() < 0.4:
+            having = f" HAVING COUNT(*) > {self.r.randint(1, 5)}"
+        tmpl = ("SELECT i0 AS k0, {oa} AS a0, CAST(COUNT(*) AS BIGINT) AS n "
+                "FROM ({inner}) sub GROUP BY 1{having}")
+        return (
+            tmpl.format(oa=oa, inner=inner_s, having=having),
+            tmpl.format(oa=oa, inner=inner_d, having=having),
+        )
+
+    def scalar_select(self) -> tuple[str, str]:
+        """Correlated scalar subquery in the SELECT list through an FK
+        edge. COUNT(*) over an empty correlated set is the classic
+        decorrelation corner (the 'COUNT bug': naive rewrite to a join
+        yields NULL where the semantics demand 0) — both engines must
+        produce 0; MIN/MAX must produce NULL."""
+        lt, lc, rt, rc = self.r.choice(FKS)
+        p2 = self.pred(rt, 1)
+        kind = self.r.choice(["count", "minmax"])
+        if kind == "count":
+            agg_s = agg_d = "CAST(COUNT(*) AS BIGINT)"
+        else:
+            e = self.int_expr(rt, 1)
+            fn = self.r.choice(["MIN", "MAX"])
+            agg_s = f"CAST({fn}({e.spark}) AS BIGINT)"
+            agg_d = f"CAST({fn}({e.duck}) AS BIGINT)"
+        sub_s = (f"(SELECT {agg_s} FROM {rt} WHERE {rt}.{rc} = {lt}.{lc}"
+                 f" AND {p2.spark})")
+        sub_d = (f"(SELECT {agg_d} FROM {rt} WHERE {rt}.{rc} = {lt}.{lc}"
+                 f" AND {p2.duck})")
+        where = self.pred(lt) if self.r.random() < 0.6 else None
+        q_s = f"SELECT {lt}.{lc} AS c0, {sub_s} AS c1 FROM {lt}"
+        q_d = f"SELECT {lt}.{lc} AS c0, {sub_d} AS c1 FROM {lt}"
+        if where is not None:
+            q_s += f" WHERE {where.spark}"
+            q_d += f" WHERE {where.duck}"
+        return q_s, q_d
+
     def exists_filter(self) -> tuple[str, str]:
         """Correlated EXISTS / NOT EXISTS through an FK edge."""
         lt, lc, rt, rc = self.r.choice(FKS)
@@ -638,8 +823,9 @@ class QueryGen:
     def query(self) -> tuple[str, str]:
         kind = self.r.choices(
             ["filter_project", "group_agg", "join_agg", "setop", "window",
-             "exists_filter"],
-            weights=[3, 4, 3, 2, 3, 2],
+             "exists_filter", "rollup_agg", "agg_filter", "nested_agg",
+             "scalar_select", "join3_agg"],
+            weights=[3, 4, 3, 2, 3, 2, 2, 2, 2, 2, 2],
         )[0]
         return getattr(self, kind)()
 

@@ -16,9 +16,17 @@ caught lag() diverging over ORDER BY l_orderkey*10+l_linenumber — the
 fixtures' lineitem carries duplicate (orderkey, linenumber) pairs, so
 the "obviously unique" key isn't, and each engine broke ties its own
 way (now dialect rule R11: positional window order must be verified
-unique). Seeds 0..999 at sf0.001 plus 0..199 at sf0.01 were swept with
-the final grammar (all match); CI pins the first 200 as the per-session
-gate.
+unique). The grammar later grew ROLLUP/CUBE/GROUPING SETS with
+GROUPING() markers, aggregate FILTER clauses, two-level aggregation
+through derived tables, and correlated scalar subqueries in the SELECT
+list (including the COUNT-over-empty-correlation 'COUNT bug' corner —
+both engines return 0, correctly); the rollup templates immediately
+caught divergence #2 — Spark emits ZERO rows for super-aggregates over
+an empty filtered input where the standard (and DuckDB) emits the
+grand-total row — now fenced as rule R12 (shared HAVING COUNT(*) > 0).
+Development sweeps: 1200 seeds at sf0.001 + 200 at sf0.01 with each
+grammar revision (all match); CI pins the first 200 as the per-session
+gate, plus a mutation self-test proving the gate can actually fail.
 """
 
 from __future__ import annotations
@@ -44,3 +52,40 @@ def test_differential_fuzz_200_seeds(spark, sf_dir):
     assert not failures, f"{len(failures)} divergent seeds:\n" + "\n".join(
         failures[:10]
     )
+
+
+def test_fuzz_gate_is_not_vacuous(spark, sf_dir):
+    """Mutation self-test: sabotage the oracle side of real generated
+    pairs and demand the SAME compare path reports the damage. A gate
+    that cannot fail proves nothing — this pins its sensitivity to both
+    a dropped result set and a single flipped value."""
+    from pydatalake_gen2_spark.fuzz import generate
+    from pydatalake_gen2_spark.harness import canon_rows
+
+    ensure_views(spark, sf_dir)
+    con = duck_connect(sf_dir)
+    checked = 0
+    for seed in range(100):
+        s_sql, d_sql = generate(seed)
+        sdf = spark.sql(s_sql)
+        s_cols = [c.lower() for c in sdf.columns]
+        s_rows = [tuple(r) for r in sdf.collect()]
+        if not s_rows:
+            continue  # emptying an already-empty oracle proves nothing
+        dres = con.execute(f"SELECT * FROM ({d_sql}) m WHERE 1 = 0")
+        d_cols = [d[0].lower() for d in dres.description]
+        assert canon_rows(s_cols, s_rows) != canon_rows(d_cols, []), (
+            f"seed={seed}: gate failed to notice the oracle losing all "
+            f"{len(s_rows)} rows"
+        )
+        # flip one value: duplicate the first oracle row, making the
+        # multiset differ by exactly one element
+        dres = con.execute(d_sql)
+        d_rows = dres.fetchall()
+        assert canon_rows(s_cols, s_rows) != canon_rows(
+            d_cols, d_rows + d_rows[:1]
+        ), f"seed={seed}: gate failed to notice a duplicated oracle row"
+        checked += 1
+        if checked >= 5:
+            break
+    assert checked >= 5, "fewer than 5 non-empty seeds in the first 100"
