@@ -791,6 +791,30 @@ class QueryGen:
             q_d += f" WHERE {where.duck}"
         return q_s, q_d
 
+    def order_limit(self) -> tuple[str, str]:
+        """ORDER BY a verified-unique key + LIMIT / OFFSET: the top-k
+        scan path. Determinism needs the total order to be genuinely
+        total (R11's lesson), so the sort key is always the table's
+        UNIQUE_KEYS entry, optionally negated for DESC; the projected
+        payload exercises the expression grammar."""
+        t = self.r.choice(list(UNIQUE_KEYS))
+        uk = UNIQUE_KEYS[t]
+        e1 = self.int_expr(t)
+        e2 = self.str_expr(t)
+        cols_s = f"{uk} AS k0, {e1.spark} AS c1, {e2.spark} AS c2"
+        cols_d = f"{uk} AS k0, {e1.duck} AS c1, {e2.duck} AS c2"
+        where = self.pred(t) if self.r.random() < 0.5 else None
+        direction = self.r.choice(["ASC", "DESC"])
+        k = self.r.randint(1, 40)
+        off = f" OFFSET {self.r.randint(1, 20)}" if self.r.random() < 0.4 else ""
+        q_s = f"SELECT {cols_s} FROM {t}"
+        q_d = f"SELECT {cols_d} FROM {t}"
+        if where is not None:
+            q_s += f" WHERE {where.spark}"
+            q_d += f" WHERE {where.duck}"
+        tail = f" ORDER BY {uk} {direction} LIMIT {k}{off}"
+        return q_s + tail, q_d + tail
+
     def exists_filter(self) -> tuple[str, str]:
         """Correlated EXISTS / NOT EXISTS through an FK edge."""
         lt, lc, rt, rc = self.r.choice(FKS)
@@ -824,8 +848,8 @@ class QueryGen:
         kind = self.r.choices(
             ["filter_project", "group_agg", "join_agg", "setop", "window",
              "exists_filter", "rollup_agg", "agg_filter", "nested_agg",
-             "scalar_select", "join3_agg"],
-            weights=[3, 4, 3, 2, 3, 2, 2, 2, 2, 2, 2],
+             "scalar_select", "join3_agg", "order_limit"],
+            weights=[3, 4, 3, 2, 3, 2, 2, 2, 2, 2, 2, 2],
         )[0]
         return getattr(self, kind)()
 

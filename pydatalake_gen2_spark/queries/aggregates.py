@@ -1575,3 +1575,52 @@ sql_pair(
         "one ordered window over the step table, a 3-int64 reduce; bin "
         "first at 100 TB. One SQL text, both dialects.",
 )
+
+
+# G67: the R12 dialect divergence (pydatalake_gen2_spark/fuzz.py), found
+# LIVE by the differential fuzzer and pinned here so the per-round driver
+# sweep keeps certifying it. Spark emits ZERO rows for super-aggregates
+# (ROLLUP / CUBE / GROUPING SETS grand-total sets) over an EMPTY input —
+# its GROUPING SETS expansion aggregates over the synthetic grouping-id
+# column, and a non-empty grouping-expression list over an empty input
+# produces no groups — while the SQL standard, Postgres, and DuckDB emit
+# the grand-total row with COUNT(*) = 0 (grouping by () over an empty
+# table yields one group). The UNION ALL's second branch keeps the pair's
+# result non-trivial (an empty-vs-empty match would certify nothing); the
+# oracle applies the R12 fence (HAVING COUNT(*) > 0) ONLY to the empty
+# branch, which drops exactly DuckDB's standard-mandated extra row.
+sql_pair(
+    "g67_super_agg_empty_input",
+    """
+    SELECT 'empty_input' AS src, r_name,
+           CAST(GROUPING(r_name) AS INT) AS g,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM region WHERE r_regionkey < 0
+    GROUP BY ROLLUP(r_name)
+    UNION ALL
+    SELECT 'full_input' AS src, r_name,
+           CAST(GROUPING(r_name) AS INT) AS g,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM region
+    GROUP BY ROLLUP(r_name)
+    """,
+    duck_sql="""
+    SELECT 'empty_input' AS src, r_name,
+           CAST(GROUPING(r_name) AS INT) AS g,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM region WHERE r_regionkey < 0
+    GROUP BY ROLLUP(r_name)
+    HAVING COUNT(*) > 0
+    UNION ALL
+    SELECT 'full_input' AS src, r_name,
+           CAST(GROUPING(r_name) AS INT) AS g,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM region
+    GROUP BY ROLLUP(r_name)
+    """,
+    doc="G67: pins fuzz rule R12 — Spark's zero-row super-aggregate over "
+        "an empty input vs the standard's grand-total row; oracle carries "
+        "the documented HAVING COUNT(*) > 0 fence on the empty branch "
+        "only. Scale: trivial (region dim); the pair exists for semantics "
+        "evidence, not throughput.",
+)
