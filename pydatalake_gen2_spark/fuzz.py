@@ -791,6 +791,69 @@ class QueryGen:
             q_d += f" WHERE {where.duck}"
         return q_s, q_d
 
+    def rollup_over_join(self) -> tuple[str, str]:
+        """Super-aggregate over an FK join: ROLLUP keys drawn from BOTH
+        sides of the join, so the grand-total row aggregates the joined
+        multiplicity. R12 fence applies (the WHERE can empty the join)."""
+        lt, lc, rt, rc = self.r.choice(FKS)
+        frm = f"{lt} JOIN {rt} ON {lt}.{lc} = {rt}.{rc}"
+        k1 = self.group_key(lt)
+        k2 = self.group_key(rt)
+        if k1.spark == k2.spark:
+            return self.join_agg()
+        cols: list[tuple[str, str, str | None]] = [
+            ("k0", k1.spark, None),
+            ("k1", k2.spark, None),
+            ("g0", f"CAST(GROUPING({k1.spark}) AS INT)", None),
+            ("g1", f"CAST(GROUPING({k2.spark}) AS INT)", None),
+        ]
+        cols += self.aggs(lt, 1)
+        where = self.pred(lt) if self.r.random() < 0.5 else None
+        sel_s = ", ".join(f"{s} AS {a}" for a, s, _ in cols)
+        sel_d = ", ".join(f"{d if d is not None else s} AS {a}"
+                          for a, s, d in cols)
+        q_s = f"SELECT {sel_s} FROM {frm}"
+        q_d = f"SELECT {sel_d} FROM {frm}"
+        if where is not None:
+            q_s += f" WHERE {where.spark}"
+            q_d += f" WHERE {where.duck}"
+        tail = (f" GROUP BY ROLLUP({k1.spark}, {k2.spark})"
+                f" HAVING COUNT(*) > 0")  # R12
+        return q_s + tail, q_d + tail
+
+    def window_over_join(self) -> tuple[str, str]:
+        """Window function over a join result: the frame's partition and
+        order must survive the join's multiplicity. Positional order uses
+        the FACT side's unique key (R11) — only chains whose left side
+        has one (lineitem excluded) — made total again by the join being
+        at most 1:1 from fact to dim."""
+        lt, lc, rt, rc = self.r.choice(
+            [f for f in FKS if f[0] in UNIQUE_KEYS]
+        )
+        uk = f"{lt}.{UNIQUE_KEYS[lt]}"
+        frm = f"{lt} JOIN {rt} ON {lt}.{lc} = {rt}.{rc}"
+        part_key = self.group_key(rt)  # dim-side partition
+        e = self.int_expr(lt, 1)
+        kind = self.r.choice(["row_number", "running_sum", "part_minmax"])
+        if kind == "row_number":
+            w_s = w_d = (f"ROW_NUMBER() OVER (PARTITION BY {part_key.spark} "
+                         f"ORDER BY {uk})")
+        elif kind == "running_sum":
+            frame = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+            w_s = (f"CAST(SUM({e.spark}) OVER (PARTITION BY {part_key.spark}"
+                   f" ORDER BY {uk} {frame}) AS BIGINT)")
+            w_d = (f"CAST(SUM({e.duck}) OVER (PARTITION BY {part_key.duck}"
+                   f" ORDER BY {uk} {frame}) AS BIGINT)")
+        else:
+            fn = self.r.choice(["MIN", "MAX"])
+            w_s = (f"CAST({fn}({e.spark}) OVER "
+                   f"(PARTITION BY {part_key.spark}) AS BIGINT)")
+            w_d = (f"CAST({fn}({e.duck}) OVER "
+                   f"(PARTITION BY {part_key.duck}) AS BIGINT)")
+        cols = [("k0", f"({uk})", None), ("w0", w_s, w_d)]
+        where = self.pred(lt) if self.r.random() < 0.5 else None
+        return self._render(cols, frm, frm, where)
+
     def order_limit(self) -> tuple[str, str]:
         """ORDER BY a verified-unique key + LIMIT / OFFSET: the top-k
         scan path. Determinism needs the total order to be genuinely
@@ -848,8 +911,9 @@ class QueryGen:
         kind = self.r.choices(
             ["filter_project", "group_agg", "join_agg", "setop", "window",
              "exists_filter", "rollup_agg", "agg_filter", "nested_agg",
-             "scalar_select", "join3_agg", "order_limit"],
-            weights=[3, 4, 3, 2, 3, 2, 2, 2, 2, 2, 2, 2],
+             "scalar_select", "join3_agg", "order_limit",
+             "rollup_over_join", "window_over_join"],
+            weights=[3, 4, 3, 2, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2],
         )[0]
         return getattr(self, kind)()
 

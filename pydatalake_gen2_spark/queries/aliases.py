@@ -121,7 +121,13 @@ _ALIASES: dict[str, str] = {
     "a07_j27_null_safe": "j27_null_safe_join",
     "a08_jx_salted_skew_join": "jx_salted_skew_join",
     # aggregate tail (g08+ never sorted into the window)
-    "a09_g04_approx_count_distinct": "g04_approx_count_distinct",
+    # r8 rotation (late-round): g04 holds green driver rows r1-r7 and the
+    # sketch family keeps a23/a36; the slot goes to G67, the round's new
+    # super-aggregate-empty-input semantics pair (fuzz rule R12 pinned in
+    # the registry — Spark's zero-row rollup over an empty input vs the
+    # standard's grand-total row, oracle fenced on the empty branch only),
+    # so the divergence earns per-round driver evidence from r8 on.
+    "a09_g67_super_agg_empty": "g67_super_agg_empty_input",
     # r9 repurpose: g08 holds a green r3 driver row and the g-family
     # keeps a09 plus the statistical slots; the slot goes to the new
     # data-quality class (Deequ-style one-pass expectation suite).

@@ -25,8 +25,10 @@ caught divergence #2 — Spark emits ZERO rows for super-aggregates over
 an empty filtered input where the standard (and DuckDB) emits the
 grand-total row — now fenced as rule R12 (shared HAVING COUNT(*) > 0).
 Development sweeps: 1200 seeds at sf0.001 + 200 at sf0.01 with each
-grammar revision (all match); CI pins the first 200 as the per-session
-gate, plus a mutation self-test proving the gate can actually fail.
+grammar revision, plus a 3000-seed soak (seeds 1200-4199) on the final
+14-template grammar — all match; CI pins the first 200 as the
+per-session gate, plus a mutation self-test proving the gate can
+actually fail.
 """
 
 from __future__ import annotations
