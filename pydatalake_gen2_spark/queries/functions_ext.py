@@ -152,6 +152,43 @@ sql_pair(
     """,
 )
 
+# GROUP BY ALL (Spark 3.4+ / DuckDB shared spelling): groups by every
+# non-aggregate SELECT expression — the "stop repeating the key list"
+# surface users reach for first in ad-hoc work. One text, both dialects.
+sql_pair(
+    "g68_group_by_all",
+    """
+    SELECT l_returnflag, l_linestatus, year(l_shipdate) AS yr,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ALL
+    """,
+)
+
+# Native UNPIVOT clause (Spark 3.4+) ↔ UNION ALL expansion — the stock
+# SQL spelling of what g17 expresses via stack(). INCLUDE NULLS pins the
+# semantics to the oracle's row-preserving expansion (the default
+# EXCLUDE NULLS drops rows whose measure is NULL — a real trap, but not
+# one these non-null fixture columns can exercise).
+sql_pair(
+    "g69_unpivot_native",
+    """
+    SELECT l_orderkey, l_linenumber, kind, ROUND(val, 4) AS val
+    FROM (
+      SELECT l_orderkey, l_linenumber,
+             l_extendedprice AS price, l_discount AS disc
+      FROM lineitem
+    )
+    UNPIVOT INCLUDE NULLS (val FOR kind IN (price, disc))
+    """,
+    duck_sql="""
+    SELECT l_orderkey, l_linenumber, 'price' AS kind, ROUND(l_extendedprice, 4) AS val FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'disc' AS kind, ROUND(l_discount, 4) AS val FROM lineitem
+    """,
+)
+
 # IGNORE NULLS placement differs: Spark `lag(x) IGNORE NULLS OVER …`,
 # DuckDB `lag(x IGNORE NULLS) OVER …`.
 sql_pair(
