@@ -528,11 +528,13 @@ def ud12_table_arg_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     duck_sql="""
     WITH rev AS (
       SELECT l_returnflag,
-             CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 4)
-                           AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+             SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 4)
+                      AS DECIMAL(18,4))) AS revenue_dec
       FROM lineitem GROUP BY l_returnflag)
-    SELECT l_returnflag, revenue, CAST(tile AS INT) AS tile,
-           ROUND(revenue * tile / 4, 4) AS fence
+    SELECT l_returnflag, CAST(revenue_dec AS DOUBLE) AS revenue,
+           CAST(tile AS INT) AS tile,
+           CAST((CAST(revenue_dec * 10000 AS BIGINT) * tile * 2 + 4) // 8
+                AS DOUBLE) / 10000 AS fence
     FROM rev CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS tile) t
     ORDER BY l_returnflag, tile
     """,
@@ -555,15 +557,23 @@ def ud13_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CREATE OR REPLACE TEMPORARY FUNCTION ud13_tiles(n INT) "
         "RETURNS TABLE (tile INT) RETURN SELECT explode(sequence(1, n))"
     )
+    # fence math is EXACT integer ten-thousandths with explicit HALF_UP
+    # ((n*2 + 4) div 8 implements round-half-up of n/4 for positive n):
+    # the original ROUND(revenue * tile / 4, 4) on a computed DOUBLE hit
+    # a true half-way case at sf0.1 (revenue/2 = ...513.66155 — Spark
+    # rounds the decimal shortest-repr HALF_UP to .6616, DuckDB rounds
+    # the binary double to .6615), caught by the decade-up oracle sweep.
+    # The p02/R5 rule applies: never ROUND a computed double.
     return spark.sql(
         """
         WITH rev AS (
           SELECT l_returnflag,
-                 CAST(SUM(CAST(ud13_disc(l_extendedprice, l_discount)
-                               AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+                 SUM(CAST(ud13_disc(l_extendedprice, l_discount)
+                          AS DECIMAL(18,4))) AS revenue_dec
           FROM lineitem GROUP BY l_returnflag)
-        SELECT l_returnflag, revenue, tile,
-               ROUND(revenue * tile / 4, 4) AS fence
+        SELECT l_returnflag, CAST(revenue_dec AS DOUBLE) AS revenue, tile,
+               CAST((CAST(revenue_dec * 10000 AS BIGINT) * tile * 2 + 4)
+                    DIV 8 AS DOUBLE) / 10000 AS fence
         FROM rev CROSS JOIN ud13_tiles(4)
         ORDER BY l_returnflag, tile
         """
