@@ -22,11 +22,22 @@ from pydatalake_gen2_spark.tables import TABLES
 
 
 def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    import os
+
     con = duckdb.connect()
+    # Pin the session zone: tz-aware values must render/cast identically
+    # regardless of host TZ (Spark-written scale fixtures carry
+    # isAdjustedToUTC timestamps that DuckDB reads as TIMESTAMPTZ).
+    con.execute("SET TimeZone = 'UTC'")
     for name in TABLES:
+        path = f"{sf_dir}/{name}.parquet"
+        # Spark-written tables (fixtures/sf1+) are DIRECTORIES of part
+        # files; the driver fixtures are single files. Glob accordingly.
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.execute(
             f"CREATE OR REPLACE VIEW {name} AS "
-            f"SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
+            f"SELECT * FROM read_parquet('{path}')"
         )
     return con
 

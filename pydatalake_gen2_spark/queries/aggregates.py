@@ -1481,8 +1481,10 @@ sql_pair(
       FROM shuffled sh CROSS JOIN tot
       GROUP BY sh.b, tot.na),
     stats AS (
-      SELECT CAST(SUM(CASE WHEN ABS((na + nb) * sa_b - na * s)
-                                >= ABS((na + nb) * sa - na * s)
+      SELECT CAST(SUM(CASE WHEN ABS(CAST(na + nb AS DECIMAL(38,0)) * sa_b
+                                    - CAST(na AS DECIMAL(38,0)) * s)
+                                >= ABS(CAST(na + nb AS DECIMAL(38,0)) * sa
+                                       - CAST(na AS DECIMAL(38,0)) * s)
                            THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
              CAST(COUNT(*) AS BIGINT) AS n_perm
       FROM perm CROSS JOIN tot)
@@ -1501,9 +1503,11 @@ sql_pair(
         "sizes preserved — each permutation ranks rows by the portable "
         "LCG hash and hands the first na ranks to group A, a bijection, "
         "not a resample) rebuild the null distribution. The test "
-        "statistic is held EXACT: |(na+nb)·ΣA_b − na·S| is pure int64 "
-        "(≲5e15 here), so every >= comparison and the extreme-count are "
-        "integer-exact; p = (1+extreme)/(1+B). Scale: the B×n frame "
+        "statistic is held EXACT: |(na+nb)·ΣA_b − na·S| is computed in "
+        "DECIMAL(38,0) (n·Σcents crosses int64 between sf0.1 and sf1 — "
+        "caught by the sf1 oracle sweep), so every >= comparison and the "
+        "extreme-count are integer-exact; p = (1+extreme)/(1+B). Scale: "
+        "the B×n frame "
         "carries (b, cents, rank) only, each permutation reduces to ONE "
         "int64 partial sum, and the per-b window sorts within B "
         "independent partitions — at 100 TB permute per-partition "

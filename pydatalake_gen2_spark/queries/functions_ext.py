@@ -993,6 +993,14 @@ def f56_xpath_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "f57_convert_timezone",
     duck_sql="""
+    WITH e AS (
+      -- normalize to a NAIVE UTC wall-clock regardless of the parquet
+      -- encoding: driver fixtures store naive timestamps (no-op cast);
+      -- Spark-written scale fixtures store isAdjustedToUTC instants that
+      -- DuckDB reads as TIMESTAMPTZ, where timezone()'s overload flips
+      -- direction — the UTC-pinned session cast recovers the same naive
+      -- value (caught by the sf1 oracle sweep)
+      SELECT event_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
     SELECT event_id,
            strftime(timezone('America/New_York', timezone('UTC', ts)),
                     '%Y-%m-%d %H:%M:%S') AS ny_local,
@@ -1000,7 +1008,7 @@ def f56_xpath_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                     '%Y-%m-%d %H:%M:%S') AS kolkata_local,
            CAST((epoch_us(timezone('America/New_York', timezone('UTC', ts)))
                  - epoch_us(ts)) / 3600000000.0 AS DOUBLE) AS ny_offset_h
-    FROM events ORDER BY event_id
+    FROM e ORDER BY event_id
     """,
     doc="F57: IANA timezone conversion (convert_timezone, Spark 3.4+/4) — "
         "UTC event times rendered as New York (DST-observing) and "
