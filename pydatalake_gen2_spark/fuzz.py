@@ -61,7 +61,46 @@ memory'd money-math discipline):
      11/25 rollup_agg smoke seeds whose WHERE filtered a table to empty
      diverged exactly this way. Fenced with a shared HAVING
      COUNT(*) > 0 — semantics-preserving wherever the engines agree
-     (every real grouping-set row aggregates >= 1 input row).
+     (every real grouping-set row aggregates >= 1 input row). The fence
+     blinds the randomized gate to the corner itself, so the
+     ``rollup_empty`` template (r8 ADVICE) intentionally regenerates the
+     empty-input case WITHOUT the fence and asserts the asymmetry
+     holds: the DuckDB side subtracts the expected grand-total row via
+     EXCEPT ALL, so both engines must land on the empty set — if either
+     engine's behavior drifts (Spark starts emitting the row, DuckDB
+     changes its shape), the template diverges and the drift is a
+     finding again.
+
+ Rules R13-R18 were added for the round-9 grammar extension, each
+ verified live on both engines before encoding (the decade-sweep bug
+ classes: window frames, int64-adjacent arithmetic, timestamps/zones):
+
+ R13 DuckDB's date_trunc returns DATE for day-and-coarser units where
+     Spark always returns TIMESTAMP — fence by casting the DuckDB side
+     back: CAST(date_trunc(u, ts) AS TIMESTAMP). Sub-day units agree
+     unfenced.
+ R14 Day differences: Spark datediff(end, start) over DATE casts ==
+     DuckDB date_diff('day', start, end) — note the flipped argument
+     order; both are exact day subtraction once inputs are DATEs.
+ R15 Epoch microseconds exceed 2^53 — render digit-exact as STRING
+     (unix_micros vs epoch_us), the g51/g58 canonicalizer discipline.
+ R16 Timezone conversion pins the interpretation explicitly
+     (naive -> UTC -> zone; the f57 lesson): Spark
+     convert_timezone('UTC', tz, ts) rendered via date_format ==
+     DuckDB timezone(tz, timezone('UTC', ts)) via strftime, so neither
+     session's default zone participates. ISO weekday: Spark
+     weekday()+1 == DuckDB isodow (Spark's dayofweek/DuckDB's dayofweek
+     disagree on week origin — excluded).
+ R17 Wide integer arithmetic (the g58 int64-overflow class) runs in
+     DECIMAL(38,0) on BOTH sides — Spark's ANSI BIGINT sum overflows
+     where DuckDB silently widens to HUGEINT, so the shared-exact form
+     is an explicit decimal widening before SUM — and renders as STRING
+     past the 2^53 fence (R15's discipline).
+ R18 Window FRAME specs: ROWS frames (positional) obey R11 — ORDER BY
+     a verified-unique key only; RANGE frames with numeric offsets are
+     VALUE-based (all peers enter the frame), so they are tie-stable
+     and may ORDER BY any int expression — the one window form that is
+     deterministic over non-unique orderings by construction.
 """
 
 from __future__ import annotations
@@ -565,8 +604,13 @@ class QueryGen:
 
     def join3_agg(self) -> tuple[str, str]:
         """Three-table FK chain join + aggregate: multiplicity through a
-        fact->dim->dim path, with optional LEFT on the second hop (NULL
-        group keys and agg inputs through two join depths)."""
+        fact->dim->dim path, with optional LEFT on the second hop. The
+        fixtures' FK columns are non-null and total, so a bare LEFT JOIN
+        never null-extends (r8 ADVICE) — an extra ON-clause predicate on
+        t3 makes the null-extension REAL: rows whose dim fails the
+        predicate survive with NULL t3 columns, which then flow through
+        group keys (NULL is one group in both engines, per join_agg) and
+        aggregate inputs (SUM/COUNT/MIN skip NULLs in both)."""
         chain = self.r.choice([
             ("lineitem", "l_orderkey", "orders", "o_orderkey",
              "o_custkey", "customer", "c_custkey"),
@@ -581,14 +625,27 @@ class QueryGen:
         ])
         t1, c1, t2, c2, c2b, t3, c3 = chain
         j2 = self.r.choice(["JOIN", "JOIN", "LEFT JOIN"])
-        frm = (f"{t1} JOIN {t2} ON {t1}.{c1} = {t2}.{c2} "
-               f"{j2} {t3} ON {t2}.{c2b} = {t3}.{c3}")
-        kt = self.r.choice([t1, t2] if j2 == "LEFT JOIN" else [t1, t2, t3])
+        on2_s = on2_d = f"{t2}.{c2b} = {t3}.{c3}"
+        agg_t = t1
+        if j2 == "LEFT JOIN":
+            if self.r.random() < 0.7:
+                # the null-extender: dim rows failing this predicate
+                # leave NULL t3 columns on the surviving fact rows
+                p3 = self.pred(t3, 1)
+                on2_s += f" AND {p3.spark}"
+                on2_d += f" AND {p3.duck}"
+            if self.r.random() < 0.5:
+                agg_t = t3  # aggregate inputs see the NULL extension
+        frm_s = (f"{t1} JOIN {t2} ON {t1}.{c1} = {t2}.{c2} "
+                 f"{j2} {t3} ON {on2_s}")
+        frm_d = (f"{t1} JOIN {t2} ON {t1}.{c1} = {t2}.{c2} "
+                 f"{j2} {t3} ON {on2_d}")
+        kt = self.r.choice([t1, t2, t3])  # t3 keys safe: NULL is one group
         key = self.group_key(kt)
         cols = [("k0", key.spark, key.duck)]
-        cols += self.aggs(t1, self.r.randint(1, 2))
+        cols += self.aggs(agg_t, self.r.randint(1, 2))
         where = self.pred(t1) if self.r.random() < 0.6 else None
-        return self._render(cols, frm, frm, where, group_n=1)
+        return self._render(cols, frm_s, frm_d, where, group_n=1)
 
     def window(self) -> tuple[str, str]:
         """Window functions over deterministic frames: ranking by VALUE
@@ -907,13 +964,224 @@ class QueryGen:
             f"{b_d} WHERE {p1.duck} {op} {b_d} WHERE {p2.duck}",
         )
 
+    def frame_spec(self) -> tuple[str, str]:
+        """Window FRAME specs (R18, the W15/W20 discipline): bounded ROWS
+        frames over a verified-unique order (R11), and RANGE frames with
+        numeric offsets over ANY int expression — value-based peers make
+        RANGE tie-stable where ROWS would legitimately diverge."""
+        t = self.r.choice(list(UNIQUE_KEYS))
+        uk = UNIQUE_KEYS[t]
+        part = ""
+        if self.r.random() < 0.5:
+            k = self.group_key(t)
+            part = f"PARTITION BY {k.spark} "  # group_key is shared-text
+        e = self.int_expr(t, 1)
+        fn = self.r.choice(["SUM", "MIN", "MAX", "COUNT"])
+        arg_s = "*" if fn == "COUNT" else e.spark
+        arg_d = "*" if fn == "COUNT" else e.duck
+        if self.r.random() < 0.5:
+            # ROWS: positional, so ORDER BY the unique key (R11)
+            lo = self.r.choice(["UNBOUNDED PRECEDING",
+                                f"{self.r.randint(1, 5)} PRECEDING",
+                                "CURRENT ROW"])
+            hi = (f"{self.r.randint(1, 4)} FOLLOWING"
+                  if self.r.random() < 0.6 else "CURRENT ROW")
+            if lo == "CURRENT ROW" and hi == "CURRENT ROW":
+                lo = "1 PRECEDING"
+            frame = f"ORDER BY {uk} ROWS BETWEEN {lo} AND {hi}"
+            w_s = f"{fn}({arg_s}) OVER ({part}{frame})"
+            w_d = f"{fn}({arg_d}) OVER ({part}{frame})"
+        else:
+            # RANGE: value-based — tie-stable over a NON-unique ordering
+            oc = self.r.choice(SCHEMAS[t]["int"])
+            lo = self.r.choice(["UNBOUNDED PRECEDING",
+                                f"{self.r.randint(1, 500)} PRECEDING",
+                                "CURRENT ROW"])
+            hi = (f"{self.r.randint(1, 500)} FOLLOWING"
+                  if self.r.random() < 0.6 else "CURRENT ROW")
+            if lo == "CURRENT ROW" and hi == "CURRENT ROW":
+                lo = f"{self.r.randint(1, 500)} PRECEDING"
+            frame = f"ORDER BY {oc} RANGE BETWEEN {lo} AND {hi}"
+            w_s = f"{fn}({arg_s}) OVER ({part}{frame})"
+            w_d = f"{fn}({arg_d}) OVER ({part}{frame})"
+        cols = [("k0", f"({uk})", None),
+                ("w0", f"CAST({w_s} AS BIGINT)", f"CAST({w_d} AS BIGINT)")]
+        where = self.pred(t) if self.r.random() < 0.5 else None
+        return self._render(cols, t, t, where)
+
+    def overflow_arith(self) -> tuple[str, str]:
+        """Wide integer arithmetic near/past int64 (R17, the g58 class):
+        SUMs of cents-products whose true magnitude breaks both the
+        int64 accumulator (Spark ANSI: overflow error; DuckDB: silent
+        HUGEINT widening) and the 2^53 canon fence. The portable exact
+        form is an explicit DECIMAL(38,0) widening before the multiply,
+        rendered digit-exact as STRING."""
+        t = self.r.choice(["lineitem", "orders", "customer",
+                           "supplier", "part"])
+        money = SCHEMAS[t]["money"]
+        ca = self.r.choice(money)
+        cb = self.r.choice(money)  # may equal ca: the cents^2 g51 class
+        cents_a = f"CAST(round({ca} * 100, 0) AS BIGINT)"
+        cents_b = f"CAST(round({cb} * 100, 0) AS BIGINT)"
+        wide = f"SUM(CAST({cents_a} AS DECIMAL(38,0)) * {cents_b})"
+        cols: list[tuple[str, str, str | None]] = []
+        nk = 0
+        if self.r.random() < 0.6:
+            k = self.group_key(t)
+            cols.append(("k0", k.spark, k.duck))
+            nk = 1
+        cols.append(("a0", f"CAST({wide} AS STRING)",
+                     f"CAST({wide} AS VARCHAR)"))
+        if self.r.random() < 0.5:
+            cols.append(("a1", "CAST(COUNT(*) AS BIGINT)", None))
+        where = self.pred(t) if self.r.random() < 0.5 else None
+        return self._render(cols, t, t, where, group_n=nk)
+
+    def ts_arith(self) -> tuple[str, str]:
+        """Timestamp / timezone expressions (R13-R16, the f57 class):
+        truncation, interval arithmetic, day differences, epoch
+        rendering, IANA zone conversion, ISO weekday, last_day — each
+        spelling pair verified live on both engines before encoding."""
+        t = self.r.choice(["orders", "lineitem"])
+        c = self.r.choice(SCHEMAS[t]["ts"])
+        kind = self.r.choice(["trunc", "interval", "datediff", "epoch",
+                              "tz", "isodow", "last_day"])
+        if kind == "trunc":
+            u = self.r.choice(["year", "quarter", "month", "week", "day",
+                               "hour"])
+            s = f"date_trunc('{u}', {c})"
+            # R13: DuckDB yields DATE at day-and-coarser units
+            d = f"CAST(date_trunc('{u}', {c}) AS TIMESTAMP)"
+            e = _E(s, d, "ts")
+        elif kind == "interval":
+            n = self.r.randint(1, 400)
+            u = self.r.choice(["DAY", "HOUR", "MONTH", "YEAR"])
+            op = self.r.choice(["+", "-"])
+            e = _shared(f"({c} {op} INTERVAL {n} {u})", "ts")
+        elif kind == "datediff":
+            lit = self.r.choice(["1993-01-01", "1995-06-17", "1997-03-01"])
+            if self.r.random() < 0.5:  # R14: flipped argument order
+                s = (f"CAST(datediff(CAST({c} AS DATE), DATE '{lit}') "
+                     f"AS BIGINT)")
+                d = (f"CAST(date_diff('day', DATE '{lit}', "
+                     f"CAST({c} AS DATE)) AS BIGINT)")
+            else:
+                s = (f"CAST(datediff(DATE '{lit}', CAST({c} AS DATE)) "
+                     f"AS BIGINT)")
+                d = (f"CAST(date_diff('day', CAST({c} AS DATE), "
+                     f"DATE '{lit}') AS BIGINT)")
+            e = _E(s, d, "int")
+        elif kind == "epoch":  # R15: digit-exact past 2^53
+            e = _E(f"CAST(unix_micros({c}) AS STRING)",
+                   f"CAST(epoch_us({c}) AS VARCHAR)", "str")
+        elif kind == "tz":  # R16: pinned naive -> UTC -> zone
+            tz = self.r.choice(["America/New_York", "Asia/Kolkata",
+                                "Europe/London", "Australia/Sydney",
+                                "America/Sao_Paulo"])
+            e = _E(
+                f"date_format(convert_timezone('UTC', '{tz}', {c}), "
+                f"'yyyy-MM-dd HH:mm:ss')",
+                f"strftime(timezone('{tz}', timezone('UTC', {c})), "
+                f"'%Y-%m-%d %H:%M:%S')",
+                "str",
+            )
+        elif kind == "isodow":
+            e = _E(f"CAST(weekday({c}) + 1 AS INT)",
+                   f"CAST(isodow({c}) AS INT)", "int")
+        else:
+            e = _shared(f"last_day({c})", "date")
+        cols = [("c0", e.spark, e.duck)]
+        if self.r.random() < 0.5:
+            e2 = self.int_expr(t, 1)
+            cols.append(("c1", e2.spark, e2.duck))
+        where = self.pred(t) if self.r.random() < 0.5 else None
+        return self._render(cols, t, t, where)
+
+    def setop_null(self) -> tuple[str, str]:
+        """INTERSECT / EXCEPT [ALL] / UNION [ALL] with PLANTED NULL rows
+        (r8 verdict #6d): both branches NULLIF-inject into both columns,
+        so the set-op's NULL-equality semantics (NULL matches NULL in
+        set ops, unlike =) are actually exercised every seed — the base
+        setop template only sees NULLs when the expression grammar
+        happens to emit one."""
+        t = self.r.choice(list(SCHEMAS))
+        s = SCHEMAS[t]
+        sc = self.r.choice(s["str"])
+        ic = self.r.choice(s["int"])
+        m = self.r.randint(2, 9)
+        plant_s = f"NULLIF(substring({sc}, 1, 1), '{self.r.choice(_STR_LITS[:6])[:1]}')"
+        plant_i = f"NULLIF(({ic} % {m}), {self.r.randint(0, m - 1)})"
+        op = self.r.choice(["UNION", "UNION ALL", "INTERSECT",
+                            "INTERSECT ALL", "EXCEPT", "EXCEPT ALL"])
+        p1, p2 = self.pred(t), self.pred(t)
+        b = f"SELECT {plant_s} AS c0, {plant_i} AS c1 FROM {t}"
+        return (
+            f"{b} WHERE {p1.spark} {op} {b} WHERE {p2.spark}",
+            f"{b} WHERE {p1.duck} {op} {b} WHERE {p2.duck}",
+        )
+
+    def rollup_empty(self) -> tuple[str, str]:
+        """Super-aggregate over a PROVABLY EMPTY input, unfenced — keeps
+        the R12 divergence itself under randomized test (r8 ADVICE #2).
+        Spark emits zero rows; the standard (DuckDB) emits exactly the
+        grand-total row (keys NULL, GROUPING()=1, COUNT(*)=0, SUM NULL).
+        The DuckDB side subtracts that expected row via EXCEPT ALL, so
+        the pair matches IFF the asymmetry holds in exactly its known
+        shape — any drift in either engine (Spark emitting the row,
+        DuckDB changing its values, GROUPING() flipping on the
+        grand-total) re-surfaces as a divergent seed."""
+        t = self.r.choice(list(SCHEMAS))
+        k1 = self.group_key(t)
+        k2 = self.group_key(t)
+        for _ in range(5):
+            if k2.spark != k1.spark:
+                break
+            k2 = self.group_key(t)
+        if k2.spark == k1.spark:
+            return self.group_agg()
+        # provably-empty predicates over the fixtures: keys are
+        # non-negative; the sentinel string never occurs
+        opts = ["1 = 0"]
+        if t in UNIQUE_KEYS:
+            opts.append(f"{UNIQUE_KEYS[t]} < 0")
+        if SCHEMAS[t]["str"]:
+            c = self.r.choice(SCHEMAS[t]["str"])
+            opts.append(f"{c} = 'ZZZ_NO_SUCH_VALUE'")
+        empty_where = self.r.choice(opts)
+        form = self.r.choice(["ROLLUP", "CUBE", "SETS"])
+        if form == "SETS":
+            grp = (f"GROUPING SETS (({k1.spark}, {k2.spark}), "
+                   f"({k1.spark}), ())")
+        else:
+            grp = f"{form}({k1.spark}, {k2.spark})"
+        e = self.int_expr(t, 1)
+        sel = (f"{k1.spark} AS k0, {k2.spark} AS k1, "
+               f"CAST(GROUPING({k1.spark}) AS INT) AS g0, "
+               f"CAST(GROUPING({k2.spark}) AS INT) AS g1, "
+               f"CAST(COUNT(*) AS BIGINT) AS a0")
+        sel_s = sel + f", CAST(SUM({e.spark}) AS BIGINT) AS a1"
+        sel_d = sel + f", CAST(SUM({e.duck}) AS BIGINT) AS a1"
+        body_s = (f"SELECT {sel_s} FROM {t} WHERE {empty_where} "
+                  f"GROUP BY {grp}")
+        body_d = (f"SELECT {sel_d} FROM {t} WHERE {empty_where} "
+                  f"GROUP BY {grp}")
+        duck_ty = {"str": "VARCHAR", "int": "BIGINT", "date": "DATE"}
+        nk1 = f"CAST(NULL AS {duck_ty[k1.typ]})"
+        nk2 = f"CAST(NULL AS {duck_ty[k2.typ]})"
+        expected = (f"SELECT {nk1}, {nk2}, 1, 1, CAST(0 AS BIGINT), "
+                    f"CAST(NULL AS BIGINT)")
+        return body_s, f"{body_d} EXCEPT ALL {expected}"
+
     def query(self) -> tuple[str, str]:
         kind = self.r.choices(
             ["filter_project", "group_agg", "join_agg", "setop", "window",
              "exists_filter", "rollup_agg", "agg_filter", "nested_agg",
              "scalar_select", "join3_agg", "order_limit",
-             "rollup_over_join", "window_over_join"],
-            weights=[3, 4, 3, 2, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2],
+             "rollup_over_join", "window_over_join",
+             "frame_spec", "overflow_arith", "ts_arith", "setop_null",
+             "rollup_empty"],
+            weights=[3, 4, 3, 2, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2,
+                     2, 2, 2, 2, 1],
         )[0]
         return getattr(self, kind)()
 

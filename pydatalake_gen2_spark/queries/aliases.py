@@ -91,7 +91,12 @@ def a00_lake_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # displace were driver-verified green in rounds 1-2 (CORRECTNESS_r01/r02).
 _ALIASES: dict[str, str] = {
     # joins
-    "a01_j01_inner_equi": "j01_inner_equi",
+    # r9 rotation (r8 verdict #2): j01 holds green driver rows r3-r8 and
+    # the join family keeps FIVE other window reps (a05/a07->moved, a08,
+    # a18, a31 — see below); the slot goes to F61 explode_outer (r8's
+    # plan-gated single-Generate NULL-preserving explode), which held no
+    # driver row.
+    "a01_f61_explode_outer": "f61_explode_outer",
     # r7 rotation: j02 holds green driver rows r1-r6 and the join family
     # keeps SIX other window reps (a01/a05/a07/a08/a18/a31); the slot goes
     # to the round-7 P->H flagship — the IVF retrieval audit whose
@@ -111,14 +116,16 @@ _ALIASES: dict[str, str] = {
     # new interval-OVERLAP join class (week-bucket candidate equi-join —
     # the theta-join shape no other window row exercises).
     "a05_j36_interval_overlap": "j36_interval_overlap_join",
-    # r10 repurpose: j13 holds a green r3 driver row (a06); the slot
-    # goes to the new retrieval-diversification class (MMR rerank — the
-    # greedy unrolled plan, first driver evidence for rerankers).
-    "a06_lx_mmr_rerank": "lx_mmr_rerank",
-    # r6 repurpose: a05 already covers the as-of family, so the tolerance
-    # variant's slot goes to the new null-safe equality join (distinct
-    # NULL-matching semantics class, first driver evidence).
-    "a07_j27_null_safe": "j27_null_safe_join",
+    # r9 rotation (r8 verdict #2): lx_mmr_rerank earned its green r8 row
+    # (a06) and the lx family keeps a02/a15/a34/a47; the slot goes to
+    # S45 seeded TABLESAMPLE (r8's reproducible Bernoulli scan sampler),
+    # which held no driver row.
+    "a06_s45_tablesample_seeded": "s45_tablesample_seeded",
+    # r9 rotation (r8 verdict #2): j27 holds green rows r6-r8 and the
+    # join family keeps a05/a08/a18/a31; the slot goes to S44 ANALYZE/
+    # CBO stats (r8's cost-based-optimizer stats pipeline, plan-gated
+    # SMJ->broadcast flip), which held no driver row.
+    "a07_s44_analyze_cbo_stats": "s44_analyze_cbo_stats",
     "a08_jx_salted_skew_join": "jx_salted_skew_join",
     # aggregate tail (g08+ never sorted into the window)
     # r8 rotation (late-round): g04 holds green driver rows r1-r7 and the
@@ -137,10 +144,12 @@ _ALIASES: dict[str, str] = {
     # the semi-supervised annotation family); g09 stays oracle-verified
     # in the local mirror like every out-of-window pair.
     "a11_l41_knn_label": "l41_knn_label_propagation",
-    # r8 repurpose: g12 holds a green r3 driver row and the g-family keeps
-    # a09/a10/a13/a14/a16-adjacent reps; the slot goes to the new
-    # association-rules class (market-basket support/confidence/lift).
-    "a12_c30_market_basket": "c30_market_basket",
+    # r9 rotation (r8 verdict #2): c30 earned its green r8 row (a12) and
+    # the composite family keeps a21/a26; the slot gives the g44-g66
+    # stat-test family a second never-evidenced rep — G58 permutation
+    # test, whose int64-overflow fix (decade-up sf1 sweep catch, r8) now
+    # earns per-round driver evidence.
+    "a12_g58_permutation_test": "g58_permutation_test",
     # r7 repurpose: g16 holds a green r3 driver row, so its slot goes to
     # the new statistical-test class (chi-square independence — first
     # driver evidence for hypothesis-test operators).
@@ -226,7 +235,11 @@ _ALIASES: dict[str, str] = {
     # the SCD-2 incremental-merge ≡ full-rebuild equivalence and the
     # C4-style line dedup (both first-ever driver evidence).
     "a31_j16_scd2_incremental": "j16_scd2_incremental",
-    "a32_l20_line_dedup": "l20_line_dedup",
+    # r9 rotation (r8 verdict #2): l20 holds green rows r4-r8 AND runs in
+    # every bench round; the dedup family keeps a16/a20/a35/a39->moved;
+    # the slot goes to G68 GROUP BY ALL (r8's inferred-grouping form),
+    # which held no driver row.
+    "a32_g68_group_by_all": "g68_group_by_all",
     # r3 repurpose #2: the f-family holds 33 green driver rows from
     # rounds 1-2, so f37's slot goes to the new iterative-graph family
     # (integer-exact PageRank) for first-ever driver evidence.
@@ -256,7 +269,11 @@ _ALIASES: dict[str, str] = {
     # new index-planning class (MinHash-LSH (b,r) s-curve audit on the
     # observed pair-similarity distribution).
     "a38_l64_lsh_plan": "l64_lsh_param_plan",
-    "a39_l11_dedup_clusters": "l11_dedup_clusters",
+    # r9 rotation (r8 verdict #2): l11 holds green rows r3-r8 and stays
+    # transitively exercised by a35 (SemDeDup shares the cluster-keeper
+    # machinery); the slot goes to G69 native UNPIVOT (r8's melt form),
+    # which held no driver row.
+    "a39_g69_unpivot_native": "g69_unpivot_native",
     # r7 rotation: l12 holds green rows r1-r6; the sampling family keeps
     # its window rep via the newly-H exact-k weighted reservoir, whose
     # measured pow-drift fence (see the pair docstring) should earn driver

@@ -697,7 +697,9 @@ def lx_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs, ~1.6M TRUE pairs within r=4 — 13% of all pairs), so this
     query's wall time is output-volume-bound, not plan-bound; real
     corpora emit near-linear pair counts through the identical plan."""
-    return dedup.simhash_neardup_pairs(spark.table("documents"), r=4)
+    return dedup.simhash_neardup_pairs(
+        spark.table("documents"), r=4, exact_recall=True
+    )
 
 
 def _lx_lsh_duck(
@@ -2465,7 +2467,9 @@ def l42_ensemble_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("root").alias("id_a"), F.col("id").alias("id_b"))
     )
     jac_edges = dedup.exact_jaccard_pairs(docs, tau=0.3).select("id_a", "id_b")
-    sim_edges = dedup.simhash_neardup_pairs(docs, r=4).select("id_a", "id_b")
+    sim_edges = dedup.simhash_neardup_pairs(
+        docs, r=4, exact_recall=True
+    ).select("id_a", "id_b")
     edges = ex_edges.unionByName(jac_edges).unionByName(sim_edges).distinct()
     comp = dedup.connected_components(edges, "id_a", "id_b")
     out = (
@@ -2707,7 +2711,9 @@ def l49_detector_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup.exact_jaccard_pairs(docs, tau=0.3).select("id_a", "id_b")
     )
     sh = track_persist(
-        dedup.simhash_neardup_pairs(docs, r=4).select("id_a", "id_b")
+        dedup.simhash_neardup_pairs(docs, r=4, exact_recall=True).select(
+            "id_a", "id_b"
+        )
     )
     mh = track_persist(
         l36_minhash_sql(spark, sf_dir).select(

@@ -342,7 +342,7 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id"), F.col("phash").alias("simhash")
     )
     pairs = simhash_neardup_pairs(
-        spark.table("documents"), r=4, bits=63, fingerprints=fp
+        spark.table("documents"), r=4, bits=63, fingerprints=fp, exact_recall=True
     )
     return pairs.select("id_a", "id_b").orderBy("id_a")
 

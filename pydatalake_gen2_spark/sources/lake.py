@@ -217,6 +217,25 @@ class LakeCatalog:
         stream.close()
         return len(data)
 
+    def create_bytes_atomic(self, path: str, data: bytes) -> bool:
+        """Create-if-absent upload — the COMMIT-POINT primitive for the
+        versioned table's manifest (versioned.py protocol step 2).
+        ``create(path, overwrite=false)`` maps to the storage layer's
+        conditional create (ABFS: If-None-Match:* conditional PUT; HDFS:
+        atomic namespace create; local fs: Hadoop's exists-check +
+        create, adequate for single-host tests). Returns False when the
+        path already exists — the caller LOST a commit race and must
+        re-resolve the table version; never overwrites the winner."""
+        try:
+            stream = self._fs.create(self._jpath(path), False)
+        except Exception as e:  # py4j wraps FileAlreadyExistsException
+            if "exists" in str(e).lower():
+                return False
+            raise
+        stream.write(bytearray(data))
+        stream.close()
+        return True
+
     def read_bytes(self, path: str) -> bytes:
         """R20 read_path (client.py:528-546).
 

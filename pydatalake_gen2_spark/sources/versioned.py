@@ -13,13 +13,20 @@ Commit protocol (writer) — the Delta-log pattern (a log of immutable
 commit files, not a mutable pointer):
     1. write the new snapshot into _v{N+1}/ (a Spark job; invisible to
        readers — nothing references the dir yet),
-    2. create _manifest.{N+1}.json in one upload. File creation is the
-       commit point: a manifest is either fully present or absent, so
-       readers — who resolve the table by listing manifests and taking
-       the highest version — see either the old table or the new one,
-       never a torn state. No rename and no read-modify-write of shared
-       state; two racing writers produce distinct manifest files and the
-       higher version wins deterministically.
+    2. CREATE _manifest.{N+1}.json — create-if-absent, never overwrite
+       (lake.py ``create_bytes_atomic``; ABFS conditional PUT / HDFS
+       atomic namespace create). File creation is the commit point: a
+       manifest is either fully present or absent, so readers — who
+       resolve the table by listing manifests and taking the highest
+       version — see either the old table or the new one, never a torn
+       state. Two writers racing toward the same N+1 therefore resolve
+       by optimistic concurrency: EXACTLY ONE create succeeds; the loser
+       detects the existing manifest, re-resolves the version, and
+       retries (bounded, then fails loud). Concurrent writers pass a
+       ``writer_id`` so their pre-commit data dirs are disjoint
+       (_v{N+1}_{writer}); a loser's abandoned dir is unreferenced by
+       construction and ``vacuum_orphans`` reclaims it. Proven by
+       tests/test_lake.py::test_commit_race_exactly_one_winner.
 
 Reader: `read(version=None)` resolves the newest manifest, then scans ONE
 immutable snapshot dir — a concurrent commit can't tear a running query;
@@ -68,16 +75,64 @@ class VersionedTable:
         return f"_manifest.{version:08d}.json"
 
     # -- public API -------------------------------------------------------
-    def commit(self, df: DataFrame) -> int:
-        """Write `df` as the next snapshot and atomically publish it by
-        creating that version's manifest file. Returns the version."""
-        v = self.current_version() + 1
-        df.write.mode("overwrite").parquet(self._vdir(v))
-        manifest = {"version": v, "dir": f"_v{v:08d}"}
-        self._cat.upload_bytes(self._manifest_name(v), json.dumps(manifest).encode())
-        return v
+    def _data_dir_name(self, v: int, writer_id: str | None) -> str:
+        # Concurrent writers racing toward the same version MUST land
+        # their data in DISJOINT dirs, else the loser's pre-commit write
+        # clobbers the winner's published data. writer_id disambiguates
+        # (Spark's taskAttemptId / app attempt id is the natural value);
+        # the default keeps the single-writer layout byte-identical.
+        return f"_v{v:08d}" if writer_id is None else f"_v{v:08d}_{writer_id}"
 
-    def append_commit(self, df: DataFrame) -> int:
+    def _attempt_commit(
+        self,
+        df: DataFrame,
+        v: int,
+        writer_id: str | None,
+        prior: list[str] | None,
+    ) -> bool:
+        """One optimistic-concurrency attempt at version ``v``: write the
+        data dir, then try to CREATE (never overwrite) the manifest.
+        Manifest creation is the commit point — create-if-absent at the
+        storage layer (lake.py ``create_bytes_atomic``), so of any number
+        of racing writers EXACTLY ONE wins version ``v``; losers get
+        False, their data dir becomes an unreferenced orphan that
+        ``vacuum_orphans`` reclaims, and the winner's bytes are never
+        touched. This is the Delta/Iceberg optimistic-commit protocol
+        expressed over a plain filesystem."""
+        d = self._data_dir_name(v, writer_id)
+        df.write.mode("overwrite").parquet(self._resolve(d))
+        # prior=None -> snapshot manifest ("dir"); prior=list (possibly
+        # empty) -> cumulative append manifest ("dirs"), matching the
+        # pre-r9 on-disk formats byte-for-byte in the single-writer case.
+        manifest: dict = {"version": v}
+        if prior is None:
+            manifest["dir"] = d
+        else:
+            manifest["dirs"] = prior + [d]
+        return self._cat.create_bytes_atomic(
+            self._manifest_name(v), json.dumps(manifest).encode()
+        )
+
+    def commit(
+        self, df: DataFrame, writer_id: str | None = None, max_attempts: int = 5
+    ) -> int:
+        """Write `df` as the next snapshot and atomically publish it by
+        creating that version's manifest file (create-if-absent — the
+        commit point). On a lost race the writer re-resolves the table
+        and retries at the next version; after ``max_attempts`` losses it
+        fails loud rather than spin. Returns the committed version."""
+        for _ in range(max_attempts):
+            v = self.current_version() + 1
+            if self._attempt_commit(df, v, writer_id, prior=None):
+                return v
+        raise RuntimeError(
+            f"commit lost {max_attempts} consecutive version races under "
+            f"{self.root}; retry with backoff or reduce writer contention"
+        )
+
+    def append_commit(
+        self, df: DataFrame, writer_id: str | None = None, max_attempts: int = 5
+    ) -> int:
         """APPEND `df` as a new version WITHOUT rewriting prior data: the
         delta lands in its own directory and the new manifest lists the
         cumulative directory set (prior version's dirs + the new one).
@@ -85,14 +140,20 @@ class VersionedTable:
         and the manifest DELTA between two versions identifies exactly
         which files are new, which is what makes `read_changes` a
         metadata-only operation. Full `commit` / `optimize` still publish
-        single-dir snapshots (a compaction naturally resets the chain)."""
-        vs = self.versions()
-        prior = self._manifest_dirs(vs[-1]) if vs else []
-        v = (vs[-1] if vs else 0) + 1
-        df.write.mode("overwrite").parquet(self._vdir(v))
-        manifest = {"version": v, "dirs": prior + [f"_v{v:08d}"]}
-        self._cat.upload_bytes(self._manifest_name(v), json.dumps(manifest).encode())
-        return v
+        single-dir snapshots (a compaction naturally resets the chain).
+        Same optimistic-concurrency commit point as ``commit``; the prior
+        dir set is re-resolved on every retry, so a loser's retry appends
+        onto the WINNER's cumulative set, never its own stale view."""
+        for _ in range(max_attempts):
+            vs = self.versions()
+            prior = self._manifest_dirs(vs[-1]) if vs else []
+            v = (vs[-1] if vs else 0) + 1
+            if self._attempt_commit(df, v, writer_id, prior=prior):
+                return v
+        raise RuntimeError(
+            f"append_commit lost {max_attempts} consecutive version races "
+            f"under {self.root}"
+        )
 
     def _manifest_dirs(self, version: int) -> list[str]:
         m = json.loads(self._cat.read_bytes(self._manifest_name(version)).decode())
@@ -139,10 +200,14 @@ class VersionedTable:
         clones, documented not hidden)."""
         src_v = src.current_version() if version is None else version
         dirs = [src._resolve(d) for d in src._manifest_dirs(src_v)]
-        v = self.current_version() + 1
-        manifest = {"version": v, "dirs": dirs, "cloned_from": src.root}
-        self._cat.upload_bytes(self._manifest_name(v), json.dumps(manifest).encode())
-        return v
+        for _ in range(5):  # same optimistic commit point as commit()
+            v = self.current_version() + 1
+            manifest = {"version": v, "dirs": dirs, "cloned_from": src.root}
+            if self._cat.create_bytes_atomic(
+                self._manifest_name(v), json.dumps(manifest).encode()
+            ):
+                return v
+        raise RuntimeError(f"clone_from lost 5 version races under {self.root}")
 
     def read_changes(self, since: int, to: int | None = None) -> DataFrame:
         """Rows added between version `since` (exclusive) and `to`
@@ -175,14 +240,16 @@ class VersionedTable:
         drop = vs[:-keep_last] if keep_last > 0 else list(vs)
         dropped = set(drop)
         live: set[str] = set()
+        drop_dirs: set[str] = set()
         for v in vs:
-            if v not in dropped:
-                live.update(self._manifest_dirs(v))
+            # dir names come from the manifests themselves (not a
+            # reconstructed _v{v} pattern) so writer_id-tagged dirs from
+            # multi-writer commits expire correctly too.
+            (live if v not in dropped else drop_dirs).update(self._manifest_dirs(v))
         for v in drop:
             self._cat.delete_path(self._manifest_name(v))
-        for v in drop:
-            d = f"_v{v:08d}"
-            if d not in live:
+        for d in sorted(drop_dirs - live):
+            if not d.startswith("/"):  # never reach into a clone's source table
                 self._cat.delete_path(d, recursive=True)
         return drop
 

@@ -29,6 +29,24 @@ grammar revision, plus a 3000-seed soak (seeds 1200-4199) on the final
 14-template grammar — all match; CI pins the first 200 as the
 per-session gate, plus a mutation self-test proving the gate can
 actually fail.
+
+Round 9 (r8 verdict #6 + both r8 ADVICE items) grew the grammar to 19
+templates, aimed at the classes the decade-up oracle sweeps caught
+live: window FRAME specs (frame_spec — bounded ROWS over unique keys,
+RANGE value-frames tie-stable over non-unique orderings, rule R18),
+int64-adjacent DECIMAL(38,0) cents arithmetic (overflow_arith — the
+g58/g51 class, digit-exact STRING rendering, R17), timestamp/interval/
+timezone expressions (ts_arith — the f57 class, R13-R16, every spelling
+pair verified live before encoding), INTERSECT/EXCEPT [ALL] with
+NULLIF-planted NULL rows in both branches (setop_null), and the
+R12-asymmetry keeper (rollup_empty — intentionally-empty super-
+aggregate, UNfenced, DuckDB side EXCEPT-ALLs the expected grand-total
+row so the known Spark-vs-standard divergence itself stays under
+randomized test instead of only the pinned G67 pair). join3_agg's LEFT
+second hop now null-extends for real (extra ON-clause predicate on t3;
+t3 keys/aggs allowed — NULL is one group in both engines). Round-9 dev
+sweep: 1200 seeds at sf0.001 + 200 at sf0.01 on the 19-template grammar
++ 40 forced instances per new template — all match.
 """
 
 from __future__ import annotations

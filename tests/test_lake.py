@@ -221,3 +221,58 @@ def test_lake_listing_datasource(spark, tmp_path):
         .select(F.spark_partition_id().alias("p")).distinct().count()
     )
     assert n_parts == 3  # subtrees a, b + root-direct entries
+
+
+def test_commit_race_exactly_one_winner(spark):
+    """Multi-writer commit race (r8 verdict #7): two writers observe the
+    same current version and both attempt to commit N+1. The manifest
+    create-if-absent is the commit point, so EXACTLY ONE wins; the loser
+    detects the race (False from the attempt / retry inside commit()),
+    lands at N+2 with the winner's data untouched, and its abandoned
+    first-attempt data dir is an unreferenced orphan that vacuum_orphans
+    reclaims. Extends ST15's crash test and S30's orphan sweep from
+    crash-failure to concurrency-failure."""
+    from pydatalake_gen2_spark.sources.versioned import VersionedTable
+
+    root = tempfile.mkdtemp(prefix="vt_race_")
+    writer_a = VersionedTable(spark, f"file://{root}")
+    writer_b = VersionedTable(spark, f"file://{root}")
+    base = spark.range(10).withColumnRenamed("id", "k")
+    assert writer_a.commit(base) == 1
+
+    # Interleave the protocol steps: both writers resolve v=2, both write
+    # their (disjoint, writer-tagged) data dirs, then attempt the manifest.
+    df_a = spark.range(100).withColumnRenamed("id", "k")
+    df_b = spark.range(7).withColumnRenamed("id", "k")
+    v = writer_a.current_version() + 1
+    assert v == writer_b.current_version() + 1 == 2
+    won_a = writer_a._attempt_commit(df_a, v, "wa", prior=None)
+    won_b = writer_b._attempt_commit(df_b, v, "wb", prior=None)
+    assert won_a and not won_b  # exactly one manifest wins
+
+    # The winner's published snapshot is intact (the loser never touched it).
+    assert writer_b.read(2).count() == 100
+    # The loser's public-API retry lands at version 3 with its own data.
+    assert writer_b.commit(df_b, writer_id="wb") == 3
+    assert writer_a.read().count() == 7
+    assert writer_a.read(2).count() == 100  # history intact
+
+    # The loser's abandoned first-attempt dir is an orphan; vacuum reclaims
+    # it and only it (committed dirs are all referenced).
+    orphans = writer_a.vacuum_orphans(min_age_s=0)
+    assert orphans == ["_v00000002_wb"]
+    assert writer_a.read(2).count() == 100 and writer_a.read(3).count() == 7
+
+    # A same-version re-attempt after the race is still refused (the
+    # commit point never overwrites), and the bounded retry fails loud
+    # when every attempt is pre-empted.
+    assert not writer_b._attempt_commit(df_b, 2, "wb2", prior=None)
+    writer_a.vacuum_orphans(min_age_s=0)
+
+    # expire() with writer-tagged dirs: drops v1/v2, keeps the newest,
+    # deleting exactly the manifest-listed dirs (including tagged names).
+    dropped = writer_a.expire(keep_last=1)
+    assert dropped == [1, 2]
+    assert writer_a.read().count() == 7
+    with pytest.raises(ValueError):
+        writer_a.read(2)

@@ -390,13 +390,22 @@ def test_simhash_band_cap_composition(spark, sf_dir):
     d = spark.table("documents").filter("doc_id < 120")
     full = {
         (r.id_a, r.id_b, r.hamming)
-        for r in dedup.simhash_neardup_pairs(d, r=4).collect()
+        for r in dedup.simhash_neardup_pairs(d, r=4, exact_recall=True).collect()
     }
     uncapped_via_cap = {
         (r.id_a, r.id_b, r.hamming)
         for r in dedup.simhash_neardup_pairs(d, r=4, band_max_df=10**9).collect()
     }
     assert uncapped_via_cap == full
+    # r9: the scale-safe cap is now the DEFAULT (band_max_df=1000); at
+    # sub-saturation corpus sizes it must be output-identical to the
+    # exact_recall contract — that identity is what lets the registered
+    # pairs opt out without a hash change.
+    default_form = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.simhash_neardup_pairs(d, r=4).collect()
+    }
+    assert default_form == full
     capped = {
         (r.id_a, r.id_b, r.hamming)
         for r in dedup.simhash_neardup_pairs(d, r=4, band_max_df=5).collect()
