@@ -189,6 +189,66 @@ sql_pair(
     """,
 )
 
+# Ordered string aggregation (r9): Spark 4.0's ANSI `listagg(x, sep)
+# WITHIN GROUP (ORDER BY ...)` == DuckDB's `string_agg(x, sep ORDER BY
+# ...)`. The ORDER BY key is the table's verified-unique o_orderkey
+# (fuzz rule R11: a non-unique order would make the concatenation
+# engine-dependent). Scale: an ordered aggregate cannot partial-combine
+# freely — Spark sorts within each group post-shuffle, so the cost is
+# one groupBy shuffle + per-group sort, same envelope as F58's ordered
+# collect_list; output strings stay bounded because the group keys
+# (status) are low-cardinality and the payload is a short code.
+sql_pair(
+    "g70_listagg_within_group",
+    """
+    SELECT o_orderstatus AS k,
+           listagg(o_orderpriority, '|') WITHIN GROUP (ORDER BY o_orderkey)
+             AS prio_seq,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders WHERE o_orderkey <= 400
+    GROUP BY o_orderstatus
+    """,
+    duck_sql="""
+    SELECT o_orderstatus AS k,
+           string_agg(o_orderpriority, '|' ORDER BY o_orderkey) AS prio_seq,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders WHERE o_orderkey <= 400
+    GROUP BY o_orderstatus
+    """,
+)
+
+# Lateral column alias (Spark 3.4+): a SELECT-list alias is referencable
+# by LATER expressions in the same SELECT — the ad-hoc "stop repeating
+# the formula" surface. DuckDB supports the same reuse, but the oracle
+# spells the expression out so the pair certifies Spark's RESOLUTION
+# (x binds to the alias) against ground truth rather than two engines'
+# possibly-matching shortcuts. NOTE (documented, not tested here): when
+# an alias SHADOWS a real column, Spark resolves the REAL column first
+# — lateral aliases have lower precedence — so the pair uses fresh
+# names only; shadowing is a dialect trap, not a portable surface.
+sql_pair(
+    "p24_lateral_column_alias",
+    """
+    SELECT o_orderkey AS k,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+           cents % 97 AS bucket,
+           CASE WHEN bucket < 32 THEN 'lo' WHEN bucket < 65 THEN 'mid'
+                ELSE 'hi' END AS band
+    FROM orders
+    """,
+    duck_sql="""
+    SELECT o_orderkey AS k,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+           CAST(round(o_totalprice * 100) AS BIGINT) % 97 AS bucket,
+           CASE WHEN CAST(round(o_totalprice * 100) AS BIGINT) % 97 < 32
+                  THEN 'lo'
+                WHEN CAST(round(o_totalprice * 100) AS BIGINT) % 97 < 65
+                  THEN 'mid'
+                ELSE 'hi' END AS band
+    FROM orders
+    """,
+)
+
 # IGNORE NULLS placement differs: Spark `lag(x) IGNORE NULLS OVER …`,
 # DuckDB `lag(x IGNORE NULLS) OVER …`.
 sql_pair(

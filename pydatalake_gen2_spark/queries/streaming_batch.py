@@ -565,6 +565,33 @@ def st20_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stateful.run_transform_with_state(spark, sf_dir)
 
 
+@register(
+    "st20b_rocksdb_state_store",
+    duck_sql="""
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM events GROUP BY user_id
+    """,
+)
+def st20b_rocksdb_state_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST20b (r8 verdict #5): the SAME per-user arbitrary-state semantics
+    as ST20, executed under Spark 4's bundled RocksDB state-store
+    provider (spark.sql.streaming.stateStore.providerClass ->
+    RocksDBStateStoreProvider, rocksdbjni in the distribution) instead
+    of the default HDFS-backed heap map. At 100 TB of keyed state the
+    default provider IS the scale limit (state must fit in executor
+    memory); RocksDB keeps keyed state on local disk with incremental
+    checkpointing, so this pair hash-certifies that the provider swap is
+    OUTPUT-INVARIANT — the streaming sibling of S21's codec matrix. The
+    run fails loud if RocksDB did not actually engage (asserted via the
+    rocksdb* custom metrics in the query progress; see
+    streaming/stateful.py:run_transform_with_state)."""
+    from pydatalake_gen2_spark.streaming import stateful
+
+    return stateful.run_transform_with_state(spark, sf_dir, force_rocksdb=True)
+
+
 sql_pair(
     "st21_dynamic_session_batch",
     """

@@ -327,7 +327,9 @@ def transform_with_state_stats_fallback(src: DataFrame) -> DataFrame:
     )
 
 
-def run_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+def run_transform_with_state(
+    spark: SparkSession, sf_dir: str, force_rocksdb: bool = False
+) -> DataFrame:
     """Drive the per-user stats processor over the events replay; return
     the final cumulative row per user (monotone n → max row is the last
     emission). Uses the Spark 4 transformWithStateInPandas path when the
@@ -335,16 +337,30 @@ def run_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     applyInPandasWithState expression of the IDENTICAL semantics — which
     path ran is auditable via the query name in the Spark UI and the
     tests (test_streaming.py::test_st20 asserts the fallback ≡ batch; a
-    skipif-gated twin exercises the TWS path where protobuf exists)."""
+    skipif-gated twin exercises the TWS path where protobuf exists).
+
+    ``force_rocksdb=True`` (ST20b, r8 verdict #5) runs the stateful leg
+    under the RocksDB state-store provider Spark 4 bundles
+    (rocksdbjni) instead of the default HDFS-backed in-memory map. At
+    100 TB of keyed state the default provider is the scale limit —
+    state must fit in executor heap; RocksDB spills keyed state to
+    local SSD with incremental-checkpoint semantics, so certifying the
+    OUTPUT is provider-invariant is the streaming sibling of S21's
+    codec matrix. The run asserts RocksDB actually engaged (rocksdb*
+    custom metrics present in the final progress) so a silent fallback
+    to the default provider can never masquerade as certification."""
     src = replay.read_stream(spark, sf_dir)
-    use_tws = tws_available()
+    use_tws = tws_available() and not force_rocksdb
     build = transform_with_state_stats if use_tws else transform_with_state_stats_fallback
+    name = ("st20_tws" if use_tws
+            else "st20_rocksdb" if force_rocksdb else "st20_fallback")
     with contextlib.ExitStack() as stack:
-        if use_tws:
-            # TWS requires the RocksDB state store provider — scope it to
-            # this query and restore the session conf afterwards (same
-            # discipline as stream_shuffle_partitions; other stateful
-            # queries in the session keep their configured provider)
+        if use_tws or force_rocksdb:
+            # TWS requires the RocksDB state store provider (and ST20b
+            # opts in) — scope it to this query and restore the session
+            # conf afterwards (same discipline as
+            # stream_shuffle_partitions; other stateful queries in the
+            # session keep their configured provider)
             stack.enter_context(
                 rocksdb_state_store(spark)
             )
@@ -353,12 +369,24 @@ def run_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             build(src)
             .writeStream.outputMode("update")
             .format("memory")
-            .queryName("st20_tws" if use_tws else "st20_fallback")
+            .queryName(name)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
-    out = spark.table("st20_tws" if use_tws else "st20_fallback")
+        if force_rocksdb:
+            ops = (q.lastProgress or {}).get("stateOperators", [])
+            engaged = any(
+                k.startswith("rocksdb")
+                for op in ops
+                for k in op.get("customMetrics", {})
+            )
+            if not engaged:
+                raise RuntimeError(
+                    "ST20b: RocksDB state store did not engage — no "
+                    "rocksdb* custom metrics in the query progress"
+                )
+    out = spark.table(name)
     # last emission per user = the max-n row (n is monotone per user)
     return out.groupBy("user_id").agg(
         F.max("n").alias("n"),

@@ -1,7 +1,7 @@
 """Seeded differential fuzzing: random relational expressions executed on
 Spark AND DuckDB must canon-match exactly (r7 verdict #3).
 
-The registry's 553 fixed pairs prove the declared surface; these seeds walk
+The registry's 556 fixed pairs prove the declared surface; these seeds walk
 the UNdeclared dialect / type-coercion space (NULL three-valued logic
 through ||, CASE with implicit NULL branches, greatest/least NULL
 skipping, DISTINCT over computed columns, HAVING, scalar and correlated
