@@ -769,3 +769,24 @@ def test_f61_outer_explode_is_generate_outer_no_join(spark, sf_dir):
     # "Arguments: explode(toks#N), [doc_id#M], true, [tok#K]"
     assert re.search(r"explode\(toks#\d+\), \[doc_id#\d+L?\], true,", plan), plan
     assert "Join" not in plan, plan
+
+
+def test_simhash_capped_default_is_equi_with_antijoin(spark, sf_dir):
+    """r9: the DEFAULT simhash_neardup_pairs form is now the band-capped
+    one (band_max_df=1000 — the 100 TB-safe behavior a naive caller
+    gets). Its plan must still be a hash-keyed equi-join on (band, val)
+    — never cartesian/BNLJ — with the hot-bucket suppression reaching
+    the executor as a BROADCAST anti-join (the hot list is tiny by
+    construction: it only holds buckets exceeding the cap)."""
+    from pydatalake_gen2_spark.operators import dedup
+    from pydatalake_gen2_spark.registry import ensure_views
+
+    ensure_views(spark, sf_dir)
+    df = dedup.simhash_neardup_pairs(spark.table("documents"), r=4)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "LeftAnti, BuildRight" in plan or "BroadcastHashJoin" in plan, plan
