@@ -131,6 +131,12 @@ BENCH_QUERIES = [
     "l31_semdedup",
     "lx_lsh_topk",
     "st01_tumbling_stream",
+    # round-13 widening: the ANSI ordered string aggregation (G70).
+    # st20b (RocksDB live stateful run) is deliberately NOT benched: a
+    # fresh RocksDB instance + full replay per timed run costs ~20 s of
+    # pure setup at sf0.1 and would swamp the suite with constant, not
+    # plan, cost — its certification lives in the registry + ladder.
+    "g70_listagg_within_group",
 ]
 
 N_RUNS = 3
