@@ -160,20 +160,27 @@ def main() -> None:
     spark = get_spark("bench")
 
     # Probe pass FIRST (fresh session, before any suite caching effects).
+    # Only meaningful at sf0.1 — the pins are sf0.1 medians; at any other
+    # scale the ratio would mix data size with contention and mislead, so
+    # the probe is skipped entirely (no ratio is better than a wrong one).
     probe: dict[str, float] = {}
-    for name, _pin in PROBE_PINS.items():
-        fn = reg[name].spark_fn
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm-up
-        runs = []
-        for _ in range(PROBE_RUNS):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
-        probe[name] = round(statistics.median(runs), 3)
-    # Geometric mean of the per-probe ratios: symmetric in over/under, and
-    # one noisy probe can't dominate the way an arithmetic mean would.
-    ratios = [probe[n] / pin for n, pin in PROBE_PINS.items()]
-    probe_ratio = round(math.exp(sum(math.log(r) for r in ratios) / len(ratios)), 3)
+    probe_ratio = None
+    if sf == "0.1":
+        for name, _pin in PROBE_PINS.items():
+            fn = reg[name].spark_fn
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm-up
+            runs = []
+            for _ in range(PROBE_RUNS):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+            probe[name] = round(statistics.median(runs), 3)
+        # Geometric mean of the per-probe ratios: symmetric in over/under,
+        # and one noisy probe can't dominate like an arithmetic mean would.
+        ratios = [probe[n] / pin for n, pin in PROBE_PINS.items()]
+        probe_ratio = round(
+            math.exp(sum(math.log(r) for r in ratios) / len(ratios)), 3
+        )
 
     timings: dict[str, float] = {}
     for name in names:
@@ -202,24 +209,25 @@ def main() -> None:
                 # faster-than-pin host normalizes UP), so it is an honest
                 # estimate of what an at-pin host would record, not a
                 # best-of.
-                "probe": {
-                    "u01_sec": probe["u01_union_all"],
-                    "s01_sec": probe["s01_parquet_scan"],
-                    "u01_pin": PROBE_PINS["u01_union_all"],
-                    "s01_pin": PROBE_PINS["s01_parquet_scan"],
-                    "pin_sf": 0.1,  # pins are sf0.1 medians (BASELINE.md)
-                    "probe_ratio_vs_pin": probe_ratio,
-                },
-                # normalized total only where the pins apply (sf0.1 runs —
-                # the driver protocol); at other sf the ratio mixes scale
-                # with contention and would mislead.
+                "probe": (
+                    {
+                        "u01_sec": probe["u01_union_all"],
+                        "s01_sec": probe["s01_parquet_scan"],
+                        "u01_pin": PROBE_PINS["u01_union_all"],
+                        "s01_pin": PROBE_PINS["s01_parquet_scan"],
+                        "pin_sf": 0.1,  # pins are sf0.1 medians (BASELINE.md)
+                        "probe_ratio_vs_pin": probe_ratio,
+                    }
+                    if probe_ratio is not None
+                    else None
+                ),
                 "baseline15_total_probe_normalized": (
                     round(
                         sum(t for n, t in timings.items() if n in BASELINE15)
                         / probe_ratio,
                         3,
                     )
-                    if sf == "0.1"
+                    if probe_ratio is not None
                     else None
                 ),
                 "unit": "sec",

@@ -92,10 +92,10 @@ def a00_lake_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ALIASES: dict[str, str] = {
     # joins
     # r9 rotation (r8 verdict #2): j01 holds green driver rows r3-r8 and
-    # the join family keeps FIVE other window reps (a05/a07->moved, a08,
-    # a18, a31 — see below); the slot goes to F61 explode_outer (r8's
-    # plan-gated single-Generate NULL-preserving explode), which held no
-    # driver row.
+    # the join family keeps FOUR other window reps (a05, a08, a18, a31;
+    # a07 moves to s44 this same round — see below); the slot goes to F61
+    # explode_outer (r8's plan-gated single-Generate NULL-preserving
+    # explode), which held no driver row.
     "a01_f61_explode_outer": "f61_explode_outer",
     # r7 rotation: j02 holds green driver rows r1-r6 and the join family
     # keeps SIX other window reps (a01/a05/a07/a08/a18/a31); the slot goes

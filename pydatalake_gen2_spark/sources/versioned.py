@@ -15,18 +15,24 @@ commit files, not a mutable pointer):
        readers — nothing references the dir yet),
     2. CREATE _manifest.{N+1}.json — create-if-absent, never overwrite
        (lake.py ``create_bytes_atomic``; ABFS conditional PUT / HDFS
-       atomic namespace create). File creation is the commit point: a
-       manifest is either fully present or absent, so readers — who
-       resolve the table by listing manifests and taking the highest
-       version — see either the old table or the new one, never a torn
-       state. Two writers racing toward the same N+1 therefore resolve
-       by optimistic concurrency: EXACTLY ONE create succeeds; the loser
-       detects the existing manifest, re-resolves the version, and
-       retries (bounded, then fails loud). Concurrent writers pass a
-       ``writer_id`` so their pre-commit data dirs are disjoint
-       (_v{N+1}_{writer}); a loser's abandoned dir is unreferenced by
-       construction and ``vacuum_orphans`` reclaims it. Proven by
-       tests/test_lake.py::test_commit_race_exactly_one_winner.
+       atomic namespace create). A manifest that PARSES is the commit
+       point: readers resolve the table by listing manifests, skipping
+       any that don't parse (a manifest mid-write or truncated by a
+       crash), and taking the highest version — so they see either the
+       old table or the new one, never a torn state.
+
+    Concurrent writers are serialized by a CLAIM-FIRST protocol
+    (_attempt_commit): version N+1 is claimed by atomically creating
+    ``_claim.{N+1}.inflight`` BEFORE any data is written, so of any
+    number of racing writers exactly one proceeds; losers detect the
+    claim and retry at the re-resolved next version HAVING WRITTEN
+    NOTHING — a lost race can never clobber the winner's data dir nor
+    waste a Spark write. Claims are invisible to readers (they don't
+    match the manifest pattern); a crashed writer's stale claim makes
+    later commits fail LOUD (never corrupt) and ``vacuum_orphans``
+    reclaims it, along with any orphan data dir or unparseable manifest
+    the crash left. Proven by
+    tests/test_lake.py::test_commit_race_exactly_one_winner.
 
 Reader: `read(version=None)` resolves the newest manifest, then scans ONE
 immutable snapshot dir — a concurrent commit can't tear a running query;
@@ -57,11 +63,21 @@ class VersionedTable:
 
     # -- manifest log -----------------------------------------------------
     def versions(self) -> list[int]:
+        """Committed versions = manifests that PARSE. A manifest mid-write
+        (the create→write→close window of the publishing writer, who holds
+        the version's claim file throughout) or truncated by a crash is
+        skipped — readers see the previous table state, never a torn one;
+        a crashed writer's remnant is reclaimed by vacuum_orphans."""
         out = []
         for p in self._cat.list_paths(""):
             m = _MANIFEST_RE.match(p.name)
-            if m:
-                out.append(int(m.group(1)))
+            if not m:
+                continue
+            try:
+                json.loads(self._cat.read_bytes(p.name).decode())
+            except Exception:  # noqa: BLE001 — any parse failure = in-flight
+                continue
+            out.append(int(m.group(1)))
         return sorted(out)
 
     def current_version(self) -> int:
@@ -74,65 +90,95 @@ class VersionedTable:
     def _manifest_name(self, version: int) -> str:
         return f"_manifest.{version:08d}.json"
 
+    def _claim_name(self, version: int) -> str:
+        # never matches _MANIFEST_RE: claims are invisible to readers
+        return f"_claim.{version:08d}.inflight"
+
     # -- public API -------------------------------------------------------
-    def _data_dir_name(self, v: int, writer_id: str | None) -> str:
-        # Concurrent writers racing toward the same version MUST land
-        # their data in DISJOINT dirs, else the loser's pre-commit write
-        # clobbers the winner's published data. writer_id disambiguates
-        # (Spark's taskAttemptId / app attempt id is the natural value);
-        # the default keeps the single-writer layout byte-identical.
-        return f"_v{v:08d}" if writer_id is None else f"_v{v:08d}_{writer_id}"
+    def _attempt_commit(self, df: DataFrame, v: int, append: bool) -> bool:
+        """One CLAIM-FIRST optimistic-concurrency attempt at version ``v``
+        (the Delta/Iceberg commit protocol over a plain filesystem, with
+        the claim playing the transaction-log slot):
 
-    def _attempt_commit(
-        self,
-        df: DataFrame,
-        v: int,
-        writer_id: str | None,
-        prior: list[str] | None,
-    ) -> bool:
-        """One optimistic-concurrency attempt at version ``v``: write the
-        data dir, then try to CREATE (never overwrite) the manifest.
-        Manifest creation is the commit point — create-if-absent at the
-        storage layer (lake.py ``create_bytes_atomic``), so of any number
-        of racing writers EXACTLY ONE wins version ``v``; losers get
-        False, their data dir becomes an unreferenced orphan that
-        ``vacuum_orphans`` reclaims, and the winner's bytes are never
-        touched. This is the Delta/Iceberg optimistic-commit protocol
-        expressed over a plain filesystem."""
-        d = self._data_dir_name(v, writer_id)
-        df.write.mode("overwrite").parquet(self._resolve(d))
-        # prior=None -> snapshot manifest ("dir"); prior=list (possibly
-        # empty) -> cumulative append manifest ("dirs"), matching the
-        # pre-r9 on-disk formats byte-for-byte in the single-writer case.
-        manifest: dict = {"version": v}
-        if prior is None:
-            manifest["dir"] = d
-        else:
-            manifest["dirs"] = prior + [d]
-        return self._cat.create_bytes_atomic(
-            self._manifest_name(v), json.dumps(manifest).encode()
-        )
+        1. atomically CREATE the claim file ``_claim.{v}.inflight``
+           (lake.py ``create_bytes_atomic`` — conditional PUT on ABFS,
+           atomic namespace create on HDFS). Of any number of racing
+           writers EXACTLY ONE holds the claim; losers return False
+           HAVING WRITTEN NOTHING — no clobbered data dirs, no wasted
+           Spark jobs, no orphans from a lost race.
+        2. the claim holder writes the data dir ``_v{v}`` — exclusive by
+           step 1, so the single-writer layout needs no writer tags.
+        3. CREATE the real manifest (readers resolve only manifests, and
+           ``versions()`` skips any that don't parse, so the manifest's
+           own create→write→close window is invisible).
+        4. delete the claim.
 
-    def commit(
-        self, df: DataFrame, writer_id: str | None = None, max_attempts: int = 5
-    ) -> int:
-        """Write `df` as the next snapshot and atomically publish it by
-        creating that version's manifest file (create-if-absent — the
-        commit point). On a lost race the writer re-resolves the table
-        and retries at the next version; after ``max_attempts`` losses it
-        fails loud rather than spin. Returns the committed version."""
+        Crash accounting: die after 1 → stale claim (vacuum reclaims it;
+        writers meanwhile fail LOUD, not corrupt); after 2 → stale claim
+        + orphan dir (vacuum); after 3-pre-close → + unparseable
+        manifest (vacuum); after 3 → the commit IS durable, only the
+        claim lingers (vacuum). Nothing in any window can damage a
+        published version."""
+        if not self._cat.create_bytes_atomic(
+            self._claim_name(v), json.dumps({"version": v}).encode()
+        ):
+            return False  # lost the race before touching any data
+        try:
+            # Re-verify UNDER the claim: a winner may have published v and
+            # released its claim while this writer was still resolving the
+            # table (the claim file only serializes writers from claim
+            # acquisition on). The stale-view case releases and retries.
+            vs = self.versions()
+            if (vs[-1] if vs else 0) != v - 1:
+                self._cat.delete_path(self._claim_name(v))
+                return False
+            # prior dirs are resolved HERE, under the claim, so an append
+            # always extends the winner's cumulative set, never a stale one
+            prior = self._manifest_dirs(vs[-1]) if (append and vs) else None
+            d = f"_v{v:08d}"
+            df.write.mode("overwrite").parquet(self._resolve(d))
+            manifest: dict = {"version": v}
+            if append:
+                manifest["dirs"] = (prior or []) + [d]
+            else:
+                manifest["dir"] = d
+            if not self._cat.create_bytes_atomic(
+                self._manifest_name(v), json.dumps(manifest).encode()
+            ):
+                # unreachable while the claim protocol is respected: a real
+                # manifest for v cannot appear while this writer holds the
+                # claim. Fail loud; never overwrite.
+                raise RuntimeError(
+                    f"manifest {self._manifest_name(v)} exists under a live "
+                    f"claim at {self.root} — state corrupted outside the "
+                    f"commit protocol; inspect before retrying"
+                )
+        except Exception:
+            # transient failure (e.g. the Spark write): release the claim
+            # so a retry or another writer can proceed, then surface it
+            self._cat.delete_path(self._claim_name(v))
+            raise
+        self._cat.delete_path(self._claim_name(v))
+        return True
+
+    def commit(self, df: DataFrame, max_attempts: int = 5) -> int:
+        """Write `df` as the next snapshot and atomically publish it via
+        the claim-first protocol (see ``_attempt_commit``). On a lost
+        race the writer re-resolves the table and retries at the next
+        version; after ``max_attempts`` losses it fails loud rather than
+        spin (a STALE claim from a crashed writer also lands here — run
+        ``vacuum_orphans`` to reclaim it). Returns the version."""
         for _ in range(max_attempts):
             v = self.current_version() + 1
-            if self._attempt_commit(df, v, writer_id, prior=None):
+            if self._attempt_commit(df, v, append=False):
                 return v
         raise RuntimeError(
             f"commit lost {max_attempts} consecutive version races under "
-            f"{self.root}; retry with backoff or reduce writer contention"
+            f"{self.root}; if no other writer is live this is a crashed "
+            f"writer's stale claim — vacuum_orphans() reclaims it"
         )
 
-    def append_commit(
-        self, df: DataFrame, writer_id: str | None = None, max_attempts: int = 5
-    ) -> int:
+    def append_commit(self, df: DataFrame, max_attempts: int = 5) -> int:
         """APPEND `df` as a new version WITHOUT rewriting prior data: the
         delta lands in its own directory and the new manifest lists the
         cumulative directory set (prior version's dirs + the new one).
@@ -141,28 +187,34 @@ class VersionedTable:
         which files are new, which is what makes `read_changes` a
         metadata-only operation. Full `commit` / `optimize` still publish
         single-dir snapshots (a compaction naturally resets the chain).
-        Same optimistic-concurrency commit point as ``commit``; the prior
-        dir set is re-resolved on every retry, so a loser's retry appends
-        onto the WINNER's cumulative set, never its own stale view."""
+        Same claim-first commit point as ``commit``; the prior dir set is
+        re-resolved AFTER each claim acquisition, so a loser's retry
+        appends onto the WINNER's cumulative set, never its stale view."""
         for _ in range(max_attempts):
-            vs = self.versions()
-            prior = self._manifest_dirs(vs[-1]) if vs else []
-            v = (vs[-1] if vs else 0) + 1
-            if self._attempt_commit(df, v, writer_id, prior=prior):
+            v = self.current_version() + 1
+            if self._attempt_commit(df, v, append=True):
                 return v
         raise RuntimeError(
             f"append_commit lost {max_attempts} consecutive version races "
-            f"under {self.root}"
+            f"under {self.root}; if no other writer is live this is a "
+            f"crashed writer's stale claim — vacuum_orphans() reclaims it"
         )
 
     def _manifest_dirs(self, version: int) -> list[str]:
         m = json.loads(self._cat.read_bytes(self._manifest_name(version)).decode())
         return m["dirs"] if "dirs" in m else [m["dir"]]
 
+    @staticmethod
+    def _is_external(d: str) -> bool:
+        # A shallow-clone manifest references the SOURCE table's dirs
+        # absolutely — either a bare absolute path or a full URI
+        # (file://…, abfss://…, hdfs://…). Everything else is
+        # table-root-relative. The URI case matters: "file://x" does NOT
+        # start with "/" and a bare startswith("/") test would mangle it.
+        return d.startswith("/") or "://" in d
+
     def _resolve(self, d: str) -> str:
-        # Manifest dirs are table-root-relative, except shallow-clone
-        # entries which reference the SOURCE table's dirs absolutely.
-        return d if d.startswith("/") else f"{self.root}/{d}"
+        return d if self._is_external(d) else f"{self.root}/{d}"
 
     def read(
         self, version: int | None = None, merge_schema: bool = False
@@ -200,14 +252,31 @@ class VersionedTable:
         clones, documented not hidden)."""
         src_v = src.current_version() if version is None else version
         dirs = [src._resolve(d) for d in src._manifest_dirs(src_v)]
-        for _ in range(5):  # same optimistic commit point as commit()
+        for _ in range(5):  # same claim-first commit point as commit()
             v = self.current_version() + 1
-            manifest = {"version": v, "dirs": dirs, "cloned_from": src.root}
-            if self._cat.create_bytes_atomic(
-                self._manifest_name(v), json.dumps(manifest).encode()
+            if not self._cat.create_bytes_atomic(
+                self._claim_name(v), json.dumps({"version": v}).encode()
             ):
+                continue
+            try:
+                vs = self.versions()
+                if (vs[-1] if vs else 0) != v - 1:
+                    continue  # stale view — claim released in finally
+                manifest = {"version": v, "dirs": dirs, "cloned_from": src.root}
+                if not self._cat.create_bytes_atomic(
+                    self._manifest_name(v), json.dumps(manifest).encode()
+                ):
+                    raise RuntimeError(
+                        f"manifest {self._manifest_name(v)} exists under a "
+                        f"live claim at {self.root} — state corrupted"
+                    )
                 return v
-        raise RuntimeError(f"clone_from lost 5 version races under {self.root}")
+            finally:
+                self._cat.delete_path(self._claim_name(v))
+        raise RuntimeError(
+            f"clone_from lost 5 version races under {self.root}; if no "
+            f"other writer is live, vacuum_orphans() reclaims a stale claim"
+        )
 
     def read_changes(self, since: int, to: int | None = None) -> DataFrame:
         """Rows added between version `since` (exclusive) and `to`
@@ -249,7 +318,7 @@ class VersionedTable:
         for v in drop:
             self._cat.delete_path(self._manifest_name(v))
         for d in sorted(drop_dirs - live):
-            if not d.startswith("/"):  # never reach into a clone's source table
+            if not self._is_external(d):  # never reach into a clone's source
                 self._cat.delete_path(d, recursive=True)
         return drop
 
@@ -280,8 +349,17 @@ class VersionedTable:
         for p in entries:
             m = _MANIFEST_RE.match(p.name)
             if m:
+                try:
+                    ref = json.loads(self._cat.read_bytes(p.name).decode())
+                except Exception:  # noqa: BLE001 — crashed mid-manifest-write
+                    # an unparseable manifest is NOT live: readers already
+                    # skip it (versions() parse-filters), and the age gate
+                    # below keeps a manifest mid-write (its writer holds
+                    # the claim, and it's seconds old) out of reach — so
+                    # vacuum HEALS the crashed-writer remnant instead of
+                    # letting it brick the version slot forever
+                    continue
                 live.add(p.name)
-                ref = json.loads(self._cat.read_bytes(p.name).decode())
                 live.update(ref["dirs"] if "dirs" in ref else [ref["dir"]])
         cutoff_ms = (time.time() - min_age_s) * 1000.0
         orphans = sorted(

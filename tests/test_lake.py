@@ -224,14 +224,18 @@ def test_lake_listing_datasource(spark, tmp_path):
 
 
 def test_commit_race_exactly_one_winner(spark):
-    """Multi-writer commit race (r8 verdict #7): two writers observe the
-    same current version and both attempt to commit N+1. The manifest
-    create-if-absent is the commit point, so EXACTLY ONE wins; the loser
-    detects the race (False from the attempt / retry inside commit()),
-    lands at N+2 with the winner's data untouched, and its abandoned
-    first-attempt data dir is an unreferenced orphan that vacuum_orphans
-    reclaims. Extends ST15's crash test and S30's orphan sweep from
-    crash-failure to concurrency-failure."""
+    """Multi-writer commit race (r8 verdict #7), claim-first protocol:
+    two writers observe the same current version and both attempt
+    version N+1. Claiming `_claim.{N+1}.inflight` (atomic create) is
+    the arbitration point and happens BEFORE any data write, so exactly
+    one writer proceeds; the loser returns False having written
+    NOTHING (no clobber, no orphan, no wasted Spark job) and its public
+    retry lands at N+2. A crashed writer's stale claim makes commits
+    fail loud — never corrupt — and vacuum_orphans reclaims it, plus
+    any unparseable manifest remnant. Extends ST15's crash test and
+    S30's orphan sweep from crash-failure to concurrency-failure."""
+    import pytest as _pytest
+
     from pydatalake_gen2_spark.sources.versioned import VersionedTable
 
     root = tempfile.mkdtemp(prefix="vt_race_")
@@ -240,39 +244,48 @@ def test_commit_race_exactly_one_winner(spark):
     base = spark.range(10).withColumnRenamed("id", "k")
     assert writer_a.commit(base) == 1
 
-    # Interleave the protocol steps: both writers resolve v=2, both write
-    # their (disjoint, writer-tagged) data dirs, then attempt the manifest.
+    # Interleave: both writers resolve v=2; A claims and publishes, B's
+    # attempt loses at the CLAIM and touches nothing.
     df_a = spark.range(100).withColumnRenamed("id", "k")
     df_b = spark.range(7).withColumnRenamed("id", "k")
     v = writer_a.current_version() + 1
     assert v == writer_b.current_version() + 1 == 2
-    won_a = writer_a._attempt_commit(df_a, v, "wa", prior=None)
-    won_b = writer_b._attempt_commit(df_b, v, "wb", prior=None)
-    assert won_a and not won_b  # exactly one manifest wins
-
-    # The winner's published snapshot is intact (the loser never touched it).
+    won_a = writer_a._attempt_commit(df_a, v, append=False)
+    won_b = writer_b._attempt_commit(df_b, v, append=False)
+    assert won_a and not won_b  # exactly one wins
+    # the loser never wrote: winner's snapshot intact, no orphans at all
     assert writer_b.read(2).count() == 100
-    # The loser's public-API retry lands at version 3 with its own data.
-    assert writer_b.commit(df_b, writer_id="wb") == 3
+    assert writer_a.vacuum_orphans(dry_run=True, min_age_s=0) == []
+
+    # loser's public-API retry lands at version 3 with its own data
+    assert writer_b.commit(df_b) == 3
     assert writer_a.read().count() == 7
     assert writer_a.read(2).count() == 100  # history intact
 
-    # The loser's abandoned first-attempt dir is an orphan; vacuum reclaims
-    # it and only it (committed dirs are all referenced).
+    # stale claim from a "crashed" writer: commits fail LOUD (bounded
+    # retries, clear message), never overwrite; vacuum reclaims the
+    # claim and the next commit proceeds at the same version slot.
+    assert writer_a._cat.create_bytes_atomic(
+        writer_a._claim_name(4), b"{}"
+    )
+    with _pytest.raises(RuntimeError, match="vacuum_orphans"):
+        writer_a.commit(df_a)
+    assert writer_a.vacuum_orphans(min_age_s=0) == ["_claim.00000004.inflight"]
+    assert writer_a.commit(df_a) == 4
+
+    # crashed mid-manifest-write: an unparseable manifest is invisible
+    # to readers (versions() skips it) and vacuum heals it
+    writer_a._cat.upload_bytes(writer_a._manifest_name(5), b"")
+    assert writer_a.versions() == [1, 2, 3, 4]
+    assert writer_a.read().count() == 100
     orphans = writer_a.vacuum_orphans(min_age_s=0)
-    assert orphans == ["_v00000002_wb"]
-    assert writer_a.read(2).count() == 100 and writer_a.read(3).count() == 7
+    assert orphans == ["_manifest.00000005.json"]
+    assert writer_a.commit(df_b) == 5
 
-    # A same-version re-attempt after the race is still refused (the
-    # commit point never overwrites), and the bounded retry fails loud
-    # when every attempt is pre-empted.
-    assert not writer_b._attempt_commit(df_b, 2, "wb2", prior=None)
-    writer_a.vacuum_orphans(min_age_s=0)
-
-    # expire() with writer-tagged dirs: drops v1/v2, keeps the newest,
-    # deleting exactly the manifest-listed dirs (including tagged names).
+    # expire() derives dirs from the manifests themselves and never
+    # touches a clone's source (external-path guard)
     dropped = writer_a.expire(keep_last=1)
-    assert dropped == [1, 2]
+    assert dropped == [1, 2, 3, 4]
     assert writer_a.read().count() == 7
     with pytest.raises(ValueError):
         writer_a.read(2)

@@ -789,4 +789,10 @@ def test_simhash_capped_default_is_equi_with_antijoin(spark, sf_dir):
     plan = df._jdf.queryExecution().explainString(mode)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoop" not in plan, plan
-    assert "LeftAnti, BuildRight" in plan or "BroadcastHashJoin" in plan, plan
+    # the hot-bucket suppression specifically must be a BROADCAST anti-
+    # join (a bare "BroadcastHashJoin in plan" would be satisfied by the
+    # main equi-join and let a SortMergeJoin LeftAnti regression ship)
+    import re as _re
+
+    anti = _re.search(r"BroadcastHashJoin[^\n]*LeftAnti", plan)
+    assert anti, plan
