@@ -45,8 +45,9 @@ row so the known Spark-vs-standard divergence itself stays under
 randomized test instead of only the pinned G67 pair). join3_agg's LEFT
 second hop now null-extends for real (extra ON-clause predicate on t3;
 t3 keys/aggs allowed — NULL is one group in both engines). Round-9 dev
-sweep: 1200 seeds at sf0.001 + 200 at sf0.01 on the 19-template grammar
-+ 40 forced instances per new template — all match.
+sweep: 1200 seeds at sf0.001 + 200 at sf0.01 + 150 at sf0.1 on the
+19-template grammar + 40 forced instances per new template + a
+3000-seed soak (seeds 1200-4199) — 4,790 programs, all match.
 """
 
 from __future__ import annotations
