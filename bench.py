@@ -1,9 +1,11 @@
 """Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
 Protocol (BASELINE.md §bench): local[$SPARK_GRAFT_CPUS], AQE on, UTC;
-1 warm-up run discarded, then median of N_RUNS per query; prints ONE JSON
-line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
-"sf": ...}.
+1 warm-up run discarded, then median of N_RUNS per query; prints ONE
+compact JSON headline line (last stdout line, < 1,500 chars so it fits the
+driver's 2,000-char tail capture — BENCH_r09 lesson) with the totals,
+contention probe, and the 15 BASELINE.md protocol timings; the complete
+per-query map is written to the BENCH_FULL.json sidecar.
 """
 
 from __future__ import annotations
@@ -152,6 +154,80 @@ PROBE_PINS = {"u01_union_all": 0.060, "s01_parquet_scan": 0.298}
 PROBE_RUNS = 5  # u01's pin is 60 ms; median-of-5 tightens the tiny-query noise
 
 
+def build_output(
+    timings: dict[str, float],
+    probe: dict[str, float],
+    probe_ratio: float | None,
+    sf: str,
+) -> tuple[dict, dict]:
+    """Build the (headline, full) output pair.
+
+    The driver captures only the LAST ~2,000 characters of stdout and
+    json-parses the final line (BENCH_r09 recorded parsed:null because the
+    single line with all 65 per-query timings outgrew that window — r9
+    verdict "what's wrong" #1). So the headline — the last printed line —
+    carries only the adjudication fields plus the 15 BASELINE.md protocol
+    timings (enough for the 2x gate AND the per-query probe story), and
+    the complete per-query map goes to the BENCH_FULL.json sidecar.
+    tests/test_bench_output.py pins len(headline_line) < 1500 with
+    100 fake queries' worth of probe data.
+    """
+    baseline15_total = round(
+        sum(t for n, t in timings.items() if n in BASELINE15), 3
+    )
+    probe_obj = (
+        {
+            "u01_sec": probe["u01_union_all"],
+            "s01_sec": probe["s01_parquet_scan"],
+            "u01_pin": PROBE_PINS["u01_union_all"],
+            "s01_pin": PROBE_PINS["s01_parquet_scan"],
+            "pin_sf": 0.1,  # pins are sf0.1 medians (BASELINE.md)
+            "probe_ratio_vs_pin": probe_ratio,
+        }
+        if probe_ratio is not None
+        else None
+    )
+    normalized = (
+        round(baseline15_total / probe_ratio, 3)
+        if probe_ratio is not None
+        else None
+    )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    headline = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "baseline15_total": baseline15_total,
+        # Machine-readable contention probe (protocol: BASELINE.md §probe).
+        # probe_ratio_vs_pin ~1.0 = host at round-1-pin speed; >1 =
+        # contended by that factor. The normalized total divides raw by the
+        # ratio in BOTH directions (a faster-than-pin host normalizes UP),
+        # so it estimates what an at-pin host would record, not a best-of.
+        "probe": probe_obj,
+        "baseline15_total_probe_normalized": normalized,
+        "unit": "sec",
+        # Only the 15 BASELINE.md protocol queries here — the full map
+        # (all suite queries) is in the BENCH_FULL.json sidecar.
+        "queries": {n: t for n, t in timings.items() if n in BASELINE15},
+        "n_queries_total": len(timings),
+        "full_map": "BENCH_FULL.json",
+        "sf": sf_val,
+    }
+    full = dict(headline)
+    full["queries"] = timings
+    # r2 verdict #7 (g02 1.14x): whole-suite wall-times at sf0.1/local[32]
+    # swing ~±25% run-to-run with machine load — uniformly across queries
+    # incl. constant-work ones (u01, s01), so single-query ratios vs
+    # BASELINE.md inside that envelope are measurement noise, not plan
+    # regressions. Heavy queries swing further under VM-neighbor
+    # contention (lx_ivf_topk observed 0.98s and 5.5s medians
+    # back-to-back with no code change) — trust baseline15_total, the
+    # probe ratio, and within-run ratios, not single heavy-query deltas.
+    full["variance_note"] = (
+        "±25% typical; heavy queries swing more under host contention"
+    )
+    return headline, full
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -194,61 +270,16 @@ def main() -> None:
         timings[name] = round(statistics.median(runs), 3)
         release_persisted()  # drop operator-cached blocks between queries
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
-                "baseline15_total": round(
-                    sum(t for n, t in timings.items() if n in BASELINE15), 3
-                ),
-                # Machine-readable contention probe (protocol: BASELINE.md
-                # §probe). probe_ratio_vs_pin ~1.0 = host at round-1-pin
-                # speed; >1 = contended by that factor. The normalized
-                # total divides raw by the ratio in BOTH directions (a
-                # faster-than-pin host normalizes UP), so it is an honest
-                # estimate of what an at-pin host would record, not a
-                # best-of.
-                "probe": (
-                    {
-                        "u01_sec": probe["u01_union_all"],
-                        "s01_sec": probe["s01_parquet_scan"],
-                        "u01_pin": PROBE_PINS["u01_union_all"],
-                        "s01_pin": PROBE_PINS["s01_parquet_scan"],
-                        "pin_sf": 0.1,  # pins are sf0.1 medians (BASELINE.md)
-                        "probe_ratio_vs_pin": probe_ratio,
-                    }
-                    if probe_ratio is not None
-                    else None
-                ),
-                "baseline15_total_probe_normalized": (
-                    round(
-                        sum(t for n, t in timings.items() if n in BASELINE15)
-                        / probe_ratio,
-                        3,
-                    )
-                    if probe_ratio is not None
-                    else None
-                ),
-                "unit": "sec",
-                # r2 verdict #7 (g02 1.14x): whole-suite wall-times at
-                # sf0.1/local[32] swing ~±25% run-to-run with machine load —
-                # uniformly across queries incl. constant-work ones (u01,
-                # s01), so single-query ratios vs BASELINE.md inside that
-                # envelope are measurement noise, not plan regressions.
-                # Compare per-query ratios within one run, or the
-                # baseline15_total aggregate.
-                # Host-level (VM neighbor) contention can swing individual
-                # heavy queries much further (lx_ivf_topk observed 0.98s
-                # and 5.5s medians in back-to-back suite runs with no code
-                # change and no local load) — trust baseline15_total and
-                # within-run ratios, not single heavy-query deltas.
-                "variance_note": "±25% typical; heavy queries swing more under host contention",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    headline, full = build_output(timings, probe, probe_ratio, sf)
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
     )
+    with open(sidecar, "w") as f:
+        json.dump(full, f, indent=1)
+        f.write("\n")
+    # ONE stdout line, and it must be the LAST one: the driver json-parses
+    # the tail of stdout (2,000-char window — r9 verdict #1).
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":

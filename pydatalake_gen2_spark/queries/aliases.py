@@ -97,11 +97,11 @@ _ALIASES: dict[str, str] = {
     # explode_outer (r8's plan-gated single-Generate NULL-preserving
     # explode), which held no driver row.
     "a01_f61_explode_outer": "f61_explode_outer",
-    # r7 rotation: j02 holds green driver rows r1-r6 and the join family
-    # keeps SIX other window reps (a01/a05/a07/a08/a18/a31); the slot goes
-    # to the round-7 P->H flagship — the IVF retrieval audit whose
-    # hash-matched leg is the IVF machinery itself at full probe.
-    "a02_lx_ivf_topk": "lx_ivf_topk",
+    # r10 rotation (r9 verdict #3): lx_ivf_topk holds green r7-r9 rows
+    # and the lx family keeps a15/a34/a47; the slot goes to ST20b — the
+    # RocksDB state-store certification (provider-swap output invariance,
+    # streaming/stateful.py:330), which held no driver row.
+    "a02_st20b_rocksdb_state": "st20b_rocksdb_state_store",
     # r9 repurpose: j05 holds a green r3 driver row and the join family
     # keeps a01/a02/a05/a06/a07/a08/a18; the slot goes to the new
     # entity-resolution class (blocked fuzzy record linkage — first
@@ -166,15 +166,17 @@ _ALIASES: dict[str, str] = {
     # family keeps a12/a14; the slot goes to the lx/ANN family's FIRST
     # window representative (Matryoshka truncated-dim retrieval audit).
     "a15_lx_mrl_recall": "lx_mrl_recall",
-    # r8 repurpose: g20 holds a green r3 driver row; the slot goes to the
-    # new image near-dup class (DCT perceptual hash through the banded
-    # Hamming join — a30 keeps the decode rep).
-    "a16_mm_phash_neardup": "mm_phash_neardup",
+    # r10 rotation (r9 verdict #3): mm_phash_neardup holds green r4-r9
+    # rows and a30 keeps the multimodal rep; the slot goes to G70 — the
+    # Spark 4 ANSI ordered string aggregation (listagg WITHIN GROUP),
+    # which held no driver row.
+    "a16_g70_listagg": "g70_listagg_within_group",
     # windows
-    # r8 repurpose: w01 holds a green r3 driver row and a19/a21 keep the
-    # window family covered; the slot goes to the new changepoint class
-    # (integer-exact CUSUM level-shift detection).
-    "a17_w31_cusum": "w31_cusum_changepoint",
+    # r10 rotation (r9 verdict #3): w31 holds green r4-r9 rows and a19
+    # keeps the window family covered; the slot goes to P24 — the lateral
+    # column alias (Spark 4 SELECT-list alias reuse, certified against an
+    # oracle that spells the expressions out), which held no driver row.
+    "a17_p24_lateral_alias": "p24_lateral_column_alias",
     # r7 repurpose: lag/lead holds a green r3 row and the w family keeps
     # a17/a19/a21; the slot goes to the new SPATIAL join class
     # (grid-bucketed haversine nearest-neighbour).
@@ -183,9 +185,11 @@ _ALIASES: dict[str, str] = {
     # family keeps a17/a21-adjacent reps; the slot goes to the new
     # seasonal-decomposition class (centered-MA detrend, integer-exact).
     "a19_w36_seasonal_decomp": "w36_seasonal_decomposition",
-    # r7 repurpose: w12 holds a green r3 row; the slot goes to the new
-    # incremental near-dup ingest class (batch vs persisted MinHash index).
-    "a20_l59_incremental_neardup": "l59_incremental_neardup",
+    # r10 rotation (r9 verdict #3): l59 holds green r4-r9 rows and the l
+    # family keeps a11/a35/a37/a38/a40/a41/a43; the slot goes to G44 —
+    # the Mann-Whitney U rank-sum test, first driver evidence for the
+    # local-only nonparametric stats reps (g44/g57/g65/g66).
+    "a20_g44_mann_whitney": "g44_mann_whitney",
     # r10 repurpose: w13 holds a green r3 driver row (a21); the slot
     # goes to the new forecasting class (Holt double-exponential
     # smoothing — applyInPandas recursion vs recursive-CTE oracle).
@@ -199,10 +203,11 @@ _ALIASES: dict[str, str] = {
     # top-k rep; the slot goes to WITH-TIES semantics and its two-pass
     # threshold plan (first driver evidence for rank-limit queries).
     "a22_o08_topk_with_ties": "o08_topk_with_ties",
-    # r9 repurpose: o04 holds a green r3 driver row (and runs in every
-    # bench round); the slot goes to the new survival-analysis class
-    # (right-censored Kaplan-Meier lifetime curve).
-    "a23_g48_kaplan_meier": "g48_kaplan_meier",
+    # r10 rotation (r9 verdict #3): g48 holds green r4-r9 rows and the
+    # stats family keeps a12/a13/a20/a24/a49; the slot goes to G66 — the
+    # Mann-Kendall trend test (second first-driver-row rep for the
+    # local-only nonparametric stats family).
+    "a23_g66_mann_kendall": "g66_mann_kendall",
     # set ops
     # r10 repurpose: u01 holds a green r3 driver row (a24) and a25
     # keeps the set-op family; the slot goes to the new resampling class

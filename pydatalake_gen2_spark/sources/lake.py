@@ -217,19 +217,61 @@ class LakeCatalog:
         stream.close()
         return len(data)
 
+    @staticmethod
+    def _is_already_exists(e: Exception) -> bool:
+        """True iff the py4j-wrapped Java exception (or any link of its
+        cause chain) is a *FileAlreadyExistsException — matched by CLASS
+        NAME, not message substring (r9 ADVICE: an unrelated error whose
+        message happens to contain 'exists' must not be misread as a lost
+        race across Hadoop FS implementations/locales). Covers both
+        org.apache.hadoop.fs.FileAlreadyExistsException and
+        java.nio.file.FileAlreadyExistsException."""
+        je = getattr(e, "java_exception", None)
+        seen = 0
+        while je is not None and seen < 16:
+            try:
+                if "FileAlreadyExistsException" in je.getClass().getName():
+                    return True
+                je = je.getCause()
+            except Exception:  # noqa: BLE001 — py4j reflection failure
+                break
+            seen += 1
+        return False
+
     def create_bytes_atomic(self, path: str, data: bytes) -> bool:
         """Create-if-absent upload — the COMMIT-POINT primitive for the
-        versioned table's manifest (versioned.py protocol step 2).
-        ``create(path, overwrite=false)`` maps to the storage layer's
-        conditional create (ABFS: If-None-Match:* conditional PUT; HDFS:
-        atomic namespace create; local fs: Hadoop's exists-check +
-        create, adequate for single-host tests). Returns False when the
-        path already exists — the caller LOST a commit race and must
-        re-resolve the table version; never overwrites the winner."""
+        versioned table's manifest and claim files (versioned.py protocol
+        steps 1 and 3). Returns False when the path already exists — the
+        caller LOST a commit race and must re-resolve the table version;
+        never overwrites the winner.
+
+        Backend mapping:
+        - ABFS: ``create(path, overwrite=false)`` → If-None-Match:*
+          conditional PUT; HDFS: atomic namespace create.
+        - local ``file:`` scheme: Hadoop's RawLocalFileSystem.create is
+          CHECK-then-create (not atomic — r9 ADVICE), so local paths go
+          through POSIX ``open(O_CREAT|O_EXCL)`` instead, which IS atomic
+          and makes the exactly-one-winner guarantee hold for genuinely
+          concurrent local writers (tests/test_lake.py threaded race).
+        """
+        jp = self._fs.makeQualified(self._jpath(path))
+        uri = jp.toUri()
+        if (uri.getScheme() or "file") == "file":
+            import os
+
+            try:
+                fd = os.open(
+                    uri.getPath(), os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644
+                )
+            except FileExistsError:
+                return False
+            with os.fdopen(fd, "wb") as f:
+                f.write(data)
+            return True
         try:
-            stream = self._fs.create(self._jpath(path), False)
+            stream = self._fs.create(jp, False)
         except Exception as e:  # py4j wraps FileAlreadyExistsException
-            if "exists" in str(e).lower():
+            if self._is_already_exists(e):
                 return False
             raise
         stream.write(bytearray(data))

@@ -46,6 +46,7 @@ from __future__ import annotations
 
 import json
 import re
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -55,13 +56,50 @@ _MANIFEST_RE = re.compile(r"^_manifest\.(\d{8})\.json$")
 
 
 class VersionedTable:
-    def __init__(self, spark: SparkSession, root: str):
+    """Claim-first versioned parquet table (protocol in the module doc).
+
+    Local-backend note (r9 ADVICE): on the ``file:`` scheme the atomic
+    create primitive is POSIX ``open(O_CREAT|O_EXCL)`` (lake.py
+    ``create_bytes_atomic``), so exactly-one-winner holds for genuinely
+    concurrent local writers too — Hadoop's RawLocalFileSystem.create
+    alone is check-then-create and would not guarantee it.
+    """
+
+    def __init__(
+        self, spark: SparkSession, root: str, claim_wait_s: float = 60.0
+    ):
         self.spark = spark
         self.root = root.rstrip("/")
+        # Bound on waiting for a competitor's claim to clear before
+        # declaring it stale (see _await_claim_release). 60 s default
+        # covers a live writer's Spark snapshot write; tests shrink it.
+        self._CLAIM_WAIT_S = claim_wait_s
         self._cat = LakeCatalog(spark, self.root)
         self._cat.create_filesystem("")  # ensure the table root exists
+        # Parsed-manifest cache: a manifest that PARSES is immutable (the
+        # commit protocol never rewrites one), so each is read+parsed at
+        # most once per VersionedTable instance. Without this, versions()
+        # costs O(history) remote GETs per resolution → quadratic total
+        # read cost over a table's life on object stores (r9 ADVICE).
+        # Unparseable manifests are deliberately NOT cached: they are the
+        # one mutable state (a publisher mid-write), so they are re-read
+        # every resolution.
+        self._manifest_cache: dict[str, dict] = {}
 
     # -- manifest log -----------------------------------------------------
+    def _parse_manifest(self, name: str) -> dict | None:
+        """Read+parse one manifest, through the immutable-manifest cache.
+        Returns None when the manifest doesn't parse (in-flight/torn)."""
+        hit = self._manifest_cache.get(name)
+        if hit is not None:
+            return hit
+        try:
+            ref = json.loads(self._cat.read_bytes(name).decode())
+        except Exception:  # noqa: BLE001 — any parse failure = in-flight
+            return None
+        self._manifest_cache[name] = ref
+        return ref
+
     def versions(self) -> list[int]:
         """Committed versions = manifests that PARSE. A manifest mid-write
         (the create→write→close window of the publishing writer, who holds
@@ -73,9 +111,7 @@ class VersionedTable:
             m = _MANIFEST_RE.match(p.name)
             if not m:
                 continue
-            try:
-                json.loads(self._cat.read_bytes(p.name).decode())
-            except Exception:  # noqa: BLE001 — any parse failure = in-flight
+            if self._parse_manifest(p.name) is None:
                 continue
             out.append(int(m.group(1)))
         return sorted(out)
@@ -145,38 +181,113 @@ class VersionedTable:
             if not self._cat.create_bytes_atomic(
                 self._manifest_name(v), json.dumps(manifest).encode()
             ):
-                # unreachable while the claim protocol is respected: a real
-                # manifest for v cannot appear while this writer holds the
-                # claim. Fail loud; never overwrite.
-                raise RuntimeError(
-                    f"manifest {self._manifest_name(v)} exists under a live "
-                    f"claim at {self.root} — state corrupted outside the "
-                    f"commit protocol; inspect before retrying"
-                )
+                # A manifest for v already exists under OUR claim. If it
+                # PARSES, the protocol was violated from outside — fail
+                # loud, never overwrite a committed version. If it does
+                # NOT parse, it is a torn remnant (a crashed writer died
+                # between manifest create and close and its claim was
+                # vacuumed, or a pre-r10 transient failure left it): the
+                # claim makes it safe to heal — delete and re-create
+                # (r9 ADVICE: without this, slot v is wedged for an hour
+                # until vacuum_orphans' min_age_s).
+                if self._parse_manifest(self._manifest_name(v)) is not None:
+                    raise RuntimeError(
+                        f"manifest {self._manifest_name(v)} exists under a "
+                        f"live claim at {self.root} — state corrupted "
+                        f"outside the commit protocol; inspect before "
+                        f"retrying"
+                    )
+                self._cat.delete_path(self._manifest_name(v))
+                if not self._cat.create_bytes_atomic(
+                    self._manifest_name(v), json.dumps(manifest).encode()
+                ):
+                    raise RuntimeError(
+                        f"manifest {self._manifest_name(v)} reappeared "
+                        f"under a live claim at {self.root} — state "
+                        f"corrupted outside the commit protocol"
+                    )
         except Exception:
-            # transient failure (e.g. the Spark write): release the claim
-            # so a retry or another writer can proceed, then surface it
-            self._cat.delete_path(self._claim_name(v))
+            # Transient failure (e.g. the Spark write, or the manifest
+            # upload dying between create and close): release the claim
+            # AND remove a torn manifest this writer just created for v —
+            # safe, the claim is still held, and a manifest for v that
+            # PARSES cannot be ours-to-delete nor anyone else's under the
+            # protocol (r9 ADVICE: leaving the torn manifest wedges slot v
+            # and misdiagnoses a routine IO failure as corruption).
+            mname = self._manifest_name(v)
+            try:
+                if (
+                    self._cat.exists(mname)
+                    and self._parse_manifest(mname) is None
+                ):
+                    self._cat.delete_path(mname)
+            finally:
+                self._cat.delete_path(self._claim_name(v))
             raise
         self._cat.delete_path(self._claim_name(v))
         return True
 
+    # -- loser-side wait (r9 ADVICE: concurrent commits must not burn all
+    # attempts in milliseconds while a live winner's multi-second Spark
+    # write holds the claim) -----------------------------------------------
+    def _await_claim_release(self, v: int) -> float | None:
+        """After losing the claim race at version ``v``, wait (bounded,
+        exponential backoff) for that claim file to disappear — either the
+        winner publishes v (loser then retries at v+1) or the claim is
+        stale. Returns the claim's age in seconds if it is STILL present
+        at timeout (the stale-claim signal for the caller's error
+        message), else None (claim cleared; a live writer was mid-commit).
+        """
+        deadline = time.monotonic() + self._CLAIM_WAIT_S
+        delay = 0.05
+        name = self._claim_name(v)
+        while time.monotonic() < deadline:
+            if not self._cat.exists(name):
+                return None
+            time.sleep(delay)
+            delay = min(delay * 2, 2.0)
+        try:
+            mtime_ms = self._cat.get_properties(name).modification_time
+            return max(0.0, time.time() - mtime_ms / 1000.0)
+        except Exception:  # noqa: BLE001 — claim vanished at the buzzer
+            return None
+
+    def _commit_loop(self, df: DataFrame, append: bool, max_attempts: int) -> int:
+        """Shared commit/append_commit driver. On a lost claim race the
+        loser WAITS for the winner's claim to clear (bounded exponential
+        backoff, ``_await_claim_release``) before re-resolving — a live
+        winner's multi-second Spark write must not burn the loser's
+        attempts in milliseconds (r9 ADVICE). A claim that never clears is
+        reported as what it is: a crashed writer's STALE claim, with its
+        measured age, distinct from losing races to live writers."""
+        verb = "append_commit" if append else "commit"
+        for _ in range(max_attempts):
+            v = self.current_version() + 1
+            if self._attempt_commit(df, v, append=append):
+                return v
+            stale_age = self._await_claim_release(v)
+            if stale_age is not None:
+                raise RuntimeError(
+                    f"{verb} blocked at version {v} under {self.root}: the "
+                    f"claim {self._claim_name(v)} has been held for "
+                    f"{stale_age:.0f}s (> {self._CLAIM_WAIT_S:.0f}s wait) — "
+                    f"a crashed writer's stale claim; vacuum_orphans() "
+                    f"reclaims it"
+                )
+        raise RuntimeError(
+            f"{verb} lost {max_attempts} consecutive version races under "
+            f"{self.root} to live writers — raise max_attempts or reduce "
+            f"commit contention"
+        )
+
     def commit(self, df: DataFrame, max_attempts: int = 5) -> int:
         """Write `df` as the next snapshot and atomically publish it via
         the claim-first protocol (see ``_attempt_commit``). On a lost
-        race the writer re-resolves the table and retries at the next
-        version; after ``max_attempts`` losses it fails loud rather than
-        spin (a STALE claim from a crashed writer also lands here — run
-        ``vacuum_orphans`` to reclaim it). Returns the version."""
-        for _ in range(max_attempts):
-            v = self.current_version() + 1
-            if self._attempt_commit(df, v, append=False):
-                return v
-        raise RuntimeError(
-            f"commit lost {max_attempts} consecutive version races under "
-            f"{self.root}; if no other writer is live this is a crashed "
-            f"writer's stale claim — vacuum_orphans() reclaims it"
-        )
+        race the writer waits out the winner's claim, re-resolves the
+        table, and retries at the next version; after ``max_attempts``
+        losses (or a stale claim that never clears) it fails loud rather
+        than spin. Returns the version."""
+        return self._commit_loop(df, append=False, max_attempts=max_attempts)
 
     def append_commit(self, df: DataFrame, max_attempts: int = 5) -> int:
         """APPEND `df` as a new version WITHOUT rewriting prior data: the
@@ -190,18 +301,15 @@ class VersionedTable:
         Same claim-first commit point as ``commit``; the prior dir set is
         re-resolved AFTER each claim acquisition, so a loser's retry
         appends onto the WINNER's cumulative set, never its stale view."""
-        for _ in range(max_attempts):
-            v = self.current_version() + 1
-            if self._attempt_commit(df, v, append=True):
-                return v
-        raise RuntimeError(
-            f"append_commit lost {max_attempts} consecutive version races "
-            f"under {self.root}; if no other writer is live this is a "
-            f"crashed writer's stale claim — vacuum_orphans() reclaims it"
-        )
+        return self._commit_loop(df, append=True, max_attempts=max_attempts)
 
     def _manifest_dirs(self, version: int) -> list[str]:
-        m = json.loads(self._cat.read_bytes(self._manifest_name(version)).decode())
+        m = self._parse_manifest(self._manifest_name(version))
+        if m is None:
+            raise ValueError(
+                f"manifest for version {version} under {self.root} is "
+                f"missing or unparseable"
+            )
         return m["dirs"] if "dirs" in m else [m["dir"]]
 
     @staticmethod
@@ -257,6 +365,13 @@ class VersionedTable:
             if not self._cat.create_bytes_atomic(
                 self._claim_name(v), json.dumps({"version": v}).encode()
             ):
+                stale_age = self._await_claim_release(v)
+                if stale_age is not None:
+                    raise RuntimeError(
+                        f"clone_from blocked at version {v} under "
+                        f"{self.root}: stale claim held {stale_age:.0f}s — "
+                        f"vacuum_orphans() reclaims it"
+                    )
                 continue
             try:
                 vs = self.versions()

@@ -239,8 +239,10 @@ def test_commit_race_exactly_one_winner(spark):
     from pydatalake_gen2_spark.sources.versioned import VersionedTable
 
     root = tempfile.mkdtemp(prefix="vt_race_")
-    writer_a = VersionedTable(spark, f"file://{root}")
-    writer_b = VersionedTable(spark, f"file://{root}")
+    # short claim-wait: this test PLANTS a stale claim below and must not
+    # sit out the production 60 s live-writer grace period
+    writer_a = VersionedTable(spark, f"file://{root}", claim_wait_s=0.3)
+    writer_b = VersionedTable(spark, f"file://{root}", claim_wait_s=0.3)
     base = spark.range(10).withColumnRenamed("id", "k")
     assert writer_a.commit(base) == 1
 
@@ -289,3 +291,65 @@ def test_commit_race_exactly_one_winner(spark):
     assert writer_a.read().count() == 7
     with pytest.raises(ValueError):
         writer_a.read(2)
+
+
+def test_commit_race_threaded_every_writer_lands(spark):
+    """GENUINELY concurrent multi-writer commits (r9 verdict #4: the
+    sequential interleave above proves arbitration logic; this exercises
+    the atomic-create primitive under real thread parallelism). N threads
+    release from a barrier and commit() simultaneously against ONE table
+    root. The claim-first protocol + loser backoff (_await_claim_release)
+    must serialize them so that: every thread lands exactly one version,
+    the version sequence is gapless 1..N, each thread's rows are in
+    exactly one version, and nothing is orphaned. Local-FS atomicity is
+    real here: lake.py create_bytes_atomic routes file: scheme through
+    POSIX O_CREAT|O_EXCL (Hadoop RawLocalFileSystem.create is
+    check-then-create and would flake this test)."""
+    import threading
+
+    from pydatalake_gen2_spark.sources.versioned import VersionedTable
+
+    n = 8
+    root = tempfile.mkdtemp(prefix="vt_trace_")
+    results: dict[int, int] = {}
+    errors: list = []
+    barrier = threading.Barrier(n)
+
+    def worker(i: int) -> None:
+        try:
+            vt = VersionedTable(spark, f"file://{root}")
+            df = (
+                spark.range(100 * i, 100 * i + 10)
+                .withColumnRenamed("id", "k")
+            )
+            barrier.wait()
+            # worst case a thread loses a race to every other thread at
+            # every version slot it tries, so give it headroom
+            results[i] = vt.commit(df, max_attempts=4 * n)
+        except Exception as e:  # noqa: BLE001 — surfaced via assert below
+            errors.append((i, repr(e)))
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors, errors
+    assert len(results) == n
+
+    vt = VersionedTable(spark, f"file://{root}")
+    vs = vt.versions()
+    assert vs == list(range(1, n + 1))  # exactly N versions, gapless
+    # each thread landed exactly one distinct version
+    assert sorted(results.values()) == vs
+    # every thread's data is present, intact, in exactly one version
+    landed = {
+        v: frozenset(r.k for r in vt.read(v).collect()) for v in vs
+    }
+    expected = {
+        frozenset(range(100 * i, 100 * i + 10)) for i in range(n)
+    }
+    assert set(landed.values()) == expected
+    assert len(set(landed.values())) == n
+    # no claims, no orphan dirs, no torn manifests left behind
+    assert vt.vacuum_orphans(dry_run=True, min_age_s=0) == []
