@@ -106,7 +106,15 @@ class Engine:
         return similarity.ivf_topk(corpus, k, **kw)
 
     def simhash_neardups(self, df, r: int = 4, **kw) -> DataFrame:
+        # Capped (band_max_df=1000) by default — scale-safe, recall-lossy
+        # on hot bands; pass exact_recall=True for the pigeonhole
+        # contract, and audit what the cap drops via simhash_dropped_bands.
         return dedup.simhash_neardup_pairs(df, r=r, **kw)
+
+    def simhash_dropped_bands(self, df, r: int = 4, **kw) -> DataFrame:
+        """Audit the default cap: band buckets simhash_neardups would drop
+        (empty = capped and exact forms identical on this corpus)."""
+        return dedup.simhash_dropped_bands(df, r=r, **kw)
 
     def semdedup(self, corpus, n_cells: int = 16, tau: float = 0.97, **kw) -> DataFrame:
         return dedup.semdedup(corpus, n_cells=n_cells, tau=tau, **kw)

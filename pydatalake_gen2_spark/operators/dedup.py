@@ -269,6 +269,14 @@ def simhash_neardup_pairs(
     path. At oracle scales the two forms are output-identical because no
     band bucket approaches the cap; the parameter only changes behavior
     where the uncapped form was already past its design envelope.
+
+    OBSERVABILITY of the cap (r9 ADVICE): whether the default actually
+    dropped anything on a given corpus is answerable without re-running
+    the join — ``simhash_dropped_bands`` returns exactly the band buckets
+    the cap removed (empty frame = the capped and exact forms were
+    output-identical on this corpus). It is a separate audit call, not a
+    hidden eager count inside this function, so the lazy-plan contract of
+    the pair generator is unchanged.
     """
     if r < 0 or r + 1 > bits:
         raise ValueError(f"radius r={r} must satisfy 0 <= r <= bits-1 ({bits - 1})")
@@ -361,6 +369,50 @@ def simhash_neardup_pairs(
             hamming64("a.simhash", "b.simhash").cast("int").alias("hamming"),
         )
         .filter(F.col("hamming") <= r)
+    )
+
+
+def simhash_dropped_bands(
+    df: DataFrame,
+    r: int = 4,
+    bits: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fingerprints: DataFrame | None = None,
+    band_max_df: int = 1000,
+) -> DataFrame:
+    """AUDIT companion to ``simhash_neardup_pairs`` (r9 ADVICE: the capped
+    default must be observable, not silent): returns the (band, val,
+    occupancy) buckets the default cap would DROP on this corpus. An
+    empty result proves the capped and exact_recall forms are
+    output-identical here; a non-empty one quantifies the recall cost
+    (pairs whose ONLY agreeing bands are listed buckets are lost) and
+    names the boilerplate band-values responsible. Same fingerprint and
+    banding pipeline as the pair generator; one groupBy, no join."""
+    fp = (
+        fingerprints
+        if fingerprints is not None
+        else simhash(df, bits, text_col, id_col)
+    ).select(F.col(id_col).alias("id"), F.col("simhash"))
+    n_bands = r + 1
+    width = bits // n_bands
+
+    def _band_val(col, i):
+        lo = i * width
+        w = bits - lo if i == n_bands - 1 else width
+        mask = (1 << w) - 1
+        return F.shiftright(col, lo).bitwiseAND(F.lit(mask))
+
+    band_structs = [
+        F.struct(F.lit(i).alias("band"), _band_val(F.col("simhash"), i).alias("val"))
+        for i in range(n_bands)
+    ]
+    return (
+        fp.select(F.explode(F.array(*band_structs)).alias("bv"))
+        .select(F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+        .groupBy("band", "val")
+        .agg(F.count(F.lit(1)).alias("occupancy"))
+        .filter(F.col("occupancy") > band_max_df)
     )
 
 

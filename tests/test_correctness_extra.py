@@ -1,0 +1,81 @@
+"""Oracle-form equivalence checks that live OUTSIDE the registry sweep.
+
+When an oracle's naive form becomes unaffordable at certification scale,
+the registered SQL switches to an efficient form that is provably
+equivalent (r9 verdict #2: l42's SimHash leg moved from all-pairs Hamming
+— ~1.25G comparisons at sf1, >45 min single-threaded — to banded candidate
+generation, exact by pigeonhole). These tests retain the naive form as a
+CROSS-CHECK at the scale where it is affordable, comparing the two SQL
+forms inside DuckDB itself, so the efficient oracle never silently drifts
+from the definition it replaced. Pure DuckDB — no Spark session needed.
+"""
+
+import duckdb
+
+SF_01 = "/root/testdata/sf0.1"
+
+# The shared fingerprint pipeline — identical text→48-bit-SimHash recurrence
+# as l42's registered oracle (queries/llm.py l42_ensemble_dedup duck_sql).
+_FP = """
+WITH base AS (
+  SELECT doc_id AS id, lower(coalesce(text, '')) AS lt FROM documents),
+wtok AS (
+  SELECT id, unnest(list_distinct(string_split(lt, ' '))) AS tok FROM base),
+th AS (
+  SELECT id,
+         list_sum(list_transform(generate_series(1, 15), j ->
+           CAST(strpos('0123456789abcdef',
+                       substring(md5(tok), j, 1)) - 1 AS BIGINT)
+           << (4 * (15 - j)))) AS th
+  FROM wtok),
+tallies AS (
+  SELECT id, i,
+         sum(CASE WHEN (th >> i) & 1 = 1 THEN 1 ELSE -1 END) AS tally
+  FROM th, unnest(generate_series(0, 47)) u(i) GROUP BY id, i),
+fp AS (
+  SELECT id, sum(CASE WHEN tally > 0 THEN 1::BIGINT << i ELSE 0 END) AS sh
+  FROM tallies GROUP BY id)
+"""
+
+_ALLPAIRS = _FP + """
+SELECT a.id AS s, b.id AS d FROM fp a JOIN fp b ON a.id < b.id
+WHERE bit_count(xor(a.sh, b.sh)) <= 4
+ORDER BY s, d
+"""
+
+# The banded form now registered in l42's oracle: 5 bands over 48 bits —
+# a pair within Hamming distance 4 leaves >= 1 band untouched (pigeonhole),
+# so candidate generation is exact, and the bit_count verify makes
+# precision exact too.
+_BANDED = _FP + """,
+bands AS (
+  SELECT id, sh, i AS band,
+         CASE i WHEN 0 THEN (sh >> 0)  & 1023
+                WHEN 1 THEN (sh >> 10) & 1023
+                WHEN 2 THEN (sh >> 20) & 1023
+                WHEN 3 THEN (sh >> 30) & 511
+                ELSE        (sh >> 39) & 511 END AS bkey
+  FROM fp, unnest(generate_series(0, 4)) u(i)),
+cand AS (
+  SELECT DISTINCT a.id AS s, b.id AS d, a.sh AS sha, b.sh AS shb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id)
+SELECT s, d FROM cand WHERE bit_count(xor(sha, shb)) <= 4
+ORDER BY s, d
+"""
+
+
+def test_l42_banded_oracle_equals_allpairs_hamming():
+    """The banded SimHash-edge SQL registered as l42's oracle leg produces
+    EXACTLY the all-pairs Hamming edge set at sf0.1 (5,000 docs — 12.5M
+    pairs, affordable). Run both forms in one DuckDB connection over the
+    same documents view and require identical row lists."""
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{SF_01}/documents.parquet')"
+    )
+    allpairs = con.execute(_ALLPAIRS).fetchall()
+    banded = con.execute(_BANDED).fetchall()
+    assert banded == allpairs
+    assert len(allpairs) > 0  # the check is vacuous if no near-dups exist

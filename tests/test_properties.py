@@ -413,6 +413,63 @@ def test_simhash_band_cap_composition(spark, sf_dir):
     assert capped <= full
 
 
+def test_simhash_dropped_bands_audit(spark, sf_dir):
+    """The cap-observability audit (r9 ADVICE): simhash_dropped_bands
+    returns EXACTLY the buckets the cap removes. Empty at the default cap
+    on this corpus (so capped == exact there, cross-checked against the
+    pair sets); at a tiny cap it is non-empty, every listed occupancy
+    exceeds the cap, and the pairs lost by capping are exactly those
+    whose EVERY agreeing band is a listed hot bucket."""
+    from pydatalake_gen2_spark.registry import ensure_views
+
+    ensure_views(spark, sf_dir)
+    d = spark.table("documents").filter("doc_id < 120")
+    # default cap: audit says "nothing dropped" <=> outputs identical
+    assert dedup.simhash_dropped_bands(d, r=4, band_max_df=1000).count() == 0
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.simhash_neardup_pairs(d, r=4, exact_recall=True).collect()
+    }
+    default_form = {
+        (r.id_a, r.id_b)
+        for r in dedup.simhash_neardup_pairs(d, r=4).collect()
+    }
+    assert default_form == exact
+
+    cap = 5
+    dropped = dedup.simhash_dropped_bands(d, r=4, band_max_df=cap).collect()
+    assert dropped and all(row.occupancy > cap for row in dropped)
+    hot = {(row.band, row.val) for row in dropped}
+    capped = {
+        (r.id_a, r.id_b)
+        for r in dedup.simhash_neardup_pairs(d, r=4, band_max_df=cap).collect()
+    }
+    # reconstruct the loss prediction from fingerprints: a pair survives
+    # iff at least one agreeing band is NOT hot
+    sigs = {row.doc_id: row.simhash for row in dedup.simhash(d).collect()}
+
+    def bands(s):
+        out = []
+        for i in range(5):
+            lo, w = i * 9, (48 - 4 * 9) if i == 4 else 9
+            out.append((i, (s >> lo) & ((1 << w) - 1)))
+        return out
+
+    predicted = set()
+    ids = sorted(sigs)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            if bin(sigs[a] ^ sigs[b]).count("1") > 4:
+                continue
+            agreeing = [
+                bv for bv, bw in zip(bands(sigs[a]), bands(sigs[b])) if bv == bw
+            ]
+            if any(bv not in hot for bv in agreeing):
+                predicted.add((a, b))
+    assert capped == predicted
+
+
 def test_ewma_matches_numpy_recurrence(spark, sf_dir):
     """ud05 must equal the textbook y_t = 0.7*y_{t-1} + 0.3*x_t
     recurrence exactly (same float64 op order and LITERALS — note
@@ -668,3 +725,23 @@ def test_lx_embedding_drift_self_is_identity(spark, sf_dir):
     row = REGISTRY["lx_embedding_drift"].spark_fn(spark, sf_dir).collect()[0]
     assert row["mean_cosine"] == expect_cos
     assert row["max_shift_micro"] == int(np.abs(qs[0] - qs[1]).max())
+
+
+def test_lsh_plane_prefix_property():
+    """The scale-aware lx_lsh oracle (queries/llm.py:_lx_lsh_duck) embeds
+    ONE np_max-plane literal set and selects the first np planes; the
+    engine draws exactly n_planes planes. Sound only because numpy's
+    RandomState(seed).randn(r, dim) fills row-major from a single stream,
+    so a smaller draw is bit-identical to the prefix of a larger one.
+    Pin that guarantee for every (seed, plane-count) pair the operator
+    can reach, so a numpy behavior change can never silently desync the
+    oracle's planes from the engine's."""
+    import numpy as np
+
+    from pydatalake_gen2_spark.operators.similarity import _hyperplanes
+
+    for t in range(8):  # the 8 tables' seeds: 42..49
+        full = np.array(_hyperplanes(64, 16, 42 + t))
+        for n_planes in (6, 9, 10, 13, 16):
+            small = np.array(_hyperplanes(64, n_planes, 42 + t))
+            assert np.array_equal(small, full[:n_planes])
