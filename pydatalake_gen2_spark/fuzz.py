@@ -190,6 +190,46 @@ _TS_LITS = [
 ]
 
 
+def _df_program(table, cols, where, group_n, having, distinct):
+    """DUAL RENDERING (r9 verdict #6): rebuild a generated single-table
+    query as a DataFrame-API program. Expressions stay in SQL text (via
+    F.expr — the expression grammar is identical by construction), but
+    the RELATIONAL shape goes through the API builders, so resolution
+    runs against API-built Project/Filter/Aggregate nodes instead of
+    spark.sql's single-pass analysis of one statement. That is exactly
+    where API-vs-SQL drift lives (the P24 lateral-alias-shadowing class:
+    alias visibility, GROUP BY ordinal vs expression, HAVING resolution)
+    — a space pure-SQL fuzzing structurally cannot reach. Faithful
+    translations of the SQL-only constructs: GROUP BY ordinals become
+    the key expressions themselves (aliased in groupBy); HAVING becomes
+    a boolean aggregate column filtered-then-dropped after agg()."""
+    where_s = where.spark if where is not None else None
+    having_s = having[0] if having is not None else None
+    col_specs = [(a, s) for a, s, _ in cols]
+
+    def build(spark):
+        from pyspark.sql import functions as F
+
+        df = spark.table(table)
+        if where_s is not None:
+            df = df.filter(F.expr(where_s))
+        if group_n:
+            keys = [F.expr(s).alias(a) for a, s in col_specs[:group_n]]
+            aggs = [F.expr(s).alias(a) for a, s in col_specs[group_n:]]
+            if having_s is not None:
+                aggs.append(F.expr(having_s).alias("__having"))
+            df = df.groupBy(*keys).agg(*aggs)
+            if having_s is not None:
+                df = df.filter(F.col("__having")).drop("__having")
+        else:
+            df = df.select(*[F.expr(s).alias(a) for a, s in col_specs])
+        if distinct:
+            df = df.distinct()
+        return df
+
+    return build
+
+
 class _E:
     """A generated expression rendered per dialect."""
 
@@ -208,6 +248,12 @@ def _shared(text: str, typ: str) -> _E:
 class QueryGen:
     def __init__(self, seed: int):
         self.r = random.Random(seed)
+        # Set by _render for single-table shapes: a callable
+        # (spark) -> DataFrame that rebuilds the SAME query through the
+        # DataFrame API (select/filter/groupBy/agg builders) instead of
+        # spark.sql — see _df_program. None for shapes the API leg
+        # doesn't cover (joins, set ops, derived tables).
+        self.df_builder = None
 
     # ---------------- expressions ----------------
 
@@ -532,6 +578,11 @@ class QueryGen:
         if having is not None:
             q_s += f" HAVING {having[0]}"
             q_d += f" HAVING {having[1]}"
+        self.df_builder = (
+            _df_program(frm_s, cols, where, group_n, having, distinct)
+            if " " not in frm_s
+            else None
+        )
         return q_s, q_d
 
     def filter_project(self) -> tuple[str, str]:
@@ -1192,10 +1243,13 @@ def generate(seed: int) -> tuple[str, str]:
 
 
 def run_seed(spark, con, seed: int) -> dict:
-    """Execute one generated pair on both engines; harness-canon compare."""
+    """Execute one generated seed on both engines (and, for single-table
+    shapes, a THIRD time through the DataFrame API — r9 verdict #6);
+    harness-canon compare across all legs."""
     from pydatalake_gen2_spark.harness import canon_rows
 
-    s_sql, d_sql = generate(seed)
+    gen = QueryGen(seed)
+    s_sql, d_sql = gen.query()
     out = {"seed": seed, "spark_sql": s_sql, "duck_sql": d_sql}
     try:
         sdf = spark.sql(s_sql)
@@ -1218,14 +1272,38 @@ def run_seed(spark, con, seed: int) -> dict:
         out["detail"] = f"spark={sorted(s_cols)} duck={sorted(d_cols)}"
         return out
     sm, dm = canon_rows(s_cols, s_rows), canon_rows(d_cols, d_rows)
-    if sm == dm:
-        out["status"] = "match"
-        out["rows"] = len(s_rows)
-    else:
+    if sm != dm:
         out["status"] = "VALUE_MISMATCH"
         only_s = list((sm - dm).items())[:3]
         only_d = list((dm - sm).items())[:3]
         out["detail"] = f"only_spark={only_s} only_duck={only_d}"
+        return out
+    # Third leg: the DataFrame-API rendering of the same seed must agree
+    # with the SQL rendering (and therefore with DuckDB). Catches
+    # API-vs-SQL resolution drift that two-engine SQL comparison cannot.
+    if gen.df_builder is not None:
+        try:
+            adf = gen.df_builder(spark)
+            a_cols = [c.lower() for c in adf.columns]
+            a_rows = [tuple(r) for r in adf.collect()]
+        except Exception as e:  # noqa: BLE001 — an API-leg error IS a finding
+            out["status"] = "API_ERROR"
+            out["detail"] = f"{type(e).__name__}: {str(e)[:300]}"
+            return out
+        if sorted(a_cols) != sorted(s_cols):
+            out["status"] = "API_COL_MISMATCH"
+            out["detail"] = f"api={sorted(a_cols)} sql={sorted(s_cols)}"
+            return out
+        am = canon_rows(a_cols, a_rows)
+        if am != sm:
+            out["status"] = "API_MISMATCH"
+            only_a = list((am - sm).items())[:3]
+            only_s2 = list((sm - am).items())[:3]
+            out["detail"] = f"only_api={only_a} only_sql={only_s2}"
+            return out
+        out["api_leg"] = True
+    out["status"] = "match"
+    out["rows"] = len(s_rows)
     return out
 
 

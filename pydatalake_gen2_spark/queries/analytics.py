@@ -1372,6 +1372,68 @@ def dq07_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# dq08: SimHash band-cap audit — observability for the capped near-dup default
+# ---------------------------------------------------------------------------
+
+@register(
+    "dq08_simhash_cap_audit",
+    duck_sql="""
+    WITH base AS (
+      SELECT doc_id AS id, lower(coalesce(text, '')) AS lt FROM documents),
+    wtok AS (
+      SELECT id, unnest(list_distinct(string_split(lt, ' '))) AS tok
+      FROM base),
+    th AS (
+      SELECT id,
+             list_sum(list_transform(generate_series(1, 15), j ->
+               CAST(strpos('0123456789abcdef',
+                           substring(md5(tok), j, 1)) - 1 AS BIGINT)
+               << (4 * (15 - j)))) AS th
+      FROM wtok),
+    tallies AS (
+      SELECT id, i,
+             sum(CASE WHEN (th >> i) & 1 = 1 THEN 1 ELSE -1 END) AS tally
+      FROM th, unnest(generate_series(0, 47)) u(i) GROUP BY id, i),
+    fp AS (
+      SELECT id, sum(CASE WHEN tally > 0 THEN 1::BIGINT << i ELSE 0 END) AS sh
+      FROM tallies GROUP BY id),
+    bands AS (
+      SELECT CAST(i AS INT) AS band,
+             CASE i WHEN 0 THEN (sh >> 0)  & 511
+                    WHEN 1 THEN (sh >> 9)  & 511
+                    WHEN 2 THEN (sh >> 18) & 511
+                    WHEN 3 THEN (sh >> 27) & 511
+                    ELSE        (sh >> 36) & 4095 END AS val
+      FROM fp, unnest(generate_series(0, 4)) u(i))
+    SELECT band, val, CAST(count(*) AS BIGINT) AS occupancy
+    FROM bands GROUP BY 1, 2 HAVING count(*) > 100
+    ORDER BY band, val
+    """,
+    doc="DQ08: SimHash band-cap audit (r9 ADVICE observability): the band "
+        "buckets a band_max_df=100 cap would drop from the banded near-dup "
+        "join — i.e. exactly where simhash_neardup_pairs' scale-safe "
+        "default trades recall, quantified per bucket. One fingerprint "
+        "pass + one partial-agg groupBy + a HAVING filter: no join, no "
+        "candidate materialization, so the audit costs O(n) regardless of "
+        "how hot the buckets are — runnable BEFORE committing to a dedup "
+        "pass over 100 TB. The oracle replicates the md5 fingerprint "
+        "recurrence and banding bit-for-bit (the l42-leg discipline); an "
+        "empty result at the production cap certifies capped == exact on "
+        "that corpus (tests/test_properties.py::"
+        "test_simhash_dropped_bands_audit proves the loss accounting).",
+)
+def dq08_simhash_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pydatalake_gen2_spark.operators import dedup
+
+    # cap=100: low enough that the fixtures' 31-word vocabulary (which
+    # clusters fingerprints hard) yields a non-empty, scale-stable audit
+    # at every oracle scale — the non-vacuous form of the check.
+    return dedup.simhash_dropped_bands(
+        spark.table("documents"), r=4, band_max_df=100
+    ).orderBy("band", "val")
+
+
+# ---------------------------------------------------------------------------
 # g60: Brown-Forsythe (Levene-at-median) variance-homogeneity test
 # ---------------------------------------------------------------------------
 

@@ -1,7 +1,7 @@
 """Seeded differential fuzzing: random relational expressions executed on
 Spark AND DuckDB must canon-match exactly (r7 verdict #3).
 
-The registry's 556 fixed pairs prove the declared surface; these seeds walk
+The registry's 557 fixed pairs prove the declared surface; these seeds walk
 the UNdeclared dialect / type-coercion space (NULL three-valued logic
 through ||, CASE with implicit NULL branches, greatest/least NULL
 skipping, DISTINCT over computed columns, HAVING, scalar and correlated
@@ -48,6 +48,19 @@ t3 keys/aggs allowed — NULL is one group in both engines). Round-9 dev
 sweep: 1200 seeds at sf0.001 + 200 at sf0.01 + 150 at sf0.1 on the
 19-template grammar + 40 forced instances per new template + a
 3000-seed soak (seeds 1200-4199) — 4,790 programs, all match.
+
+Round 10 (r9 verdict #6) adds DUAL RENDERING: every single-table seed is
+now also rebuilt as a DataFrame-API program (fuzz._df_program — the
+relational shape through select/filter/groupBy/agg builders, expressions
+via F.expr) and the API result must canon-match the spark.sql result
+(and therefore DuckDB). This aims at API-vs-SQL resolution drift (the
+P24 lateral-alias-shadowing class) that two-engine SQL comparison
+structurally cannot see: the API path resolves against API-built
+Project/Filter/Aggregate nodes, GROUP BY ordinals become key
+expressions, HAVING becomes a filtered-then-dropped boolean aggregate
+column. ~45% of seeds exercise the third leg (floor asserted below);
+round-10 dev sweep: 1200 seeds at sf0.001 on the dual-rendered grammar,
+all match, plus the WHERE-stripping mutation self-test.
 """
 
 from __future__ import annotations
@@ -63,6 +76,7 @@ def test_differential_fuzz_200_seeds(spark, sf_dir):
     ensure_views(spark, sf_dir)
     con = duck_connect(sf_dir)
     failures = []
+    api_legs = 0
     for seed in range(N_SEEDS):
         r = run_seed(spark, con, seed)
         if r["status"] != "match":
@@ -70,8 +84,55 @@ def test_differential_fuzz_200_seeds(spark, sf_dir):
                 f"seed={seed} {r['status']}\n  spark: {r['spark_sql']}\n"
                 f"  duck:  {r['duck_sql']}\n  {r.get('detail', '')}"
             )
+        api_legs += 1 if r.get("api_leg") else 0
     assert not failures, f"{len(failures)} divergent seeds:\n" + "\n".join(
         failures[:10]
+    )
+    # r10 dual rendering (r9 verdict #6): a healthy fraction of the gate
+    # must actually exercise the DataFrame-API third leg — if a grammar
+    # change silently stopped producing single-table shapes, the API
+    # differential would go vacuous without this floor (observed ~45%).
+    assert api_legs >= N_SEEDS // 5, f"only {api_legs} API legs in {N_SEEDS}"
+
+
+def test_fuzz_api_leg_gate_is_not_vacuous(spark, sf_dir):
+    """Mutation self-test for the DataFrame-API leg: rebuild a seed's API
+    program WITHOUT its WHERE clause and demand the same canon compare
+    notices. Proves the third leg compares a genuinely independent
+    program, not the SQL result against itself."""
+    from pydatalake_gen2_spark.fuzz import QueryGen, _df_program
+    from pydatalake_gen2_spark.harness import canon_rows
+
+    ensure_views(spark, sf_dir)
+    for seed in range(300):
+        gen = QueryGen(seed)
+        s_sql, _ = gen.query()
+        if gen.df_builder is None or " WHERE " not in s_sql:
+            continue
+        sdf = spark.sql(s_sql)
+        s_cols = [c.lower() for c in sdf.columns]
+        s_rows = [tuple(r) for r in sdf.collect()]
+        # strip the WHERE from the API program by rebuilding its closure
+        cl = gen.df_builder.__closure__
+        names = gen.df_builder.__code__.co_freevars
+        env = dict(zip(names, (c.cell_contents for c in cl)))
+        mutated = _df_program(
+            env["table"],
+            [(a, s, None) for a, s in env["col_specs"]],
+            None,  # drop the filter
+            env["group_n"],
+            (env["having_s"], env["having_s"]) if env["having_s"] else None,
+            env["distinct"],
+        )
+        adf = mutated(spark)
+        a_rows = [tuple(r) for r in adf.collect()]
+        if canon_rows(s_cols, s_rows) != canon_rows(
+            [c.lower() for c in adf.columns], a_rows
+        ):
+            return  # the gate noticed the mutated program — sensitive
+    raise AssertionError(
+        "no seed in 0..299 where dropping WHERE changes the API result — "
+        "the API-leg compare may be vacuous"
     )
 
 
