@@ -289,10 +289,11 @@ _ALIASES: dict[str, str] = {
     # to round-7's exact water-filling token-budget mix (L83).
     "a41_l83_token_budget_mix": "l83_token_budget_mix",
     # text analysis
-    # r10 repurpose: t01 holds a green r3 driver row (a42) and a43
-    # keeps the text family; the slot goes to the new reconciliation
-    # class (order-independent cross-engine table checksum).
-    "a42_dq06_reconciliation": "dq06_reconciliation_checksum",
+    # r10 rotation: dq06 holds green r4-r9 rows and the dq family keeps
+    # a10 (expectation suite) + a48 (observed metrics); the slot goes to
+    # the round-10 debut DQ08 — the SimHash band-cap audit (observability
+    # pair for the capped near-dup default, r9 ADVICE).
+    "a42_dq08_cap_audit": "dq08_simhash_cap_audit",
     # r8 rotation (r7 verdict #1): t02 holds green r1-r7 rows and text
     # quality stays exercised via l27 (bench, every round) and a10's
     # expectation suite; the slot advances to round-7's 5-gram novelty
