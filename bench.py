@@ -139,6 +139,9 @@ BENCH_QUERIES = [
     # pure setup at sf0.1 and would swamp the suite with constant, not
     # plan, cost — its certification lives in the registry + ladder.
     "g70_listagg_within_group",
+    # round-14 widening: the SimHash band-cap audit (DQ08) — the O(n)
+    # observability pass for the capped near-dup default.
+    "dq08_simhash_cap_audit",
 ]
 
 N_RUNS = 3

@@ -2387,10 +2387,57 @@ def l41_knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _l42_closure_rounds(n_rounds: int = 17) -> str:
+    """Generated min-label + POINTER-DOUBLING rounds for l42's oracle
+    closure. The natural `reach(id, r)` recursive-CTE transitive closure
+    materializes one row per (node, reachable-smaller-node) pair — at the
+    sf1 fixture the SimHash leg produces a ~26k-node component, i.e.
+    >665M closure rows, and the oracle ground for >45 min (measured live
+    in r10; the same wall class as the all-pairs Hamming scan this
+    round removed). Label propagation with doubling visits each node's
+    CURRENT minimum only: per round every node takes
+    least(own, min over in-neighbors, label-of-its-label). The pointer
+    jump halves remaining min-path lengths per round (the large-star /
+    small-star contraction argument, same as the engine's
+    connected_components), so ``n_rounds`` rounds cover min-paths up to
+    ~2**n_rounds — 17 rounds is exhaustive for any corpus this oracle
+    will ever compare (path length <= node count; certification tops out
+    at 50k docs). If a corpus ever exceeded the bound, labels would come
+    out too HIGH and the pair would hash-MISMATCH the engine loudly —
+    insufficiency cannot pass silently.
+
+    Every round CTE is AS MATERIALIZED: DuckDB 1.0 INLINES plain CTEs at
+    each reference, and a round references its predecessor three times —
+    un-materialized, the plan (and the parquet open count) grows 3^rounds
+    and dies with 'Too many open files' before executing a single row.
+    """
+    rounds = []
+    for k in range(1, n_rounds + 1):
+        rounds.append(f"""
+    l{k} AS MATERIALIZED (
+      SELECT n.id,
+             least(n.lab,
+                   coalesce(nb.m, n.lab),
+                   coalesce(p.lab, n.lab)) AS lab
+      FROM l{k - 1} n
+      LEFT JOIN (SELECT e.d AS id, min(x.lab) AS m
+                 FROM edges2 e JOIN l{k - 1} x ON x.id = e.s
+                 GROUP BY e.d) nb ON nb.id = n.id
+      LEFT JOIN l{k - 1} p ON p.id = n.lab)""")
+    return (
+        """
+    edges2 AS MATERIALIZED (SELECT s, d FROM edges),
+    l0 AS MATERIALIZED (SELECT DISTINCT s AS id, s AS lab FROM edges2),"""
+        + ",".join(rounds)
+        + f""",
+    lab AS (SELECT id, lab AS component FROM l{n_rounds})"""
+    )
+
+
 @register(
     "l42_ensemble_dedup",
     duck_sql="""
-    WITH RECURSIVE base AS (
+    WITH base AS (
       -- coalesce mirrors tokens_col (NULL text -> ''): the Spark side
       -- fingerprints NULL-text docs, so the oracle must too
       SELECT doc_id AS id, text, lower(coalesce(text, '')) AS lt
@@ -2462,11 +2509,13 @@ def l41_knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT s, d FROM ex_edges UNION SELECT d, s FROM ex_edges
       UNION SELECT s, d FROM jac_edges UNION SELECT d, s FROM jac_edges
       UNION SELECT s, d FROM sim_edges UNION SELECT d, s FROM sim_edges),
-    reach(id, r) AS (
-      SELECT s, s FROM edges
-      UNION SELECT s, d FROM edges
-      UNION SELECT reach.id, edges.d FROM reach JOIN edges ON reach.r = edges.s),
-    lab AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+    -- closure: generated min-label + pointer-doubling rounds (see
+    -- _l42_closure_rounds; replaces the reach(id, r) transitive closure
+    -- whose row count is quadratic in component size — >665M rows at
+    -- sf1's ~26k-node SimHash component)
+"""
+    + _l42_closure_rounds()
+    + """
     SELECT b.id AS doc_id,
            COALESCE(l.component, b.id) AS component,
            b.id = COALESCE(l.component, b.id) AS keep

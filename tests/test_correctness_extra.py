@@ -65,6 +65,51 @@ ORDER BY s, d
 """
 
 
+def test_l42_doubling_closure_equals_reach_closure():
+    """l42's oracle closure is generated min-label + pointer-doubling
+    rounds (queries/llm.py:_l42_closure_rounds) because the textbook
+    reach(id, r) recursive closure materializes one row per
+    (node, reachable-smaller-node) — >665M rows at sf1's ~26k-node
+    SimHash component (measured live in r10: >45 min). Retain the
+    textbook form as the cross-check over a 2,000-doc slice of the sf0.1
+    corpus — the fixtures' 31-word vocabulary makes even that slice a
+    multi-hundred-node dense component (the closure shape that matters),
+    while keeping reach's quadratic row count CI-affordable (the full
+    sf0.1 corpus already costs reach >10 min): both closures over the
+    IDENTICAL edge set must produce identical (id, component) labelings.
+    """
+    from pydatalake_gen2_spark.queries.llm import _l42_closure_rounds
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{SF_01}/documents.parquet') "
+        f"WHERE doc_id < 2000"
+    )
+    con.execute(f"CREATE TEMP TABLE sim_edges AS {_BANDED}")
+    con.execute(
+        "CREATE TEMP TABLE all_edges AS "
+        "SELECT s, d FROM sim_edges UNION SELECT d, s FROM sim_edges"
+    )
+    reach = con.execute("""
+        WITH RECURSIVE edges AS (SELECT s, d FROM all_edges),
+        reach(id, r) AS (
+          SELECT s, s FROM edges
+          UNION SELECT s, d FROM edges
+          UNION SELECT reach.id, edges.d
+          FROM reach JOIN edges ON reach.r = edges.s)
+        SELECT id, MIN(r) AS component FROM reach GROUP BY id
+        ORDER BY id
+    """).fetchall()
+    doubling = con.execute(
+        "WITH edges AS (SELECT s, d FROM all_edges),"
+        + _l42_closure_rounds()
+        + " SELECT id, component FROM lab ORDER BY id"
+    ).fetchall()
+    assert doubling == reach
+    assert len(reach) > 0
+
+
 def test_l42_banded_oracle_equals_allpairs_hamming():
     """The banded SimHash-edge SQL registered as l42's oracle leg produces
     EXACTLY the all-pairs Hamming edge set at sf0.1 (5,000 docs — 12.5M
