@@ -796,3 +796,17 @@ def test_simhash_capped_default_is_equi_with_antijoin(spark, sf_dir):
 
     anti = _re.search(r"BroadcastHashJoin[^\n]*LeftAnti", plan)
     assert anti, plan
+
+
+def test_dq08_cap_audit_is_join_free_partial_agg(spark, sf_dir):
+    """r10: the dq08 band-cap audit must stay an O(n) scan — one
+    fingerprint pipeline + one hash aggregation on (band, val) with a
+    map-side partial phase — and must contain NO join of any kind: the
+    whole point of the audit is that it is runnable BEFORE committing to
+    the candidate join it sizes. A join appearing here means someone
+    wired it through the pair generator by accident."""
+    plan = _plan(spark, sf_dir, "dq08_simhash_cap_audit")
+    for node in ("Join", "CartesianProduct", "BroadcastExchange"):
+        assert node not in plan, plan
+    # partial + final hash aggregate pair on the band keys
+    assert plan.count("HashAggregate") >= 2, plan
