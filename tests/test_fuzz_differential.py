@@ -59,8 +59,9 @@ structurally cannot see: the API path resolves against API-built
 Project/Filter/Aggregate nodes, GROUP BY ordinals become key
 expressions, HAVING becomes a filtered-then-dropped boolean aggregate
 column. ~45% of seeds exercise the third leg (floor asserted below);
-round-10 dev sweep: 1200 seeds at sf0.001 on the dual-rendered grammar,
-all match, plus the WHERE-stripping mutation self-test.
+round-10 dev sweep: 1200 seeds (0-1199) + a 3000-seed soak (1200-4199)
+at sf0.001 on the dual-rendered grammar — 4,400 dual programs, all
+match — plus the WHERE-stripping mutation self-test.
 """
 
 from __future__ import annotations
