@@ -464,9 +464,10 @@ class VersionedTable:
         for p in entries:
             m = _MANIFEST_RE.match(p.name)
             if m:
-                try:
-                    ref = json.loads(self._cat.read_bytes(p.name).decode())
-                except Exception:  # noqa: BLE001 — crashed mid-manifest-write
+                # through the immutable-manifest cache (parseable
+                # manifests never change; unparseable ones are re-read).
+                ref = self._parse_manifest(p.name)
+                if ref is None:
                     # an unparseable manifest is NOT live: readers already
                     # skip it (versions() parse-filters), and the age gate
                     # below keeps a manifest mid-write (its writer holds
