@@ -363,7 +363,16 @@ def s17_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     walk. This query reads the sf fixture dir through the source and
     projects the stable columns (file sizes vary by scale factor; the
     name set is the fixed 10-table contract, so the oracle is VALUES).
-    Pushdown + partition behavior unit-tested in tests/test_lake.py."""
+    Pushdown + partition behavior unit-tested in tests/test_lake.py.
+
+    LAYOUT-INVARIANT since r10 (the sf1 evidence sweep caught the
+    dependence): the walk finds parquet FILES, but a table is one file
+    in the driver fixtures and a DIRECTORY of part files in
+    Spark-written scale fixtures (sf1+), so the projection reduces each
+    found file to its TOP-LEVEL entry (first path segment) and dedups —
+    both layouts map to the same 10-name contract, and the recursive
+    walk + ext pushdown stay fully exercised (a part file only
+    surfaces its table if the walk reached it)."""
     from pydatalake_gen2_spark.sources.pyds import ensure_registered
 
     ensure_registered(spark)
@@ -372,7 +381,12 @@ def s17_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("path", sf_dir)
         .load()
         .filter((F.col("ext") == "parquet") & (~F.col("is_dir")))
-        .select("name", "ext")
+        .select(F.split(F.col("name"), "/").getItem(0).alias("name"))
+        .distinct()
+        .select(
+            "name",
+            F.element_at(F.split(F.col("name"), "\\."), -1).alias("ext"),
+        )
         .orderBy("name")
     )
 
@@ -572,8 +586,8 @@ def s22_permissive_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "s23_metadata_columns",
     duck_sql="""
-    SELECT 'orders.parquet' AS file_name,
-           CAST(count(*) AS BIGINT) AS n_rows,
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS rows_in_parquet_files,
            CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys
     FROM orders
     """,
@@ -582,19 +596,37 @@ def s22_permissive_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         "resolved from the scan, no storage cost. The lineage primitive "
         "at 100 TB: per-file row counts for audit, quarantining a bad "
         "producer's files by name, incremental processing by "
-        "modification time. Grouping by _metadata.file_name proves the "
-        "column binds to the real scan unit; the fixture is a single "
-        "parquet file so the name is deterministic and the pair hashes.",
+        "modification time. LAYOUT-INVARIANT since r10 (the sf1 "
+        "evidence sweep caught the single-file assumption): the query "
+        "groups by _metadata.file_name — proving the column binds to "
+        "the real scan unit in ANY layout (one file in the driver "
+        "fixtures, a directory of part files at sf1+) — then reduces "
+        "the per-file accounting to whole-table facts the oracle can "
+        "state without knowing the split: per-file row counts must SUM "
+        "to the table count (a row lost or double-assigned by the "
+        "metadata binding breaks equality), and every row must sit in "
+        "a '*.parquet'-named file (a NULL/empty binding breaks it).",
 )
 def s23_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    return (
+    per_file = (
         df.select("o_orderkey", F.col("_metadata.file_name").alias("file_name"))
         .groupBy("file_name")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
             F.countDistinct("o_orderkey").cast("bigint").alias("n_keys"),
         )
+    )
+    return per_file.agg(
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.sum(
+            F.when(F.col("file_name").endswith(".parquet"), F.col("n_rows"))
+            .otherwise(F.lit(0))
+        ).cast("bigint").alias("rows_in_parquet_files"),
+        # o_orderkey is globally unique, so per-file distincts sum to the
+        # global distinct count exactly — keeps the per-file key
+        # accounting in the hashed output
+        F.sum("n_keys").cast("bigint").alias("n_keys"),
     )
 
 
