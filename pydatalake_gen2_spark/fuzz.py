@@ -651,7 +651,31 @@ class QueryGen:
             if jt in ("JOIN", "LEFT JOIN") and self.r.random() < 0.6
             else None
         )
-        return self._render(cols, frm, frm, where, group_n=1)
+        out = self._render(cols, frm, frm, where, group_n=1)
+        # r10 dual rendering, join shape: the FK tables' column names are
+        # disjoint (TPC-H prefixes), so the API join resolves the same
+        # references unambiguously — this leg covers df.join(on=expr,
+        # how=...) resolution, which the single-table builder cannot.
+        how = {"JOIN": "inner", "LEFT JOIN": "left", "RIGHT JOIN": "right",
+               "FULL OUTER JOIN": "full"}[jt]
+        col_specs = [(a, s) for a, s, _ in cols]
+        where_s = where.spark if where is not None else None
+
+        def build(spark, lt=lt, lc=lc, rt=rt, rc=rc, how=how,
+                  col_specs=col_specs, where_s=where_s):
+            from pyspark.sql import functions as F
+
+            df = spark.table(lt).join(
+                spark.table(rt), on=F.col(lc) == F.col(rc), how=how
+            )
+            if where_s is not None:
+                df = df.filter(F.expr(where_s))
+            keys = [F.expr(s).alias(a) for a, s in col_specs[:1]]
+            aggs = [F.expr(s).alias(a) for a, s in col_specs[1:]]
+            return df.groupBy(*keys).agg(*aggs)
+
+        self.df_builder = build
+        return out
 
     def join3_agg(self) -> tuple[str, str]:
         """Three-table FK chain join + aggregate: multiplicity through a

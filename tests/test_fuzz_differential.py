@@ -58,10 +58,13 @@ P24 lateral-alias-shadowing class) that two-engine SQL comparison
 structurally cannot see: the API path resolves against API-built
 Project/Filter/Aggregate nodes, GROUP BY ordinals become key
 expressions, HAVING becomes a filtered-then-dropped boolean aggregate
-column. ~45% of seeds exercise the third leg (floor asserted below);
-round-10 dev sweep: 1200 seeds (0-1199) + a 3000-seed soak (1200-4199)
-at sf0.001 on the dual-rendered grammar — 4,400 dual programs, all
-match — plus the WHERE-stripping mutation self-test.
+column. The join_agg template carries its own builder (df.join(on=col==col,
+how=...) over the disjoint-prefixed FK tables) so API join resolution is
+covered too; ~50% of seeds exercise a third leg (floor asserted below).
+Round-10 dev sweeps: 1200 seeds (0-1199) + a 3000-seed soak (1200-4199)
+at sf0.001 on the single-table dual grammar, then 1200 + 300 re-swept
+with the join leg enabled — 5,900+ dual programs, all match — plus the
+WHERE-stripping mutation self-test.
 """
 
 from __future__ import annotations
@@ -110,6 +113,9 @@ def test_fuzz_api_leg_gate_is_not_vacuous(spark, sf_dir):
         s_sql, _ = gen.query()
         if gen.df_builder is None or " WHERE " not in s_sql:
             continue
+        if "table" not in gen.df_builder.__code__.co_freevars:
+            continue  # join-shape builder (default-arg bound): the
+            # mutation below rebuilds the single-table closure only
         sdf = spark.sql(s_sql)
         s_cols = [c.lower() for c in sdf.columns]
         s_rows = [tuple(r) for r in sdf.collect()]
