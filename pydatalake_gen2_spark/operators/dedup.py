@@ -211,6 +211,32 @@ def hamming64(a, b):
     return F.bit_count(F.col(a).bitwiseXOR(F.col(b)))
 
 
+def _band_split(bits: int, r: int):
+    """The ONE definition of the (band, val) fingerprint split shared by
+    the banded join (simhash_neardup_pairs) and its cap audit
+    (simhash_dropped_bands) — r10 review finding #2: the audit's
+    'empty result == capped is exact here' contract holds only while
+    both compute bit-identical buckets, so the split must not exist as
+    two hand-synced copies. Returns (band_val, band_structs):
+    band_val(col, i) extracts band i's bits from a fingerprint column;
+    band_structs explodes a 'simhash' column into its r+1 (band, val)
+    index structs. The last band absorbs the bits % (r+1) remainder."""
+    n_bands = r + 1
+    width = bits // n_bands
+
+    def band_val(col, i):
+        lo = i * width
+        w = bits - lo if i == n_bands - 1 else width
+        mask = (1 << w) - 1
+        return F.shiftright(col, lo).bitwiseAND(F.lit(mask))
+
+    band_structs = [
+        F.struct(F.lit(i).alias("band"), band_val(F.col("simhash"), i).alias("val"))
+        for i in range(n_bands)
+    ]
+    return band_val, band_structs
+
+
 def simhash_neardup_pairs(
     df: DataFrame,
     r: int = 4,
@@ -297,18 +323,7 @@ def simhash_neardup_pairs(
         else track_persist(simhash(df, bits, text_col, id_col))
     ).select(F.col(id_col).alias("id"), F.col("simhash"))
     n_bands = r + 1
-    width = bits // n_bands
-
-    def _band_val(col, i):
-        lo = i * width
-        w = bits - lo if i == n_bands - 1 else width  # last band absorbs remainder
-        mask = (1 << w) - 1
-        return F.shiftright(col, lo).bitwiseAND(F.lit(mask))
-
-    band_structs = [
-        F.struct(F.lit(i).alias("band"), _band_val(F.col("simhash"), i).alias("val"))
-        for i in range(n_bands)
-    ]
+    _band_val, band_structs = _band_split(bits, r)
     idx = fp.select(
         "id", "simhash", F.explode(F.array(*band_structs)).alias("bv")
     ).select("id", "simhash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
@@ -394,19 +409,7 @@ def simhash_dropped_bands(
         if fingerprints is not None
         else simhash(df, bits, text_col, id_col)
     ).select(F.col(id_col).alias("id"), F.col("simhash"))
-    n_bands = r + 1
-    width = bits // n_bands
-
-    def _band_val(col, i):
-        lo = i * width
-        w = bits - lo if i == n_bands - 1 else width
-        mask = (1 << w) - 1
-        return F.shiftright(col, lo).bitwiseAND(F.lit(mask))
-
-    band_structs = [
-        F.struct(F.lit(i).alias("band"), _band_val(F.col("simhash"), i).alias("val"))
-        for i in range(n_bands)
-    ]
+    _, band_structs = _band_split(bits, r)
     return (
         fp.select(F.explode(F.array(*band_structs)).alias("bv"))
         .select(F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))

@@ -803,6 +803,22 @@ def lx_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.table("embeddings")
     n = emb.count()  # parquet metadata count: no scan
     n_planes = max(6, math.ceil(math.log2(max(n, 128) / 64)))
+    if n_planes > 16:
+        # The oracle embeds a 16-plane literal set (_lx_lsh_duck np_max);
+        # beyond 64 * 2**16 (~4.2M) vectors the formula exceeds it and
+        # the hash compare is INVALID — keep that boundary loud (the r7
+        # lesson: a silent contract edge reads as a confusing mismatch
+        # two decades later). Regenerate the oracle with a larger np_max
+        # before certifying such a corpus.
+        import warnings
+
+        warnings.warn(
+            f"lx_lsh_topk: corpus has {n} vectors -> n_planes={n_planes},"
+            " beyond the oracle's embedded 16-plane set (valid to ~4.2M"
+            " vectors) — do NOT hash-compare this run; regenerate"
+            " _lx_lsh_duck(np_max=...) first.",
+            stacklevel=2,
+        )
     return similarity.lsh_topk(emb, k=5, n_planes=n_planes)
 
 

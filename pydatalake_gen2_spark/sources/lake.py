@@ -259,6 +259,10 @@ class LakeCatalog:
         if (uri.getScheme() or "file") == "file":
             import os
 
+            # Hadoop's create() mkdirs missing parents implicitly; keep
+            # that contract on the POSIX branch (r10 review finding #3 —
+            # a nested-path caller must not break only on local fs).
+            os.makedirs(os.path.dirname(uri.getPath()), exist_ok=True)
             try:
                 fd = os.open(
                     uri.getPath(), os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644

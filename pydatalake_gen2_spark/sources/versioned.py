@@ -76,28 +76,58 @@ class VersionedTable:
         self._CLAIM_WAIT_S = claim_wait_s
         self._cat = LakeCatalog(spark, self.root)
         self._cat.create_filesystem("")  # ensure the table root exists
-        # Parsed-manifest cache: a manifest that PARSES is immutable (the
-        # commit protocol never rewrites one), so each is read+parsed at
-        # most once per VersionedTable instance. Without this, versions()
-        # costs O(history) remote GETs per resolution → quadratic total
-        # read cost over a table's life on object stores (r9 ADVICE).
-        # Unparseable manifests are deliberately NOT cached: they are the
-        # one mutable state (a publisher mid-write), so they are re-read
-        # every resolution.
-        self._manifest_cache: dict[str, dict] = {}
+        # Parsed-manifest cache keyed by (name, modification_time): a
+        # manifest that PARSES is immutable for the lifetime of its file,
+        # so each is read+parsed at most once per VersionedTable instance.
+        # Without this, versions() costs O(history) remote GETs per
+        # resolution → quadratic total read cost over a table's life on
+        # object stores (r9 ADVICE). The mtime in the key makes slot
+        # REUSE safe (expire + re-commit publishes a different file under
+        # an old name — see _parse_manifest). Unparseable manifests are
+        # deliberately NOT cached: they are the one mutable state (a
+        # publisher mid-write), so they are re-read every resolution.
+        self._manifest_cache: dict[tuple[str, int], dict] = {}
 
     # -- manifest log -----------------------------------------------------
-    def _parse_manifest(self, name: str) -> dict | None:
-        """Read+parse one manifest, through the immutable-manifest cache.
-        Returns None when the manifest doesn't parse (in-flight/torn)."""
-        hit = self._manifest_cache.get(name)
+    def _evict_manifest(self, name: str) -> None:
+        """Called whenever THIS instance deletes a manifest file. The
+        (name, mtime) cache key already makes stale hits impossible —
+        including in OTHER live instances of the same table, which
+        eviction could never reach (r10 review finding #1: version slots
+        are reused after expire()/vacuum, so a name-only key would have
+        resolved a dead manifest's dirs). Eviction here is hygiene: it
+        keeps dead entries from accumulating over a long-lived
+        instance's expire cycles."""
+        self._manifest_cache = {
+            k: v for k, v in self._manifest_cache.items() if k[0] != name
+        }
+
+    def _parse_manifest(self, name: str, mtime: int | None = None) -> dict | None:
+        """Read+parse one manifest, through the manifest cache.
+        Returns None when the manifest doesn't parse (in-flight/torn).
+
+        Cache keys are (name, modification_time) — name alone is NOT a
+        sound key because version SLOTS ARE REUSED: after expire()/vacuum
+        a fresh commit publishes a new manifest under an old name, and a
+        name-keyed cache (in this instance or any OTHER live instance of
+        the same table) would resolve the dead manifest's dirs. The mtime
+        comes free from the listing in versions()/vacuum; point lookups
+        pay one stat instead of a full read — still a win, and the
+        listing path (every resolution) pays nothing extra."""
+        if mtime is None:
+            try:
+                mtime = self._cat.get_properties(name).modification_time
+            except Exception:  # noqa: BLE001 — vanished between list & stat
+                return None
+        key = (name, mtime)
+        hit = self._manifest_cache.get(key)
         if hit is not None:
             return hit
         try:
             ref = json.loads(self._cat.read_bytes(name).decode())
         except Exception:  # noqa: BLE001 — any parse failure = in-flight
             return None
-        self._manifest_cache[name] = ref
+        self._manifest_cache[key] = ref
         return ref
 
     def versions(self) -> list[int]:
@@ -111,7 +141,7 @@ class VersionedTable:
             m = _MANIFEST_RE.match(p.name)
             if not m:
                 continue
-            if self._parse_manifest(p.name) is None:
+            if self._parse_manifest(p.name, p.modification_time) is None:
                 continue
             out.append(int(m.group(1)))
         return sorted(out)
@@ -432,6 +462,7 @@ class VersionedTable:
             (live if v not in dropped else drop_dirs).update(self._manifest_dirs(v))
         for v in drop:
             self._cat.delete_path(self._manifest_name(v))
+            self._evict_manifest(self._manifest_name(v))
         for d in sorted(drop_dirs - live):
             if not self._is_external(d):  # never reach into a clone's source
                 self._cat.delete_path(d, recursive=True)
@@ -466,7 +497,7 @@ class VersionedTable:
             if m:
                 # through the immutable-manifest cache (parseable
                 # manifests never change; unparseable ones are re-read).
-                ref = self._parse_manifest(p.name)
+                ref = self._parse_manifest(p.name, p.modification_time)
                 if ref is None:
                     # an unparseable manifest is NOT live: readers already
                     # skip it (versions() parse-filters), and the age gate
@@ -486,6 +517,8 @@ class VersionedTable:
         if not dry_run:
             for name in orphans:
                 self._cat.delete_path(name, recursive=True)
+                if _MANIFEST_RE.match(name):
+                    self._evict_manifest(name)
         return orphans
 
     def optimize(self, target_files: int = 1) -> int:

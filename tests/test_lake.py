@@ -353,3 +353,38 @@ def test_commit_race_threaded_every_writer_lands(spark):
     assert len(set(landed.values())) == n
     # no claims, no orphan dirs, no torn manifests left behind
     assert vt.vacuum_orphans(dry_run=True, min_age_s=0) == []
+
+
+def test_expire_then_recommit_resolves_fresh_manifests(spark):
+    """r10 review finding #1: version slots are REUSED after expire(), so
+    the parsed-manifest cache must never serve a dead manifest under a
+    recycled name — neither in the instance that ran expire() nor in a
+    DIFFERENT live instance of the same table that cached the old
+    manifest before the expire (the (name, mtime) cache key covers both;
+    a name-only key would resolve the expired append-chain manifest and
+    union three dead snapshots)."""
+    from pydatalake_gen2_spark.sources.versioned import VersionedTable
+
+    root = tempfile.mkdtemp(prefix="vt_reuse_")
+    vt = VersionedTable(spark, f"file://{root}")
+    vt.append_commit(spark.range(0, 5).withColumnRenamed("id", "k"))
+    vt.append_commit(spark.range(5, 8).withColumnRenamed("id", "k"))
+    vt.append_commit(spark.range(8, 10).withColumnRenamed("id", "k"))
+    # a second instance caches version 3's cumulative manifest NOW
+    vt2 = VersionedTable(spark, f"file://{root}")
+    assert vt2.read(3).count() == 10
+
+    assert vt.expire(keep_last=0) == [1, 2, 3]
+    assert vt.versions() == []
+    # slots 1..3 are recycled by plain snapshot commits
+    vt.commit(spark.range(0, 2).withColumnRenamed("id", "k"))
+    vt.commit(spark.range(0, 3).withColumnRenamed("id", "k"))
+    vt.commit(spark.range(0, 4).withColumnRenamed("id", "k"))
+
+    # the expiring instance resolves the NEW v3 (4 rows), not the dead
+    # append chain (10 rows)
+    assert vt.read(3).count() == 4
+    assert vt.read().count() == 4
+    # ...and so does the OTHER instance whose cache held the old v3
+    assert vt2.read(3).count() == 4
+    assert vt2.vacuum_orphans(dry_run=True, min_age_s=0) == []
