@@ -1,10 +1,25 @@
 """Local oracle harness: run each registered QueryPair on Spark AND DuckDB,
 compare row counts + canonicalized multisets of values.
 
-Mirrors (strictly: is stricter than) the driver's CORRECTNESS gate, which
-sorts columns by name and hashes values order-insensitively. Here we demand
-exact value equality after canonicalization so float drift surfaces locally
-before the driver sees it.
+Mirrors the driver's CORRECTNESS gate (sorts columns by name, hashes values
+order-insensitively) and demands exact value equality after
+canonicalization so float drift surfaces locally before the driver sees it.
+
+Equivalence caveat (round-10 lesson — this compare is NOT uniformly
+stricter than the driver's): the driver hashes a typed RENDERING, so a
+value that is equal across engines but carried in a different type class
+(DuckDB HUGEINT → Arrow decimal128 vs Spark int64 — the dq08 red row) can
+pass a value-equality compare and still fail the driver.  Two defenses:
+
+- Decimal is canonicalized to an exactness-preserving form DISTINCT from
+  int/float (``("\\x00DEC", str(v))``), so ``Decimal('2126')`` vs int64
+  2126 now FAILS locally, matching the driver.
+- int-vs-float class drift (``2126 == 2126.0`` under Python hashing) is
+  NOT distinguishable at value level without breaking legitimate float
+  compares; that class is closed statically by the registry-wide dtype
+  parity gate (``pydatalake_gen2_spark.typeaudit``), which binds both
+  schemas joblessly and fails integral-vs-decimal/float/string divergence
+  for every pair — including ones never executed locally.
 """
 
 from __future__ import annotations
@@ -48,7 +63,12 @@ def _canon_value(v: Any) -> Any:
     if isinstance(v, bool):
         return v
     if isinstance(v, Decimal):
-        return float(v)
+        # Exactness-preserving and DISTINCT from int/float: a Decimal
+        # output on one engine vs an integral/float on the other must
+        # FAIL locally (the driver's typed-rendering hash fails it).
+        # str() keeps the declared scale ('2126.00' != '2126.0'), so a
+        # scale drift between engines is caught at value level too.
+        return ("\x00DEC", str(v))
     if isinstance(v, float):
         if math.isnan(v):
             return "\x00NaN"

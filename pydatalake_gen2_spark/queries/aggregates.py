@@ -393,8 +393,12 @@ sql_pair(
       SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bucket
       FROM lineitem)
     SELECT bucket,
-           bucket * 5000.0 AS lo,
-           (bucket + 1) * 5000.0 AS hi,
+           -- CAST to DOUBLE: DuckDB's BIGINT * DECIMAL literal stays
+           -- DECIMAL(s=1) while Spark's `col * 5000.0` is float64 — a
+           -- rendering-type drift the driver's typed hash rejects even
+           -- though the values (exact 5000-multiples) are identical.
+           CAST(bucket * 5000.0 AS DOUBLE) AS lo,
+           CAST((bucket + 1) * 5000.0 AS DOUBLE) AS hi,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM b GROUP BY bucket
     """,
@@ -1136,7 +1140,12 @@ sql_pair(
              PERCENTILE_DISC(0.95) WITHIN GROUP (ORDER BY cents) AS hi
       FROM c)
     SELECT CAST(COUNT(*) AS BIGINT) AS n,
-           q.lo AS lo_cents, q.hi AS hi_cents,
+           -- CAST to BIGINT: Spark's percentile_disc returns DOUBLE
+           -- while DuckDB's returns the input type (BIGINT); the fence
+           -- is an actual data value (exact integer cents), so the cast
+           -- is lossless on both engines and pins one rendering class.
+           CAST(q.lo AS BIGINT) AS lo_cents,
+           CAST(q.hi AS BIGINT) AS hi_cents,
            CAST(SUM(CASE WHEN cents < q.lo THEN 1 ELSE 0 END) AS BIGINT)
              AS n_clamped_low,
            CAST(SUM(CASE WHEN cents > q.hi THEN 1 ELSE 0 END) AS BIGINT)

@@ -1395,7 +1395,13 @@ def dq07_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(CASE WHEN (th >> i) & 1 = 1 THEN 1 ELSE -1 END) AS tally
       FROM th, unnest(generate_series(0, 47)) u(i) GROUP BY id, i),
     fp AS (
-      SELECT id, sum(CASE WHEN tally > 0 THEN 1::BIGINT << i ELSE 0 END) AS sh
+      -- CAST back to BIGINT: DuckDB's sum(BIGINT) widens to HUGEINT, and
+      -- without the cast the derived output column `val` reaches the
+      -- driver as DECIMAL128(38,0) while Spark emits int64 — values
+      -- identical, rendering-hash red (round-10 driver finding).
+      SELECT id,
+             CAST(sum(CASE WHEN tally > 0 THEN 1::BIGINT << i ELSE 0 END)
+                  AS BIGINT) AS sh
       FROM tallies GROUP BY id),
     bands AS (
       SELECT CAST(i AS INT) AS band,

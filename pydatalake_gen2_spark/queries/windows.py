@@ -748,10 +748,18 @@ def _w30_sql(fmt: str) -> str:
              lag(m, 12) OVER (ORDER BY m) AS m_minus_12
       FROM monthly)
     SELECT {fmt} AS month, cents,
+           -- CAST the delta to DOUBLE before the divide so BOTH engines
+           -- compute ROUND(double, 4) → float64: Spark's decimal literal
+           -- arithmetic otherwise yields DECIMAL(s=4) while DuckDB's
+           -- decimal/BIGINT divide yields DOUBLE — equal values, divergent
+           -- driver rendering (the dq08 class).  The delta is exact in
+           -- float64 (monthly cents ≪ 2^53 at every oracle scale).
            CASE WHEN m_minus_1 = m - 1
-                THEN ROUND((cents - prev_m) * 100.0 / prev_m, 4) END AS mom_pct,
+                THEN ROUND(CAST(cents - prev_m AS DOUBLE) * 100 / prev_m, 4)
+           END AS mom_pct,
            CASE WHEN m_minus_12 = m - 12
-                THEN ROUND((cents - prev_y) * 100.0 / prev_y, 4) END AS yoy_pct
+                THEN ROUND(CAST(cents - prev_y AS DOUBLE) * 100 / prev_y, 4)
+           END AS yoy_pct
     FROM seq ORDER BY m
     """
 

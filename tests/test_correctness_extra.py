@@ -10,9 +10,23 @@ forms inside DuckDB itself, so the efficient oracle never silently drifts
 from the definition it replaced. Pure DuckDB — no Spark session needed.
 """
 
-import duckdb
+import os
 
-SF_01 = "/root/testdata/sf0.1"
+import duckdb
+import pytest
+
+# Cross-check scale: one decade above the suite's sf_dir fixture, resolved
+# from the same SPARK_GRAFT_SF_DIR convention as bench.py (ADVICE r10: no
+# machine-specific absolute path).  Skips cleanly when the fixture decade
+# is absent rather than erroring on a different layout.
+SF_01 = os.environ.get(
+    "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+)
+if not os.path.isdir(SF_01):
+    pytest.skip(
+        f"sf fixture dir {SF_01} absent (set SPARK_GRAFT_SF_DIR)",
+        allow_module_level=True,
+    )
 
 # The shared fingerprint pipeline — identical text→48-bit-SimHash recurrence
 # as l42's registered oracle (queries/llm.py l42_ensemble_dedup duck_sql).

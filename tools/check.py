@@ -33,11 +33,20 @@ def _selected(prefixes: list[str]) -> list[str]:
 
 
 def analyze_only(sf_dir: str, prefixes: list[str]) -> int:
-    """Construct + analyze every selected pair; no job execution."""
+    """Construct + analyze every selected pair; no job execution.
+
+    Also runs the round-11 dtype-class parity gate (typeaudit): Spark's
+    analyzed schema vs DuckDB's static bind of the oracle — jobless on
+    both sides — so an integral-vs-decimal/float/string class drift (the
+    dq08 driver-red class) can never ship unflagged.
+    """
+    from pydatalake_gen2_spark.harness import duck_connect
     from pydatalake_gen2_spark.registry import REGISTRY
+    from pydatalake_gen2_spark.typeaudit import audit_pair
 
     names = _selected(prefixes)
     spark = get_spark("analyze")
+    con = duck_connect(sf_dir)
     bad = 0
     t0 = time.time()
     for name in names:
@@ -45,10 +54,14 @@ def analyze_only(sf_dir: str, prefixes: list[str]) -> int:
         try:
             df = pair.spark_fn(spark, sf_dir)
             _ = df.schema  # forces full analysis; never runs a job
+            problems = audit_pair(spark, con, sf_dir, name)
+            if problems:
+                bad += 1
+                print(f"FAIL {name:38s} TYPE_MISMATCH: {problems}")
         except Exception as e:  # noqa: BLE001 — report every failure class
             bad += 1
             print(f"FAIL {name:38s} {type(e).__name__}: {str(e)[:300]}")
-    print(f"\nanalyze: {len(names) - bad}/{len(names)} pass "
+    print(f"\nanalyze+types: {len(names) - bad}/{len(names)} pass "
           f"({time.time() - t0:.1f}s)")
     return 1 if bad else 0
 
