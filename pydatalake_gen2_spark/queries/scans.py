@@ -1855,3 +1855,77 @@ def s45_tablesample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
                "seed_deterministic BOOLEAN, sql_matches_api BOOLEAN, "
                "subset_of_base BOOLEAN",
     )
+
+
+@register(
+    "s46_time_travel_ts",
+    duck_sql="""
+    WITH o AS (SELECT o_orderkey % 3 AS slice,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders)
+    SELECT 'at_v1' AS probe, CAST(1 AS BIGINT) AS version,
+           CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS cents
+    FROM o WHERE slice = 0
+    UNION ALL
+    SELECT 'before_v2', CAST(1 AS BIGINT),
+           CAST(COUNT(*) AS BIGINT), CAST(SUM(cents) AS BIGINT)
+    FROM o WHERE slice = 0
+    UNION ALL
+    SELECT 'at_v2', CAST(2 AS BIGINT),
+           CAST(COUNT(*) AS BIGINT), CAST(SUM(cents) AS BIGINT)
+    FROM o WHERE slice IN (0, 1)
+    UNION ALL
+    SELECT 'at_v3', CAST(3 AS BIGINT),
+           CAST(COUNT(*) AS BIGINT), CAST(SUM(cents) AS BIGINT)
+    FROM o
+    ORDER BY probe
+    """,
+)
+def s46_time_travel_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S46: time travel BY TIMESTAMP (Delta `TIMESTAMP AS OF`; r10
+    verdict Next #4a) — three commits slice orders by o_orderkey % 3
+    (one snapshot + two appends); each commit's manifest pins a STRICTLY
+    MONOTONE `committed_at_us` (max(now, prev+1) — the Delta commit-ts
+    adjustment), so `read(as_of_us=ts)` resolves the highest version
+    with commit-ts ≤ ts from manifest metadata alone, never from fs
+    mtimes. Probes: exactly at each commit's timestamp (→ that version)
+    and one microsecond before v2 (→ v1: the boundary is inclusive on
+    the left only). The oracle certifies the resolved CONTENT per
+    probe."""
+    from pydatalake_gen2_spark.sources.versioned import VersionedTable
+
+    vt = VersionedTable(spark, _tmp("s46_vt", sf_dir))
+    if vt.current_version() == 0:
+        o = spark.table("orders").select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+        vt.commit(o.filter(F.col("o_orderkey") % 3 == 0))
+        vt.append_commit(o.filter(F.col("o_orderkey") % 3 == 1))
+        vt.append_commit(o.filter(F.col("o_orderkey") % 3 == 2))
+    probes = [
+        ("at_v1", vt.commit_timestamp_us(1)),
+        ("before_v2", vt.commit_timestamp_us(2) - 1),
+        ("at_v2", vt.commit_timestamp_us(2)),
+        ("at_v3", vt.commit_timestamp_us(3)),
+    ]
+    outs = []
+    for label, ts in probes:
+        v = vt.version_as_of(ts)
+        outs.append(
+            vt.read(as_of_us=ts)
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum("cents").cast("bigint").alias("cents"),
+            )
+            .select(
+                F.lit(label).alias("probe"),
+                F.lit(v).cast("bigint").alias("version"),
+                "n",
+                "cents",
+            )
+        )
+    res = outs[0]
+    for df in outs[1:]:
+        res = res.unionByName(df)
+    return res.orderBy("probe")

@@ -870,3 +870,43 @@ def st27_anti_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("click_id", "c_user")
         .orderBy("click_id")
     )
+
+
+@register(
+    "st28_cdf_stream",
+    duck_sql="""
+    SELECT CAST(event_id % 4 + 1 AS BIGINT) AS commit_version,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def st28_cdf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST28: versioned table consumed AS A STREAMING SOURCE — the read
+    direction of ST12's stream→table write (Delta `readChangeFeed`
+    shape, r10 verdict Next #4b). Four commits slice events by
+    event_id % 4; the `versioned_changes` Python streaming source
+    (sources/pyds.py) serves one commit's manifest-diff delta per
+    micro-batch in commit order, tagging `_commit_version`. The oracle
+    certifies the drained feed: every event exactly once, attributed to
+    exactly the commit that inserted it (commit_version = event_id%4+1),
+    with per-commit aggregates matching the batch GROUP BY."""
+    out = replay.run_cdf_stream(spark, sf_dir)
+    return (
+        out.groupBy("_commit_version", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("_commit_version").alias("commit_version"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+        .orderBy("commit_version", "event_type")
+    )

@@ -347,3 +347,158 @@ def ensure_stream_source_registered(spark) -> None:
         spark.dataSource.register(EventReplayStreamSource)
     except Exception:
         pass  # already registered in this session
+
+
+# ---------------------------------------------------------------------------
+# ST28 — Python STREAMING source: versioned-table CHANGE DATA FEED
+# ---------------------------------------------------------------------------
+
+
+def _vt_local_root(path: str) -> str:
+    if path.startswith("file://"):
+        return path[len("file://"):]
+    return path
+
+
+def _vt_committed_versions(root: str) -> dict[int, dict]:
+    """Parse the manifest log directly (driver-side control path — the
+    stream reader has no SparkSession). Same reader rules as
+    VersionedTable.versions(): a manifest that PARSES and whose embedded
+    version matches its slot is committed; anything torn is invisible."""
+    import json as _json
+    import re as _re
+
+    pat = _re.compile(r"^_manifest\.(\d{8})\.json$")
+    out: dict[int, dict] = {}
+    for name in os.listdir(root):
+        m = pat.match(name)
+        if not m:
+            continue
+        try:
+            with open(os.path.join(root, name), "rb") as f:
+                ref = _json.loads(f.read().decode())
+        except Exception:  # noqa: BLE001 — in-flight/torn manifest
+            continue
+        v = int(m.group(1))
+        if ref.get("version") != v:
+            continue
+        out[v] = ref
+    return out
+
+
+def _vt_dirs(ref: dict) -> list[str]:
+    return ref["dirs"] if "dirs" in ref else [ref["dir"]]
+
+
+class _VersionChangesStreamReader(SimpleDataSourceStreamReader):
+    """CDF streaming SOURCE over a VersionedTable (sources/versioned.py)
+    — the read twin of ST12's stream→versioned-table write direction,
+    the Delta `readChangeFeed` shape.
+
+    The offset is ``{"v": N}`` — every committed version ≤ N has been
+    served. Each micro-batch serves exactly ONE commit's delta (commit
+    order = the change order), resolved from the manifest diff: version
+    v's dir set minus its predecessor's — O(delta) data read, never
+    O(table), the same metadata-only resolution as
+    VersionedTable.read_changes. A caught-up source returns an empty
+    batch with an unchanged offset; new commits appearing later are
+    picked up on subsequent triggers, so one long-lived query tails the
+    table. ``readBetweenOffsets`` re-serves any committed version range
+    deterministically (manifests and snapshot dirs are immutable), which
+    is exactly the checkpoint-recovery contract.
+
+    Append-only chains are the defined CDF case. A non-append commit
+    (full snapshot / optimize: the new dir set is NOT a superset of the
+    predecessor's) is a REWRITE with no derivable row-level feed — the
+    reader fails loud there rather than re-emit the table as inserts
+    (Delta's readChangeFeed makes the same call for non-CDF rewrites).
+
+    Rows carry the data columns (in declared-schema order) plus
+    ``_commit_version`` — the commit that inserted them."""
+
+    def __init__(self, root: str, columns: list[str], since: int) -> None:
+        self.root = _vt_local_root(root)
+        self.columns = columns
+        self.since = since
+
+    def initialOffset(self) -> dict:
+        return {"v": self.since}
+
+    def _delta_rows(self, refs: dict[int, dict], v: int) -> list[tuple]:
+        import pyarrow.parquet as pq
+
+        prev = max((u for u in refs if u < v), default=None)
+        new = _vt_dirs(refs[v])
+        old = set(_vt_dirs(refs[prev])) if prev is not None else set()
+        if prev is not None and not old.issubset(set(new)):
+            raise ValueError(
+                f"version {v} under {self.root} is a REWRITE (dir set is "
+                f"not a superset of version {prev}'s) — no change feed "
+                f"is derivable; restart the stream from a later version"
+            )
+        rows: list[tuple] = []
+        for d in new:
+            if d in old:
+                continue
+            full = d if os.path.isabs(d) else os.path.join(self.root, d)
+            full = _vt_local_root(full)
+            for f in sorted(os.listdir(full)):
+                if not f.endswith(".parquet"):
+                    continue
+                t = pq.read_table(os.path.join(full, f), columns=self.columns)
+                rows.extend(
+                    tuple(r[c] for c in self.columns) + (v,)
+                    for r in t.to_pylist()
+                )
+        return rows
+
+    def read(self, start: dict):
+        refs = _vt_committed_versions(self.root)
+        pending = sorted(v for v in refs if v > start["v"])
+        if not pending:
+            return iter([]), start  # caught up — idle until a new commit
+        v = pending[0]
+        return iter(self._delta_rows(refs, v)), {"v": v}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        refs = _vt_committed_versions(self.root)
+        out: list[tuple] = []
+        for v in sorted(refs):
+            if start["v"] < v <= end["v"]:
+                out.extend(self._delta_rows(refs, v))
+        return iter(out)
+
+
+class VersionedChangesStreamSource(DataSource):
+    """``readStream.format("versioned_changes")`` — options:
+
+    - ``path``: the table root (``file://…`` or local path),
+    - ``dataSchema``: DDL of the table's data columns (the source appends
+      ``_commit_version bigint``),
+    - ``since`` (optional, default 0): start the feed AFTER this version.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "versioned_changes"
+
+    def schema(self) -> str:
+        data = self.options.get("dataschema")
+        if not data:
+            raise ValueError(
+                "versioned_changes requires .option('dataSchema', <ddl>)"
+            )
+        return f"{data}, _commit_version bigint"
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        cols = [f.name for f in schema.fields if f.name != "_commit_version"]
+        return _VersionChangesStreamReader(
+            self.options["path"], cols, int(self.options.get("since", 0))
+        )
+
+
+def ensure_changes_stream_registered(spark) -> None:
+    try:
+        spark.dataSource.register(VersionedChangesStreamSource)
+    except Exception:
+        pass  # already registered in this session

@@ -47,12 +47,20 @@ from __future__ import annotations
 import json
 import re
 import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
 from pydatalake_gen2_spark.sources.lake import LakeCatalog
 
 _MANIFEST_RE = re.compile(r"^_manifest\.(\d{8})\.json$")
+
+# vacuum_orphans' default retention fence. Shared with _commit_loop's
+# blocked-claim diagnosis so the "run vacuum_orphans()" advice is only ever
+# emitted for a claim that vacuum's OWN default would reclaim — a claim
+# older than claim_wait_s but younger than this can be a live writer's
+# slow snapshot write (r10 ADVICE #1).
+_VACUUM_MIN_AGE_S = 3600.0
 
 
 class VersionedTable:
@@ -76,22 +84,24 @@ class VersionedTable:
         self._CLAIM_WAIT_S = claim_wait_s
         self._cat = LakeCatalog(spark, self.root)
         self._cat.create_filesystem("")  # ensure the table root exists
-        # Parsed-manifest cache keyed by (name, modification_time): a
-        # manifest that PARSES is immutable for the lifetime of its file,
-        # so each is read+parsed at most once per VersionedTable instance.
-        # Without this, versions() costs O(history) remote GETs per
-        # resolution → quadratic total read cost over a table's life on
-        # object stores (r9 ADVICE). The mtime in the key makes slot
-        # REUSE safe (expire + re-commit publishes a different file under
-        # an old name — see _parse_manifest). Unparseable manifests are
-        # deliberately NOT cached: they are the one mutable state (a
-        # publisher mid-write), so they are re-read every resolution.
-        self._manifest_cache: dict[tuple[str, int], dict] = {}
+        # Parsed-manifest cache keyed by (name, modification_time,
+        # content_length): a manifest that PARSES is immutable for the
+        # lifetime of its file, so each is read+parsed at most once per
+        # VersionedTable instance. Without this, versions() costs
+        # O(history) remote GETs per resolution → quadratic total read
+        # cost over a table's life on object stores (r9 ADVICE). The
+        # (mtime, length) in the key makes slot REUSE safe even under
+        # coarse mtime granularity (expire + re-commit publishes a
+        # different file under an old name — see _parse_manifest).
+        # Unparseable manifests are deliberately NOT cached: they are the
+        # one mutable state (a publisher mid-write), so they are re-read
+        # every resolution.
+        self._manifest_cache: dict[tuple[str, int, int], dict] = {}
 
     # -- manifest log -----------------------------------------------------
     def _evict_manifest(self, name: str) -> None:
         """Called whenever THIS instance deletes a manifest file. The
-        (name, mtime) cache key already makes stale hits impossible —
+        (name, mtime, length) cache key already makes stale hits impossible —
         including in OTHER live instances of the same table, which
         eviction could never reach (r10 review finding #1: version slots
         are reused after expire()/vacuum, so a name-only key would have
@@ -102,31 +112,64 @@ class VersionedTable:
             k: v for k, v in self._manifest_cache.items() if k[0] != name
         }
 
-    def _parse_manifest(self, name: str, mtime: int | None = None) -> dict | None:
+    def _parse_manifest(
+        self,
+        name: str,
+        mtime: int | None = None,
+        length: int | None = None,
+    ) -> dict | None:
         """Read+parse one manifest, through the manifest cache.
         Returns None when the manifest doesn't parse (in-flight/torn).
 
-        Cache keys are (name, modification_time) — name alone is NOT a
-        sound key because version SLOTS ARE REUSED: after expire()/vacuum
-        a fresh commit publishes a new manifest under an old name, and a
-        name-keyed cache (in this instance or any OTHER live instance of
-        the same table) would resolve the dead manifest's dirs. The mtime
-        comes free from the listing in versions()/vacuum; point lookups
-        pay one stat instead of a full read — still a win, and the
-        listing path (every resolution) pays nothing extra."""
-        if mtime is None:
+        Cache keys are (name, modification_time, content_length) — name
+        alone is NOT a sound key because version SLOTS ARE REUSED: after
+        expire()/vacuum a fresh commit publishes a new manifest under an
+        old name, and a name-keyed cache (in this instance or any OTHER
+        live instance of the same table) would resolve the dead
+        manifest's dirs. mtime alone is not sound either on stores with
+        coarse (e.g. 1-second) timestamp granularity — a recycled slot
+        re-committed within the same timestamp unit would hit the old
+        entry (r10 ADVICE #2); the content length (free from the same
+        stat/listing entry) is the second discriminator, and each
+        manifest's embedded ``commit_id`` makes a same-length recycle
+        produce different bytes. Both fields come free from the listing
+        in versions()/vacuum; point lookups pay one stat instead of a
+        full read — still a win, and the listing path (every resolution)
+        pays nothing extra.
+
+        The point-lookup stat→read pair is not atomic: a replace between
+        the two calls would hand us fresh bytes under the stale stat. Two
+        guards close it: the parsed manifest's embedded ``version`` must
+        match the slot number in ``name`` (else: torn/foreign → None),
+        and the byte count actually read must equal the stat length —
+        on a mismatch the parsed (live) manifest is returned but NEVER
+        cached under the stale key."""
+        if mtime is None or length is None:
             try:
-                mtime = self._cat.get_properties(name).modification_time
+                st = self._cat.get_properties(name)
+                mtime, length = st.modification_time, st.length
             except Exception:  # noqa: BLE001 — vanished between list & stat
                 return None
-        key = (name, mtime)
+        key = (name, mtime, length)
         hit = self._manifest_cache.get(key)
         if hit is not None:
             return hit
         try:
-            ref = json.loads(self._cat.read_bytes(name).decode())
+            raw = self._cat.read_bytes(name)
+            ref = json.loads(raw.decode())
         except Exception:  # noqa: BLE001 — any parse failure = in-flight
             return None
+        m = _MANIFEST_RE.match(name)
+        if m and ref.get("version") != int(m.group(1)):
+            # Parsed content does not belong to this slot: a torn write
+            # or foreign bytes. Treat exactly like an unparseable
+            # manifest — invisible, never cached.
+            return None
+        if len(raw) != length:
+            # Replaced between stat and read — the content is live but
+            # the key is stale; serve it un-cached so the next resolution
+            # re-stats and caches under the true (mtime, length).
+            return ref
         self._manifest_cache[key] = ref
         return ref
 
@@ -141,7 +184,7 @@ class VersionedTable:
             m = _MANIFEST_RE.match(p.name)
             if not m:
                 continue
-            if self._parse_manifest(p.name, p.modification_time) is None:
+            if self._parse_manifest(p.name, p.modification_time, p.length) is None:
                 continue
             out.append(int(m.group(1)))
         return sorted(out)
@@ -203,7 +246,23 @@ class VersionedTable:
             prior = self._manifest_dirs(vs[-1]) if (append and vs) else None
             d = f"_v{v:08d}"
             df.write.mode("overwrite").parquet(self._resolve(d))
-            manifest: dict = {"version": v}
+            # commit_id: per-commit UUID — the content-level discriminator
+            # behind the (name, mtime, length) cache key (r10 ADVICE #2).
+            # committed_at_us: the table's commit timestamp, pinned HERE at
+            # publish time rather than re-derived from fs mtime, so
+            # time-travel-by-timestamp resolves identically on stores with
+            # coarse or rewritten mtimes. STRICTLY MONOTONE over versions
+            # (max(now, prev+1) — the Delta commit-ts adjustment): ties are
+            # impossible, so version_as_of(ts) is single-valued even for
+            # back-to-back commits inside one clock tick.
+            prev_ts = self.commit_timestamp_us(vs[-1]) if vs else 0
+            manifest: dict = {
+                "version": v,
+                "commit_id": uuid.uuid4().hex,
+                "committed_at_us": max(
+                    int(time.time() * 1_000_000), prev_ts + 1
+                ),
+            }
             if append:
                 manifest["dirs"] = (prior or []) + [d]
             else:
@@ -297,12 +356,30 @@ class VersionedTable:
                 return v
             stale_age = self._await_claim_release(v)
             if stale_age is not None:
+                # Only advise vacuum_orphans() when the claim is ALSO past
+                # vacuum's own retention fence — a claim merely older than
+                # claim_wait_s can belong to a LIVE writer whose snapshot
+                # write is slow, and advising vacuum there (with a small
+                # min_age_s) invites deleting a live claim and letting a
+                # second writer overwrite the in-progress _v dir (r10
+                # ADVICE #1).
+                if stale_age > _VACUUM_MIN_AGE_S:
+                    raise RuntimeError(
+                        f"{verb} blocked at version {v} under {self.root}: "
+                        f"the claim {self._claim_name(v)} has been held for "
+                        f"{stale_age:.0f}s (> vacuum retention "
+                        f"{_VACUUM_MIN_AGE_S:.0f}s) — a crashed writer's "
+                        f"stale claim; vacuum_orphans() reclaims it"
+                    )
                 raise RuntimeError(
                     f"{verb} blocked at version {v} under {self.root}: the "
                     f"claim {self._claim_name(v)} has been held for "
-                    f"{stale_age:.0f}s (> {self._CLAIM_WAIT_S:.0f}s wait) — "
-                    f"a crashed writer's stale claim; vacuum_orphans() "
-                    f"reclaims it"
+                    f"{stale_age:.0f}s (> {self._CLAIM_WAIT_S:.0f}s wait) "
+                    f"but is younger than the {_VACUUM_MIN_AGE_S:.0f}s "
+                    f"vacuum retention — likely a commit still in "
+                    f"progress; raise claim_wait_s or retry later (do NOT "
+                    f"vacuum with a reduced min_age_s: the claim may be "
+                    f"live)"
                 )
         raise RuntimeError(
             f"{verb} lost {max_attempts} consecutive version races under "
@@ -333,6 +410,42 @@ class VersionedTable:
         appends onto the WINNER's cumulative set, never its stale view."""
         return self._commit_loop(df, append=True, max_attempts=max_attempts)
 
+    def commit_timestamp_us(self, version: int) -> int:
+        """The version's commit timestamp in microseconds — the
+        ``committed_at_us`` the publishing writer pinned in the manifest
+        (strictly monotone over versions), falling back to the manifest
+        file's mtime (ms→us) for manifests written before the field
+        existed. Never re-derives from fs mtime when the pinned field is
+        present, so rewritten/coarse store mtimes can't skew time
+        travel."""
+        name = self._manifest_name(version)
+        m = self._parse_manifest(name)
+        if m is None:
+            raise ValueError(
+                f"manifest for version {version} under {self.root} is "
+                f"missing or unparseable"
+            )
+        ts = m.get("committed_at_us")
+        if ts is None:  # legacy manifest
+            ts = self._cat.get_properties(name).modification_time * 1000
+        return int(ts)
+
+    def version_as_of(self, ts_us: int) -> int:
+        """Resolve time travel BY TIMESTAMP: the highest committed
+        version whose commit timestamp is ≤ ``ts_us`` (the Delta
+        ``TIMESTAMP AS OF`` rule). Strict monotonicity of commit
+        timestamps makes the answer single-valued; a timestamp earlier
+        than every retained commit is an error (the snapshot that
+        existed then is expired or never existed)."""
+        vs = self.versions()
+        eligible = [v for v in vs if self.commit_timestamp_us(v) <= ts_us]
+        if not eligible:
+            raise ValueError(
+                f"no committed version at or before ts={ts_us}us under "
+                f"{self.root} (retained versions: {vs})"
+            )
+        return max(eligible)
+
     def _manifest_dirs(self, version: int) -> list[str]:
         m = self._parse_manifest(self._manifest_name(version))
         if m is None:
@@ -355,9 +468,15 @@ class VersionedTable:
         return d if self._is_external(d) else f"{self.root}/{d}"
 
     def read(
-        self, version: int | None = None, merge_schema: bool = False
+        self,
+        version: int | None = None,
+        merge_schema: bool = False,
+        as_of_us: int | None = None,
     ) -> DataFrame:
-        """Latest snapshot, or time-travel to `version`.
+        """Latest snapshot, or time-travel to `version` (VERSION AS OF)
+        or to `as_of_us` (TIMESTAMP AS OF, microseconds — resolves via
+        ``version_as_of`` against the manifests' pinned monotone commit
+        timestamps). The two selectors are mutually exclusive.
 
         ``merge_schema=True`` unions the column sets across the
         snapshot's data directories (Spark's parquet mergeSchema) — the
@@ -365,6 +484,10 @@ class VersionedTable:
         column existed surface it as NULL, exactly like Delta/Iceberg
         evolved-schema reads. Off by default: merging costs a footer
         pass per file and same-schema tables never need it."""
+        if version is not None and as_of_us is not None:
+            raise ValueError("pass version OR as_of_us, not both")
+        if as_of_us is not None:
+            version = self.version_as_of(as_of_us)
         vs = self.versions()
         if not vs:
             raise ValueError(f"no committed versions under {self.root}")
@@ -407,7 +530,17 @@ class VersionedTable:
                 vs = self.versions()
                 if (vs[-1] if vs else 0) != v - 1:
                     continue  # stale view — claim released in finally
-                manifest = {"version": v, "dirs": dirs, "cloned_from": src.root}
+                prev_ts = self.commit_timestamp_us(vs[-1]) if vs else 0
+                manifest = {
+                    "version": v,
+                    "commit_id": uuid.uuid4().hex,
+                    # same strictly-monotone commit-ts rule as commit()
+                    "committed_at_us": max(
+                        int(time.time() * 1_000_000), prev_ts + 1
+                    ),
+                    "dirs": dirs,
+                    "cloned_from": src.root,
+                }
                 if not self._cat.create_bytes_atomic(
                     self._manifest_name(v), json.dumps(manifest).encode()
                 ):
@@ -469,7 +602,7 @@ class VersionedTable:
         return drop
 
     def vacuum_orphans(
-        self, dry_run: bool = False, min_age_s: float = 3600.0
+        self, dry_run: bool = False, min_age_s: float = _VACUUM_MIN_AGE_S
     ) -> list[str]:
         """VACUUM: delete top-level entries no live manifest references —
         leftovers of crashed commits (a written ``_v*`` dir whose manifest
@@ -497,7 +630,7 @@ class VersionedTable:
             if m:
                 # through the immutable-manifest cache (parseable
                 # manifests never change; unparseable ones are re-read).
-                ref = self._parse_manifest(p.name, p.modification_time)
+                ref = self._parse_manifest(p.name, p.modification_time, p.length)
                 if ref is None:
                     # an unparseable manifest is NOT live: readers already
                     # skip it (versions() parse-filters), and the age gate

@@ -940,3 +940,72 @@ def run_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema("event_id BIGINT, event_type STRING, user_id BIGINT").parquet(
         out_dir
     )
+
+
+# ---------------------------------------------------------------------------
+# ST28 — change-data-feed STREAMING SOURCE over a versioned table
+# ---------------------------------------------------------------------------
+
+_cdf_table_cache: dict[str, str] = {}
+
+
+def run_cdf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST28: a VersionedTable consumed AS A STREAM — the read direction
+    ST12 is the write direction of (Delta `readChangeFeed` shape). Four
+    commits partition the events table by event_id % 4 (one full commit
+    + three appends); the `versioned_changes` Python streaming source
+    (sources/pyds.py) replays each commit's manifest-diff delta as one
+    micro-batch in commit order, tagging rows with `_commit_version`.
+    The drained sink must hold every event exactly once with
+    _commit_version = event_id % 4 + 1 — proving offsets advance one
+    commit at a time and deltas are resolved O(delta) from manifests,
+    never O(table)."""
+    from pydatalake_gen2_spark.sources.pyds import (
+        ensure_changes_stream_registered,
+    )
+    from pydatalake_gen2_spark.sources.versioned import VersionedTable
+
+    if spark.catalog.tableExists("st28_out"):
+        return spark.table("st28_out")
+    ensure_changes_stream_registered(spark)
+    root = _cdf_table_cache.get(sf_dir)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    if root is None:
+        root = tempfile.mkdtemp(prefix="vt_cdf_")
+        vt = VersionedTable(spark, root)
+        vt.commit(ev.filter(F.col("event_id") % 4 == 0))
+        for r in (1, 2, 3):
+            vt.append_commit(ev.filter(F.col("event_id") % 4 == r))
+        _cdf_table_cache[sf_dir] = root
+    expected = ev.count()
+    src = (
+        spark.readStream.format("versioned_changes")
+        .option("path", root)
+        .option(
+            "dataSchema",
+            "event_id long, user_id long, event_type string, value double",
+        )
+        .load()
+    )
+    q = (
+        src.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("st28_out")
+        .start()
+    )
+    deadline = time.time() + 180
+    while time.time() < deadline:
+        if spark.table("st28_out").count() >= expected:
+            break
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination()
+    n = spark.table("st28_out").count()
+    if n < expected:
+        # never serve a partial sink to a retry via the tableExists
+        # shortcut (the st17 discipline)
+        spark.catalog.dropTempView("st28_out")
+        raise AssertionError(f"cdf stream drained {n}/{expected} rows")
+    return spark.table("st28_out")

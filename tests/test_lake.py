@@ -6,6 +6,7 @@ rename)."""
 from __future__ import annotations
 
 import tempfile
+import time
 
 import pytest
 
@@ -265,11 +266,28 @@ def test_commit_race_exactly_one_winner(spark):
     assert writer_a.read(2).count() == 100  # history intact
 
     # stale claim from a "crashed" writer: commits fail LOUD (bounded
-    # retries, clear message), never overwrite; vacuum reclaims the
-    # claim and the next commit proceeds at the same version slot.
+    # retries, clear message), never overwrite. A claim younger than
+    # vacuum's retention fence is diagnosed as POSSIBLY-LIVE ("commit
+    # still in progress") and must NOT carry vacuum advice — following
+    # it with a reduced min_age_s could delete a live writer's claim
+    # (r10 ADVICE #1)...
     assert writer_a._cat.create_bytes_atomic(
         writer_a._claim_name(4), b"{}"
     )
+    with _pytest.raises(RuntimeError, match="commit still in progress"):
+        writer_a.commit(df_a)
+    # ...while a claim OLDER than the retention fence is a crashed
+    # writer's and the message points at vacuum_orphans. Age the claim
+    # on disk past the fence (local fs: utime).
+    import os as _os
+
+    from pydatalake_gen2_spark.sources import versioned as _vmod
+
+    claim_local = _os.path.join(
+        writer_a.root.removeprefix("file://"), writer_a._claim_name(4)
+    )
+    old = time.time() - (_vmod._VACUUM_MIN_AGE_S + 60)
+    _os.utime(claim_local, (old, old))
     with _pytest.raises(RuntimeError, match="vacuum_orphans"):
         writer_a.commit(df_a)
     assert writer_a.vacuum_orphans(min_age_s=0) == ["_claim.00000004.inflight"]
