@@ -126,7 +126,11 @@ _ALIASES: dict[str, str] = {
     # CBO stats (r8's cost-based-optimizer stats pipeline, plan-gated
     # SMJ->broadcast flip), which held no driver row.
     "a07_s44_analyze_cbo_stats": "s44_analyze_cbo_stats",
-    "a08_jx_salted_skew_join": "jx_salted_skew_join",
+    # r11 rotation (r10 verdict #5): jx holds green rows r3-r10 and the
+    # join family keeps a05/a31; the slot goes to ST26 — the LIVE
+    # stream-static LEFT SEMI join leg (a third real Structured
+    # Streaming run in the window), which held no driver row.
+    "a08_st26_semi_stream": "st26_semi_stream",
     # aggregate tail (g08+ never sorted into the window)
     # r8 rotation (late-round): g04 holds green driver rows r1-r7 and the
     # sketch family keeps a23/a36; the slot goes to G67, the round's new
@@ -139,25 +143,20 @@ _ALIASES: dict[str, str] = {
     # keeps a09 plus the statistical slots; the slot goes to the new
     # data-quality class (Deequ-style one-pass expectation suite).
     "a10_dq01_expectations": "dq01_expectation_suite",
-    # r6 repurpose: the g-family holds 7 other window reps, so g09's slot
-    # goes to the new k-NN weak-labeling capability (first driver row for
-    # the semi-supervised annotation family); g09 stays oracle-verified
-    # in the local mirror like every out-of-window pair.
-    "a11_l41_knn_label": "l41_knn_label_propagation",
+    # r11 rotation (r10 verdict #5): l41 holds green rows r6-r10 and the
+    # l family keeps a35/a37/a38/a40/a41/a43; the slot goes to L81 — the
+    # dedup-induced mixture-shift audit, which held no driver row.
+    "a11_l81_dedup_shift": "l81_dedup_mixture_shift",
     # r9 rotation (r8 verdict #2): c30 earned its green r8 row (a12) and
     # the composite family keeps a21/a26; the slot gives the g44-g66
     # stat-test family a second never-evidenced rep — G58 permutation
     # test, whose int64-overflow fix (decade-up sf1 sweep catch, r8) now
     # earns per-round driver evidence.
     "a12_g58_permutation_test": "g58_permutation_test",
-    # r7 repurpose: g16 holds a green r3 driver row, so its slot goes to
-    # the new statistical-test class (chi-square independence — first
-    # driver evidence for hypothesis-test operators).
-    # r7 rotation (r6 verdict #8): g38 holds green rows r1-r6 and the
-    # stat-test family keeps a24_g54 + a49_g51; the slot goes to Tukey HSD,
-    # which shares g51's hardened exact-integer render and should earn
-    # driver evidence of its own.
-    "a13_g63_tukey_hsd": "g63_tukey_hsd",
+    # r11 rotation (r10 verdict #5): g63 holds green rows r7-r10 and the
+    # stat-test family keeps a12/a20/a23/a24/a49; the slot goes to G57 —
+    # the Kolmogorov-Smirnov two-sample test, which held no driver row.
+    "a13_g57_ks_two_sample": "g57_ks_two_sample",
     # r8 repurpose: g18 holds a green r3 driver row; the slot goes to the
     # new metadata-only-scan class (count/min/max answered purely from
     # parquet footer statistics).
@@ -177,10 +176,12 @@ _ALIASES: dict[str, str] = {
     # column alias (Spark 4 SELECT-list alias reuse, certified against an
     # oracle that spells the expressions out), which held no driver row.
     "a17_p24_lateral_alias": "p24_lateral_column_alias",
-    # r7 repurpose: lag/lead holds a green r3 row and the w family keeps
-    # a17/a19/a21; the slot goes to the new SPATIAL join class
-    # (grid-bucketed haversine nearest-neighbour).
-    "a18_j32_geo_grid_join": "j32_geo_grid_join",
+    # r11 rotation (r10 verdict #5): j32 holds green rows r7-r10 and the
+    # join family keeps a05/a31 (+a08's live semi-join leg); the slot
+    # goes to W38 — pairwise rolling correlation over aligned frame
+    # windows, which held no driver row (the w family regains a second
+    # rep next to a19).
+    "a18_w38_rolling_corr": "w38_rolling_correlation",
     # r10 repurpose: w07 holds a green r3 driver row (a19) and the w
     # family keeps a17/a21-adjacent reps; the slot goes to the new
     # seasonal-decomposition class (centered-MA detrend, integer-exact).
@@ -215,20 +216,18 @@ _ALIASES: dict[str, str] = {
     "a24_g54_bootstrap_ci": "g54_bootstrap_ci",
     "a25_u05_intersect_except_all": "u05_intersect_except_all",
     # projection / filter (a27 keeps the family's window rep)
-    # r6 repurpose: p05's slot goes to the new recursive-CTE capability
-    # (Spark 4 WITH RECURSIVE — iterative hierarchy traversal, a class no
-    # other window row exercises).
-    "a26_c28_recursive_cte": "c28_recursive_cte",
+    # r11 rotation (r10 verdict #5): c28 holds green rows r6-r10 and the
+    # composite family keeps a21; the slot goes to G65 — the exact
+    # Kendall-tau rank correlation, which held no driver row.
+    "a26_g65_kendall_tau": "g65_kendall_tau",
     "a27_p07_cast_matrix": "p07_cast_matrix",
     # scans / sources / sinks
     "a28_s01_parquet_scan": "s01_parquet_scan",
-    # r9 repurpose: s05 holds a green r3 driver row and the scan family
-    # keeps a28/a14; the slot goes to the new incremental-view-
-    # maintenance class (O(delta) materialized-aggregate refresh).
-    # r8 rotation (r7 verdict #1): s38 holds green r4-r7 rows and the
-    # scan/source family keeps a14/a28; the slot advances to round-7's
-    # ADD-COLUMN schema evolution on the versioned lakehouse table.
-    "a29_s43_schema_evolution": "s43_schema_evolution",
+    # r11 rotation (r10 verdict #5→#4a): s43 holds green rows r8-r10 and
+    # the scan/source family keeps a14/a28 (+a06/a07); the versioned-
+    # table slot advances to round-11's TIMESTAMP AS OF time travel
+    # (pinned monotone commit timestamps), which held no driver row.
+    "a29_s46_time_travel_ts": "s46_time_travel_ts",
     # r5 repurpose: the s-family already held three window slots
     # (a28/a29/a30) while the multimodal family — now a REAL stdlib-PNG
     # decode pipeline with a full SQL oracle (mm_png_decode), no longer a
@@ -245,10 +244,11 @@ _ALIASES: dict[str, str] = {
     # the slot goes to G68 GROUP BY ALL (r8's inferred-grouping form),
     # which held no driver row.
     "a32_g68_group_by_all": "g68_group_by_all",
-    # r3 repurpose #2: the f-family holds 33 green driver rows from
-    # rounds 1-2, so f37's slot goes to the new iterative-graph family
-    # (integer-exact PageRank) for first-ever driver evidence.
-    "a33_gr01_pagerank": "gr01_pagerank",
+    # r11 rotation (r10 verdict #5): gr01 holds green rows r3-r10 and
+    # runs in every bench round; the graph family's slot advances to
+    # GR12 — the degree power-law / heavy-tail audit, which held no
+    # driver row.
+    "a33_gr12_degree_powerlaw": "gr12_degree_powerlaw",
     # LLM-pipeline operators
     # r10 repurposed this slot to l76 isotonic calibration (green r4 row);
     # r11 rotates it again to the round's new capability class:
@@ -305,10 +305,12 @@ _ALIASES: dict[str, str] = {
     # streaming query (newly hash-certified vs the same oracle) so the
     # driver exercises a real Structured Streaming run each round.
     "a44_st01_tumbling_stream": "st01_tumbling_stream",
-    # r6 repurpose: windowed-agg streaming keeps a44 and explicit state
-    # keeps a46, so the session-window slot goes to the new
-    # transformWithState surface (Spark 4 StatefulProcessor family).
-    "a45_st20_transform_with_state": "st20_transform_with_state",
+    # r11 rotation (r10 verdict #5→#4b): st20 holds green rows r6-r10
+    # and the stateful surface keeps a02 (RocksDB provider) + a44/a46
+    # (live runs); the slot goes to ST28 — the versioned-table CHANGE
+    # DATA FEED streaming source (the read twin of ST12's write
+    # direction), which held no driver row.
+    "a45_st28_cdf_stream": "st28_cdf_stream",
     # r8 rotation (r7 verdict #1): st08 holds green r3-r7 rows and the
     # streaming family keeps a44 (live tumbling) + a45 (TWS surface);
     # the slot advances to round-7's stream-stream ANTI join — a second
