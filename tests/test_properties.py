@@ -745,3 +745,78 @@ def test_lsh_plane_prefix_property():
         for n_planes in (6, 9, 10, 13, 16):
             small = np.array(_hyperplanes(64, n_planes, 42 + t))
             assert np.array_equal(small, full[:n_planes])
+
+
+def test_simhash_cap_sweep_loss_accounting(spark):
+    """r10 verdict #8: pin the dq08<->join coupling under a CAP SWEEP at
+    sf0.01 (500 docs — the driver's gate scale, where real buckets
+    exceed the small caps). For band_max_df in {10, 100, 1000}, the
+    audit's dropped-bucket set must account for the pair loss EXACTLY:
+
+    - every reported occupancy exceeds the cap and equals the bucket's
+      true occupancy,
+    - capped pairs == {exact pairs with >=1 agreeing band NOT dropped}
+      (the pigeonhole loss prediction, reconstructed from fingerprints),
+    - every lost pair's agreeing-band set is a subset of the dropped
+      buckets (the 'meeting bands' direction the sf30 ladder's
+      volume accounting used).
+
+    Both sides ride the ONE shared ``_band_split`` (operators/dedup.py),
+    so this sweep is the regression fence keeping audit and join from
+    drifting apart."""
+    import os
+
+    import pytest as _pytest
+
+    from pydatalake_gen2_spark.operators import dedup
+
+    sf01 = os.environ.get("SPARK_GRAFT_CAP_SWEEP_DIR", "/root/testdata/sf0.01")
+    if not os.path.isdir(sf01):
+        _pytest.skip(f"sf0.01 fixture dir {sf01} absent")
+    d = spark.read.parquet(f"{sf01}/documents.parquet")
+    sigs = {row.doc_id: row.simhash for row in dedup.simhash(d).collect()}
+    bits, radius, n_bands, width = 48, 4, 5, 9
+
+    def bands(s):
+        return [
+            (i, (s >> (i * width))
+                & ((1 << (bits - i * width if i == n_bands - 1 else width)) - 1))
+            for i in range(n_bands)
+        ]
+
+    # true bucket occupancy from the fingerprints (independent tally)
+    occ: dict[tuple[int, int], int] = {}
+    for s in sigs.values():
+        for bv in bands(s):
+            occ[bv] = occ.get(bv, 0) + 1
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.simhash_neardup_pairs(d, r=radius, exact_recall=True).collect()
+    }
+    for cap in (10, 100, 1000):
+        dropped = dedup.simhash_dropped_bands(d, r=radius, band_max_df=cap).collect()
+        hot = {(row.band, row.val) for row in dropped}
+        assert all(row.occupancy > cap for row in dropped)
+        assert all(occ[(row.band, row.val)] == row.occupancy for row in dropped)
+        # the audit reports EVERY over-cap bucket, not a sample
+        assert hot == {bv for bv, c in occ.items() if c > cap}
+        capped = {
+            (r.id_a, r.id_b)
+            for r in dedup.simhash_neardup_pairs(d, r=radius, band_max_df=cap).collect()
+        }
+        assert capped <= exact
+        predicted, lost_bands = set(), set()
+        for a, b in exact:
+            agreeing = {
+                bva
+                for bva, bvb in zip(bands(sigs[a]), bands(sigs[b]))
+                if bva == bvb
+            }
+            if agreeing - hot:
+                predicted.add((a, b))
+            else:
+                lost_bands |= agreeing
+        assert capped == predicted
+        assert lost_bands <= hot  # lost pairs met ONLY at dropped buckets
+        if not hot:
+            assert capped == exact
