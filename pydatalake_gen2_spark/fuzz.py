@@ -1084,6 +1084,84 @@ class QueryGen:
         where = self.pred(t) if self.r.random() < 0.5 else None
         return self._render(cols, t, t, where)
 
+    def frame_spec_api(self) -> tuple[str, str]:
+        """R18 frames dual-rendered through the REAL WindowSpec API
+        (r10 verdict #6a): same dialect rules as frame_spec, but the
+        third leg builds the frame with ``Window.partitionBy/orderBy/
+        rowsBetween/rangeBetween`` builders instead of F.expr-ing one
+        OVER(...) text — so frame-BOUNDARY resolution (negative offsets,
+        the unboundedPreceding/currentRow sentinels, rangeBetween's
+        single-numeric-order requirement) runs through WindowSpec code
+        paths the text leg never touches. SQL legs still compare Spark
+        vs DuckDB; the API leg must match both."""
+        t = self.r.choice(list(UNIQUE_KEYS))
+        uk = UNIQUE_KEYS[t]
+        part = self.group_key(t) if self.r.random() < 0.5 else None
+        e = self.int_expr(t, 1)
+        fn = self.r.choice(["SUM", "MIN", "MAX", "COUNT"])
+        rows_mode = self.r.random() < 0.5
+        if rows_mode:
+            order_c = uk  # positional frame: verified-unique order (R11)
+            lo = self.r.choice([None, -self.r.randint(1, 5), 0])
+            hi = self.r.randint(1, 4) if self.r.random() < 0.6 else 0
+            if lo == 0 and hi == 0:
+                lo = -1
+        else:
+            # value frame: tie-stable over ANY int column (R18)
+            order_c = self.r.choice(SCHEMAS[t]["int"])
+            lo = self.r.choice([None, -self.r.randint(1, 500), 0])
+            hi = self.r.randint(1, 500) if self.r.random() < 0.6 else 0
+            if lo == 0 and hi == 0:
+                lo = -self.r.randint(1, 500)
+
+        def bound(n: int | None) -> str:
+            if n is None:
+                return "UNBOUNDED PRECEDING"
+            if n == 0:
+                return "CURRENT ROW"
+            return f"{-n} PRECEDING" if n < 0 else f"{n} FOLLOWING"
+
+        kw = "ROWS" if rows_mode else "RANGE"
+        frame = f"ORDER BY {order_c} {kw} BETWEEN {bound(lo)} AND {bound(hi)}"
+        part_s = f"PARTITION BY {part.spark} " if part is not None else ""
+        part_d = f"PARTITION BY {part.duck} " if part is not None else ""
+        arg_s = "*" if fn == "COUNT" else e.spark
+        arg_d = "*" if fn == "COUNT" else e.duck
+        cols = [
+            ("k0", f"({uk})", None),
+            ("w0", f"CAST({fn}({arg_s}) OVER ({part_s}{frame}) AS BIGINT)",
+                   f"CAST({fn}({arg_d}) OVER ({part_d}{frame}) AS BIGINT)"),
+        ]
+        where = self.pred(t) if self.r.random() < 0.5 else None
+        q = self._render(cols, t, t, where)
+        where_s = where.spark if where is not None else None
+        part_txt = part.spark if part is not None else None
+        arg_txt = None if fn == "COUNT" else e.spark
+
+        def build(spark, t=t, uk=uk, part_txt=part_txt, order_c=order_c,
+                  rows_mode=rows_mode, lo=lo, hi=hi, fn=fn,
+                  arg_txt=arg_txt, where_s=where_s):
+            from pyspark.sql import Window
+            from pyspark.sql import functions as F
+
+            df = spark.table(t)
+            if where_s is not None:
+                df = df.filter(F.expr(where_s))
+            w = (Window.partitionBy(F.expr(part_txt))
+                 if part_txt is not None else Window.partitionBy())
+            w = w.orderBy(F.expr(order_c))
+            lo_b = Window.unboundedPreceding if lo is None else lo
+            w = w.rowsBetween(lo_b, hi) if rows_mode else w.rangeBetween(lo_b, hi)
+            wc = (F.count(F.lit(1)) if fn == "COUNT"
+                  else getattr(F, fn.lower())(F.expr(arg_txt)))
+            return df.select(
+                F.expr(uk).alias("k0"),
+                wc.over(w).cast("bigint").alias("w0"),
+            )
+
+        self.df_builder = build  # replace the F.expr-text program
+        return q
+
     def overflow_arith(self) -> tuple[str, str]:
         """Wide integer arithmetic near/past int64 (R17, the g58 class):
         SUMs of cents-products whose true magnitude breaks both the
@@ -1254,9 +1332,9 @@ class QueryGen:
              "scalar_select", "join3_agg", "order_limit",
              "rollup_over_join", "window_over_join",
              "frame_spec", "overflow_arith", "ts_arith", "setop_null",
-             "rollup_empty"],
+             "rollup_empty", "frame_spec_api"],
             weights=[3, 4, 3, 2, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2,
-                     2, 2, 2, 2, 1],
+                     2, 2, 2, 2, 1, 2],
         )[0]
         return getattr(self, kind)()
 
@@ -1328,6 +1406,152 @@ def run_seed(spark, con, seed: int) -> dict:
         out["api_leg"] = True
     out["status"] = "match"
     out["rows"] = len(s_rows)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Streaming differential family (r10 verdict #6b): randomized watermark-free
+# windowed aggregation over events, BATCH leg vs STREAM leg through the
+# replay harness — the one surface the relational grammar never touched.
+# ---------------------------------------------------------------------------
+
+
+def gen_stream_plan(seed: int):
+    """Deterministic generator for one streaming seed: returns
+    (meta, plan) where ``plan(src) -> DataFrame`` applies the SAME
+    declarative windowed aggregation to a batch table OR a streaming
+    source. Dialect-style rules keeping the compare sound (each verified
+    live before encoding, the R-rule discipline):
+
+    SR1 Watermark-FREE + complete output mode: no late-data drop path,
+        so the final streamed state is exactly the batch aggregation
+        regardless of micro-batch cut points.
+    SR2 Order-insensitive aggregates only: COUNT, exact DECIMAL(18,4)
+        SUM (cast to double once, at output), MIN/MAX. Raw float64 SUM
+        is excluded — its value depends on accumulation order, which
+        differs between one batch pass and 4 incremental state merges.
+    SR3 Window starts render as formatted strings (the tumbling_agg
+        discipline) so TZ-naive timestamps compare textually.
+    SR4 Grouping keys and filters are row-local expressions available
+        identically on both legs (event_type, user_id buckets,
+        event_id/value predicates)."""
+    r = random.Random(seed ^ 0x5EED)
+    dur = r.choice([5, 10, 15, 20, 30, 60])
+    slide = None
+    if r.random() < 0.35:
+        divs = [m for m in (5, 10, 15, 30) if m < dur and dur % m == 0]
+        if divs:
+            slide = r.choice(divs)
+    keys: list[str] = []
+    if r.random() < 0.7:
+        keys.append("event_type")
+    if r.random() < 0.35:
+        keys.append(f"user_id % {r.randint(2, 7)}")
+    roll = r.random()
+    if roll < 0.3:
+        m = r.randint(2, 5)
+        filt = f"event_id % {m} = {r.randint(0, m - 1)}"
+    elif roll < 0.5:
+        filt = f"value >= {r.randint(1, 50)}"
+    else:
+        filt = None
+    agg_kinds = ["count"]
+    if r.random() < 0.8:
+        agg_kinds.append("decsum")
+    if r.random() < 0.4:
+        agg_kinds.append("max_eid")
+    if r.random() < 0.3:
+        agg_kinds.append("min_value")
+    with_end = r.random() < 0.3
+
+    def plan(src):
+        from pyspark.sql import functions as F
+
+        df = src
+        if filt is not None:
+            df = df.filter(F.expr(filt))
+        wcol = (F.window("ts", f"{dur} minutes", f"{slide} minutes")
+                if slide else F.window("ts", f"{dur} minutes"))
+        gcols = [wcol.alias("w")] + [
+            F.expr(k).alias(f"k{i}") for i, k in enumerate(keys)
+        ]
+        aggs = []
+        for kind in agg_kinds:
+            if kind == "count":
+                aggs.append(F.count(F.lit(1)).alias("n"))
+            elif kind == "decsum":
+                aggs.append(
+                    F.sum(F.col("value").cast("decimal(18,4)"))
+                    .cast("double").alias("sum_value")
+                )
+            elif kind == "max_eid":
+                aggs.append(F.max("event_id").alias("max_eid"))
+            else:
+                aggs.append(F.min("value").alias("min_value"))
+        out = df.groupBy(*gcols).agg(*aggs)
+        sel = [
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("w_start")
+        ]
+        if with_end:
+            sel.append(
+                F.date_format(F.col("w.end"), "yyyy-MM-dd HH:mm:ss").alias("w_end")
+            )
+        sel += [F.col(f"k{i}") for i in range(len(keys))]
+        names = {"count": "n", "decsum": "sum_value",
+                 "max_eid": "max_eid", "min_value": "min_value"}
+        sel += [F.col(names[k]) for k in agg_kinds]
+        return out.select(*sel)
+
+    meta = {"seed": seed, "dur": dur, "slide": slide, "keys": keys,
+            "filter": filt, "aggs": agg_kinds, "with_end": with_end}
+    return meta, plan
+
+
+def run_stream_seed(spark, sf_dir: str, seed: int) -> dict:
+    """Execute one streaming seed: the generated plan over the batch
+    events table vs the same plan over the 4-chunk file-replay stream
+    (maxFilesPerTrigger=1, complete mode, availableNow) — canon-compare
+    the final state against the batch result."""
+    from pydatalake_gen2_spark.harness import canon_rows
+    from pydatalake_gen2_spark.streaming.replay import (
+        _run_to_memory,
+        read_stream,
+    )
+    from pydatalake_gen2_spark.tables import load_table
+
+    meta, plan = gen_stream_plan(seed)
+    out = dict(meta)
+    batch = plan(load_table(spark, sf_dir, "events"))
+    b_cols = [c.lower() for c in batch.columns]
+    b_rows = [tuple(r) for r in batch.collect()]
+    name = f"fz_stream_{seed}"
+    try:
+        _run_to_memory(plan(read_stream(spark, sf_dir)), name, "complete")
+        sdf = spark.table(name)
+        s_cols = [c.lower() for c in sdf.columns]
+        s_rows = [tuple(r) for r in sdf.collect()]
+    except Exception as e:  # noqa: BLE001 — a stream-leg error IS a finding
+        out["status"] = "STREAM_ERROR"
+        out["detail"] = f"{type(e).__name__}: {str(e)[:300]}"
+        return out
+    finally:
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:  # noqa: BLE001 — sink never materialized
+            pass
+    if sorted(s_cols) != sorted(b_cols):
+        out["status"] = "COL_MISMATCH"
+        out["detail"] = f"stream={sorted(s_cols)} batch={sorted(b_cols)}"
+        return out
+    sm, bm = canon_rows(s_cols, s_rows), canon_rows(b_cols, b_rows)
+    if sm != bm:
+        out["status"] = "VALUE_MISMATCH"
+        only_s = list((sm - bm).items())[:3]
+        only_b = list((bm - sm).items())[:3]
+        out["detail"] = f"only_stream={only_s} only_batch={only_b}"
+        return out
+    out["status"] = "match"
+    out["rows"] = len(b_rows)
     return out
 
 

@@ -65,6 +65,24 @@ Round-10 dev sweeps: 1200 seeds (0-1199) + a 3000-seed soak (1200-4199)
 at sf0.001 on the single-table dual grammar, then 1200 + 300 re-swept
 with the join leg enabled — 5,900+ dual programs, all match — plus the
 WHERE-stripping mutation self-test.
+
+Round 11 (r10 verdict #6) extends the grammar to the two boundaries it
+had never touched: (a) frame_spec_api — R18 window frames whose third
+leg goes through the REAL WindowSpec builders (Window.partitionBy/
+orderBy/rowsBetween/rangeBetween) instead of F.expr-ing one OVER text,
+so frame-boundary resolution (negative offsets, unbounded/currentRow
+sentinels, rangeBetween's numeric-order rule) is differentially tested
+against both the SQL leg and DuckDB; and (b) a STREAMING template
+family (fuzz.gen_stream_plan/run_stream_seed) — watermark-free windowed
+aggregation over events randomized across duration/slide/keys/filters/
+aggregate sets, executed BATCH vs the 4-chunk file-replay STREAM leg
+(complete mode, availableNow) under streaming dialect rules SR1-SR4
+(order-insensitive aggregates only; exact DECIMAL sums — float64
+accumulation order differs between one batch pass and 4 state merges).
+Round-11 dev sweeps: 1200 seeds at sf0.001 + 200 at sf0.01 on the
+21-template grammar, 40 forced frame_spec_api instances, 24 streaming
+seeds — all match; the truncated-replay mutation test pins the stream
+leg's sensitivity.
 """
 
 from __future__ import annotations
@@ -178,3 +196,110 @@ def test_fuzz_gate_is_not_vacuous(spark, sf_dir):
         if checked >= 5:
             break
     assert checked >= 5, "fewer than 5 non-empty seeds in the first 100"
+
+
+def test_frame_spec_api_forced_instances(spark, sf_dir):
+    """r10 verdict #6a: 25 forced frame_spec_api instances — the SQL legs
+    (Spark vs DuckDB) and the REAL WindowSpec-builder leg
+    (Window.rowsBetween/rangeBetween) must all canon-match. Forced,
+    because the dispatcher makes the template a ~1-in-13 draw and the
+    200-seed gate alone could go a session without one."""
+    from pydatalake_gen2_spark.fuzz import QueryGen
+    from pydatalake_gen2_spark.harness import canon_rows
+
+    ensure_views(spark, sf_dir)
+    con = duck_connect(sf_dir)
+    failures = []
+    for seed in range(25):
+        gen = QueryGen(seed)
+        s_sql, d_sql = gen.frame_spec_api()
+        sdf = spark.sql(s_sql)
+        s_cols = [c.lower() for c in sdf.columns]
+        sm = canon_rows(s_cols, [tuple(r) for r in sdf.collect()])
+        dres = con.execute(d_sql)
+        dm = canon_rows(
+            [d[0].lower() for d in dres.description], dres.fetchall()
+        )
+        adf = gen.df_builder(spark)
+        am = canon_rows(
+            [c.lower() for c in adf.columns], [tuple(r) for r in adf.collect()]
+        )
+        if not (sm == dm == am):
+            failures.append(f"seed={seed}\n  {s_sql}")
+    assert not failures, "\n".join(failures)
+
+
+def test_stream_differential_fuzz(spark, sf_dir):
+    """r10 verdict #6b: the streaming template family — watermark-free
+    windowed aggregation over events, randomized across duration/slide/
+    keys/filters/aggregate sets, BATCH leg vs the 4-chunk file-replay
+    STREAM leg (complete mode, availableNow). 12 seeds per session with
+    variety floors so a generator regression can't make the gate
+    vacuous-by-uniformity."""
+    from pydatalake_gen2_spark.fuzz import run_stream_seed
+
+    ensure_views(spark, sf_dir)
+    failures, slides, filts = [], 0, 0
+    for seed in range(12):
+        r = run_stream_seed(spark, sf_dir, seed)
+        if r["status"] != "match":
+            failures.append(str(r))
+        slides += r.get("slide") is not None
+        filts += r.get("filter") is not None
+    assert not failures, "\n".join(failures)
+    assert slides >= 2, f"only {slides} sliding-window seeds of 12"
+    assert filts >= 3, f"only {filts} filtered seeds of 12"
+
+
+def test_stream_fuzz_gate_is_not_vacuous(spark, sf_dir):
+    """Mutation self-test for the STREAM leg: replay the same plan over a
+    TRUNCATED copy of the replay dir (last chunk dropped) and demand the
+    canon compare notices. Proves the gate compares a genuinely streamed
+    result against batch — not batch against itself."""
+    import os
+    import shutil
+    import tempfile
+
+    from pydatalake_gen2_spark.fuzz import gen_stream_plan
+    from pydatalake_gen2_spark.harness import canon_rows
+    from pydatalake_gen2_spark.streaming.replay import (
+        EVENTS_SCHEMA,
+        _run_to_memory,
+        replay_dir,
+    )
+    from pydatalake_gen2_spark.tables import load_table
+
+    ensure_views(spark, sf_dir)
+    meta, plan = gen_stream_plan(0)  # seed 0: unfiltered 10-min tumbling
+    batch = plan(load_table(spark, sf_dir, "events"))
+    bm = canon_rows(
+        [c.lower() for c in batch.columns], [tuple(r) for r in batch.collect()]
+    )
+    full = replay_dir(spark, sf_dir)
+    files = sorted(f for f in os.listdir(full) if f.endswith(".parquet"))
+    assert len(files) >= 2
+    trunc = tempfile.mkdtemp(prefix="events_trunc_")
+    for f in files[:-1]:
+        shutil.copy2(os.path.join(full, f), os.path.join(trunc, f))
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(trunc)
+    )
+    name = "fz_stream_trunc"
+    try:
+        _run_to_memory(plan(src), name, "complete")
+        sdf = spark.table(name)
+        sm = canon_rows(
+            [c.lower() for c in sdf.columns], [tuple(r) for r in sdf.collect()]
+        )
+    finally:
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:  # noqa: BLE001
+            pass
+        shutil.rmtree(trunc, ignore_errors=True)
+    assert sm != bm, (
+        "stream leg over a truncated replay canon-matched the full batch — "
+        "the stream-vs-batch compare may be vacuous"
+    )
