@@ -1929,3 +1929,60 @@ def s46_time_travel_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in outs[1:]:
         res = res.unionByName(df)
     return res.orderBy("probe")
+
+
+@register(
+    "s47_cdf_row_diff",
+    duck_sql="""
+    WITH o AS (SELECT o_orderkey AS k,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders)
+    SELECT k AS o_orderkey, cents, 'delete' AS change_type
+    FROM o WHERE k % 10 = 3
+    UNION ALL
+    SELECT k, cents, 'update_preimage' FROM o WHERE k % 10 = 4
+    UNION ALL
+    SELECT k, cents + 100, 'update_postimage' FROM o WHERE k % 10 = 4
+    UNION ALL
+    SELECT -k, cents, 'insert' FROM o WHERE k % 10 = 5
+    ORDER BY o_orderkey, change_type
+    """,
+)
+def s47_cdf_row_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S47: ROW-level change feed across a versioned-table REWRITE
+    (`VersionedTable.diff_changes`, sources/versioned.py) — the Delta
+    readChangeFeed-for-MERGE schema and the recovery path ST28's
+    streaming source names when a non-append commit breaks the
+    dir-superset chain. Version 1 snapshots orders (key, cents);
+    version 2 is a genuine REWRITE commit: keys %10=3 dropped, %10=4
+    repriced +100 cents, negated keys inserted for %10=5. diff_changes
+    classifies every key in ONE full-outer co-partitioned join —
+    deletes and inserts carry one image, each update TWO (pre + post),
+    unchanged keys never leave the join. The oracle derives the exact
+    expected feed from orders arithmetic."""
+    from pydatalake_gen2_spark.sources.versioned import VersionedTable
+
+    vt = VersionedTable(spark, _tmp("s47_vt", sf_dir))
+    if vt.current_version() == 0:
+        o = spark.table("orders").select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+        vt.commit(o)
+        k = F.col("o_orderkey")
+        v2 = o.filter(k % 10 != 3).select(
+            "o_orderkey",
+            (F.col("cents")
+             + F.when(k % 10 == 4, F.lit(100)).otherwise(F.lit(0)))
+            .alias("cents"),
+        ).unionByName(
+            o.filter(k % 10 == 5).select(
+                (-k).alias("o_orderkey"), "cents"
+            )
+        )
+        vt.commit(v2)  # full rewrite — NOT an append
+    return (
+        vt.diff_changes(1, 2, ["o_orderkey"])
+        .withColumnRenamed("_change_type", "change_type")
+        .orderBy("o_orderkey", "change_type")
+    )

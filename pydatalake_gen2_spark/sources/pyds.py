@@ -409,9 +409,12 @@ class _VersionChangesStreamReader(SimpleDataSourceStreamReader):
 
     Append-only chains are the defined CDF case. A non-append commit
     (full snapshot / optimize: the new dir set is NOT a superset of the
-    predecessor's) is a REWRITE with no derivable row-level feed — the
-    reader fails loud there rather than re-emit the table as inserts
-    (Delta's readChangeFeed makes the same call for non-CDF rewrites).
+    predecessor's) is a REWRITE with no manifest-derivable row-level
+    feed — the reader fails loud there rather than re-emit the table as
+    inserts (Delta's readChangeFeed makes the same call for non-CDF
+    rewrites); ``VersionedTable.diff_changes`` (S47) is the documented
+    recovery path, deriving the row-level insert/delete/update images
+    across the rewrite by keyed snapshot diff.
 
     Rows carry the data columns (in declared-schema order) plus
     ``_commit_version`` — the commit that inserted them."""
