@@ -810,3 +810,20 @@ def test_dq08_cap_audit_is_join_free_partial_agg(spark, sf_dir):
         assert node not in plan, plan
     # partial + final hash aggregate pair on the band keys
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_s47_row_diff_single_full_outer_join(spark, sf_dir):
+    """r11: the row-level rewrite diff must be ONE co-partitioned
+    full-outer join over the two snapshot scans — exactly one join node,
+    no broadcast (both sides are version-sized), and the image explode
+    is a Generate directly over the join output (no second shuffle
+    before classification: update pre/post images are derived row-local
+    from the joined row)."""
+    plan = _plan(spark, sf_dir, "s47_cdf_row_diff")
+    # formatted mode lists each join once in the detail section as
+    # "Join type: ..." — exactly one join in the whole plan
+    assert plan.count("Join type:") == 1, plan
+    assert "FullOuter" in plan, plan
+    assert "BroadcastExchange" not in plan, plan
+    assert "Generate" in plan, plan
+    assert "CartesianProduct" not in plan, plan
