@@ -446,3 +446,43 @@ def test_diff_changes_classification(spark):
     vt.commit(v2.withColumn("extra", F.lit(1)))
     with _pytest.raises(ValueError, match="matching schemas"):
         vt.diff_changes(2, 3, ["k"])
+
+
+def test_timestamp_time_travel_semantics(spark):
+    """S46's engine surface directly: strictly monotone commit
+    timestamps (ties impossible even for back-to-back commits),
+    inclusive-left boundary resolution, pre-history error, selector
+    mutual exclusion, and the legacy-manifest mtime fallback."""
+    import json as _json
+    import os as _os
+
+    import pytest as _pytest
+
+    from pydatalake_gen2_spark.sources.versioned import VersionedTable
+
+    root = tempfile.mkdtemp(prefix="vt_ts_")
+    vt = VersionedTable(spark, root)
+    df = spark.range(3)
+    for _ in range(3):  # back-to-back commits inside one clock tick
+        vt.commit(df)
+    ts = [vt.commit_timestamp_us(v) for v in (1, 2, 3)]
+    assert ts[0] < ts[1] < ts[2]  # strict, no ties
+    assert vt.version_as_of(ts[1]) == 2        # inclusive at the commit
+    assert vt.version_as_of(ts[1] - 1) == 1    # exclusive just before
+    assert vt.version_as_of(ts[2] + 10**9) == 3  # far future -> latest
+    with _pytest.raises(ValueError, match="no committed version"):
+        vt.version_as_of(ts[0] - 1)            # pre-history
+    with _pytest.raises(ValueError, match="not both"):
+        vt.read(version=1, as_of_us=ts[0])
+    assert vt.read(as_of_us=ts[1]).count() == 3
+    # legacy manifest (pre-field): strip committed_at_us on disk; the
+    # reader must fall back to the manifest file's mtime (ms -> us)
+    name = vt._manifest_name(2)
+    path = _os.path.join(root.removeprefix("file://"), name)
+    m = _json.loads(open(path, "rb").read())
+    del m["committed_at_us"]
+    open(path, "w").write(_json.dumps(m))
+    vt._manifest_cache.clear()
+    legacy_ts = vt.commit_timestamp_us(2)
+    st = _os.stat(path)
+    assert abs(legacy_ts / 1e6 - st.st_mtime) < 2.0
