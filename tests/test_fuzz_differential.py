@@ -79,10 +79,11 @@ aggregate sets, executed BATCH vs the 4-chunk file-replay STREAM leg
 (complete mode, availableNow) under streaming dialect rules SR1-SR4
 (order-insensitive aggregates only; exact DECIMAL sums — float64
 accumulation order differs between one batch pass and 4 state merges).
-Round-11 dev sweeps: 1200 seeds at sf0.001 + 200 at sf0.01 on the
-21-template grammar, a 3000-seed soak (seeds 1200-4199, all match),
-40 forced frame_spec_api instances, 24 streaming seeds — all match;
-the truncated-replay mutation test pins the stream leg's sensitivity.
+Round-11 dev sweeps: 1200 seeds at sf0.001 + 200 at sf0.01 + 150 at
+sf0.1 on the 21-template grammar, a 3000-seed soak (seeds 1200-4199,
+all match), 40 forced frame_spec_api instances, 24 streaming seeds at
+sf0.001 + 12 at sf0.01 — all match; the truncated-replay mutation test
+pins the stream leg's sensitivity.
 """
 
 from __future__ import annotations
