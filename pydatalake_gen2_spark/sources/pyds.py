@@ -360,11 +360,21 @@ def _vt_local_root(path: str) -> str:
     return path
 
 
-def _vt_committed_versions(root: str) -> dict[int, dict]:
+def _vt_committed_versions(
+    root: str, cache: dict | None = None
+) -> dict[int, dict]:
     """Parse the manifest log directly (driver-side control path — the
     stream reader has no SparkSession). Same reader rules as
     VersionedTable.versions(): a manifest that PARSES and whose embedded
-    version matches its slot is committed; anything torn is invisible."""
+    version matches its slot is committed; anything torn is invisible.
+
+    ``cache`` (optional, keyed (name, mtime_ns, size) like
+    VersionedTable._parse_manifest) makes the per-trigger cost of a
+    long-lived tailing query O(listing), not O(history) re-reads: a
+    parseable manifest is immutable for the lifetime of its file, so
+    each is read+parsed at most once per reader instance. Torn/foreign
+    manifests are deliberately NOT cached (they are the one mutable
+    state — a publisher mid-write)."""
     import json as _json
     import re as _re
 
@@ -374,14 +384,28 @@ def _vt_committed_versions(root: str) -> dict[int, dict]:
         m = pat.match(name)
         if not m:
             continue
+        v = int(m.group(1))
+        path = os.path.join(root, name)
+        key = None
+        if cache is not None:
+            try:
+                st = os.stat(path)
+            except OSError:  # vanished between list & stat
+                continue
+            key = (name, st.st_mtime_ns, st.st_size)
+            hit = cache.get(key)
+            if hit is not None:
+                out[v] = hit
+                continue
         try:
-            with open(os.path.join(root, name), "rb") as f:
+            with open(path, "rb") as f:
                 ref = _json.loads(f.read().decode())
         except Exception:  # noqa: BLE001 — in-flight/torn manifest
             continue
-        v = int(m.group(1))
         if ref.get("version") != v:
             continue
+        if cache is not None and key is not None:
+            cache[key] = ref
         out[v] = ref
     return out
 
@@ -423,6 +447,9 @@ class _VersionChangesStreamReader(SimpleDataSourceStreamReader):
         self.root = _vt_local_root(root)
         self.columns = columns
         self.since = since
+        # per-instance parsed-manifest cache (see _vt_committed_versions):
+        # a tailing query must not re-read O(history) manifests per trigger
+        self._manifest_cache: dict = {}
 
     def initialOffset(self) -> dict:
         return {"v": self.since}
@@ -431,6 +458,26 @@ class _VersionChangesStreamReader(SimpleDataSourceStreamReader):
         import pyarrow.parquet as pq
 
         prev = max((u for u in refs if u < v), default=None)
+        if v > 1 and prev != v - 1:
+            # Version v's predecessor manifest v-1 is not visible —
+            # expire()/vacuum removed it, or a transient read failure
+            # hid it. Committed versions are CONSECUTIVE by protocol
+            # (commit_loop claims current+1), so diffing against any
+            # older prev (or against the empty set) would re-emit
+            # earlier commits' rows as v's "delta", misattributed to
+            # _commit_version=v — duplicates in the sink. Fail loud
+            # instead (Delta's readChangeFeed errors on vacuumed
+            # versions too); the only legitimate no-predecessor case is
+            # v=1, the table's genuine first commit. Recovery: restart
+            # the feed with since = a retained version, or bridge the
+            # gap with VersionedTable.diff_changes (S47).
+            raise ValueError(
+                f"cannot derive version {v}'s change feed under "
+                f"{self.root}: predecessor manifest {v - 1} is not "
+                f"visible (expired/vacuumed or unreadable) — restart "
+                f"from a retained version or bridge the gap with "
+                f"diff_changes"
+            )
         new = _vt_dirs(refs[v])
         old = set(_vt_dirs(refs[prev])) if prev is not None else set()
         if prev is not None and not old.issubset(set(new)):
@@ -443,8 +490,14 @@ class _VersionChangesStreamReader(SimpleDataSourceStreamReader):
         for d in new:
             if d in old:
                 continue
-            full = d if os.path.isabs(d) else os.path.join(self.root, d)
-            full = _vt_local_root(full)
+            # strip any file:// scheme BEFORE the isabs test — cloned
+            # tables carry absolute file://... dirs in their manifests,
+            # which os.path.isabs would misjudge and join onto root
+            d_local = _vt_local_root(d)
+            full = (
+                d_local if os.path.isabs(d_local)
+                else os.path.join(self.root, d_local)
+            )
             for f in sorted(os.listdir(full)):
                 if not f.endswith(".parquet"):
                     continue
@@ -456,7 +509,7 @@ class _VersionChangesStreamReader(SimpleDataSourceStreamReader):
         return rows
 
     def read(self, start: dict):
-        refs = _vt_committed_versions(self.root)
+        refs = _vt_committed_versions(self.root, self._manifest_cache)
         pending = sorted(v for v in refs if v > start["v"])
         if not pending:
             return iter([]), start  # caught up — idle until a new commit
@@ -464,7 +517,7 @@ class _VersionChangesStreamReader(SimpleDataSourceStreamReader):
         return iter(self._delta_rows(refs, v)), {"v": v}
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        refs = _vt_committed_versions(self.root)
+        refs = _vt_committed_versions(self.root, self._manifest_cache)
         out: list[tuple] = []
         for v in sorted(refs):
             if start["v"] < v <= end["v"]:

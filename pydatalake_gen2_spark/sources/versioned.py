@@ -55,6 +55,14 @@ from pyspark.sql import functions as F
 from pydatalake_gen2_spark.sources.lake import LakeCatalog
 
 _MANIFEST_RE = re.compile(r"^_manifest\.(\d{8})\.json$")
+# High-water marker published by expire() when it retires the LAST
+# manifest: version slots are NEVER reused after a full expire (the
+# Delta rule), so a recycled (name, mtime, length) manifest-cache key —
+# or any reader's stale memory of a dead slot — is impossible by
+# construction, not merely improbable (r10 ADVICE #2's residual: on a
+# coarse-mtime store a re-committed slot CAN collide on all three key
+# fields, because same-shape manifests are byte-length-identical).
+_HWM_RE = re.compile(r"^_hwm\.(\d{8})$")
 
 # vacuum_orphans' default retention fence. Shared with _commit_loop's
 # blocked-claim diagnosis so the "run vacuum_orphans()" advice is only ever
@@ -90,25 +98,25 @@ class VersionedTable:
         # lifetime of its file, so each is read+parsed at most once per
         # VersionedTable instance. Without this, versions() costs
         # O(history) remote GETs per resolution → quadratic total read
-        # cost over a table's life on object stores (r9 ADVICE). The
-        # (mtime, length) in the key makes slot REUSE safe even under
-        # coarse mtime granularity (expire + re-commit publishes a
-        # different file under an old name — see _parse_manifest).
-        # Unparseable manifests are deliberately NOT cached: they are the
-        # one mutable state (a publisher mid-write), so they are re-read
-        # every resolution.
+        # cost over a table's life on object stores (r9 ADVICE). Slot
+        # reuse cannot poison it: version numbers are monotone for the
+        # table's whole life (_next_version + the _hwm marker), and the
+        # (mtime, length) fields guard the remaining stat→read race —
+        # see _parse_manifest. Unparseable manifests are deliberately
+        # NOT cached: they are the one mutable state (a publisher
+        # mid-write), so they are re-read every resolution.
         self._manifest_cache: dict[tuple[str, int, int], dict] = {}
 
     # -- manifest log -----------------------------------------------------
     def _evict_manifest(self, name: str) -> None:
-        """Called whenever THIS instance deletes a manifest file. The
-        (name, mtime, length) cache key already makes stale hits impossible —
-        including in OTHER live instances of the same table, which
-        eviction could never reach (r10 review finding #1: version slots
-        are reused after expire()/vacuum, so a name-only key would have
-        resolved a dead manifest's dirs). Eviction here is hygiene: it
-        keeps dead entries from accumulating over a long-lived
-        instance's expire cycles."""
+        """Called whenever THIS instance deletes a manifest file. Stale
+        hits are impossible even without eviction — version slots are
+        never reused (_next_version numbers past the _hwm marker), so a
+        cached entry's name can only ever refer to the one manifest that
+        carried it — including in OTHER live instances of the same
+        table, which eviction could never reach (r10 review finding #1).
+        Eviction here is hygiene: it keeps dead entries from
+        accumulating over a long-lived instance's expire cycles."""
         self._manifest_cache = {
             k: v for k, v in self._manifest_cache.items() if k[0] != name
         }
@@ -122,20 +130,19 @@ class VersionedTable:
         """Read+parse one manifest, through the manifest cache.
         Returns None when the manifest doesn't parse (in-flight/torn).
 
-        Cache keys are (name, modification_time, content_length) — name
-        alone is NOT a sound key because version SLOTS ARE REUSED: after
-        expire()/vacuum a fresh commit publishes a new manifest under an
-        old name, and a name-keyed cache (in this instance or any OTHER
-        live instance of the same table) would resolve the dead
-        manifest's dirs. mtime alone is not sound either on stores with
-        coarse (e.g. 1-second) timestamp granularity — a recycled slot
-        re-committed within the same timestamp unit would hit the old
-        entry (r10 ADVICE #2); the content length (free from the same
-        stat/listing entry) is the second discriminator, and each
-        manifest's embedded ``commit_id`` makes a same-length recycle
-        produce different bytes. Both fields come free from the listing
-        in versions()/vacuum; point lookups pay one stat instead of a
-        full read — still a win, and the listing path (every resolution)
+        Cache keys are (name, modification_time, content_length). Since
+        round 11, version slots are NEVER REUSED — expire() publishes a
+        ``_hwm`` marker when it retires the last manifest and commit()
+        numbers past it — so a recycled name can no longer exist and the
+        key is sound by construction (r10 ADVICE #2, closed for good:
+        the earlier (name, mtime) and (name, mtime, length) keys were
+        only probabilistic on coarse-mtime stores, where same-shape
+        manifests are byte-length-identical). The extra key fields are
+        kept as defense-in-depth for the one remaining mutation: a
+        replace observed mid-flight by the non-atomic stat→read pair
+        below. Both fields come free from the listing in
+        versions()/vacuum; point lookups pay one stat instead of a full
+        read — still a win, and the listing path (every resolution)
         pays nothing extra.
 
         The point-lookup stat→read pair is not atomic: a replace between
@@ -194,6 +201,25 @@ class VersionedTable:
         vs = self.versions()
         return vs[-1] if vs else 0
 
+    def _high_water(self) -> int:
+        """Highest version number ever RETIRED by a full expire (the
+        ``_hwm.*`` markers) — consulted only when the manifest log is
+        empty, so commit() resumes numbering past dead slots instead of
+        recycling them (see _HWM_RE)."""
+        hwm = 0
+        for p in self._cat.list_paths(""):
+            m = _HWM_RE.match(p.name)
+            if m:
+                hwm = max(hwm, int(m.group(1)))
+        return hwm
+
+    def _next_version(self) -> int:
+        """The version number the next commit/clone claims: one past the
+        newest live manifest, or — when the log is EMPTY — one past the
+        high-water marker, so slots are never reused after expire()."""
+        cur = self.current_version()
+        return (cur if cur else self._high_water()) + 1
+
     def _vdir(self, version: int) -> str:
         return f"{self.root}/_v{version:08d}"
 
@@ -238,8 +264,11 @@ class VersionedTable:
             # released its claim while this writer was still resolving the
             # table (the claim file only serializes writers from claim
             # acquisition on). The stale-view case releases and retries.
+            # The empty-log resolution goes through the high-water marker
+            # (_next_version): after a full expire the next slot is
+            # hwm+1, never a recycled 1.
             vs = self.versions()
-            if (vs[-1] if vs else 0) != v - 1:
+            if (vs[-1] if vs else self._high_water()) != v - 1:
                 self._cat.delete_path(self._claim_name(v))
                 return False
             # prior dirs are resolved HERE, under the claim, so an append
@@ -352,40 +381,44 @@ class VersionedTable:
         measured age, distinct from losing races to live writers."""
         verb = "append_commit" if append else "commit"
         for _ in range(max_attempts):
-            v = self.current_version() + 1
+            v = self._next_version()
             if self._attempt_commit(df, v, append=append):
                 return v
             stale_age = self._await_claim_release(v)
             if stale_age is not None:
-                # Only advise vacuum_orphans() when the claim is ALSO past
-                # vacuum's own retention fence — a claim merely older than
-                # claim_wait_s can belong to a LIVE writer whose snapshot
-                # write is slow, and advising vacuum there (with a small
-                # min_age_s) invites deleting a live claim and letting a
-                # second writer overwrite the in-progress _v dir (r10
-                # ADVICE #1).
-                if stale_age > _VACUUM_MIN_AGE_S:
-                    raise RuntimeError(
-                        f"{verb} blocked at version {v} under {self.root}: "
-                        f"the claim {self._claim_name(v)} has been held for "
-                        f"{stale_age:.0f}s (> vacuum retention "
-                        f"{_VACUUM_MIN_AGE_S:.0f}s) — a crashed writer's "
-                        f"stale claim; vacuum_orphans() reclaims it"
-                    )
-                raise RuntimeError(
-                    f"{verb} blocked at version {v} under {self.root}: the "
-                    f"claim {self._claim_name(v)} has been held for "
-                    f"{stale_age:.0f}s (> {self._CLAIM_WAIT_S:.0f}s wait) "
-                    f"but is younger than the {_VACUUM_MIN_AGE_S:.0f}s "
-                    f"vacuum retention — likely a commit still in "
-                    f"progress; raise claim_wait_s or retry later (do NOT "
-                    f"vacuum with a reduced min_age_s: the claim may be "
-                    f"live)"
-                )
+                raise self._stale_claim_error(verb, v, stale_age)
         raise RuntimeError(
             f"{verb} lost {max_attempts} consecutive version races under "
             f"{self.root} to live writers — raise max_attempts or reduce "
             f"commit contention"
+        )
+
+    def _stale_claim_error(self, verb: str, v: int, stale_age: float) -> RuntimeError:
+        """Diagnose a claim that never cleared — shared by every claim
+        taker (_commit_loop, clone_from) so the advice stays consistent.
+        Only advises vacuum_orphans() when the claim is ALSO past
+        vacuum's own retention fence — a claim merely older than
+        claim_wait_s can belong to a LIVE writer whose snapshot write is
+        slow, and advising vacuum there (with a small min_age_s) invites
+        deleting a live claim and letting a second writer overwrite the
+        in-progress _v dir (r10 ADVICE #1)."""
+        if stale_age > _VACUUM_MIN_AGE_S:
+            return RuntimeError(
+                f"{verb} blocked at version {v} under {self.root}: "
+                f"the claim {self._claim_name(v)} has been held for "
+                f"{stale_age:.0f}s (> vacuum retention "
+                f"{_VACUUM_MIN_AGE_S:.0f}s) — a crashed writer's "
+                f"stale claim; vacuum_orphans() reclaims it"
+            )
+        return RuntimeError(
+            f"{verb} blocked at version {v} under {self.root}: the "
+            f"claim {self._claim_name(v)} has been held for "
+            f"{stale_age:.0f}s (> {self._CLAIM_WAIT_S:.0f}s wait) "
+            f"but is younger than the {_VACUUM_MIN_AGE_S:.0f}s "
+            f"vacuum retention — likely a commit still in "
+            f"progress; raise claim_wait_s or retry later (do NOT "
+            f"vacuum with a reduced min_age_s: the claim may be "
+            f"live)"
         )
 
     def commit(self, df: DataFrame, max_attempts: int = 5) -> int:
@@ -438,14 +471,31 @@ class VersionedTable:
         timestamps makes the answer single-valued; a timestamp earlier
         than every retained commit is an error (the snapshot that
         existed then is expired or never existed)."""
-        vs = self.versions()
-        eligible = [v for v in vs if self.commit_timestamp_us(v) <= ts_us]
-        if not eligible:
+        # ONE listing, manifests parsed through the instance cache — not
+        # a commit_timestamp_us point-stat per version, which would cost
+        # O(history) extra GET-metadata calls per resolution on an
+        # object store (the listing already carries mtime + length).
+        best, seen = None, []
+        for p in self._cat.list_paths(""):
+            m = _MANIFEST_RE.match(p.name)
+            if not m:
+                continue
+            ref = self._parse_manifest(p.name, p.modification_time, p.length)
+            if ref is None:
+                continue
+            v = int(m.group(1))
+            seen.append(v)
+            ts = ref.get("committed_at_us")
+            if ts is None:  # legacy manifest — fall back to file mtime
+                ts = p.modification_time * 1000
+            if int(ts) <= ts_us and (best is None or v > best):
+                best = v
+        if best is None:
             raise ValueError(
                 f"no committed version at or before ts={ts_us}us under "
-                f"{self.root} (retained versions: {vs})"
+                f"{self.root} (retained versions: {sorted(seen)})"
             )
-        return max(eligible)
+        return best
 
     def _manifest_dirs(self, version: int) -> list[str]:
         m = self._parse_manifest(self._manifest_name(version))
@@ -515,21 +565,19 @@ class VersionedTable:
         src_v = src.current_version() if version is None else version
         dirs = [src._resolve(d) for d in src._manifest_dirs(src_v)]
         for _ in range(5):  # same claim-first commit point as commit()
-            v = self.current_version() + 1
+            v = self._next_version()
             if not self._cat.create_bytes_atomic(
                 self._claim_name(v), json.dumps({"version": v}).encode()
             ):
                 stale_age = self._await_claim_release(v)
                 if stale_age is not None:
-                    raise RuntimeError(
-                        f"clone_from blocked at version {v} under "
-                        f"{self.root}: stale claim held {stale_age:.0f}s — "
-                        f"vacuum_orphans() reclaims it"
-                    )
+                    # same fence-aware diagnosis as _commit_loop: never
+                    # advise vacuum for a possibly-live claim
+                    raise self._stale_claim_error("clone_from", v, stale_age)
                 continue
             try:
                 vs = self.versions()
-                if (vs[-1] if vs else 0) != v - 1:
+                if (vs[-1] if vs else self._high_water()) != v - 1:
                     continue  # stale view — claim released in finally
                 prev_ts = self.commit_timestamp_us(vs[-1]) if vs else 0
                 manifest = {
@@ -675,6 +723,15 @@ class VersionedTable:
             # reconstructed _v{v} pattern) so writer_id-tagged dirs from
             # multi-writer commits expire correctly too.
             (live if v not in dropped else drop_dirs).update(self._manifest_dirs(v))
+        if drop and len(drop) == len(vs):
+            # Retiring the LAST manifest empties the log — publish the
+            # high-water marker FIRST so no commit can claim a retired
+            # slot even if it races this expire (marker before deletes:
+            # a racing commit either still sees a live manifest, or sees
+            # the marker). Slot reuse is what made any (name, mtime,
+            # length) cache key merely-probabilistic; with monotone
+            # numbering it is impossible (r10 ADVICE #2 closed for good).
+            self._cat.create_bytes_atomic(f"_hwm.{max(drop):08d}", b"")
         for v in drop:
             self._cat.delete_path(self._manifest_name(v))
             self._evict_manifest(self._manifest_name(v))
@@ -727,7 +784,11 @@ class VersionedTable:
         orphans = sorted(
             p.name
             for p in entries
-            if p.name not in live and p.modification_time <= cutoff_ms
+            if p.name not in live
+            and p.modification_time <= cutoff_ms
+            # high-water markers are protocol state, not garbage: they
+            # are what keeps retired version slots from being recycled
+            and not _HWM_RE.match(p.name)
         )
         if not dry_run:
             for name in orphans:

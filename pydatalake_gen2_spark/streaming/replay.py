@@ -960,13 +960,19 @@ def run_cdf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     _commit_version = event_id % 4 + 1 — proving offsets advance one
     commit at a time and deltas are resolved O(delta) from manifests,
     never O(table)."""
+    import re
+
     from pydatalake_gen2_spark.sources.pyds import (
         ensure_changes_stream_registered,
     )
     from pydatalake_gen2_spark.sources.versioned import VersionedTable
 
-    if spark.catalog.tableExists("st28_out"):
-        return spark.table("st28_out")
+    # sink name carries the scale: the table-root cache is sf_dir-keyed,
+    # so a fixed name would serve scale A's drained feed to scale B in a
+    # multi-scale session
+    sink = "st28_out_" + re.sub(r"[^A-Za-z0-9]", "_", sf_dir).strip("_")
+    if spark.catalog.tableExists(sink):
+        return spark.table(sink)
     ensure_changes_stream_registered(spark)
     root = _cdf_table_cache.get(sf_dir)
     ev = load_table(spark, sf_dir, "events").select(
@@ -992,20 +998,22 @@ def run_cdf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (
         src.writeStream.outputMode("append")
         .format("memory")
-        .queryName("st28_out")
+        .queryName(sink)
         .start()
     )
     deadline = time.time() + 180
     while time.time() < deadline:
-        if spark.table("st28_out").count() >= expected:
+        if not q.isActive:
+            break  # failed/finished — surface q.exception via stop() below
+        if spark.table(sink).count() >= expected:
             break
         time.sleep(0.5)
     q.stop()
     q.awaitTermination()
-    n = spark.table("st28_out").count()
+    n = spark.table(sink).count()
     if n < expected:
         # never serve a partial sink to a retry via the tableExists
         # shortcut (the st17 discipline)
-        spark.catalog.dropTempView("st28_out")
+        spark.catalog.dropTempView(sink)
         raise AssertionError(f"cdf stream drained {n}/{expected} rows")
-    return spark.table("st28_out")
+    return spark.table(sink)

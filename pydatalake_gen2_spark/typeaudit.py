@@ -123,20 +123,25 @@ def duck_type_class(t: Any) -> str:
 # Pair / registry audit
 # ---------------------------------------------------------------------------
 
-def audit_pair(spark, con, sf_dir: str, name: str) -> list[str]:
+def audit_pair(spark, con, sf_dir: str, name: str, sdf=None) -> list[str]:
     """Return per-column class mismatches for one pair ([] = parity).
 
     Constructs the Spark DataFrame (analyzer only — no job) and binds the
     oracle SQL as a lazy DuckDB relation (no execution).  Columns are
     matched by lower-cased name, order-insensitive, mirroring the
-    driver's sort-columns-by-name compare.
+    driver's sort-columns-by-name compare.  Pass ``sdf`` when the
+    caller already built the pair's DataFrame (tools/check.py
+    --analyze) — only its schema is read, and side-effectful pairs
+    (stream drains, versioned-table writes) then construct once, not
+    twice.
     """
     from pydatalake_gen2_spark.registry import REGISTRY
 
     qp = REGISTRY[name]
     if qp.duck_sql is None:
         return []
-    sdf = qp.spark_fn(spark, sf_dir)
+    if sdf is None:
+        sdf = qp.spark_fn(spark, sf_dir)
     s_types = {f.name.lower(): spark_type_class(f.dataType) for f in sdf.schema.fields}
     rel = con.sql(qp.duck_sql)
     d_types = {

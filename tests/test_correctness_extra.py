@@ -15,12 +15,14 @@ import os
 import duckdb
 import pytest
 
-# Cross-check scale: one decade above the suite's sf_dir fixture, resolved
-# from the same SPARK_GRAFT_SF_DIR convention as bench.py (ADVICE r10: no
-# machine-specific absolute path).  Skips cleanly when the fixture decade
-# is absent rather than erroring on a different layout.
+# Cross-check scale: one decade above the suite's sf_dir fixture.  A
+# DEDICATED env var (not SPARK_GRAFT_SF_DIR, whose established meaning is
+# the bench/default table dir — reusing it would silently re-scale this
+# cross-check whenever someone exports it for a bench loop or ladder
+# run).  Skips cleanly when the fixture decade is absent rather than
+# erroring on a different layout.
 SF_01 = os.environ.get(
-    "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    "SPARK_GRAFT_XCHECK_DIR", "/root/testdata/sf0.1"
 )
 if not os.path.isdir(SF_01):
     pytest.skip(

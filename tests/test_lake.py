@@ -374,13 +374,14 @@ def test_commit_race_threaded_every_writer_lands(spark):
 
 
 def test_expire_then_recommit_resolves_fresh_manifests(spark):
-    """r10 review finding #1: version slots are REUSED after expire(), so
-    the parsed-manifest cache must never serve a dead manifest under a
-    recycled name — neither in the instance that ran expire() nor in a
-    DIFFERENT live instance of the same table that cached the old
-    manifest before the expire (the (name, mtime) cache key covers both;
-    a name-only key would resolve the expired append-chain manifest and
-    union three dead snapshots)."""
+    """r10 review finding #1, strengthened in r11: after a full expire,
+    version slots are NEVER recycled (the _hwm marker) — new commits
+    number PAST the dead chain, so the parsed-manifest cache can never
+    serve a dead manifest under a reused name in ANY live instance (the
+    r10 (name, mtime[, length]) key was only probabilistic on
+    coarse-mtime stores; monotone numbering closes the class). A second
+    instance that cached the dead version 3 before the expire must see
+    it as GONE, not as either the old or a new table."""
     from pydatalake_gen2_spark.sources.versioned import VersionedTable
 
     root = tempfile.mkdtemp(prefix="vt_reuse_")
@@ -394,17 +395,19 @@ def test_expire_then_recommit_resolves_fresh_manifests(spark):
 
     assert vt.expire(keep_last=0) == [1, 2, 3]
     assert vt.versions() == []
-    # slots 1..3 are recycled by plain snapshot commits
-    vt.commit(spark.range(0, 2).withColumnRenamed("id", "k"))
-    vt.commit(spark.range(0, 3).withColumnRenamed("id", "k"))
-    vt.commit(spark.range(0, 4).withColumnRenamed("id", "k"))
+    # new commits resume past the retired chain — slots 1..3 stay dead
+    assert vt.commit(spark.range(0, 2).withColumnRenamed("id", "k")) == 4
+    assert vt.commit(spark.range(0, 3).withColumnRenamed("id", "k")) == 5
+    assert vt.commit(spark.range(0, 4).withColumnRenamed("id", "k")) == 6
 
-    # the expiring instance resolves the NEW v3 (4 rows), not the dead
-    # append chain (10 rows)
-    assert vt.read(3).count() == 4
+    # the dead version is unreadable in BOTH instances (never silently
+    # resolved from a stale cache, never resurrected by a new commit)
+    with pytest.raises(ValueError, match="not in retained"):
+        vt.read(3)
+    with pytest.raises(ValueError, match="not in retained"):
+        vt2.read(3)
     assert vt.read().count() == 4
-    # ...and so does the OTHER instance whose cache held the old v3
-    assert vt2.read(3).count() == 4
+    assert vt2.read().count() == 4
     assert vt2.vacuum_orphans(dry_run=True, min_age_s=0) == []
 
 
@@ -486,3 +489,64 @@ def test_timestamp_time_travel_semantics(spark):
     legacy_ts = vt.commit_timestamp_us(2)
     st = _os.stat(path)
     assert abs(legacy_ts / 1e6 - st.st_mtime) < 2.0
+
+
+def test_version_slots_never_reused_after_full_expire(spark):
+    """r11 review: expire() retiring the LAST manifest publishes a
+    high-water marker, so the next commit numbers PAST the dead slots
+    instead of recycling them — the invariant that makes every
+    manifest-cache key (here and in any other live instance) sound by
+    construction. Vacuum must treat the marker as protocol state."""
+    from pydatalake_gen2_spark.sources.versioned import VersionedTable
+
+    root = tempfile.mkdtemp(prefix="vt_hwm_")
+    vt = VersionedTable(spark, root)
+    df = spark.range(4)
+    vt.commit(df)
+    vt.commit(df)
+    assert vt.versions() == [1, 2]
+    assert vt.expire(keep_last=0) == [1, 2]
+    assert vt.versions() == []
+    # next commit resumes past the retired slots
+    assert vt.commit(df) == 3
+    assert vt.versions() == [3]
+    # a SECOND instance (fresh cache, same store) sees the same numbering
+    vt2 = VersionedTable(spark, root)
+    assert vt2.commit(df) == 4
+    # the marker survives vacuum (it is protocol state, not an orphan)
+    vt.vacuum_orphans(min_age_s=0)
+    vt.expire(keep_last=0)
+    assert vt.commit(df) == 5
+
+
+def test_cdf_reader_fails_loud_on_missing_predecessor(spark):
+    """r11 review: a CDF version whose predecessor manifest is gone
+    (expired/unreadable) must raise, not silently re-serve the whole
+    cumulative chain as one version's delta."""
+    import pytest as _pytest
+
+    from pydatalake_gen2_spark.sources.pyds import _VersionChangesStreamReader
+    from pydatalake_gen2_spark.sources.versioned import VersionedTable
+
+    root = tempfile.mkdtemp(prefix="vt_cdfgap_")
+    vt = VersionedTable(spark, root)
+    ev = spark.range(6).withColumnRenamed("id", "k")
+    vt.commit(ev.filter("k % 3 = 0"))
+    vt.append_commit(ev.filter("k % 3 = 1"))
+    vt.append_commit(ev.filter("k % 3 = 2"))
+    reader = _VersionChangesStreamReader(root, ["k"], 0)
+    # intact chain: three deltas of 2 rows each
+    rows, off = reader.read({"v": 0})
+    assert off == {"v": 1} and len(list(rows)) == 2
+    # drop manifest 2 (simulates an expired/unreadable predecessor)
+    import os as _os
+
+    _os.remove(_os.path.join(root, vt._manifest_name(2)))
+    reader2 = _VersionChangesStreamReader(root, ["k"], 1)
+    with _pytest.raises(ValueError, match="predecessor manifest 2"):
+        list(reader2.read({"v": 1})[0])
+    # restart past the gap works (since=2: serve version 3 against... no —
+    # v3's predecessor IS visible? manifest 2 was removed, so prev(3)=1 != 2:
+    # still a loud error, the honest answer)
+    with _pytest.raises(ValueError, match="predecessor manifest"):
+        list(_VersionChangesStreamReader(root, ["k"], 2).read({"v": 2})[0])

@@ -805,7 +805,7 @@ def test_simhash_cap_sweep_loss_accounting(spark):
             for r in dedup.simhash_neardup_pairs(d, r=radius, band_max_df=cap).collect()
         }
         assert capped <= exact
-        predicted, lost_bands = set(), set()
+        predicted, n_lost = set(), 0
         for a, b in exact:
             agreeing = {
                 bva
@@ -815,8 +815,8 @@ def test_simhash_cap_sweep_loss_accounting(spark):
             if agreeing - hot:
                 predicted.add((a, b))
             else:
-                lost_bands |= agreeing
+                n_lost += 1  # every agreeing band dropped -> pair lost
         assert capped == predicted
-        assert lost_bands <= hot  # lost pairs met ONLY at dropped buckets
+        assert len(exact) - len(capped) == n_lost  # loss fully accounted
         if not hot:
             assert capped == exact

@@ -54,7 +54,7 @@ def analyze_only(sf_dir: str, prefixes: list[str]) -> int:
         try:
             df = pair.spark_fn(spark, sf_dir)
             _ = df.schema  # forces full analysis; never runs a job
-            problems = audit_pair(spark, con, sf_dir, name)
+            problems = audit_pair(spark, con, sf_dir, name, sdf=df)
             if problems:
                 bad += 1
                 print(f"FAIL {name:38s} TYPE_MISMATCH: {problems}")
