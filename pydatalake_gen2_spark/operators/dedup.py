@@ -191,18 +191,29 @@ def simhash(
         # 15 hex chars = 60 bits of md5 entropy, cleanly inside BIGINT.
         .withColumn("th", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint"))
     )
+    # The per-bit expressions are built as SQL STRINGS parsed by one
+    # F.expr each, not as per-call Column chains: the former costs a
+    # handful of py4j round trips, the chained form costs ~700 (48 sum
+    # whens + a 48-deep fingerprint fold) at ~1-3 ms per JVM call — r11
+    # measured 3-9 s of pure driver latency per simhash build, vs ~0.1 s
+    # for the string form. The parsed expression trees are identical
+    # (same CASE/shiftright/sum shapes), so plans, values, and the
+    # DuckDB oracle parity are unchanged.
     tallies = [
-        F.sum(
-            F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        F.expr(
+            f"sum(CASE WHEN (shiftright(th, {i}) & 1) = 1 "
+            "THEN 1 ELSE -1 END)"
         ).alias(f"b{i}")
         for i in range(bits)
     ]
     agg = tok.groupBy(id_col).agg(*tallies)
-    fingerprint = F.lit(0).cast("bigint")
-    for i in range(bits):
-        fingerprint = fingerprint + F.when(
-            F.col(f"b{i}") > 0, F.lit(2**i).cast("bigint")
-        ).otherwise(F.lit(0).cast("bigint"))
+    fingerprint = F.expr(
+        " + ".join(
+            f"(CASE WHEN b{i} > 0 THEN CAST({2**i} AS BIGINT) "
+            "ELSE CAST(0 AS BIGINT) END)"
+            for i in range(bits)
+        )
+    )
     return agg.select(F.col(id_col), fingerprint.alias("simhash"))
 
 
@@ -598,6 +609,12 @@ def line_dedup(
 
         # F.split takes a regex; escape so delim is treated literally.
         lines_arr = F.split(F.col(text_col), _re.escape(delim), -1)
+    from pydatalake_gen2_spark.operators.util import spread
+
+    # spread(): the line explode + keeper tallies run pre-exchange; on a
+    # single-split local fixture they would serialize into one task
+    # (same finding as span_dedup's r11 profile). No-op on real layouts.
+    df = spread(df.select(F.col(id_col), F.col(text_col)))
     lines = df.select(
         F.col(id_col), F.posexplode(lines_arr).alias("pos", "line")
     ).withColumn("lkey", F.lower(F.trim(F.col("line"))))
@@ -661,8 +678,16 @@ def span_dedup(
 
     Output: (doc_id, text_clean, n_kept BIGINT, n_removed BIGINT).
     """
+    from pydatalake_gen2_spark.operators.util import spread
+
     toks = tokens_col(text_col)
-    base = df.select(F.col(id_col), toks.alias("_t"))
+    # spread(): the L-gram build (slice + array_join + md5 per position)
+    # and the row-local coverage filter both run pre-exchange; on the
+    # single-split local fixture they serialized into one task (r11
+    # event-log: two 1-2 s single-task stages dominated the query;
+    # spreading cut it 3.3 s -> 1.9 s, rows identical). No-op on real
+    # multi-split layouts (see util.spread).
+    base = spread(df.select(F.col(id_col), toks.alias("_t")))
     grams = (
         base.filter(F.size("_t") >= L)
         .select(

@@ -1236,13 +1236,27 @@ sql_pair(
 # g54: deterministic bootstrap confidence interval for the mean
 # ---------------------------------------------------------------------------
 
-sql_pair(
-    "g54_bootstrap_ci",
-    """
+# The one dialect divergence in this pair is PHYSICAL, not logical: the
+# Spark side materializes the base CTE as a temp view fed through
+# util.spread(), because the ×100 replicate expansion + LCG + partial
+# sums all run pre-exchange — on the single-split local fixture that
+# serialized the whole bootstrap into ONE task (r11 event-log: a 3.2 s
+# single-task stage was ~90% of the query; spreading cut it 2.7 s ->
+# 1.1 s, rows identical). On a real cluster the orders scan has more
+# splits than cores and spread() is a no-op. The SQL text below this
+# base is shared verbatim with the DuckDB oracle.
+_G54_BASE_DUCK = """
     WITH base AS (
       SELECT CAST(o_orderkey AS BIGINT) AS k,
              CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
       FROM orders),
+"""
+
+_G54_BASE_SPARK = """
+    WITH base AS (SELECT k, cents FROM g54_base),
+"""
+
+_G54_TAIL = """
     reps AS (
       SELECT CAST(ROW_NUMBER() OVER (ORDER BY k) AS BIGINT) - 1 AS b
       FROM (SELECT k FROM base ORDER BY k LIMIT 100) t),
@@ -1286,7 +1300,12 @@ sql_pair(
                  AND CAST(s0 AS DOUBLE) / CAST(nrows AS DOUBLE) <= hi_m
                 THEN 1 ELSE 0 END AS point_in_ci
     FROM dist CROSS JOIN point
-    """,
+    """
+
+
+@register(
+    "g54_bootstrap_ci",
+    duck_sql=_G54_BASE_DUCK + _G54_TAIL,
     doc="G54: seeded deterministic POISSON bootstrap CI for the mean "
         "order value — the distribution-free uncertainty quantifier the "
         "G50/G53 parametric tests assume away, in the large-scale "
@@ -1303,9 +1322,20 @@ sql_pair(
         "and NO global row_number — one scan, a broadcast 100-row "
         "replicate spine, and B partial sums per task crossing the "
         "shuffle. PERCENTILE_DISC fences are actual replicate means "
-        "(exact-int ratios, deterministic doubles). One SQL text, "
-        "both dialects.",
+        "(exact-int ratios, deterministic doubles). Shared SQL text past "
+        "the spread() base view (see _G54_BASE_DUCK note).",
 )
+def g54_bootstrap_ci(spark, sf_dir):
+    from pydatalake_gen2_spark.operators.util import spread
+
+    base = spread(
+        spark.table("orders").selectExpr(
+            "CAST(o_orderkey AS BIGINT) AS k",
+            "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents",
+        )
+    )
+    base.createOrReplaceTempView("g54_base")
+    return spark.sql(_G54_BASE_SPARK + _G54_TAIL)
 
 
 # ---------------------------------------------------------------------------

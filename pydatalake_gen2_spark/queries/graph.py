@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pydatalake_gen2_spark.operators.util import checkpoint_truncate, track
 from pydatalake_gen2_spark.queries.sqlexact import f6_half_away as _f6
 from pydatalake_gen2_spark.registry import register, sql_pair
 
@@ -103,17 +104,24 @@ def gr01_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = spark.table("orders")
     l = spark.table("lineitem")
     # The edge list appears ~8x in the unrolled plan (every iteration's
-    # contrib join, plus nodes/outdeg). DELIBERATELY NOT persisted:
-    # measured at sf0.1, AQE's ReusedExchange already computes the
-    # orders⋈lineitem+distinct exchange once and shares it, while
-    # persist() was ~40% SLOWER (4.5s -> 6.5s) — the InMemoryRelation
-    # boundary blocks AQE re-planning and pays columnar cache
-    # (de)serialization. Exchange reuse is the right dedup for
-    # single-query repeated subtrees; caching is for cross-query reuse.
-    edges = (
-        o.join(l, o.o_orderkey == l.l_orderkey)
-        .select(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
-        .distinct()
+    # contrib join, plus nodes/outdeg). r10 measured plain persist() as
+    # ~40% SLOWER (InMemoryRelation blocks AQE re-planning and pays
+    # columnar (de)serialization) and left it to AQE ReusedExchange; the
+    # r11 event-log profile showed that reuse does NOT actually fire
+    # here — four identical orders⋈lineitem+distinct stages ran
+    # concurrently per execution. checkpoint_truncate (localCheckpoint)
+    # is the form that works: edges computes ONCE, every consumer reads
+    # a flat LogicalRDD leaf (plan shrinks ~8x, so per-run planning and
+    # codegen shrink too), and AQE still re-plans downstream stages.
+    # Measured at sf0.1: 2.5x faster end-to-end, rows identical.
+    edges = track(
+        checkpoint_truncate(
+            o.join(l, o.o_orderkey == l.l_orderkey)
+            .select(
+                F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst")
+            )
+            .distinct()
+        )
     )
     nodes = edges.select(F.col("src").alias("node")).union(
         edges.select(F.col("dst").alias("node"))
@@ -280,6 +288,52 @@ _GR03_BACKBONE = """
 """
 
 
+def _spark_backbone(spark: SparkSession) -> DataFrame:
+    """Spark-side co-supply backbone shared by gr03/04/05/06/07/11 —
+    the r11 rework of ``spark.sql(_GR03_BACKBONE)``.
+
+    Two measured changes vs the SQL form (both r7-proven on gr02, whose
+    docstring records the pair-weight build as ~80% of its wall time):
+
+    - Pair generation is ROW-LOCAL: per-part supplier sets via one
+      groupBy(part) + collect_set, then an i<j double posexplode of the
+      sorted array — the identical Sum_p C(s_p,2) pair multiset the
+      ps-self-join emitted, with zero join; spread() (not gr02's
+      hard-coded repartition(32)) fans the explode over the cores and
+      no-ops on real multi-split layouts.
+    - ``w`` is PERSISTED and consumed twice (threshold + edge filter)
+      instead of being recomputed under CTE inlining; the p95 threshold
+      is a 1-row bounded driver fetch (gr02/keyset precedent). Every
+      downstream consumer's backbone is then a cheap filter over the
+      persisted pair-weight table instead of a full lineitem pipeline —
+      the r11 event-log showed gr07 re-running the self-join backbone
+      per execution (a 10.7 task-second stage at sf0.1).
+
+    Same multiset of (u, v) edges as _GR03_BACKBONE (the DuckDB oracles
+    keep the self-join text; gr02's hash parity covers the equivalence).
+    Caller releases via release_persisted().
+    """
+    from pydatalake_gen2_spark.operators.util import spread, track_persist
+
+    li = spark.table("lineitem")
+    ps = spread(
+        li.groupBy(F.col("l_partkey").alias("p"))
+        .agg(F.array_sort(F.collect_set("l_suppkey")).alias("ss"))
+    )
+    pairs = (
+        ps.select("ss")
+        .selectExpr("ss", "posexplode(ss) AS (i, u)")
+        .selectExpr("i", "u", "posexplode(ss) AS (j, v)")
+        .filter(F.col("i") < F.col("j"))
+        .select("u", "v")
+    )
+    w = track_persist(pairs.groupBy("u", "v").agg(F.count(F.lit(1)).alias("cnt")))
+    t = w.selectExpr(
+        "percentile_disc(0.95) WITHIN GROUP (ORDER BY cnt) AS t"
+    ).collect()[0]["t"]  # bounded: one scalar row
+    return w.filter(F.col("cnt") >= F.lit(t)).select("u", "v")
+
+
 # Shared DuckDB prefix: co-supply backbone + symmetrized edge list e0 —
 # the oracle-side mirror of _GR03_BACKBONE, shared by gr03/gr04/gr05 so
 # the three unrolled oracles can never drift onto different graphs.
@@ -326,7 +380,7 @@ def gr03_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     the core keeps mutually-dense NODES."""
     from pydatalake_gen2_spark.operators.graph import k_core
 
-    ed = spark.sql(_GR03_BACKBONE)
+    ed = _spark_backbone(spark)
     return k_core(ed, k=_GR03_K, src_col="u", dst_col="v").orderBy("node")
 
 
@@ -369,7 +423,7 @@ def gr04_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     path LENGTH is the answer, so no shortcutting is sound."""
     from pydatalake_gen2_spark.operators.graph import bfs_distances
 
-    ed = spark.sql(_GR03_BACKBONE)
+    ed = _spark_backbone(spark)
     seeds = (
         ed.select(F.col("u").alias("node"))
         .union(ed.select(F.col("v").alias("node")))
@@ -427,7 +481,7 @@ def gr05_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     + per-node argmax)."""
     from pydatalake_gen2_spark.operators.graph import label_propagation
 
-    ed = spark.sql(_GR03_BACKBONE)
+    ed = _spark_backbone(spark)
     return label_propagation(
         ed, rounds=_GR05_ROUNDS, src_col="u", dst_col="v"
     ).orderBy("node")
@@ -472,13 +526,12 @@ def gr06_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     community; everything before it is partial-agg joins of the edge
     list against the (tiny, broadcastable) label table."""
     from pydatalake_gen2_spark.operators.graph import label_propagation
-    from pydatalake_gen2_spark.operators.util import track_persist
 
-    # persist the backbone: it feeds label_propagation, the count, and
-    # three scans of the modularity tallies — unpersisted it recomputes
-    # the lineitem pair-weight join ~5x (caller releases via
+    # the backbone feeds label_propagation, the count, and three scans
+    # of the modularity tallies — all cheap filters over the pair-weight
+    # table _spark_backbone persists (caller releases via
     # release_persisted)
-    ed = track_persist(spark.sql(_GR03_BACKBONE))
+    ed = _spark_backbone(spark)
     lab = label_propagation(ed, rounds=_GR05_ROUNDS, src_col="u", dst_col="v")
     m = ed.count()
     la = lab.withColumnRenamed("node", "u").withColumnRenamed("label", "lu")
@@ -559,9 +612,7 @@ def gr07_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbour has degree >= 2 by construction, so ln(deg) > 0; each AA
     term is ROUND(6)ed row-locally then summed EXACTLY as DECIMAL so the
     float sum is order-independent across engines."""
-    from pydatalake_gen2_spark.operators.util import track_persist
-
-    ed = track_persist(spark.sql(_GR03_BACKBONE))  # (u, v) with u < v
+    ed = _spark_backbone(spark)  # (u, v) with u < v; w persisted inside
     e0 = ed.select(F.col("u").alias("s"), F.col("v").alias("d")).union(
         ed.select(F.col("v"), F.col("u"))
     )
@@ -672,10 +723,16 @@ def _duck_ppr() -> str:
 def gr08_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = spark.table("orders")
     l = spark.table("lineitem")
-    edges = (
-        o.join(l, o.o_orderkey == l.l_orderkey)
-        .select(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
-        .distinct()
+    # Same checkpoint-truncated edge list as gr01 (see the note there):
+    # the subtree is referenced ~8x and exchange reuse does not dedup it.
+    edges = track(
+        checkpoint_truncate(
+            o.join(l, o.o_orderkey == l.l_orderkey)
+            .select(
+                F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst")
+            )
+            .distinct()
+        )
     )
     nodes = edges.select(F.col("src").alias("node")).union(
         edges.select(F.col("dst").alias("node"))
@@ -866,10 +923,16 @@ def _duck_hits() -> str:
 def gr10_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = spark.table("orders")
     l = spark.table("lineitem")
-    edges = (
-        o.join(l, o.o_orderkey == l.l_orderkey)
-        .select(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
-        .distinct()
+    # Same checkpoint-truncated edge list as gr01 (see the note there):
+    # edges feeds all 5 half-iterations' joins and the seed aggregation.
+    edges = track(
+        checkpoint_truncate(
+            o.join(l, o.o_orderkey == l.l_orderkey)
+            .select(
+                F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst")
+            )
+            .distinct()
+        )
     )
     dec = "decimal(38,0)"
     a = edges.groupBy("dst").agg(F.count("*").cast(dec).alias("a"))
@@ -982,7 +1045,7 @@ def gr11_landmark_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     not round count, and stays bounded by design."""
     from pydatalake_gen2_spark.operators.graph import landmark_distances
 
-    ed = spark.sql(_GR03_BACKBONE)
+    ed = _spark_backbone(spark)
     lms = (
         ed.select(F.col("u").alias("node"))
         .union(ed.select(F.col("v").alias("node")))

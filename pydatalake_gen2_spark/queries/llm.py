@@ -1137,13 +1137,21 @@ def l17_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles only the ~6% held-out docs), and because grams are already
     distinct within a doc (array_distinct before the explode) the per-doc
     tally is a plain COUNT — no distinct-aggregate expansion."""
+    from pydatalake_gen2_spark.operators.util import spread
+
     d = spark.table("documents")
     t = text.tokens()
     is_bench = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "10"
     gram = F.explode(F.array_distinct(text.ngrams(t, 5))).alias("gram")
     bench = d.filter(is_bench).select(gram).distinct()
+    # spread(): the corpus-side tokenize + 5-gram explode + broadcast
+    # probe + partial agg all run BEFORE any exchange, so on the
+    # single-split local fixture the whole heavy pipeline ran in ONE
+    # task (r11 event-log: a 2.1 s single-task stage was ~85% of the
+    # query). On a real cluster the scan has more splits than cores and
+    # spread() is a no-op. Measured: ~2x at sf0.1, rows identical.
     return (
-        d.filter(~is_bench)
+        spread(d.filter(~is_bench))
         .select("doc_id", gram)
         .join(F.broadcast(bench), "gram")
         .groupBy("doc_id")
@@ -2158,7 +2166,7 @@ def l36_minhash_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical hex — cross-engine reproducibility is itself a pipeline
     requirement (rerunning dedup on a different engine must keep the
     same docs)."""
-    from pydatalake_gen2_spark.operators.util import spread
+    from pydatalake_gen2_spark.operators.util import spread, track_persist
 
     # spread(): the local fixture is one parquet split, which would run
     # the whole explode+md5 signature pipeline in a single task; on a
@@ -2170,18 +2178,30 @@ def l36_minhash_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     # near-identical across docs and the banded join degenerates to
     # all-pairs; shingles are the standard fix (and what real near-dup
     # pipelines hash).
-    toks = (
+    # toks feeds FOUR consumers (sigs, sizes, and both verify-join sides)
+    # and sigs feeds 2*_L36_BANDS more (each band select, on both sides of
+    # the candidate self-join); the static plan shows NO ReusedExchange
+    # across them, so unpersisted the tokenize+distinct subtree ran ~6x
+    # and the 8-way md5 signature agg ~8x per query (r11 event-log
+    # profile: ~475 task-seconds of duplicated work at sf0.1; persisting
+    # both cut the query 9.5 s -> 4.4 s, rows identical). At 100 TB the
+    # persisted frames are doc-sized (8 hex hashes/doc), far cheaper than
+    # recomputing the corpus tokenize per consumer (guide §5: cache what
+    # is reused AND expensive). Caller releases via release_persisted().
+    toks = track_persist(
         docs.select(
             "doc_id",
             F.explode(text.ngrams(F.split(F.col("text"), " "), 3)).alias("tok"),
         )
         .distinct()
     )
-    sigs = toks.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("tok")))).alias(f"h{i}")
-            for i in range(_L36_K)
-        ]
+    sigs = track_persist(
+        toks.groupBy("doc_id").agg(
+            *[
+                F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("tok")))).alias(f"h{i}")
+                for i in range(_L36_K)
+            ]
+        )
     )
     bands = None
     for b in range(_L36_BANDS):
