@@ -92,9 +92,13 @@ def assign(pts: DataFrame, cents: list[list[int]]) -> DataFrame:
 def update(assigned: DataFrame, cents: list[list[int]], dim: int) -> list[list[int]]:
     """Floor-mean centroids from exact int64 sums; empty clusters keep
     their previous centroid. Driver collect is k rows — bounded."""
+    # per-dim sums as parsed expr STRINGS: the former per-call Column
+    # chain (sum(col(q)[d]).alias per dim) cost ~4 py4j round trips per
+    # dimension per round (~1-3 ms each — the r11 simhash finding);
+    # F.expr parses to the identical aggregate expressions.
     rows = assigned.groupBy("cid").agg(
-        F.count(F.lit(1)).alias("n"),
-        *[F.sum(F.col("q")[d]).alias(f"s{d}") for d in range(dim)],
+        F.expr("count(1) AS n"),
+        *[F.expr(f"sum(q[{d}]) AS s{d}") for d in range(dim)],
     ).collect()
     new = [list(c) for c in cents]
     for r in rows:

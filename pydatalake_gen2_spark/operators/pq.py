@@ -122,14 +122,10 @@ def pq_recon_cosine(
     )
 
 
-def pq_encode(
-    df: DataFrame,
-    codebooks: list[list[list[float]]],
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Encode vectors to PQ codes: (id, codes ARRAY<INT>), one Arrow pass.
-    codes[j] = argmin over codebook j of the subvector distance."""
+def _encode_udf(codebooks: list[list[list[float]]]):
+    """Arrow pandas-UDF factory for PQ encoding (closure-held codebook) —
+    shared by pq_encode and ivfpq_topk so the inverted-file build can
+    evaluate it in the SAME projection as the cell assigner."""
     cbs = [np.asarray(cb, dtype=float) for cb in codebooks]
     m = len(cbs)
     sub = cbs[0].shape[1]
@@ -147,8 +143,19 @@ def pq_encode(
             codes[:, j] = d2.argmin(axis=1)
         return pd.Series(list(codes))
 
+    return encode
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors to PQ codes: (id, codes ARRAY<INT>), one Arrow pass.
+    codes[j] = argmin over codebook j of the subvector distance."""
     return spread(df.select(F.col(id_col), as_double(vec_col).alias("_v"))).select(
-        id_col, encode("_v").alias("codes")
+        id_col, _encode_udf(codebooks)("_v").alias("codes")
     )
 
 
@@ -320,12 +327,22 @@ def ivfpq_topk(
     assign = _cell_assigner(centroids, n_probe)
 
     two = spread(corpus.select(F.col(id_col), as_double(vec_col).alias("_v")))
-    base = two.withColumn("_a", assign("_v"))
+    # Cell assignment AND PQ encoding in ONE projection: Spark evaluates
+    # adjacent pandas UDFs in a single ArrowEvalPython pass, so the
+    # inverted file is a plain select — the former
+    # ``base.select(cell).join(pq_encode(corpus), on=id)`` re-derived the
+    # same corpus scan twice and shuffled BOTH corpus-sized sides through
+    # an id equi-join for rows that were never apart (r11 finding). At
+    # 100 TB that join was a full corpus shuffle of pure bookkeeping.
+    base = two.withColumn("_a", assign("_v")).withColumn(
+        "codes", _encode_udf(codebooks)("_v")
+    )
     # inverted file: postings are PQ codes, not vectors
-    codes = pq_encode(corpus, codebooks, id_col, vec_col)
-    inv = base.select(id_col, F.col("_a.cell").alias("cell")).join(codes, on=id_col)
+    inv = base.select(id_col, F.col("_a.cell").alias("cell"), "codes")
     # query_pred restricts the probe side only (audit query sample); the
-    # inverted file still covers the whole corpus.
+    # inverted file still covers the whole corpus — and because the
+    # predicate is on the id column it pushes below the UDF projection,
+    # so the probe side evaluates the UDFs for the sample rows only.
     qbase = base.filter(query_pred) if query_pred is not None else base
     probes = qbase.select(
         F.col(id_col).alias("query_id"),

@@ -617,23 +617,39 @@ def gr07_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         ed.select(F.col("v"), F.col("u"))
     )
     deg = e0.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
-    a = e0.alias("a")
-    b = e0.alias("b")
-    wedges = a.join(b, (F.col("a.d") == F.col("b.d")) & (F.col("a.s") < F.col("b.s"))).select(
-        F.col("a.s").alias("u"), F.col("b.s").alias("v"), F.col("a.d").alias("z")
+    # r11 rework (guide §2.3 "aggregate before you shuffle"): the former
+    # wedge ENUMERATION (e0 self-join on the shared neighbour) pushed
+    # every wedge row — hundreds of millions at sf0.1, where the
+    # near-uniform fixture makes the thresholded backbone dense — through
+    # a left-anti probe (drop closed triads) AND a deg join (fetch the
+    # shared neighbour's degree) before aggregating. Both per-wedge
+    # probes are removable: wedges are generated ROW-LOCALLY from each
+    # neighbour's sorted adjacency array (gr02's collect_set+posexplode
+    # pattern), the Adamic-Adar term is CONSTANT per array (deg_z IS
+    # size(ns), so no join is needed to know it), and the closed-triad
+    # anti-join moves AFTER the partial-agg groupBy, where it probes the
+    # ~|pairs| aggregated rows instead of every wedge. Identical pair
+    # multiset (i<j over the sorted array == a.s<b.s), identical exact-
+    # decimal AA sums, same final rows.
+    nbrs = e0.groupBy("d").agg(F.array_sort(F.collect_set("s")).alias("ns"))
+    aa_term = F.round(F.lit(1.0) / F.log(F.size("ns")), 6).cast("decimal(18,6)")
+    wedge_pairs = (
+        # degree-1 neighbours generate no i<j pair; filter them BEFORE
+        # the aa projection so ANSI mode never evaluates 1/ln(1)
+        nbrs.filter(F.size("ns") >= 2)
+        .select("ns", aa_term.alias("aa"))
+        .selectExpr("ns", "aa", "posexplode(ns) AS (i, u)")
+        .selectExpr("i", "u", "aa", "posexplode(ns) AS (j, v)")
+        .filter(F.col("i") < F.col("j"))
+        .select("u", "v", "aa")
     )
-    open_wedges = wedges.join(ed, ["u", "v"], "left_anti")
     cand = (
-        open_wedges.join(deg.select(F.col("s").alias("z"), F.col("deg").alias("deg_z")), "z")
-        .groupBy("u", "v")
+        wedge_pairs.groupBy("u", "v")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("cn"),
-            F.sum(
-                F.round(F.lit(1.0) / F.log(F.col("deg_z")), 6).cast("decimal(18,6)")
-            )
-            .cast("double")
-            .alias("adamic_adar"),
+            F.sum("aa").cast("double").alias("adamic_adar"),
         )
+        .join(ed, ["u", "v"], "left_anti")
     )
     return (
         cand.join(deg.select(F.col("s").alias("u"), F.col("deg").alias("deg_u")), "u")

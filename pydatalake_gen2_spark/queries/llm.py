@@ -3304,11 +3304,16 @@ def l59_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sigs = toks.groupBy("doc_id", "is_batch").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("tok")))).alias(f"h{i}")
-            for i in range(_L59_K)
-        ]
+    # sigs feeds BOTH sides of the candidate band join; unpersisted, the
+    # 8-way md5 min-agg over the cached toks ran twice per query (the
+    # same duplication l36 showed in the r11 event-log profile).
+    sigs = track_persist(
+        toks.groupBy("doc_id", "is_batch").agg(
+            *[
+                F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("tok")))).alias(f"h{i}")
+                for i in range(_L59_K)
+            ]
+        )
     )
     # one posexplode pass instead of _L59_BANDS unioned selects of the
     # same sigs subtree (pos IS the band id; bh expressions identical)
