@@ -46,8 +46,13 @@ def cosine_topk(
         F.col(id_col).alias(query_id_col),
         as_double(vec_col).alias("_qv"),
     ).withColumn("_qn", l2_norm(F.col("_qv")))
-    c = corpus.select(
-        F.col(id_col).alias(id_col), as_double(vec_col).alias("_cv")
+    # spread(): the per-pair scoring runs on the corpus scan's split
+    # layout — a single-split local fixture serialized the whole
+    # broadcast-join + HOF-dot stage into ONE task (r11 event-log:
+    # l41's 1.4 s single-task stage; spreading cut this 2.8 s -> 1.3 s
+    # at sf0.1, rows identical). No-op on real multi-split layouts.
+    c = spread(
+        corpus.select(F.col(id_col).alias(id_col), as_double(vec_col).alias("_cv"))
     ).withColumn("_cn", l2_norm(F.col("_cv")))
     pairs = c.join(F.broadcast(q), F.col(query_id_col) != F.col(id_col)).select(
         query_id_col,
@@ -432,8 +437,11 @@ def hard_negative_topk(
         as_double(vec_col).alias("_qv"),
         F.col(label_col).alias("_qlabel"),
     ).withColumn("_qn", l2_norm(F.col("_qv")))
-    c = corpus.select(
-        F.col(id_col), as_double(vec_col).alias("_cv"), F.col(label_col)
+    # spread(): same single-split fan-out as cosine_topk (see note there)
+    c = spread(
+        corpus.select(
+            F.col(id_col), as_double(vec_col).alias("_cv"), F.col(label_col)
+        )
     ).withColumn("_cn", l2_norm(F.col("_cv")))
     pairs = c.join(
         F.broadcast(q),

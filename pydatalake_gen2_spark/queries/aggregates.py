@@ -594,9 +594,7 @@ def g29_median_abs_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-sql_pair(
-    "g27_table_checksum",
-    """
+_G27_SPARK = """
     SELECT CAST(count(*) AS BIGINT) AS n_rows,
            CAST(sum(CAST(conv(substr(md5(concat_ws('|',
                 CAST(l_orderkey AS STRING), CAST(l_linenumber AS STRING),
@@ -611,8 +609,12 @@ sql_pair(
                 date_format(l_shipdate, 'yyyy-MM-dd'))), 1, 12), 16, 10)
              AS BIGINT)) AS BIGINT) AS xor_check
     FROM lineitem
-    """,
     """
+
+
+@register(
+    "g27_table_checksum",
+    duck_sql="""
     SELECT CAST(count(*) AS BIGINT) AS n_rows,
            CAST(sum(CAST(concat('0x', substr(md5(concat_ws('|',
                 CAST(l_orderkey AS STRING), CAST(l_linenumber AS STRING),
@@ -635,8 +637,21 @@ sql_pair(
         "clusters/engines without sorting anything: fully partial-agg, one "
         "tiny final merge, no shuffle of data rows. Cross-engine by "
         "construction (md5 is bit-identical everywhere); DuckDB computes "
-        "the identical scalar pipeline via 0x-prefix UBIGINT casts.",
+        "the identical scalar pipeline via 0x-prefix UBIGINT casts. "
+        "Spark side reads through a spread() base view so the per-row "
+        "md5 render parallelizes on a single-split local fixture "
+        "(no-op on real multi-split layouts; the g54 pattern).",
 )
+def g27_table_checksum(spark, sf_dir):
+    from pydatalake_gen2_spark.operators.util import spread
+
+    spread(
+        spark.table("lineitem").select(
+            "l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",
+            "l_extendedprice", "l_shipdate",
+        )
+    ).createOrReplaceTempView("g27_base")
+    return spark.sql(_G27_SPARK.replace("FROM lineitem", "FROM g27_base"))
 
 
 sql_pair(
@@ -1078,10 +1093,9 @@ _G45_SPARK = (
     """
 )
 
-sql_pair(
+@register(
     "g45_correlation_matrix",
-    _G45_SPARK,
-    _G45_DUCK,
+    duck_sql=_G45_DUCK,
     doc="G45: pairwise Pearson correlation matrix over the four lineitem "
         "measures (quantity, extendedprice, discount, tax) from EXACT "
         "integer-cents moments — one single-pass partial aggregate "
@@ -1091,8 +1105,20 @@ sql_pair(
         "one IEEE expression ROUND(6) over the scalar moments — the "
         "scale factors cancel. The feature-selection / drift pre-flight "
         "for any numeric feature matrix: one scan, one 14-number shuffle, "
-        "zero per-pair passes.",
+        "zero per-pair passes. Spark side reads through a spread() base "
+        "view so the 14-sum partial aggregate parallelizes on a "
+        "single-split local fixture (no-op on real multi-split layouts; "
+        "the g27/g54 pattern).",
 )
+def g45_correlation_matrix(spark, sf_dir):
+    from pydatalake_gen2_spark.operators.util import spread
+
+    spread(
+        spark.table("lineitem").select(
+            "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+        )
+    ).createOrReplaceTempView("g45_base")
+    return spark.sql(_G45_SPARK.replace("FROM lineitem", "FROM g45_base"))
 
 
 sql_pair(
