@@ -106,44 +106,67 @@ _MATCH_DUCK = (
 
 
 def _crm(spark: SparkSession) -> DataFrame:
+    # Single-scan generator form (r11 optimization): the old
+    # master/v1/v2 3-way union read the customer scan THREE times per
+    # _crm consumer (_assignment consumes _crm twice -> six scans per
+    # er03 run). One scan now emits 1-3 records per customer row via
+    # inline(array_compact(...)) — row-local, no shuffle, and the
+    # variant predicates (%7, %21) become struct-null guards instead of
+    # scan filters. Row multiset verified identical (exceptAll == 0 both
+    # directions at sf0.1); er01-er06 all ride it. At 100 TB this is
+    # input I/O x1 instead of x3 per consumer.
     c = spark.table("customer")
     cents = F.round(F.col("c_acctbal") * 100, 0).cast("bigint")
-    nat = F.col("c_nationkey").cast("int").alias("nationkey")
+    nat = F.col("c_nationkey").cast("int")
 
-    master = c.select(
-        (F.col("c_custkey") * 10).alias("rec_id"),
-        F.col("c_name").alias("name"),
-        nat,
-        cents.alias("acct_cents"),
-        F.col("c_mktsegment").alias("segment"),
-        F.lit("master").alias("src"),
-        F.lit(1).cast("int").alias("recency"),
+    def rec(rid, name, cents_e, seg, src, recency):
+        return F.struct(
+            rid.alias("rec_id"),
+            name.alias("name"),
+            nat.alias("nationkey"),
+            cents_e.alias("acct_cents"),
+            seg.alias("segment"),
+            F.lit(src).alias("src"),
+            F.lit(recency).cast("int").alias("recency"),
+        )
+
+    master = rec(
+        (F.col("c_custkey") * 10).cast("long"),
+        F.col("c_name"),
+        cents,
+        F.col("c_mktsegment"),
+        "master",
+        1,
     )
-    v1 = c.filter(F.col("c_custkey") % 7 == 0).select(
-        (F.col("c_custkey") * 10 + 1).alias("rec_id"),
-        F.concat(
-            F.substring("c_name", 1, 9),
-            F.lit("X"),
-            F.expr("substring(c_name, 11)"),
-        ).alias("name"),
-        nat,
-        (cents + 250).alias("acct_cents"),
-        F.lit(None).cast("string").alias("segment"),
-        F.lit("import").alias("src"),
-        F.lit(2).cast("int").alias("recency"),
+    v1 = F.when(
+        F.col("c_custkey") % 7 == 0,
+        rec(
+            (F.col("c_custkey") * 10 + 1).cast("long"),
+            F.concat(
+                F.substring("c_name", 1, 9),
+                F.lit("X"),
+                F.expr("substring(c_name, 11)"),
+            ),
+            cents + 250,
+            F.lit(None).cast("string"),
+            "import",
+            2,
+        ),
     )
-    v2 = c.filter(F.col("c_custkey") % 21 == 0).select(
-        (F.col("c_custkey") * 10 + 2).alias("rec_id"),
-        F.concat(
-            F.substring("c_name", 1, 12), F.expr("substring(c_name, 14)")
-        ).alias("name"),
-        nat,
-        (cents - 125).alias("acct_cents"),
-        F.col("c_mktsegment").alias("segment"),
-        F.lit("import").alias("src"),
-        F.lit(3).cast("int").alias("recency"),
+    v2 = F.when(
+        F.col("c_custkey") % 21 == 0,
+        rec(
+            (F.col("c_custkey") * 10 + 2).cast("long"),
+            F.concat(
+                F.substring("c_name", 1, 12), F.expr("substring(c_name, 14)")
+            ),
+            cents - 125,
+            F.col("c_mktsegment"),
+            "import",
+            3,
+        ),
     )
-    return master.unionByName(v1).unionByName(v2)
+    return c.select(F.inline(F.array_compact(F.array(master, v1, v2))))
 
 
 def _candidates(spark: SparkSession) -> DataFrame:

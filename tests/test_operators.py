@@ -1346,3 +1346,101 @@ def test_zorder_layout_shrinks_file_envelopes(spark, sf_dir, tmp_path):
     nat_area = envelope_area(nat)
     zo_area = envelope_area(zo)
     assert zo_area * 4 <= nat_area, (zo_area, nat_area)
+
+
+# ---------------------------------------------------------------------------
+# r11 optimization internals: spread() scale-adaptivity and the _crm
+# single-scan generator rewrite
+# ---------------------------------------------------------------------------
+
+
+def test_spread_fans_out_small_inputs_and_noops_on_large(spark, sf_dir):
+    """spread() must repartition ONLY when the optimizer's size estimate
+    says the scan packed into fewer-than-core-count splits; on anything
+    larger it must return the input object UNCHANGED (the guarantee that
+    makes it safe on a 100 TB scan — no hidden repartition)."""
+    from pydatalake_gen2_spark.operators.util import spread
+    from pydatalake_gen2_spark.registry import ensure_views
+
+    ensure_views(spark, sf_dir)
+    df = spark.table("customer").select("c_custkey", "c_name")
+
+    # Small local fixture: the fan-out branch fires and yields
+    # defaultParallelism partitions.
+    out = spread(df)
+    assert out is not df
+    assert (
+        out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    )
+
+    # Force the "large input" decision without large data: with a tiny
+    # maxPartitionBytes the threshold par*max_pb drops below any real
+    # table's estimated size, so spread must be an exact no-op.
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1b")
+        assert spread(df) is df
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_crm_single_scan_generator_matches_legacy_union(spark, sf_dir):
+    """entity._crm was rewritten (r11) from a 3-way union (three customer
+    scans) to one scan + inline(array_compact(...)). Pin the rewrite:
+    identical row multiset vs the legacy form, and exactly ONE customer
+    scan in the physical plan."""
+    from pyspark.sql import functions as F
+
+    from pydatalake_gen2_spark.queries.entity import _crm
+    from pydatalake_gen2_spark.registry import ensure_views
+
+    ensure_views(spark, sf_dir)
+    c = spark.table("customer")
+    cents = F.round(F.col("c_acctbal") * 100, 0).cast("bigint")
+    nat = F.col("c_nationkey").cast("int").alias("nationkey")
+    legacy = (
+        c.select(
+            (F.col("c_custkey") * 10).alias("rec_id"),
+            F.col("c_name").alias("name"),
+            nat,
+            cents.alias("acct_cents"),
+            F.col("c_mktsegment").alias("segment"),
+            F.lit("master").alias("src"),
+            F.lit(1).cast("int").alias("recency"),
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 7 == 0).select(
+                (F.col("c_custkey") * 10 + 1).alias("rec_id"),
+                F.concat(
+                    F.substring("c_name", 1, 9),
+                    F.lit("X"),
+                    F.expr("substring(c_name, 11)"),
+                ).alias("name"),
+                nat,
+                (cents + 250).alias("acct_cents"),
+                F.lit(None).cast("string").alias("segment"),
+                F.lit("import").alias("src"),
+                F.lit(2).cast("int").alias("recency"),
+            )
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 21 == 0).select(
+                (F.col("c_custkey") * 10 + 2).alias("rec_id"),
+                F.concat(
+                    F.substring("c_name", 1, 12),
+                    F.expr("substring(c_name, 14)"),
+                ).alias("name"),
+                nat,
+                (cents - 125).alias("acct_cents"),
+                F.col("c_mktsegment").alias("segment"),
+                F.lit("import").alias("src"),
+                F.lit(3).cast("int").alias("recency"),
+            )
+        )
+    )
+    new = _crm(spark)
+    assert new.schema == legacy.schema
+    assert new.exceptAll(legacy).count() == 0
+    assert legacy.exceptAll(new).count() == 0
+    plan = new._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
