@@ -65,3 +65,17 @@ def test_baseline15_total_sums_only_protocol_queries():
     expected = round(sum(timings[n] for n in BASELINE15), 3)
     assert headline["baseline15_total"] == expected
     assert headline["value"] == round(sum(timings.values()), 3)
+
+
+def test_headline_with_probe_path_still_fits():
+    # r11: the interleaved u01 re-probe path rides in the probe object;
+    # headline must stay under the driver's tail-capture budget with it.
+    timings, probe, probe_ratio = _fake_inputs(100)
+    headline, full = build_output(
+        timings, probe, probe_ratio, "0.1", [1.23, 4.56, 2.34]
+    )
+    line = json.dumps(headline)
+    assert len(line) < 1500
+    parsed = json.loads(line)
+    assert parsed["probe"]["u01_ratio_path"] == [1.23, 4.56, 2.34]
+    assert full["probe"]["u01_ratio_path"] == [1.23, 4.56, 2.34]
