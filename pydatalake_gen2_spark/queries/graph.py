@@ -123,10 +123,21 @@ def gr01_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
     )
-    nodes = edges.select(F.col("src").alias("node")).union(
-        edges.select(F.col("dst").alias("node"))
-    ).distinct()
-    outdeg = edges.groupBy("src").agg(F.count("*").cast("bigint").alias("deg"))
+    # nodes feeds the seed vector AND every iteration's left join; outdeg
+    # every iteration's contrib join. Both are node-set-sized aggregations
+    # over the edge leaf that re-execute per occurrence (ReusedExchange
+    # does not fire for concurrent identical subtrees — the r11 event-log
+    # finding). Checkpoint each once; the rank recurrence itself stays
+    # unrolled (r8: checkpointing RANKS per round was slower at 3
+    # iterations, and de-unrolling breaks the exact-decimal hash design).
+    nodes = track(checkpoint_truncate(
+        edges.select(F.col("src").alias("node")).union(
+            edges.select(F.col("dst").alias("node"))
+        ).distinct()
+    ))
+    outdeg = track(checkpoint_truncate(
+        edges.groupBy("src").agg(F.count("*").cast("bigint").alias("deg"))
+    ))
     ranks = nodes.select("node", F.lit("1.0").cast("decimal(18,10)").alias("rank"))
     for _ in range(_N_ITER):
         # integer round-half-up of (rank/deg) at scale 10:
@@ -206,8 +217,10 @@ def gr02_triangle_count(spark, sf_dir):
       sorted array — the same Sum_p C(s_p,2) pairs the ps-self-join
       emitted (8.7M at sf0.1), but with zero join and the expansion
       spread over all cores (the collect_set output is a few small
-      partitions; repartition(32) before exploding was the difference
-      between 2 busy cores and 32).
+      partitions; fanning out before exploding was the difference
+      between 2 busy cores and 32 — r11 swapped the hard-coded
+      repartition(32) for the estimate-driven spread(), which no-ops
+      on real multi-split layouts).
     - `w` is PERSISTED and consumed twice (threshold + edge filter)
       instead of being rebuilt under Spark's CTE inlining; the p99
       threshold is a 1-row driver fetch (bounded-collect precedent:
@@ -226,13 +239,12 @@ def gr02_triangle_count(spark, sf_dir):
     Weight-thresholding (disparity filtering) is how co-occurrence
     networks are made countable; the remaining knob is l02b's max_df cap
     on pathologically hot parts."""
-    from pydatalake_gen2_spark.operators.util import track_persist
+    from pydatalake_gen2_spark.operators.util import spread, track_persist
 
     li = spark.table("lineitem")
-    ps = (
+    ps = spread(
         li.groupBy(F.col("l_partkey").alias("p"))
         .agg(F.array_sort(F.collect_set("l_suppkey")).alias("ss"))
-        .repartition(32)
     )
     pairs = (
         ps.select("ss")
@@ -631,7 +643,17 @@ def gr07_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~|pairs| aggregated rows instead of every wedge. Identical pair
     # multiset (i<j over the sorted array == a.s<b.s), identical exact-
     # decimal AA sums, same final rows.
-    nbrs = e0.groupBy("d").agg(F.array_sort(F.collect_set("s")).alias("ns"))
+    # The adjacency aggregate is tiny in BYTES (node + array), so AQE
+    # coalesces its shuffle output to ~1 partition — and the QUADRATIC
+    # posexplode^2 below inherits that split count (the r11 event log
+    # showed a 2 s single-task stage serializing the whole query).
+    # spread() fans the explode over the cores; estimate-driven, so it
+    # no-ops on a real multi-split layout (guide §2.5).
+    from pydatalake_gen2_spark.operators.util import spread
+
+    nbrs = spread(
+        e0.groupBy("d").agg(F.array_sort(F.collect_set("s")).alias("ns"))
+    )
     aa_term = F.round(F.lit(1.0) / F.log(F.size("ns")), 6).cast("decimal(18,6)")
     wedge_pairs = (
         # degree-1 neighbours generate no i<j pair; filter them BEFORE
@@ -750,10 +772,21 @@ def gr08_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
     )
-    nodes = edges.select(F.col("src").alias("node")).union(
-        edges.select(F.col("dst").alias("node"))
-    ).distinct()
-    outdeg = edges.groupBy("src").agg(F.count("*").cast("bigint").alias("deg"))
+    # nodes feeds the seed vector AND every iteration's left join; outdeg
+    # every iteration's contrib join. Both are node-set-sized aggregations
+    # over the edge leaf that re-execute per occurrence (ReusedExchange
+    # does not fire for concurrent identical subtrees — the r11 event-log
+    # finding). Checkpoint each once; the rank recurrence itself stays
+    # unrolled (r8: checkpointing RANKS per round was slower at 3
+    # iterations, and de-unrolling breaks the exact-decimal hash design).
+    nodes = track(checkpoint_truncate(
+        edges.select(F.col("src").alias("node")).union(
+            edges.select(F.col("dst").alias("node"))
+        ).distinct()
+    ))
+    outdeg = track(checkpoint_truncate(
+        edges.groupBy("src").agg(F.count("*").cast("bigint").alias("deg"))
+    ))
     seed_term = (
         F.when(F.col("node") % 50 == 0, F.lit("0.15"))
         .otherwise(F.lit("0.00"))
@@ -955,17 +988,26 @@ def gr10_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = None
     # two full (h, a) rounds after the seed authority pass: a1 -> h1 -> a2
     # -> h2 -> a3; the final report reads (h2, a3).
-    for _ in range(2):
+    for i in range(2):
         h = (
             edges.join(a, "dst")
             .groupBy("src")
             .agg(F.sum("a").cast(dec).alias("h"))
         )
+        if i == 1:
+            # The four final consumers (top_h, hmax, and both a3 readers)
+            # each re-derive the half-iteration chain: h2's subtree ran 4x
+            # CONCURRENTLY and ReusedExchange never fired (72 Exchange /
+            # 0 Reused in the pre-fix plan — same class as gr01's edge
+            # list). Checkpoint the node-set-sized final frames so the
+            # chain executes once and every consumer reads a flat leaf.
+            h = track(checkpoint_truncate(h))
         a = (
             edges.join(h, "src")
             .groupBy("dst")
             .agg(F.sum("h").cast(dec).alias("a"))
         )
+    a = track(checkpoint_truncate(a))
     amax = a.agg(F.max("a").alias("m"))
     hmax = h.agg(F.max("h").alias("m"))
     # round-6: score_norm = f6/1e6 via exact DECIMAL DIV (same spelling

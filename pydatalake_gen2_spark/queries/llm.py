@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pydatalake_gen2_spark.operators import dedup, similarity, text
+from pydatalake_gen2_spark.operators.util import track_persist
 from pydatalake_gen2_spark.operators.vectors import as_double, dot, l2_norm, normalize
 from pydatalake_gen2_spark.registry import register
 
@@ -547,8 +548,13 @@ def lx_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spark.table("embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
-    adc = pq.pq_topk(emb, queries, k=_ANN_K, codebooks=_pq_codebook(spark, sf_dir))
-    exact = similarity.cosine_topk(emb, queries, k=_ANN_K)
+    # adc feeds per_q + gate, exact feeds rows + gate: persist the tiny
+    # (|queries| x k) results so the compressed code scan and brute-force
+    # leg run once each, not per consumer (see lx_ivf_topk note).
+    adc = track_persist(
+        pq.pq_topk(emb, queries, k=_ANN_K, codebooks=_pq_codebook(spark, sf_dir))
+    )
+    exact = track_persist(similarity.cosine_topk(emb, queries, k=_ANN_K))
     rows = _ann_rank_fold(exact, "exact_topk_ids", "exact_top1_cos")
     per_q = adc.groupBy("query_id").agg(
         (F.count(F.lit(1)) == _ANN_K).alias("pq_returned_k")
@@ -605,14 +611,17 @@ def lx_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, k=_ANN_K, codebooks=cb,
         shortlist=shortlist.select("query_id", "vec_id"),
     )
-    exact = similarity.cosine_topk(emb, queries, k=_ANN_K)
+    # exact feeds THREE consumers (rows, adc_r, rr_r) and per_q feeds two
+    # (final join + gate): persist both tiny frames so the brute-force
+    # exact leg and the rerank recall join run once (see lx_ivf_topk note).
+    exact = track_persist(similarity.cosine_topk(emb, queries, k=_ANN_K))
     rows = _ann_rank_fold(exact, "exact_topk_ids", "exact_top1_cos")
     adc_r = _ann_recall_per_query(exact, adc).withColumnRenamed("recall", "_ar")
     rr_r = _ann_recall_per_query(exact, rr).withColumnRenamed("recall", "_rr")
-    per_q = adc_r.join(rr_r, "query_id").select(
+    per_q = track_persist(adc_r.join(rr_r, "query_id").select(
         "query_id", (F.col("_rr") >= F.col("_ar")).alias("rerank_recall_ge_adc"),
         "_rr",
-    )
+    ))
     gate = per_q.agg(
         (F.avg("_rr") >= F.lit(_RERANK_RECALL_BOUND)).alias(
             f"rerank_mean_recall_ge_{int(_RERANK_RECALL_BOUND * 100):03d}"
@@ -656,11 +665,14 @@ def lx_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spark.table("embeddings")
     pred = (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 2000)
-    appx = pq.ivfpq_topk(
+    # Leg result frames feed two consumers each (appx -> per_q + gate,
+    # exact -> rows + gate): persist so the probe join / brute-force
+    # scoring runs once, not once per consumer (see lx_ivf_topk note).
+    appx = track_persist(pq.ivfpq_topk(
         emb, k=_ANN_K, codebooks=_pq_codebook(spark, sf_dir),
         centroids=_ivf_codebook(spark, sf_dir), n_probe=6, query_pred=pred,
-    )
-    exact = similarity.cosine_topk(emb, emb.filter(pred), k=_ANN_K)
+    ))
+    exact = track_persist(similarity.cosine_topk(emb, emb.filter(pred), k=_ANN_K))
     rows = _ann_rank_fold(exact, "exact_topk_ids", "exact_top1_cos")
     per_q = appx.groupBy("query_id").agg(
         (F.count(F.lit(1)) == _ANN_K).alias("ivfpq_returned_k")
@@ -873,12 +885,17 @@ def lx_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.table("embeddings")
     cents = _ivf_codebook(spark, sf_dir)
     pred = (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 2000)
-    full = similarity.ivf_topk(
+    # Both leg RESULT frames (|queries| x k rows) feed TWO consumers each
+    # (full -> rows + gate, appx -> per_q + gate); without the persist the
+    # heavy candidate join + window ran once per consumer — ReusedExchange
+    # does not fire for concurrent identical subtrees (the r11 event-log
+    # finding), but block-level get-or-compute on a persisted frame does.
+    full = track_persist(similarity.ivf_topk(
         emb, k=_ANN_K, n_probe=len(cents), centroids=cents, query_pred=pred
-    )
-    appx = similarity.ivf_topk(
+    ))
+    appx = track_persist(similarity.ivf_topk(
         emb, k=_ANN_K, n_probe=6, centroids=cents, query_pred=pred
-    )
+    ))
     rows = _ann_rank_fold(full, "fullprobe_topk_ids", "fullprobe_top1_cos")
     per_q = appx.groupBy("query_id").agg(
         (F.count(F.lit(1)) == _ANN_K).alias("ivf_returned_k")

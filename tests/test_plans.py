@@ -556,6 +556,27 @@ def test_hits_rounds_stay_equi_joins(spark, sf_dir):
     assert "HashAggregate" in plan, plan
 
 
+def test_hits_final_frames_checkpointed_once(spark, sf_dir):
+    """gr10 (r11 batch 5): h2 and a3 are localCheckpointed after the last
+    half-iteration, so the four final consumers (top-h, top-a, both max
+    frames) read flat ExistingRDD leaves instead of each re-deriving the
+    whole DECIMAL(38,0) join+agg chain — the plan drops from 72 Exchange
+    nodes to 8 (plans/r11/gr10_hits_after.txt)."""
+    plan = _plan(spark, sf_dir, "gr10_hits")
+    assert plan.count("Scan ExistingRDD") >= 4, plan
+    assert plan.count("Exchange") <= 16, plan
+
+
+def test_pq_rerank_audit_legs_persisted(spark, sf_dir):
+    """lx_pq_rerank (r11 batch 5): the exact brute-force leg and the
+    per-query recall frames are persisted results, so multi-consumer
+    audit reads hit InMemoryTableScan instead of re-scoring the corpus —
+    parquet scan occurrences drop 32 -> 23 in the explain string."""
+    plan = _plan(spark, sf_dir, "lx_pq_rerank")
+    assert plan.count("InMemoryTableScan") >= 6, plan
+    assert plan.count("Scan parquet") <= 26, plan
+
+
 def test_temporal_dim_enrich_is_single_shuffle_asof(spark, sf_dir):
     """j34: the SCD2 read path must run as the union-sort as-of join (one
     Window over the key), never a point-in-interval theta join."""
