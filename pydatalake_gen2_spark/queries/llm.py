@@ -4002,9 +4002,15 @@ def l62_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("cos"),
     )
-    cand = cos.join(bm, "doc_id", "left").select(
+    # cand feeds TWO consumers (the 4-number extremes aggregate and the
+    # fused projection); unpersisted, BOTH legs — the BM25 pass over
+    # documents AND the HOF-cosine pass over embeddings — executed twice
+    # per run (concurrent identical subtrees never hit ReusedExchange,
+    # the r11 finding). The persisted frame is 3 narrow columns per doc,
+    # far cheaper than a second double corpus scan at any scale.
+    cand = track_persist(cos.join(bm, "doc_id", "left").select(
         "doc_id", F.coalesce("bm25", F.lit(0.0)).alias("bm25"), "cos"
-    )
+    ))
     mm = cand.agg(
         F.min("bm25").alias("bmin"),
         F.max("bm25").alias("bmax"),
