@@ -163,6 +163,7 @@ def build_output(
     probe_ratio: float | None,
     sf: str,
     mid_ratios: list[float] | None = None,
+    mid_ratios_s01: list[float] | None = None,
 ) -> tuple[dict, dict]:
     """Build the (headline, full) output pair.
 
@@ -195,6 +196,13 @@ def build_output(
             # attributable to host state from the artifact alone. Purely
             # additive — no timed query's methodology changed.
             "u01_ratio_path": mid_ratios,
+            # Second r11 addition: s01 (parquet scan, DISK-bound) probed
+            # at the same points. u01 is CPU-bound and blind to
+            # storage-side VM contention — the end-of-round refresh
+            # recorded u01 at pin while untouched shuffle/scan-heavy
+            # queries ran 1.5-2x slow in isolated re-runs. The pair of
+            # paths separates CPU from disk host state in the artifact.
+            "s01_ratio_path": mid_ratios_s01,
         }
         if probe_ratio is not None
         else None
@@ -270,24 +278,27 @@ def main() -> None:
             math.exp(sum(math.log(r) for r in ratios) / len(ratios)), 3
         )
 
-    def _u01_ratio() -> float:
-        """Median-of-3 u01 re-probe (60 ms pin — ~0.5 s total)."""
-        fn = reg["u01_union_all"].spark_fn
+    def _probe_ratio(name: str) -> float:
+        """Median-of-3 re-probe of a pinned constant-work query."""
+        fn = reg[name].spark_fn
         runs = []
         for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
-        return round(
-            statistics.median(runs) / PROBE_PINS["u01_union_all"], 2
-        )
+        return round(statistics.median(runs) / PROBE_PINS[name], 2)
+
+    def _u01_ratio() -> float:
+        return _probe_ratio("u01_union_all")
 
     mid_ratios: list[float] = []
+    mid_ratios_s01: list[float] = []
     mid_points = {len(names) // 3, (2 * len(names)) // 3} if probe else set()
     timings: dict[str, float] = {}
     for i, name in enumerate(names):
         if i in mid_points:
             mid_ratios.append(_u01_ratio())
+            mid_ratios_s01.append(_probe_ratio("s01_parquet_scan"))
         fn = reg[name].spark_fn
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm-up
         runs = []
@@ -299,9 +310,11 @@ def main() -> None:
         release_persisted()  # drop operator-cached blocks between queries
     if probe:
         mid_ratios.append(_u01_ratio())  # end-of-suite point
+        mid_ratios_s01.append(_probe_ratio("s01_parquet_scan"))
 
     headline, full = build_output(
-        timings, probe, probe_ratio, sf, mid_ratios or None
+        timings, probe, probe_ratio, sf, mid_ratios or None,
+        mid_ratios_s01 or None,
     )
     sidecar = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"

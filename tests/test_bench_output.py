@@ -68,14 +68,18 @@ def test_baseline15_total_sums_only_protocol_queries():
 
 
 def test_headline_with_probe_path_still_fits():
-    # r11: the interleaved u01 re-probe path rides in the probe object;
-    # headline must stay under the driver's tail-capture budget with it.
+    # r11: the interleaved u01 (CPU-bound) and s01 (disk-bound) re-probe
+    # paths ride in the probe object; headline must stay under the
+    # driver's tail-capture budget with both present.
     timings, probe, probe_ratio = _fake_inputs(100)
     headline, full = build_output(
-        timings, probe, probe_ratio, "0.1", [1.23, 4.56, 2.34]
+        timings, probe, probe_ratio, "0.1",
+        [1.23, 4.56, 2.34], [1.11, 2.22, 3.33],
     )
     line = json.dumps(headline)
     assert len(line) < 1500
     parsed = json.loads(line)
     assert parsed["probe"]["u01_ratio_path"] == [1.23, 4.56, 2.34]
     assert full["probe"]["u01_ratio_path"] == [1.23, 4.56, 2.34]
+    assert parsed["probe"]["s01_ratio_path"] == [1.11, 2.22, 3.33]
+    assert full["probe"]["s01_ratio_path"] == [1.11, 2.22, 3.33]
