@@ -146,6 +146,28 @@ BENCH_QUERIES = [
 
 N_RUNS = 3
 
+# r12 (VERDICT r11 "next round" #1): contention-proofing. The r11 driver
+# bench ran at start-probe 2.86x and recorded all 15 common queries 2-10x
+# "regressed" while the same code at probe 1.24 beat the prior round — the
+# probes diagnosed the contention but nothing acted on them. Two bounded,
+# additive countermeasures:
+#   * probe-gated start: while the start-of-run probe ratio exceeds
+#     PROBE_GATE, sleep and re-probe (at most PROBE_MAX_RETRIES times);
+#     the FINAL pass is the recorded probe, computed exactly as before,
+#     and the retry count is recorded as probe.probe_retries.
+#   * bounded outlier re-run: a query reading > RERUN_FACTOR x its
+#     committed BENCH_FULL.json sidecar figure triggers an on-the-spot
+#     u01 probe; if that reads >= PROBE_GATE (host hot NOW), the query is
+#     re-run once (same warm-up-already-done median-of-N protocol) and the
+#     smaller median kept. Both readings land in the sidecar under
+#     "reruns" so the adjudication is reproducible from the artifact.
+# Neither changes the timed protocol of a query measured on a quiet host.
+PROBE_GATE = 1.5
+PROBE_MAX_RETRIES = 5
+PROBE_RETRY_SLEEP_S = 20.0
+RERUN_FACTOR = 3.0
+RERUN_MAX = 10
+
 # Contention probe (r8 verdict "next round" #3): u01/s01 are constant-work,
 # plan-stable queries whose code paths have been untouched since round 1 —
 # any movement in them is HOST state, not engine state. Their round-1 pins
@@ -164,6 +186,8 @@ def build_output(
     sf: str,
     mid_ratios: list[float] | None = None,
     mid_ratios_s01: list[float] | None = None,
+    probe_retries: int = 0,
+    reruns: dict[str, list[float]] | None = None,
 ) -> tuple[dict, dict]:
     """Build the (headline, full) output pair.
 
@@ -203,6 +227,9 @@ def build_output(
             # queries ran 1.5-2x slow in isolated re-runs. The pair of
             # paths separates CPU from disk host state in the artifact.
             "s01_ratio_path": mid_ratios_s01,
+            # r12: how many times the probe-gated start re-probed before
+            # the suite began (0 = host was at <= PROBE_GATE immediately).
+            "probe_retries": probe_retries,
         }
         if probe_ratio is not None
         else None
@@ -245,6 +272,17 @@ def build_output(
     full["variance_note"] = (
         "±25% typical; heavy queries swing more under host contention"
     )
+    # r12 contention-proofing bookkeeping (sidecar only — the headline
+    # stays small): per-query [first_median, rerun_median] for every
+    # outlier re-run that fired, and the recorded methodology flags.
+    full["reruns"] = reruns or {}
+    # r12 (VERDICT r11 #8): persisted/checkpointed frames are now released
+    # after each query's WARM-UP run, so the first timed run pays the
+    # persist materialization cost instead of inheriting the warm-up's
+    # cache blocks. Median-of-3 keeps the recorded figure the warm value,
+    # so cross-round comparability holds; the flag makes the boundary
+    # explicit in the artifact.
+    full["warmup_release"] = True
     return headline, full
 
 
@@ -255,13 +293,9 @@ def main() -> None:
     names = [n for n in BENCH_QUERIES if n in reg]
     spark = get_spark("bench")
 
-    # Probe pass FIRST (fresh session, before any suite caching effects).
-    # Only meaningful at sf0.1 — the pins are sf0.1 medians; at any other
-    # scale the ratio would mix data size with contention and mislead, so
-    # the probe is skipped entirely (no ratio is better than a wrong one).
-    probe: dict[str, float] = {}
-    probe_ratio = None
-    if sf == "0.1":
+    def _probe_pass() -> tuple[dict[str, float], float]:
+        """One full start-of-run probe pass (warm-up + median-of-N per pin)."""
+        p: dict[str, float] = {}
         for name, _pin in PROBE_PINS.items():
             fn = reg[name].spark_fn
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm-up
@@ -270,17 +304,36 @@ def main() -> None:
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 runs.append(time.perf_counter() - t0)
-            probe[name] = round(statistics.median(runs), 3)
+            p[name] = round(statistics.median(runs), 3)
         # Geometric mean of the per-probe ratios: symmetric in over/under,
         # and one noisy probe can't dominate like an arithmetic mean would.
-        ratios = [probe[n] / pin for n, pin in PROBE_PINS.items()]
-        probe_ratio = round(
+        ratios = [p[n] / pin for n, pin in PROBE_PINS.items()]
+        return p, round(
             math.exp(sum(math.log(r) for r in ratios) / len(ratios)), 3
         )
 
+    # Probe pass FIRST (fresh session, before any suite caching effects).
+    # Only meaningful at sf0.1 — the pins are sf0.1 medians; at any other
+    # scale the ratio would mix data size with contention and mislead, so
+    # the probe is skipped entirely (no ratio is better than a wrong one).
+    # r12: probe-GATED start — a hot host gets a bounded sleep-and-retry
+    # before any timed query runs, so a transient contention spike at
+    # launch cannot poison the whole suite (r11's 2.86x start).
+    probe: dict[str, float] = {}
+    probe_ratio = None
+    probe_retries = 0
+    if sf == "0.1":
+        probe, probe_ratio = _probe_pass()
+        while probe_ratio > PROBE_GATE and probe_retries < PROBE_MAX_RETRIES:
+            time.sleep(PROBE_RETRY_SLEEP_S)
+            probe_retries += 1
+            probe, probe_ratio = _probe_pass()
+
     def _probe_ratio(name: str) -> float:
-        """Median-of-3 re-probe of a pinned constant-work query."""
+        """Re-probe of a pinned constant-work query (1 discarded warm
+        execution + median-of-3, matching the pin methodology)."""
         fn = reg[name].spark_fn
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         runs = []
         for _ in range(3):
             t0 = time.perf_counter()
@@ -291,22 +344,70 @@ def main() -> None:
     def _u01_ratio() -> float:
         return _probe_ratio("u01_union_all")
 
+    # Reference map for the outlier re-run gate: the committed sidecar of
+    # the PREVIOUS run, read before this run overwrites it. Only used when
+    # it was recorded at the same scale factor.
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+    )
+    ref_map: dict[str, float] = {}
+    try:
+        with open(sidecar) as f:
+            _ref = json.load(f)
+        if str(_ref.get("sf")) == str(float(sf) if sf.replace(".", "").isdigit() else sf):
+            ref_map = {
+                k: float(v) for k, v in _ref.get("queries", {}).items()
+            }
+    except Exception:
+        pass
+
+    def _timed_medians(fn) -> float:
+        runs = []
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        return statistics.median(runs)
+
     mid_ratios: list[float] = []
     mid_ratios_s01: list[float] = []
-    mid_points = {len(names) // 3, (2 * len(names)) // 3} if probe else set()
+    # Mid-run probe points only make sense for suites long enough to HAVE
+    # a middle (1/3 and 2/3 collapse to 0 for <3 queries, which would
+    # probe before the first query and mislabel the path).
+    mid_points = (
+        {len(names) // 3, (2 * len(names)) // 3}
+        if probe and len(names) >= 3
+        else set()
+    )
     timings: dict[str, float] = {}
+    reruns: dict[str, list[float]] = {}
     for i, name in enumerate(names):
         if i in mid_points:
             mid_ratios.append(_u01_ratio())
             mid_ratios_s01.append(_probe_ratio("s01_parquet_scan"))
         fn = reg[name].spark_fn
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm-up
-        runs = []
-        for _ in range(N_RUNS):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
-        timings[name] = round(statistics.median(runs), 3)
+        # r12 (VERDICT r11 #8): drop warm-up-populated persisted blocks so
+        # the timed runs pay each persist's own materialization (run 1) —
+        # median-of-3 still records the warm figure (flag: warmup_release).
+        release_persisted()
+        med = _timed_medians(fn)
+        # r12 outlier re-run: >RERUN_FACTOR x the committed sidecar figure
+        # AND the host probe is hot RIGHT NOW -> one bounded re-run, keep
+        # the smaller median, record both.
+        if (
+            probe
+            and name in ref_map
+            and ref_map[name] > 0
+            and med > RERUN_FACTOR * ref_map[name]
+            and len(reruns) < RERUN_MAX
+            and _u01_ratio() >= PROBE_GATE
+        ):
+            release_persisted()
+            med2 = _timed_medians(fn)
+            reruns[name] = [round(med, 3), round(med2, 3)]
+            med = min(med, med2)
+        timings[name] = round(med, 3)
         release_persisted()  # drop operator-cached blocks between queries
     if probe:
         mid_ratios.append(_u01_ratio())  # end-of-suite point
@@ -314,10 +415,7 @@ def main() -> None:
 
     headline, full = build_output(
         timings, probe, probe_ratio, sf, mid_ratios or None,
-        mid_ratios_s01 or None,
-    )
-    sidecar = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+        mid_ratios_s01 or None, probe_retries, reruns,
     )
     with open(sidecar, "w") as f:
         json.dump(full, f, indent=1)

@@ -451,8 +451,13 @@ def connected_components(
     RuntimeError rather than silently returning split components if the
     cap is ever hit. Each round is two shuffle joins + one partial-agg
     min() — no driver-side graph, state is one (node, label) row per
-    node, so it shards with the shuffle at any scale. Convergence is
-    checked with a cheap limit(1).count() of changed labels per round.
+    node, so it shards with the shuffle at any scale. Convergence (r12,
+    VERDICT r11 #6): the round's aggregate carries the node's OLD label
+    beside the new min, the round state is checkpointed LAZILY, and one
+    full count of changed rows both materializes every partition of the
+    checkpoint and returns the convergence certificate — ONE driver job
+    per round where there used to be two (eager materialization + a
+    separate join-based changed probe re-scanning both cached rounds).
 
     Each round's state is materialized with a PLAN-TRUNCATING
     localCheckpoint (util.checkpoint_truncate), not a plain persist:
@@ -489,33 +494,46 @@ def connected_components(
     try:
         labels = checkpoint_truncate(nodes.withColumn("lbl", F.col("id")))
         for _ in range(max_iter):
-            # neighbor labels: for each edge (s,d), s can adopt d's label
+            cur = labels.select("id", "lbl")
+            # neighbor labels: for each edge (s,d), s can adopt d's label.
+            # The `old` tag rides only on the current-labels leg of the
+            # union, so min(old) recovers each node's previous label (every
+            # node has exactly one row in `cur`) without a second join.
             nbr = (
-                sym.join(labels.withColumnRenamed("id", "d"), on="d")
-                .select(F.col("s").alias("id"), "lbl")
+                sym.join(cur.withColumnRenamed("id", "d"), on="d")
+                .select(
+                    F.col("s").alias("id"), "lbl",
+                    F.lit(None).cast("bigint").alias("old"),
+                )
             )
             # pointer doubling: each node can also adopt its label's label,
             # collapsing chains exponentially instead of one hop per round.
             hop = (
-                labels.alias("x")
+                cur.alias("x")
                 .join(
-                    labels.select(
+                    cur.select(
                         F.col("id").alias("lbl"), F.col("lbl").alias("lbl2")
                     ).alias("y"),
                     on="lbl",
                 )
-                .select(F.col("id"), F.col("lbl2").alias("lbl"))
+                .select(
+                    F.col("id"), F.col("lbl2").alias("lbl"),
+                    F.lit(None).cast("bigint").alias("old"),
+                )
             )
             new_labels = checkpoint_truncate(
-                labels.union(nbr).union(hop).groupBy("id").agg(F.min("lbl").alias("lbl"))
+                cur.withColumn("old", F.col("lbl"))
+                .unionByName(nbr)
+                .unionByName(hop)
+                .groupBy("id")
+                .agg(F.min("lbl").alias("lbl"), F.min("old").alias("old")),
+                eager=False,
             )
             try:
-                changed = (
-                    new_labels.join(labels.withColumnRenamed("lbl", "old"), on="id")
-                    .filter(F.col("lbl") != F.col("old"))
-                    .limit(1)
-                    .count()
-                )
+                # ONE job: the full (not limit-1) count materializes every
+                # partition of the lazy checkpoint AND yields the
+                # convergence certificate (see checkpoint_truncate note).
+                changed = new_labels.filter(F.col("lbl") != F.col("old")).count()
             except Exception:
                 release_checkpoint(new_labels)  # the round that won't be adopted
                 raise

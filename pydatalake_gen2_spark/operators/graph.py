@@ -110,16 +110,19 @@ def bfs_distances(
     of these flagged suppliers/documents"), label spreading, and
     lineage-radius queries.
 
-    Algorithm: distance relaxation to fixpoint — each round every node
-    takes min(own dist, neighbor dist + 1); convergence when the
-    (count, sum(dist)) signature stops changing (distances only ever
-    decrease, so the signature is a monotone certificate). Rounds are
-    bounded by the graph's seed-eccentricity (diameter in the worst
-    case) — NOT log-compressed like connected components' pointer
-    doubling, because path LENGTH is the answer, so shortcuts would
-    change the result. State is one (node, dist) row per reached node,
-    checkpoint-truncated per round (see module docstring); each round
-    is one equi-join + one partial-agg min.
+    Algorithm: BFS by levels. Unit-weight BFS settles a node the round it
+    is first reached, so each round relaxes only the FRONTIER (last
+    round's new nodes) against the edges, and a candidate reached from a
+    depth-(r-1) node has true depth in {r-2, r-1, r} — anti-joining
+    candidates against the last TWO levels is exact (r12, same frontier
+    rewrite as landmark_distances; the old form joined and re-checkpointed
+    the full settled table every round). Rounds are bounded by the
+    graph's seed-eccentricity — NOT log-compressed like connected
+    components' pointer doubling, because path LENGTH is the answer, so
+    shortcuts would change the result. State totals one (node, dist) row
+    per reached node across all level checkpoints; convergence = empty
+    frontier, read from the job that materializes the level (lazy
+    checkpoint + full count — one driver job per round).
     """
     from pydatalake_gen2_spark.operators.util import (
         checkpoint_truncate,
@@ -136,48 +139,55 @@ def bfs_distances(
         .distinct()
         .persist()
     )
-    dist = None
+    levels: list[DataFrame] = []  # levels[r] = nodes first reached at depth r
     converged = False
     try:
-        dist = checkpoint_truncate(
-            seeds.select(F.col(seed_col).cast("bigint").alias("node"))
-            .distinct()
-            .withColumn("dist", F.lit(0))
+        levels.append(
+            checkpoint_truncate(
+                seeds.select(F.col(seed_col).cast("bigint").alias("node"))
+                .distinct()
+                .withColumn("dist", F.lit(0))
+            )
         )
-        prev = dist.agg(F.count(F.lit(1)), F.coalesce(F.sum("dist"), F.lit(0))).first()
         for _ in range(max_iter):
-            relax = sym.join(dist, sym.s == dist.node).select(
+            frontier = levels[-1]
+            relax = sym.join(frontier, sym.s == frontier.node).select(
                 F.col("d").alias("node"), (F.col("dist") + 1).alias("dist")
             )
-            new_dist = checkpoint_truncate(
-                dist.select("node", "dist")
-                .union(relax)
-                .groupBy("node")
-                .agg(F.min("dist").alias("dist"))
+            seen = levels[-1].select("node")
+            if len(levels) >= 2:
+                seen = seen.union(levels[-2].select("node"))
+            new_level = checkpoint_truncate(
+                relax.dropDuplicates(["node"]).join(
+                    seen, on=["node"], how="left_anti"
+                ),
+                eager=False,
             )
             try:
-                cur = new_dist.agg(
-                    F.count(F.lit(1)), F.coalesce(F.sum("dist"), F.lit(0))
-                ).first()
+                n_new = new_level.count()
             except Exception:
-                release_checkpoint(new_dist)  # the round that won't be adopted
+                release_checkpoint(new_level)  # the round that won't be adopted
                 raise
-            release_checkpoint(dist)
-            dist = new_dist
-            if tuple(cur) == tuple(prev):
+            if n_new == 0:
+                release_checkpoint(new_level)
                 converged = True
                 break
-            prev = cur
+            levels.append(new_level)
     except Exception:
-        if dist is not None:
-            release_checkpoint(dist)  # free the live round on job failure
+        for lv in levels:
+            release_checkpoint(lv)  # free live rounds on job failure
         raise
     finally:
         sym.unpersist()
     if not converged:
-        release_checkpoint(dist)
+        for lv in levels:
+            release_checkpoint(lv)
         raise RuntimeError(f"bfs_distances did not converge within {max_iter} rounds")
-    track(dist)
+    dist = levels[0]
+    for lv in levels[1:]:
+        dist = dist.union(lv)
+    for lv in levels:
+        track(lv)
     return dist.select("node", F.col("dist").cast("bigint").alias("dist"))
 
 
@@ -263,13 +273,27 @@ def landmark_distances(
     """Per-landmark BFS distances over an undirected graph: one
     (node, lm, dist) row for every (reachable node, landmark) pair —
     bfs_distances with SOURCE TRACKING, i.e. |landmarks| simultaneous
-    BFS waves sharing each round's single join + partial-agg min on the
-    compound (node, lm) key. The backbone of landmark-based centrality
-    and distance-oracle sketches (Potamias et al. 2009): exact APSP is
+    BFS waves sharing each round's single join + dedup on the compound
+    (node, lm) key. The backbone of landmark-based centrality and
+    distance-oracle sketches (Potamias et al. 2009): exact APSP is
     quadratic state, but a bounded landmark set (16-64 in practice)
     keeps state at |V|·|L| rows while preserving distance structure.
-    Same fixpoint/convergence machinery as bfs_distances (monotone
-    (count, sum) certificate, per-round checkpoint truncation).
+
+    r12 (VERDICT r11 #5; guide §2.3 shuffle fewer bytes): FRONTIER-ONLY
+    relaxation. The old form joined the FULL settled table with the edge
+    list every round and re-aggregated + re-checkpointed all |V|·|L|
+    rows per round — Σ_r |settled_r| checkpoint writes and join shuffles
+    (~quadratic in depth; gr11's 198.7 s at sf10 was this). Unit-weight
+    BFS settles a pair the round it is first reached, so only the rows
+    DISCOVERED last round can relax anything new, and a candidate
+    reached from a depth-(r-1) node has true depth in {r-2, r-1, r}:
+    anti-joining candidates against just the LAST TWO levels (never the
+    whole settled set) is exact. Per round this joins |frontier| rows
+    with the edges, checkpoints only the new level, and the total
+    materialized volume across the whole run is exactly |V|·|L| rows.
+    Convergence = empty frontier, read from the SAME job that
+    materializes the level (lazy checkpoint + full count — one driver
+    job per round, the same fusion as connected_components).
     """
     from pydatalake_gen2_spark.operators.util import (
         checkpoint_truncate,
@@ -286,48 +310,65 @@ def landmark_distances(
         .distinct()
         .persist()
     )
-    dist = None
+    levels: list[DataFrame] = []  # levels[r] = pairs first reached at depth r
     converged = False
     try:
-        dist = checkpoint_truncate(
-            landmarks.select(F.col(lm_col).cast("bigint").alias("node"))
-            .distinct()
-            .select("node", F.col("node").alias("lm"), F.lit(0).alias("dist"))
+        levels.append(
+            checkpoint_truncate(
+                landmarks.select(F.col(lm_col).cast("bigint").alias("node"))
+                .distinct()
+                .select(
+                    "node", F.col("node").alias("lm"), F.lit(0).alias("dist")
+                )
+            )
         )
-        prev = dist.agg(F.count(F.lit(1)), F.coalesce(F.sum("dist"), F.lit(0))).first()
         for _ in range(max_iter):
-            relax = sym.join(dist, sym.s == dist.node).select(
+            frontier = levels[-1]
+            relax = sym.join(frontier, sym.s == frontier.node).select(
                 F.col("d").alias("node"), "lm", (F.col("dist") + 1).alias("dist")
             )
-            new_dist = checkpoint_truncate(
-                dist.select("node", "lm", "dist")
-                .union(relax)
-                .groupBy("node", "lm")
-                .agg(F.min("dist").alias("dist"))
+            # Candidates of depth r can only collide with pairs settled at
+            # depths r-1 / r-2 (an earlier-settled neighbour would have
+            # pulled the frontier node below depth r-1) — anti-join against
+            # those two levels only. dropDuplicates first: multiple paths
+            # produce identical rows, and keying its exchange on (node, lm)
+            # lets the anti-join reuse the partitioning.
+            seen = levels[-1].select("node", "lm")
+            if len(levels) >= 2:
+                seen = seen.union(levels[-2].select("node", "lm"))
+            new_level = checkpoint_truncate(
+                relax.dropDuplicates(["node", "lm"]).join(
+                    seen, on=["node", "lm"], how="left_anti"
+                ),
+                eager=False,
             )
             try:
-                cur = new_dist.agg(
-                    F.count(F.lit(1)), F.coalesce(F.sum("dist"), F.lit(0))
-                ).first()
+                # ONE job: materializes every partition of the lazy
+                # checkpoint AND yields the empty-frontier certificate.
+                n_new = new_level.count()
             except Exception:
-                release_checkpoint(new_dist)
+                release_checkpoint(new_level)
                 raise
-            release_checkpoint(dist)
-            dist = new_dist
-            if tuple(cur) == tuple(prev):
+            if n_new == 0:
+                release_checkpoint(new_level)
                 converged = True
                 break
-            prev = cur
+            levels.append(new_level)
     except Exception:
-        if dist is not None:
-            release_checkpoint(dist)
+        for lv in levels:
+            release_checkpoint(lv)
         raise
     finally:
         sym.unpersist()
     if not converged:
-        release_checkpoint(dist)
+        for lv in levels:
+            release_checkpoint(lv)
         raise RuntimeError(
             f"landmark_distances did not converge within {max_iter} rounds"
         )
-    track(dist)
+    dist = levels[0]
+    for lv in levels[1:]:
+        dist = dist.union(lv)
+    for lv in levels:
+        track(lv)
     return dist.select("node", "lm", F.col("dist").cast("bigint").alias("dist"))

@@ -130,9 +130,22 @@ def _lsh_buckets_arrow(n_planes: int, n_tables: int, seed: int, dim: int = 64):
     return _buckets
 
 
-def _pair_cos_map_arrow(dim: int = 64, id_col: str = "vec_id"):
+def _pair_cos_map_arrow(dim: int = 64, id_col: str = "vec_id",
+                        local_k: int | None = None):
     """mapInArrow scorer: cosine over candidate-pair batches of
     (query_id, id, _qv, _v) -> (query_id, id, cos).
+
+    ``local_k``: per-batch EXACT top-k prune (guide §2.3 aggregate before
+    you shuffle). When the candidate frame arrives partitioned by
+    query_id (lsh_topk dedups on a query_id-keyed exchange for exactly
+    this reason), each query's candidates sit in one task, so keeping the
+    k best per (query, batch) under the SAME total order the downstream
+    window ranks by — (cos DESC, id ASC), with NaN sorted LARGEST to
+    match Spark's double ordering — is a superset of the global top-k:
+    the final exchange+sort sees ~k rows per query instead of every
+    candidate (131M rows at the sf10 ladder point). The window after it
+    stays the single source of ranking truth; the prune only drops rows
+    that provably cannot rank.
 
     mapInArrow instead of a pandas UDF because the pair frame is huge
     (131M rows at the sf10 ladder point): the pandas path materializes
@@ -166,8 +179,81 @@ def _pair_cos_map_arrow(dim: int = 64, id_col: str = "vec_id"):
                 acc_qq = acc_qq + qd * qd
                 acc_cc = acc_cc + cd * cd
             cos = acc_qc / (np.sqrt(acc_qq) * np.sqrt(acc_cc))
+            if local_k is not None and n > local_k:
+                qids = b.column("query_id").to_numpy(zero_copy_only=False)
+                ids = b.column(id_col).to_numpy(zero_copy_only=False)
+                keep = _local_topk_indices(qids, ids, cos, local_k)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(qids[keep]),
+                        pa.array(ids[keep]),
+                        pa.array(cos[keep]),
+                    ],
+                    names=["query_id", id_col, "cos"],
+                )
+                continue
             yield pa.RecordBatch.from_arrays(
                 [b.column("query_id"), b.column(id_col), pa.array(cos)],
+                names=["query_id", id_col, "cos"],
+            )
+
+    return _score
+
+
+def _local_topk_indices(qids, ids, cos, k):
+    """Indices of each query's k best rows within one batch, under EXACTLY
+    the downstream window's total order (cos DESC, id ASC): Spark orders
+    NaN greater than any double, so DESC puts NaN first -> map NaN to
+    -inf in the ASCENDING negated key."""
+    import numpy as np
+
+    neg = np.where(np.isnan(cos), -np.inf, -cos)
+    order = np.lexsort((ids, neg, qids))  # qid, then cos desc, then id
+    sq = qids[order]
+    starts = np.flatnonzero(np.r_[True, sq[1:] != sq[:-1]])
+    counts = np.diff(np.r_[starts, len(sq)])
+    rank = np.arange(len(sq)) - np.repeat(starts, counts)
+    return np.sort(order[rank < k])
+
+
+def _pair_cos_lookup_arrow(bc, dim: int = 64, id_col: str = "vec_id",
+                           local_k: int | None = None):
+    """mapInArrow scorer over (query_id, id) KEY batches: both vectors are
+    gathered from a torrent-broadcast (sorted_ids, float32 matrix) pair
+    instead of riding each pair row (guide §8 — at 131M candidates the
+    per-pair vector copies were ~67 GB of Arrow serialization; the keys
+    are 16 bytes/row). Gathered rows widen float32->float64 per batch and
+    run the same sequential dimension fold as _pair_cos_map_arrow, so
+    scores are bit-identical to it and to the dot()/l2_norm() expression
+    form."""
+
+    def _score(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        sorted_ids, mat = bc.value  # (n,), (n, dim) float32, id-sorted
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            qids = b.column("query_id").to_numpy(zero_copy_only=False)
+            ids = b.column(id_col).to_numpy(zero_copy_only=False)
+            qm = mat[np.searchsorted(sorted_ids, qids)].astype(np.float64)
+            cm = mat[np.searchsorted(sorted_ids, ids)].astype(np.float64)
+            n = qm.shape[0]
+            acc_qc = np.zeros(n, dtype=np.float64)
+            acc_qq = np.zeros(n, dtype=np.float64)
+            acc_cc = np.zeros(n, dtype=np.float64)
+            for d in range(dim):  # sequential: the exact dot() fold
+                qd, cd = qm[:, d], cm[:, d]
+                acc_qc = acc_qc + qd * cd
+                acc_qq = acc_qq + qd * qd
+                acc_cc = acc_cc + cd * cd
+            cos = acc_qc / (np.sqrt(acc_qq) * np.sqrt(acc_cc))
+            if local_k is not None and n > local_k:
+                keep = _local_topk_indices(qids, ids, cos, local_k)
+                qids, ids, cos = qids[keep], ids[keep], cos[keep]
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(qids), pa.array(ids), pa.array(cos)],
                 names=["query_id", id_col, "cos"],
             )
 
@@ -363,47 +449,71 @@ def lsh_topk(
     # scale), with norms computed once per row — dot/(qn*cn) is the same
     # expression tree cosine() builds, so scores stay bit-identical.
     ids = bucketed.select(F.col(id_col), F.explode("buckets").alias("bucket"))
+    # The pair dedup needs one exchange either way (a pair surfaces up to
+    # n_tables times, from DIFFERENT bucket partitions, so map-side
+    # partial dedup never fired on the old (query_id, id) key). Keying
+    # that exchange on query_id ALONE still satisfies the dedup's
+    # clustering requirement (no second exchange — plan-pinned) and
+    # additionally lands every query's whole candidate set in ONE task,
+    # which is what lets the scorer's local_k prune (below) collapse the
+    # final window's input from every candidate to ~k rows per query
+    # (guide §2.3 aggregate-before-shuffle; the 131M-row candidate sort
+    # was the dominant stage at the sf10 ladder point).
     pairs = (
         ids.select(F.col(id_col).alias("query_id"), "bucket")
         .join(ids, on="bucket")
         .filter(F.col("query_id") != F.col(id_col))
         .select("query_id", id_col)
+        .repartition("query_id")
         .dropDuplicates(["query_id", id_col])
     )
-    # Raw float32 vectors ride the re-attach joins (half the bytes of the
-    # double cast; the Arrow kernel widens exactly), and scoring is ONE
-    # vectorized Arrow pass over the candidate pairs — the interpreted
-    # zip_with/aggregate fold was ~half the query's wall time at sf0.1.
-    # The kernel's sequential dimension loop keeps scores bit-identical
-    # to the dot()/l2_norm() expression form (see _pair_cos_arrow).
+    # Scoring is ONE vectorized Arrow pass over the candidate pairs with a
+    # per-batch exact top-k prune; the kernel's sequential dimension loop
+    # keeps scores bit-identical to the dot()/l2_norm() expression form.
     #
-    # The re-attach joins are BROADCAST while the (id, vector) projection
-    # is modest (<= ~256 MB): the candidate frame is n*occupancy*tables
-    # rows — 131M at the sf10 ladder point — and letting the planner
-    # shuffle it TWICE (by query_id, then by id) to meet a 50 MB build
-    # side was ~60% of the query's wall time there. Past the bound the
-    # hint is withheld and the planner's shuffle join is correct: at a
-    # true 100 TB corpus the bucket-local candidate join IS the shuffle
-    # that matters, and vectors must ride it.
-    vec = bucketed.select(F.col(id_col), F.col(vec_col).alias("_v"))
+    # While the (id, vector) projection is modest (<= ~256 MB), the pairs
+    # frame carries ONLY (query_id, id) — 16 bytes/row — and the worker
+    # looks both vectors up in a torrent-BROADCAST float32 matrix (guide
+    # §8: move keys, not payloads). The old form attached both vectors to
+    # every pair via broadcast joins, which shipped ~2x256 B per pair
+    # across the JVM->Arrow->Python boundary — ~67 GB of serialization at
+    # the sf10 ladder point's 131M candidates, the dominant cost once the
+    # candidate sort was gone. The driver-side footprint is the same 256MB
+    # the broadcast-join hash relation already cost. Past the bound the
+    # planner's shuffle join attaches vectors the classic way: at a true
+    # 100 TB corpus the bucket-local candidate join IS the shuffle that
+    # matters, and vectors must ride it.
     n_vecs = bucketed.count()  # persisted: metadata-cheap, also warms it
     dim = len(bucketed.select(vec_col).first()[0])
     small = n_vecs * dim * 4 <= 256 * 1024 * 1024
-    bvec = F.broadcast(vec) if small else vec
-    scored = (
-        pairs.join(
-            bvec.select(
-                F.col(id_col).alias("query_id"), F.col("_v").alias("_qv")
-            ),
-            on="query_id",
+    if small:
+        vp = bucketed.select(F.col(id_col), F.col(vec_col).alias("_v")).toPandas()
+        ids_np = vp[id_col].to_numpy(dtype=np.int64)
+        mat = np.stack(vp["_v"].to_numpy())  # (n, dim) float32, exact rows
+        order = np.argsort(ids_np, kind="stable")
+        bc = corpus.sparkSession.sparkContext.broadcast(
+            (ids_np[order], mat[order])
         )
-        .join(bvec, on=id_col)
-        .select("query_id", id_col, "_qv", "_v")
-        .mapInArrow(
-            _pair_cos_map_arrow(id_col=id_col),
+        scored = pairs.mapInArrow(
+            _pair_cos_lookup_arrow(bc, dim=dim, id_col=id_col, local_k=k),
             schema=f"query_id BIGINT, {id_col} BIGINT, cos DOUBLE",
         )
-    )
+    else:
+        vec = bucketed.select(F.col(id_col), F.col(vec_col).alias("_v"))
+        scored = (
+            pairs.join(
+                vec.select(
+                    F.col(id_col).alias("query_id"), F.col("_v").alias("_qv")
+                ),
+                on="query_id",
+            )
+            .join(vec, on=id_col)
+            .select("query_id", id_col, "_qv", "_v")
+            .mapInArrow(
+                _pair_cos_map_arrow(id_col=id_col, local_k=k),
+                schema=f"query_id BIGINT, {id_col} BIGINT, cos DOUBLE",
+            )
+        )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col))
     return (
         scored.withColumn("rn", F.row_number().over(w).cast("bigint"))

@@ -27,7 +27,7 @@ def track_persist(df: DataFrame) -> DataFrame:
     return df
 
 
-def checkpoint_truncate(df: DataFrame) -> DataFrame:
+def checkpoint_truncate(df: DataFrame, eager: bool = True) -> DataFrame:
     """Materialize ``df`` and TRUNCATE its logical plan (localCheckpoint).
 
     Iterative algorithms (connected components' pointer doubling) reference
@@ -43,8 +43,17 @@ def checkpoint_truncate(df: DataFrame) -> DataFrame:
 
     NOTE: unlike plain persist, a truncated frame CANNOT be recomputed
     after its blocks are released — release only after fully consuming.
+
+    ``eager=False`` defers materialization to the caller's NEXT action —
+    used by the iterative loops to fuse the round's convergence count
+    into the materialization job (one driver job per round instead of
+    two — guide §7 driver overhead). The caller MUST then run an action
+    that computes EVERY partition (a full count/aggregate, never
+    limit(1)) before releasing the frame it was derived from: a
+    partially-materialized lazy checkpoint recomputes missing partitions
+    from lineage, and the parent's blocks must still exist for that.
     """
-    return df.localCheckpoint(eager=True)
+    return df.localCheckpoint(eager=eager)
 
 
 def release_checkpoint(df: DataFrame) -> None:
@@ -118,7 +127,12 @@ def spread(df: DataFrame) -> DataFrame:
     try:
         size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     except Exception:
-        return df.repartition(par)
+        # Fail SAFE, not fast: if the stats read is unavailable (a Spark
+        # upgrade moving the py4j surface, a plan shape without stats),
+        # repartitioning here would be exactly the catastrophic full
+        # shuffle of an unknown-size input this function promises never
+        # to introduce. The no-op merely forgoes a local-scale speedup.
+        return df
     if size <= par * max_pb:
         return df.repartition(par)
     return df

@@ -339,7 +339,21 @@ def _spark_backbone(spark: SparkSession) -> DataFrame:
         .filter(F.col("i") < F.col("j"))
         .select("u", "v")
     )
-    w = track_persist(pairs.groupBy("u", "v").agg(F.count(F.lit(1)).alias("cnt")))
+    # r12 (guide §5 spill / §2.4 exchange reuse): repartition on (u, v)
+    # BEFORE the count so the aggregate plans as a single COMPLETE agg
+    # after the exchange instead of partial+final around it. The map-side
+    # partial agg was a measured 75 GB spill at sf10 (event log, stage 5:
+    # 872M exploded pair rows per 32 tasks, each partial hash map holding
+    # ~every one of the 2.66M distinct edges -> constant spill-sort-merge
+    # for an 8x row reduction), while the complete agg's reduce-side hash
+    # state is bounded by DISTINCT EDGES PER TASK, not input rows — it
+    # cannot spill that way. The raw-pair shuffle is (u,v) int pairs,
+    # compressed; sf10 A/B: backbone materialization 200 -> 52 s cold.
+    w = track_persist(
+        pairs.repartition("u", "v").groupBy("u", "v").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+    )
     t = w.selectExpr(
         "percentile_disc(0.95) WITHIN GROUP (ORDER BY cnt) AS t"
     ).collect()[0]["t"]  # bounded: one scalar row

@@ -2201,16 +2201,29 @@ def l36_minhash_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     # across them, so unpersisted the tokenize+distinct subtree ran ~6x
     # and the 8-way md5 signature agg ~8x per query (r11 event-log
     # profile: ~475 task-seconds of duplicated work at sf0.1; persisting
-    # both cut the query 9.5 s -> 4.4 s, rows identical). At 100 TB the
-    # persisted frames are doc-sized (8 hex hashes/doc), far cheaper than
-    # recomputing the corpus tokenize per consumer (guide §5: cache what
-    # is reused AND expensive). Caller releases via release_persisted().
+    # both cut the query 9.5 s -> 4.4 s, rows identical). Storage cost at
+    # 100 TB: `sigs` is doc-sized (8 hex hashes/doc) — negligible — but
+    # `toks` is the exploded distinct shingle frame, roughly CORPUS-sized;
+    # persisting it is a corpus-scale MEMORY_AND_DISK materialization that
+    # trades one extra pass worth of storage for the ~6x recompute (guide
+    # §5: cache what is reused AND expensive; spills to disk, never OOMs).
+    # If the toks-dedup win doesn't hold at a given deployment, drop the
+    # toks persist and keep sigs. Caller releases via release_persisted().
+    # r12 (VERDICT r11 #3, guide §2.4 "a distinct on data that is already
+    # unique"): (doc_id, tok) duplicates can only arise WITHIN one doc's
+    # shingle array (doc_id is the table key), so array_distinct on the
+    # array dedups row-locally and the corpus-wide distinct — a full
+    # 147M-row exchange at the sf30 ladder point, and the spill site the
+    # r11 ladder flagged (3x rows/partition at the fixed 32-partition
+    # layout) — disappears outright. Row multiset identical by
+    # construction; oracle re-verified at sf0.001/0.01/0.1.
     toks = track_persist(
         docs.select(
             "doc_id",
-            F.explode(text.ngrams(F.split(F.col("text"), " "), 3)).alias("tok"),
+            F.explode(
+                F.array_distinct(text.ngrams(F.split(F.col("text"), " "), 3))
+            ).alias("tok"),
         )
-        .distinct()
     )
     sigs = track_persist(
         toks.groupBy("doc_id").agg(
@@ -3313,13 +3326,18 @@ def l59_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # wall time at sf0.1. Values unchanged: caching, not recomputing.
     from pydatalake_gen2_spark.operators.util import track_persist
 
+    # r12: (doc_id, is_batch, tok) duplicates only arise within one doc's
+    # shingle array (is_batch is a function of doc_id), so array_distinct
+    # dedups row-locally and the corpus-wide distinct exchange disappears
+    # (same rewrite as l36 — guide §2.4).
     toks = track_persist(
         docs.select(
             "doc_id",
             "is_batch",
-            F.explode(text.ngrams(F.split(F.col("text"), " "), 3)).alias("tok"),
+            F.explode(
+                F.array_distinct(text.ngrams(F.split(F.col("text"), " "), 3))
+            ).alias("tok"),
         )
-        .distinct()
     )
     # sigs feeds BOTH sides of the candidate band join; unpersisted, the
     # 8-way md5 min-agg over the cached toks ran twice per query (the
@@ -3445,15 +3463,17 @@ def l60_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         F.when(h < "cc", "train").when(h < "e6", "val").otherwise("test").alias("split"),
     )
-    grams = (
-        split.select(
-            "doc_id",
-            "split",
-            F.explode(text.ngrams(F.split(F.lower(F.col("text")), " "), 5)).alias(
-                "gram"
-            ),
-        )
-        .distinct()
+    # r12: (doc_id, split, gram) duplicates only arise within one doc's
+    # gram array (split is a function of doc_id) — array_distinct dedups
+    # row-locally, removing the corpus-wide distinct exchange (guide §2.4;
+    # same rewrite as l36/l59). train_grams' cross-doc distinct below is
+    # a genuine dedup and stays.
+    grams = split.select(
+        "doc_id",
+        "split",
+        F.explode(
+            F.array_distinct(text.ngrams(F.split(F.lower(F.col("text")), " "), 5))
+        ).alias("gram"),
     )
     train_grams = grams.filter(F.col("split") == "train").select("gram").distinct()
     held = grams.filter(F.col("split") != "train")
